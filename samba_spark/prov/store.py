@@ -1,0 +1,150 @@
+"""Provenance store: parquet tables under one run directory.
+
+Driver-side metadata (executions, tasks, task_deps, transformation_groups,
+filegroup_refs) is buffered in memory and flushed as small parquet files —
+these tables are O(#operators), tiny. Element-level tables (elements,
+element_deps) are written as *distributed* DataFrame appends: at 100 TB the
+element tables dwarf the data, so they must never pass through the driver.
+
+Reference contrast: SAMbA issues one async Cassandra insert per record from
+each executor (br/uff/spark/database/CassandraDBDao.scala:131-142); we write
+columnar batches per partition instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from samba_spark.prov import model
+
+
+class ProvStore:
+    def __init__(self, spark: SparkSession, prov_dir: str, enabled: bool = True):
+        self.spark = spark
+        self.prov_dir = prov_dir
+        self.enabled = enabled
+        self._lock = threading.Lock()
+        self._buffers: dict[str, list[tuple]] = {
+            "executions": [],
+            "tasks": [],
+            "task_deps": [],
+            "transformation_groups": [],
+            "filegroup_refs": [],
+        }
+        if enabled:
+            os.makedirs(prov_dir, exist_ok=True)
+
+    # -- driver-side metadata ---------------------------------------------
+    def write_execution(self, run_id: str, name: str, start_time: float) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            self._buffers["executions"].append((run_id, name, start_time, None))
+
+    def finish_execution(self, run_id: str, end_time: float) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            rows = self._buffers["executions"]
+            for i, r in enumerate(rows):
+                if r[0] == run_id:
+                    rows[i] = (r[0], r[1], r[2], end_time)
+
+    def write_task(
+        self,
+        run_id: str,
+        task_id: str,
+        transformation_type: str,
+        description: Optional[str],
+        schema_fields: Optional[list[str]],
+        dep_task_ids: Iterable[str],
+        group_id: Optional[str] = None,
+        ignored: bool = False,
+    ) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            self._buffers["tasks"].append(
+                (run_id, task_id, transformation_type, description,
+                 list(schema_fields or []), group_id, bool(ignored))
+            )
+            for dep in dep_task_ids:
+                self._buffers["task_deps"].append((run_id, task_id, dep))
+
+    def write_group(
+        self, run_id, group_id, name, init_tasks, intermediary_tasks, finish_task
+    ) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            self._buffers["transformation_groups"].append(
+                (run_id, group_id, name, list(init_tasks),
+                 list(intermediary_tasks), finish_task)
+            )
+
+    def write_filegroup_ref(self, run_id, task_id, element_id, folder_path) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            self._buffers["filegroup_refs"].append(
+                (run_id, task_id, element_id, folder_path)
+            )
+
+    # -- distributed element tables ---------------------------------------
+    def append_elements(self, df: DataFrame) -> None:
+        """Append a DataFrame shaped like model.ELEMENTS (distributed write)."""
+        if not self.enabled:
+            return
+        df.write.mode("append").parquet(os.path.join(self.prov_dir, "elements"))
+
+    def append_element_deps(self, df: DataFrame) -> None:
+        if not self.enabled:
+            return
+        df.write.mode("append").parquet(os.path.join(self.prov_dir, "element_deps"))
+
+    # -- flush / read ------------------------------------------------------
+    def flush(self) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            for name, rows in self._buffers.items():
+                if not rows:
+                    continue
+                df = self.spark.createDataFrame(rows, schema=model.TABLES[name])
+                path = os.path.join(self.prov_dir, name)
+                df.coalesce(1).write.mode("append").parquet(path)
+                rows.clear()
+
+    def table(self, name: str) -> DataFrame:
+        """Read a provenance table (flushing pending driver-side rows)."""
+        if name in self._buffers:
+            self.flush()
+        path = os.path.join(self.prov_dir, name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema=model.TABLES[name])
+        return self.spark.read.schema(model.TABLES[name]).parquet(path)
+
+    def export_graph(self, run_id: str, path: str) -> dict:
+        """A16: export the element graph as JSON {nodes, links}
+        (reference br/uff/spark/DataflowProvenance.scala:106-132)."""
+        elements = self.table("elements").where(f"run_id = '{run_id}'")
+        deps = self.table("element_deps").where(f"run_id = '{run_id}'")
+        nodes = [
+            {"id": r["element_id"], "task": r["task_id"], "values": r["values"]}
+            for r in elements.collect()
+        ]
+        links = [
+            {"source": r["dep_element_id"], "target": r["element_id"],
+             "task": r["task_id"]}
+            for r in deps.collect()
+        ]
+        graph = {"nodes": nodes, "links": links}
+        with open(path, "w") as f:
+            json.dump(graph, f)
+        return graph

@@ -1,0 +1,161 @@
+"""Session management.
+
+``ProvSession`` is the engine's entry point: it wraps a ``SparkSession``,
+registers one *execution* (run) row per lifetime, hands out
+provenance-wrapped DataFrames, and flushes run/task metadata on ``stop()``.
+
+Reference parity: SAMbA hooks SparkContext construction to open the
+provenance store and insert the Execution row
+(reference core/src/main/scala/org/apache/spark/SparkContext.scala:382-391,
+br/uff/spark/DataflowProvenance.scala:29-37) and stamps EndTime on stop
+(DataflowProvenance.scala:95-103). Our provenance store is a directory of
+parquet tables (see samba_spark/prov/model.py) instead of Cassandra — writes
+are per-partition batched, never per-record RPC.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Tuned-for-local-mode defaults. On a real cluster these come from
+# spark-submit; everything here is also sane at 1000 executors (AQE
+# coalesces the 2x-overprovisioned shuffle partitions back down).
+_SESSION_CONF = {
+    # AQE: runtime re-planning — partition coalescing, skew-join splitting,
+    # dynamic broadcast conversion. Essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas UDF / mapInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Timestamps in fixtures are timezone-naive; pin session TZ so
+    # Spark agrees with DuckDB byte-for-byte.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    # Don't let tiny fixture files produce one-partition plans that hide
+    # distribution bugs; at 100 TB the default 128m is right.
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "samba_spark",
+    master: Optional[str] = None,
+    extra_conf: Optional[dict] = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's tuned defaults."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    for k, v in _SESSION_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+class ProvSession:
+    """Engine session = SparkSession + provenance run registry.
+
+    Parameters mirror the reference's SparkConf toggles
+    (core/src/main/scala/org/apache/spark/SparkConf.scala:636-657):
+
+    - ``provenance``  ↔ ``spark.sciSpark.enableProvenance`` (A1)
+    - ``version_control`` ↔ ``spark.sciSpark.versionControl`` (A2)
+    - ``script_dir``  ↔ ``spark.sciSpark.internalScriptDir`` (A3)
+    """
+
+    def __init__(
+        self,
+        spark: Optional[SparkSession] = None,
+        *,
+        name: str = "samba_run",
+        provenance: bool = True,
+        version_control: bool = False,
+        prov_dir: Optional[str] = None,
+        script_dir: Optional[str] = None,
+    ):
+        self.spark = spark or get_spark(app_name=name)
+        self.name = name
+        self.provenance_enabled = provenance
+        self.version_control_enabled = version_control
+        self.script_dir = script_dir
+        self.run_id = str(uuid.uuid4())
+        self.start_time = time.time()
+        self.end_time: Optional[float] = None
+        self.prov_dir = prov_dir or os.path.join(
+            os.environ.get("SAMBA_PROV_DIR", "/tmp/samba_prov"), self.run_id
+        )
+        self._stopped = False
+        # Late imports to keep session import-light.
+        from samba_spark.prov.store import ProvStore
+
+        self.store = ProvStore(self.spark, self.prov_dir, enabled=provenance)
+        if provenance:
+            self.store.write_execution(self.run_id, self.name, self.start_time)
+        from samba_spark.groups import GroupManager
+
+        self.groups = GroupManager(self)
+        atexit.register(self._atexit)
+
+    # -- data ingress ------------------------------------------------------
+    def read_parquet(self, path: str, name: Optional[str] = None):
+        from samba_spark.operators.wrapper import ProvDataFrame
+
+        df = self.spark.read.parquet(path)
+        return ProvDataFrame._source(self, df, op="read_parquet", desc=name or path)
+
+    def create_dataframe(self, data, schema=None, name: str = "parallelize"):
+        from samba_spark.operators.wrapper import ProvDataFrame
+
+        df = self.spark.createDataFrame(data, schema)
+        return ProvDataFrame._source(self, df, op="parallelize", desc=name)
+
+    def file_groups(self, *templates, name: Optional[str] = None):
+        """A4: load file-group templates into one row per group
+        (reference core/.../SparkContext.scala:1339-1358)."""
+        from samba_spark.sources.filegroup import read_file_groups
+
+        return read_file_groups(self, templates, name=name)
+
+    # -- scopes ------------------------------------------------------------
+    def group(self, group_name: str):
+        """A13 transformation-group scope
+        (reference br/uff/spark/TransformationGroup.scala:6-33)."""
+        return self.groups.scope(group_name)
+
+    # -- lifecycle ---------------------------------------------------------
+    def stop(self, stop_spark: bool = False) -> None:
+        if self._stopped:
+            return
+        self._stopped = True
+        self.end_time = time.time()
+        if self.provenance_enabled:
+            self.store.finish_execution(self.run_id, self.end_time)
+            self.store.flush()
+        if stop_spark:
+            self.spark.stop()
+
+    def _atexit(self) -> None:
+        try:
+            self.stop()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+        return False

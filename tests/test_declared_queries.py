@@ -1,0 +1,34 @@
+"""t2 correctness replica: every declared query hash-matches DuckDB on the
+same parquet (BASELINE.md). Runs at sf0.001 for speed; the driver runs the
+same comparison at sf0.01."""
+
+import pytest
+
+from samba_spark.queries import DECLARED
+from tests.oracle_util import compare, duckdb_conn
+
+ORACLE_QUERIES = [name for name, spec in DECLARED.items() if spec.oracle]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_smoke):
+    con = duckdb_conn(sf_smoke)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, sf_smoke, duck, name):
+    spec = DECLARED[name]
+    df = spec.fn(spark, sf_smoke)
+    compare(df, duck, spec.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    keys_q = set(e.queries().keys())
+    keys_o = set(e.oracle_sql().keys())
+    assert keys_o <= keys_q
