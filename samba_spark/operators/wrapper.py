@@ -12,48 +12,66 @@ API that
 2. when element provenance is enabled, carries ``_prov_id`` /
    ``_prov_deps`` as ordinary columns so lineage rides the same Tungsten
    pipeline as the data (no per-record side channel), and
-3. persists element tables in columnar batches.
+3. persists element tables in columnar, distributed batches.
 
 Element-dependency semantics preserved from the reference (SURVEY.md §2.1):
 map 1-1 (rdd/RDD.scala:496-516), filter pass-through + opt-in drop-sentinel
-(rdd/MapPartitionsRDD.scala:83-127), aggregation n-1 via collect_set
+(rdd/MapPartitionsRDD.scala:83-127), aggregation n-1 via collected dep sets
 (Aggregator.scala:38-55), join all-matching-sides (CoGroupedRDD.scala:86-133),
 distinct survivor-depends-on-duplicates (rdd/RDD.scala:534-548), ignored ops
-transparent (DataElement.scala:34-46).
+transparent (DataElement.scala:34-46) — an ignored op keeps ``_prov_id``
+NULL and carries its input's dep set forward, so downstream edges skip it.
 
 Provenance levels:
-- ``provenance=False``: wrapper is a pure passthrough (zero overhead).
+- ``provenance=False`` on the session: pure passthrough, zero overhead.
 - ``provenance=True`` (default): run/task-level capture — O(#operators)
   metadata, no per-row cost; this is the bench configuration.
-- ``element_provenance=True`` on an operator chain (``.with_elements()``):
-  full element-level capture, persisted per operator in distributed batches.
-  Opt-in because at 100 TB the element tables dwarf the data.
+- ``.with_elements()`` on a chain: full element-level capture, persisted
+  per operator in distributed batches. Opt-in because at 100 TB the element
+  tables dwarf the data.
 """
 
 from __future__ import annotations
 
 import uuid
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from samba_spark.prov.model import PROV_DEPS, PROV_ID
 
-# Cap on fan-in recorded through one aggregation output element. Reference
-# accumulates unbounded UUID lists across spills
+# Cap on fan-in recorded through one aggregation output element. The
+# reference accumulates unbounded UUID lists across spills
 # (util/collection/ExternalSorter.scala:181-460); unbounded is not viable at
-# 100 TB, so we cap and mark truncation (SURVEY.md §4.2 hard spot (a)).
+# 100 TB, so we cap (SURVEY.md §4.2 hard spot (a)).
 AGG_DEPS_CAP = 10_000
 DROP_SENTINEL_PREFIX = "don't-pass: "
+
+_EMPTY_DEPS = "CAST(array() AS array<string>)"
 
 
 def _new_task_id() -> str:
     return str(uuid.uuid4())
 
 
+def _dep_expr(df: DataFrame) -> Column:
+    """Per-row effective dependency ids: the row's own element id, or — if
+    this row came from an ignored (transparent) op with NULL id — the dep
+    set it carried through (reference DataElement.scala:34-46)."""
+    has_id = PROV_ID in df.columns
+    has_deps = PROV_DEPS in df.columns
+    if has_id and has_deps:
+        return F.when(
+            F.col(PROV_ID).isNotNull(), F.array(F.col(PROV_ID))
+        ).otherwise(F.col(PROV_DEPS))
+    if has_id:
+        return F.array(F.col(PROV_ID))
+    return F.expr(_EMPTY_DEPS)
+
+
 class ProvDataFrame:
-    """A DataFrame plus its provenance Task. All relational methods mirror
+    """A DataFrame plus its provenance Task. Relational methods mirror
     pyspark.sql.DataFrame and return ProvDataFrame."""
 
     def __init__(
@@ -64,29 +82,30 @@ class ProvDataFrame:
         op: str,
         desc: Optional[str] = None,
         parents: Sequence["ProvDataFrame"] = (),
-        ignored: bool = False,
         elements_enabled: bool = False,
-        register: bool = True,
     ):
         self.session = session
         self._df = df
         self.op = op
         self.desc = desc or op
         self.parents = list(parents)
-        self.ignored = ignored
+        self.ignored = False
         self.elements_enabled = elements_enabled
         self.task_id = _new_task_id()
-        self.schema_fn: Optional[Callable] = None
+        self.schema_fn: Optional[Callable[..., Column]] = None
         self._elements_written = False
-        if register and session.provenance_enabled and not ignored:
-            dep_ids = self._effective_parent_task_ids()
+        if session.provenance_enabled:
             group_id = session.groups.register(
                 self.task_id,
-                has_parent_in_group=any(
-                    p.task_id in (session.groups.current.init_tasks
-                                  + session.groups.current.intermediary_tasks)
+                has_parent_in_group=bool(session.groups.current)
+                and any(
+                    p.task_id
+                    in (
+                        session.groups.current.init_tasks
+                        + session.groups.current.intermediary_tasks
+                    )
                     for p in self.parents
-                ) if session.groups.current else False,
+                ),
             )
             session.store.write_task(
                 session.run_id,
@@ -94,14 +113,14 @@ class ProvDataFrame:
                 transformation_type=op,
                 description=self.desc,
                 schema_fields=self.user_columns,
-                dep_task_ids=dep_ids,
+                dep_task_ids=self._effective_parent_task_ids(),
                 group_id=group_id,
             )
 
     # -- plumbing ----------------------------------------------------------
     def _effective_parent_task_ids(self) -> list[str]:
         """Task deps skip ignored parents to their nearest recorded ancestor
-        (reference Task.scala:34-43: ignored tasks are transparent)."""
+        (reference Task.scala:34-43)."""
         out: list[str] = []
         for p in self.parents:
             if p.ignored:
@@ -113,7 +132,8 @@ class ProvDataFrame:
     @property
     def df(self) -> DataFrame:
         """The underlying Spark DataFrame *without* provenance columns."""
-        return self._df.select(*self.user_columns)
+        drop = [c for c in (PROV_ID, PROV_DEPS) if c in self._df.columns]
+        return self._df.drop(*drop) if drop else self._df
 
     @property
     def raw(self) -> DataFrame:
@@ -133,10 +153,10 @@ class ProvDataFrame:
 
     @staticmethod
     def _mint_ids(df: DataFrame) -> DataFrame:
-        """Assign fresh element ids: random-prefix + partition-local counter,
-        unique across operators and executors. The reference uses time-based
-        UUIDv1 with a per-worker LSB offset for the same collision concern
-        (DataElement.scala:78-85)."""
+        """Fresh element ids: random prefix + partition-local counter —
+        unique across operators and executors without coordination. The
+        reference uses time-based UUIDv1 with a per-worker LSB offset for
+        the same concern (DataElement.scala:78-85)."""
         prefix = uuid.uuid4().hex[:12]
         return df.withColumn(
             PROV_ID,
@@ -145,6 +165,28 @@ class ProvDataFrame:
             ),
         )
 
+    def _strip(self, df: DataFrame) -> DataFrame:
+        drop = [c for c in (PROV_ID, PROV_DEPS) if c in df.columns]
+        return df.drop(*drop) if drop else df
+
+    def _lineage_1to1(self, df: DataFrame) -> DataFrame:
+        """1-1 / 1-N ops: new element per row, deps = effective input deps
+        (reference map semantics, rdd/RDD.scala:496-516)."""
+        if not self.elements_enabled:
+            return self._strip(df)
+        deps = _dep_expr(df)
+        out = df.withColumn("_new_deps", deps)
+        out = self._strip(out).withColumnRenamed("_new_deps", PROV_DEPS)
+        return self._mint_ids(out)
+
+    def _lineage_fresh(self, df: DataFrame) -> DataFrame:
+        """Ops where per-row input lineage is not representable row-wise
+        (set ops via Catalyst, mapInPandas): new elements, empty deps —
+        task-level lineage still links the operators."""
+        if not self.elements_enabled:
+            return self._strip(df)
+        return self._mint_ids(self._strip(df).withColumn(PROV_DEPS, F.expr(_EMPTY_DEPS)))
+
     def _child(
         self,
         df: DataFrame,
@@ -152,7 +194,6 @@ class ProvDataFrame:
         desc: Optional[str] = None,
         *,
         parents: Optional[Sequence["ProvDataFrame"]] = None,
-        ignored: bool = False,
     ) -> "ProvDataFrame":
         return ProvDataFrame(
             self.session,
@@ -160,34 +201,30 @@ class ProvDataFrame:
             op=op,
             desc=desc,
             parents=parents if parents is not None else [self],
-            ignored=ignored,
             elements_enabled=self.elements_enabled,
         )
 
-    # element-capture helpers ------------------------------------------------
-    def _with_row_lineage(self, df: DataFrame) -> DataFrame:
-        """1-1 ops: new id, deps = [parent id] (reference map semantics,
-        rdd/RDD.scala:496-516). If capture is off, strip prov columns."""
-        if not self.elements_enabled:
-            return df.drop(PROV_ID, PROV_DEPS)
-        deps = (
-            F.array(F.col(PROV_ID)) if PROV_ID in df.columns else F.array().cast("array<string>")
-        )
-        df = df.withColumn(PROV_DEPS, deps).drop(PROV_ID)
-        return self._mint_ids(df)
-
+    # -- element capture -----------------------------------------------------
     def with_elements(self) -> "ProvDataFrame":
-        """Turn on element-level capture from this operator downstream."""
+        """Enable element-level capture from this operator downstream. The
+        current rows become source elements with no deps (reference:
+        parallelize/source elements, rdd/ParallelCollectionRDD.scala:40-46)."""
         out = self._child(self._df, op="with_elements", desc="enable elements")
         out.elements_enabled = True
-        out._df = out._mint_ids(
-            out._df.withColumn(PROV_DEPS, F.array().cast("array<string>"))
+        out._df = self._mint_ids(
+            self._strip(self._df).withColumn(PROV_DEPS, F.expr(_EMPTY_DEPS))
         )
         return out
 
     def persist_elements(self) -> "ProvDataFrame":
-        """Write this operator's element + element-dep rows (distributed)."""
-        if not (self.session.provenance_enabled and self.elements_enabled):
+        """Write this operator's element + element-dep rows (distributed
+        batch appends — the analogue of the reference's per-element async
+        CQL, CassandraDBDao.scala:131-142)."""
+        if not (
+            self.session.provenance_enabled
+            and self.elements_enabled
+            and not self.ignored
+        ):
             return self
         if self._elements_written:
             return self
@@ -199,6 +236,9 @@ class ProvDataFrame:
         if self.schema_fn is not None:
             values = self.schema_fn(cached)
         else:
+            # Default schema: one row of stringified columns — the analogue
+            # of the reference's DefaultSchema family
+            # (schema/DefaultSchema.scala:3-8, DefaultPairSchema.scala:17-26).
             values = F.array(
                 F.array(*[F.col(c).cast("string") for c in user_cols])
             )
@@ -215,91 +255,99 @@ class ProvDataFrame:
             F.lit(task_id).alias("task_id"),
             F.col(PROV_ID).alias("element_id"),
             F.explode(F.col(PROV_DEPS)).alias("dep_element_id"),
-        ).select("run_id", "task_id", "element_id", "dep_element_id")
+        )
         self.session.store.append_element_deps(deps)
         return self
 
-    # -- A10/A11/A12 --------------------------------------------------------
+    # -- A10/A11/A12 ----------------------------------------------------------
     def set_schema(self, fn: Callable[[DataFrame], Column]) -> "ProvDataFrame":
-        """A10: provenance projection (reference rdd/RDD.scala:271-275).
-        ``fn(df) -> array<array<string>> column`` used for elements.values."""
+        """A10 provenance projection (reference rdd/RDD.scala:271-275):
+        ``fn(df) -> Column[array<array<string>>]`` used for elements.values."""
         self.schema_fn = fn
+        if self.session.provenance_enabled:
+            self.session.store.update_task_schema(
+                self.session.run_id, self.task_id, None
+            )
         return self
 
     def ignore_it(self) -> "ProvDataFrame":
-        """A11: exclude this op from provenance; deps flow through
+        """A11: exclude this op from provenance; deps flow through it
         (reference rdd/RDD.scala:238-241, DataElement.scala:34-46)."""
         self.ignored = True
+        self.session.store.remove_task(self.session.run_id, self.task_id)
+        if self.elements_enabled and PROV_ID in self._df.columns:
+            # NULL id + retained deps = transparent to downstream _dep_expr.
+            self._df = self._df.withColumn(
+                PROV_ID, F.lit(None).cast("string")
+            )
         return self
 
     def set_name(self, name: str) -> "ProvDataFrame":
         """A12 (reference rdd/RDD.scala:281-285)."""
         self.desc = name
+        if self.session.provenance_enabled:
+            self.session.store.rename_task(self.session.run_id, self.task_id, name)
         return self
 
-    # -- sources -------------------------------------------------------------
+    # -- sources ---------------------------------------------------------------
     @classmethod
     def _source(cls, session, df: DataFrame, op: str, desc: str) -> "ProvDataFrame":
         return cls(session, df, op=op, desc=desc, parents=())
 
-    # -- relational surface (Layer B passthroughs) ---------------------------
+    # -- relational surface (Layer B passthroughs) ------------------------------
     def select(self, *cols) -> "ProvDataFrame":
-        keep = [PROV_ID] if self.elements_enabled and PROV_ID in self._df.columns else []
+        keep = [c for c in (PROV_ID, PROV_DEPS) if c in self._df.columns]
         df = self._df.select(*cols, *keep)
-        return self._child(self._with_row_lineage_from(df), "map", "select")
-
-    def _with_row_lineage_from(self, df: DataFrame) -> DataFrame:
-        if not self.elements_enabled:
-            return df.drop(PROV_ID, PROV_DEPS)
-        df = df.withColumn(PROV_DEPS, F.array(F.col(PROV_ID))).drop(PROV_ID)
-        return self._mint_ids(df)
+        return self._child(self._lineage_1to1(df), "map", "select")
 
     def with_column(self, name: str, col: Column) -> "ProvDataFrame":
         df = self._df.withColumn(name, col)
-        return self._child(self._with_row_lineage(df), "map", f"with_column({name})")
+        return self._child(self._lineage_1to1(df), "map", f"with_column({name})")
 
     withColumn = with_column
 
     def where(self, condition, *, track_dropped: bool = False) -> "ProvDataFrame":
-        """filter. ``track_dropped=True`` also records dropped rows as deps of
-        a per-task sentinel element (reference
+        """filter. ``track_dropped=True`` also records dropped rows as deps
+        of a per-task sentinel element (reference
         rdd/MapPartitionsRDD.scala:83-127) — opt-in: it doubles scan work."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         df = self._df.where(cond)
-        child = self._child(self._with_row_lineage(df), "filter", str(condition)[:200])
+        child = self._child(self._lineage_1to1(df), "filter", str(condition)[:200])
         if (
             track_dropped
             and self.elements_enabled
             and self.session.provenance_enabled
         ):
-            dropped = self._df.where(~cond)
+            dropped = self._df.where(~cond | cond.isNull())
             sentinel = DROP_SENTINEL_PREFIX + child.task_id
-            elements = dropped.select(
-                F.lit(self.session.run_id).alias("run_id"),
-                F.lit(child.task_id).alias("task_id"),
-                F.lit(sentinel).alias("element_id"),
-                F.array(F.array(F.lit(sentinel))).alias("values"),
-                F.lit(None).cast("string").alias("value_json"),
-            ).limit(1)
-            self.session.store.append_elements(elements)
-            deps = dropped.select(
-                F.lit(self.session.run_id).alias("run_id"),
-                F.lit(child.task_id).alias("task_id"),
-                F.lit(sentinel).alias("element_id"),
-                F.col(PROV_ID).alias("dep_element_id"),
+            run_id = self.session.run_id
+            self.session.store.append_elements(
+                dropped.limit(1).select(
+                    F.lit(run_id).alias("run_id"),
+                    F.lit(child.task_id).alias("task_id"),
+                    F.lit(sentinel).alias("element_id"),
+                    F.array(F.array(F.lit(sentinel))).alias("values"),
+                    F.lit(None).cast("string").alias("value_json"),
+                )
             )
-            self.session.store.append_element_deps(deps)
+            self.session.store.append_element_deps(
+                dropped.select(
+                    F.lit(run_id).alias("run_id"),
+                    F.lit(child.task_id).alias("task_id"),
+                    F.lit(sentinel).alias("element_id"),
+                    F.explode(_dep_expr(dropped)).alias("dep_element_id"),
+                )
+            )
         return child
 
     filter = where
 
     def explode_col(self, col: str, alias: str) -> "ProvDataFrame":
-        """flatMap analogue: one input row → N output rows, each depending on
-        its input (reference rdd/RDD.scala:507-516)."""
-        keep = [c for c in self.user_columns if c != col]
-        df = self._df.select(*keep, F.explode(F.col(col)).alias(alias),
-                             *( [F.col(PROV_ID)] if self.elements_enabled and PROV_ID in self._df.columns else []))
-        return self._child(self._with_row_lineage_from(df), "flatMap", f"explode({col})")
+        """flatMap analogue: one input row → N output rows, each depending
+        on its input (reference rdd/RDD.scala:507-516)."""
+        keep = [c for c in self._df.columns if c != col]
+        df = self._df.select(*keep, F.explode(F.col(col)).alias(alias))
+        return self._child(self._lineage_1to1(df), "flatMap", f"explode({col})")
 
     def group_by(self, *cols):
         return _GroupedProv(self, cols)
@@ -314,42 +362,46 @@ class ProvDataFrame:
         *,
         broadcast_other: bool = False,
     ) -> "ProvDataFrame":
-        """Equi/theta join. Output element depends on the matching elements
-        of both sides (reference rdd/CoGroupedRDD.scala:86-133)."""
-        right = other._df
+        """Join. Output element depends on the matching elements of both
+        sides (reference rdd/CoGroupedRDD.scala:86-133)."""
+        left, right = self._df, other._df
+        if self.elements_enabled:
+            left = left.withColumn("_dep_l", _dep_expr(left))
+            left = self._strip(left)
+            right = right.withColumn("_dep_r", _dep_expr(right))
+            right = self._strip(right)
         if broadcast_other:
             right = F.broadcast(right)
+        joined = left.join(right, on=on, how=how)
         if self.elements_enabled:
-            left = self._df.withColumnRenamed(PROV_ID, "_prov_id_l").drop(PROV_DEPS)
-            right = right.withColumnRenamed(PROV_ID, "_prov_id_r")
-            if PROV_DEPS in right.columns:
-                right = right.drop(PROV_DEPS)
-            joined = left.join(right, on=on, how=how)
-            deps = F.filter(
-                F.array(F.col("_prov_id_l"), F.col("_prov_id_r")),
-                lambda x: x.isNotNull(),
+            deps = F.concat(
+                F.coalesce(F.col("_dep_l"), F.expr(_EMPTY_DEPS)),
+                F.coalesce(F.col("_dep_r"), F.expr(_EMPTY_DEPS)),
             )
-            joined = joined.withColumn(PROV_DEPS, deps).drop("_prov_id_l", "_prov_id_r")
-            child_df = self._mint_ids(joined)
-        else:
-            child_df = self._df.drop(PROV_ID, PROV_DEPS).join(
-                right.drop(PROV_ID, PROV_DEPS), on=on, how=how
+            joined = (
+                joined.withColumn(PROV_DEPS, deps).drop("_dep_l", "_dep_r")
             )
-        return self._child(child_df, f"join_{how}", parents=[self, other])
+            joined = self._mint_ids(joined)
+        return self._child(joined, f"join_{how}", parents=[self, other])
 
     def cross_join(self, other: "ProvDataFrame") -> "ProvDataFrame":
+        left, right = self._df, other._df
         if self.elements_enabled:
-            left = self._df.withColumnRenamed(PROV_ID, "_prov_id_l").drop(PROV_DEPS)
-            right = other._df.withColumnRenamed(PROV_ID, "_prov_id_r")
-            if PROV_DEPS in right.columns:
-                right = right.drop(PROV_DEPS)
-            joined = left.crossJoin(right).withColumn(
-                PROV_DEPS, F.array(F.col("_prov_id_l"), F.col("_prov_id_r"))
-            ).drop("_prov_id_l", "_prov_id_r")
-            child_df = self._mint_ids(joined)
+            left = self._strip(
+                left.withColumn("_dep_l", _dep_expr(left))
+            )
+            right = self._strip(
+                right.withColumn("_dep_r", _dep_expr(right))
+            )
+            joined = (
+                left.crossJoin(right)
+                .withColumn(PROV_DEPS, F.concat("_dep_l", "_dep_r"))
+                .drop("_dep_l", "_dep_r")
+            )
+            joined = self._mint_ids(joined)
         else:
-            child_df = self.df.crossJoin(other.df)
-        return self._child(child_df, "cartesian", parents=[self, other])
+            joined = left.crossJoin(right)
+        return self._child(joined, "cartesian", parents=[self, other])
 
     crossJoin = cross_join
 
@@ -358,79 +410,65 @@ class ProvDataFrame:
         (reference rdd/RDD.scala:534-548)."""
         if self.elements_enabled:
             cols = self.user_columns
-            df = (
-                self._df.groupBy(*cols)
-                .agg(F.slice(F.collect_set(PROV_ID), 1, AGG_DEPS_CAP).alias(PROV_DEPS))
+            src = self._df.withColumn("_deps", _dep_expr(self._df))
+            df = src.groupBy(*cols).agg(
+                F.slice(
+                    F.array_distinct(F.flatten(F.collect_list("_deps"))),
+                    1,
+                    AGG_DEPS_CAP,
+                ).alias(PROV_DEPS)
             )
-            child_df = self._mint_ids(df)
+            df = self._mint_ids(df)
         else:
-            child_df = self.df.distinct()
-        return self._child(child_df, "distinct")
+            df = self.df.distinct()
+        return self._child(df, "distinct")
 
     def drop_duplicates(self, subset: Optional[list[str]] = None) -> "ProvDataFrame":
         if subset is None:
             return self.distinct()
-        if self.elements_enabled:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(*subset).orderBy(F.col(PROV_ID))
-            df = (
-                self._df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-            child_df = self._with_row_lineage(df)
-        else:
-            child_df = self.df.dropDuplicates(subset)
-        return self._child(child_df, "distinct", f"dropDuplicates({subset})")
+        df = self._df.dropDuplicates(subset)
+        return self._child(
+            self._lineage_1to1(df), "distinct", f"dropDuplicates({subset})"
+        )
 
     dropDuplicates = drop_duplicates
 
     def union(self, other: "ProvDataFrame") -> "ProvDataFrame":
-        """unionAll (reference rdd/RDD.scala:752; UnionRDD.scala:75)."""
+        """unionAll (reference rdd/RDD.scala:752, UnionRDD.scala:75)."""
         if self.elements_enabled:
-            l = self._df.withColumn(PROV_DEPS, F.array(F.col(PROV_ID))).drop(PROV_ID)
-            r = other._df
-            if PROV_ID in r.columns:
-                r = r.withColumn(PROV_DEPS, F.array(F.col(PROV_ID))).drop(PROV_ID)
-            else:
-                r = r.withColumn(PROV_DEPS, F.array().cast("array<string>"))
-            child_df = self._mint_ids(l.unionByName(r))
+            l = self._strip(
+                self._df.withColumn("_deps", _dep_expr(self._df))
+            ).withColumnRenamed("_deps", PROV_DEPS)
+            r = self._strip(
+                other._df.withColumn("_deps", _dep_expr(other._df))
+            ).withColumnRenamed("_deps", PROV_DEPS)
+            df = self._mint_ids(l.unionByName(r))
         else:
-            child_df = self.df.unionByName(other.df)
-        return self._child(child_df, "union", parents=[self, other])
+            df = self.df.unionByName(other.df)
+        return self._child(df, "union", parents=[self, other])
 
     def intersect(self, other: "ProvDataFrame") -> "ProvDataFrame":
-        child_df = self.df.intersect(other.df)
-        if self.elements_enabled:
-            child_df = self._mint_ids(
-                child_df.withColumn(PROV_DEPS, F.array().cast("array<string>"))
-            )
-        return self._child(child_df, "intersection", parents=[self, other])
+        return self._child(
+            self._lineage_fresh(self.df.intersect(other.df)),
+            "intersection",
+            parents=[self, other],
+        )
 
     def subtract(self, other: "ProvDataFrame") -> "ProvDataFrame":
-        child_df = self.df.exceptAll(other.df)
-        if self.elements_enabled:
-            child_df = self._mint_ids(
-                child_df.withColumn(PROV_DEPS, F.array().cast("array<string>"))
-            )
-        return self._child(child_df, "subtract", parents=[self, other])
+        return self._child(
+            self._lineage_fresh(self.df.exceptAll(other.df)),
+            "subtract",
+            parents=[self, other],
+        )
 
     def order_by(self, *cols) -> "ProvDataFrame":
-        df = self._df.orderBy(*cols)
-        return self._child(
-            self._with_row_lineage(df) if self.elements_enabled else df.drop(PROV_ID, PROV_DEPS),
-            "sort",
-        )
+        return self._child(self._lineage_1to1(self._df.orderBy(*cols)), "sort")
 
     orderBy = order_by
 
     def limit(self, n: int) -> "ProvDataFrame":
-        df = self._df.limit(n)
         return self._child(
-            self._with_row_lineage(df) if self.elements_enabled else df.drop(PROV_ID, PROV_DEPS),
-            "take",
-            f"limit({n})",
+            self._lineage_1to1(self._df.limit(n)), "take", f"limit({n})"
         )
 
     def repartition(self, n: int, *cols) -> "ProvDataFrame":
@@ -445,24 +483,20 @@ class ProvDataFrame:
         return self
 
     def sample(self, fraction: float, seed: Optional[int] = None) -> "ProvDataFrame":
-        df = self._df.sample(fraction=fraction, seed=seed)
         return self._child(
-            self._with_row_lineage(df) if self.elements_enabled else df,
+            self._lineage_1to1(self._df.sample(fraction=fraction, seed=seed)),
             "sample",
         )
 
     def map_in_pandas(self, fn, schema) -> "ProvDataFrame":
         """mapPartitions analogue (reference rdd/RDD.scala:955-1044)."""
-        child_df = self.df.mapInPandas(fn, schema)
-        if self.elements_enabled:
-            child_df = self._mint_ids(
-                child_df.withColumn(PROV_DEPS, F.array().cast("array<string>"))
-            )
-        return self._child(child_df, "mapPartitions")
+        return self._child(
+            self._lineage_fresh(self.df.mapInPandas(fn, schema)), "mapPartitions"
+        )
 
     mapInPandas = map_in_pandas
 
-    # -- actions -------------------------------------------------------------
+    # -- actions ------------------------------------------------------------
     def collect(self):
         if self.elements_enabled:
             self.persist_elements()
@@ -483,7 +517,7 @@ class ProvDataFrame:
         return self.df.explain(mode=mode)
 
     def foreach_with_element(self, fn) -> None:
-        """A14 analogue: user code sees (_prov_id, row)
+        """A14 analogue: user code sees rows carrying ``_prov_id``
         (reference rdd/RDD.scala:1124-1126)."""
         if not self.elements_enabled:
             raise RuntimeError("enable element provenance first (.with_elements())")
@@ -495,7 +529,8 @@ class _GroupedProv:
     """groupBy().agg() with n-1 lineage: the output element per key depends
     on all inputs merged into it, capped at AGG_DEPS_CAP (reference
     Aggregator.scala:38-55, ExternalSorter.scala:181-460 — dependency lists
-    merged across spills; ours rides the same shuffle as the user agg)."""
+    merged across spills; ours rides the same shuffle as the user agg, so
+    partial aggregation still applies to the user side)."""
 
     def __init__(self, parent: ProvDataFrame, cols):
         self.parent = parent
@@ -504,15 +539,17 @@ class _GroupedProv:
     def agg(self, *exprs) -> ProvDataFrame:
         p = self.parent
         if p.elements_enabled:
-            lineage = F.slice(F.collect_set(F.col(PROV_ID)), 1, AGG_DEPS_CAP).alias(
-                PROV_DEPS
-            )
-            df = p._df.groupBy(*self.cols).agg(*exprs, lineage)
-            child_df = p._mint_ids(df)
+            src = p._df.withColumn("_deps", _dep_expr(p._df))
+            lineage = F.slice(
+                F.array_distinct(F.flatten(F.collect_list("_deps"))),
+                1,
+                AGG_DEPS_CAP,
+            ).alias(PROV_DEPS)
+            df = src.groupBy(*self.cols).agg(*exprs, lineage)
+            df = ProvDataFrame._mint_ids(df)
         else:
-            child_df = p.df.groupBy(*self.cols).agg(*exprs)
-        child = p._child(child_df, "reduceByKey", f"groupBy({self.cols})")
-        return child
+            df = p.df.groupBy(*self.cols).agg(*exprs)
+        return p._child(df, "reduceByKey", f"groupBy({self.cols})")
 
     def count(self) -> ProvDataFrame:
         return self.agg(F.count(F.lit(1)).alias("count"))

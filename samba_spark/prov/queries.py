@@ -76,11 +76,14 @@ def transitive_lineage(
     Returns (element_id, hop). direction: 'up' = ancestors, 'down' = descendants.
     """
     spark = store.spark
-    deps = store.table("element_deps").where(F.col("run_id") == run_id).select(
-        "element_id", "dep_element_id"
-    ).cache()
     src, dst = ("element_id", "dep_element_id") if direction == "up" else (
         "dep_element_id", "element_id"
+    )
+    edges = (
+        store.table("element_deps")
+        .where(F.col("run_id") == run_id)
+        .select(F.col(src).alias("_edge_src"), F.col(dst).alias("_edge_dst"))
+        .cache()
     )
     frontier = spark.createDataFrame(
         [(e,) for e in element_ids], "element_id string"
@@ -88,8 +91,8 @@ def transitive_lineage(
     seen = frontier
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(deps, frontier.element_id == F.col(src), "inner")
-            .select(F.col(dst).alias("element_id"))
+            frontier.join(edges, frontier.element_id == F.col("_edge_src"), "inner")
+            .select(F.col("_edge_dst").alias("element_id"))
             .distinct()
             .join(seen.select("element_id"), "element_id", "left_anti")
             .withColumn("hop", F.lit(hop))
@@ -101,7 +104,7 @@ def transitive_lineage(
             break
         seen = seen.unionByName(nxt).localCheckpoint()
         frontier = nxt
-    deps.unpersist()
+    edges.unpersist()
     return seen
 
 

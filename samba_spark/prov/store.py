@@ -77,6 +77,41 @@ class ProvStore:
             for dep in dep_task_ids:
                 self._buffers["task_deps"].append((run_id, task_id, dep))
 
+    def remove_task(self, run_id: str, task_id: str) -> None:
+        """A11 ignore: drop the task row + its dep edges from the buffers
+        (reference: ignored tasks are never persisted, RDD.scala:238-241)."""
+        if not self.enabled:
+            return
+        with self._lock:
+            self._buffers["tasks"] = [
+                r for r in self._buffers["tasks"]
+                if not (r[0] == run_id and r[1] == task_id)
+            ]
+            self._buffers["task_deps"] = [
+                r for r in self._buffers["task_deps"]
+                if not (r[0] == run_id and r[1] == task_id)
+            ]
+
+    def rename_task(self, run_id: str, task_id: str, name: str) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            rows = self._buffers["tasks"]
+            for i, r in enumerate(rows):
+                if r[0] == run_id and r[1] == task_id:
+                    rows[i] = (r[0], r[1], r[2], name, r[4], r[5], r[6])
+
+    def update_task_schema(
+        self, run_id: str, task_id: str, schema_fields: Optional[list[str]]
+    ) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            rows = self._buffers["tasks"]
+            for i, r in enumerate(rows):
+                if r[0] == run_id and r[1] == task_id:
+                    rows[i] = (r[0], r[1], r[2], r[3], schema_fields, r[5], r[6])
+
     def write_group(
         self, run_id, group_id, name, init_tasks, intermediary_tasks, finish_task
     ) -> None:

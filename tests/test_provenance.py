@@ -1,0 +1,194 @@
+"""Q24 — provenance lineage invariants (FIXTURES.md, engine-internal oracle).
+
+Pipeline: scan → filter → join → groupBy-agg on sf0.001 with element
+provenance on. Invariants mirror the reference's capture semantics
+(SURVEY.md §2.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def pipeline(engine, sf_smoke):
+    """scan(nation) ⋈ scan(region) → filter → agg, with elements."""
+    nation = engine.read_parquet(f"{sf_smoke}/nation.parquet", "nation").with_elements()
+    region = engine.read_parquet(f"{sf_smoke}/region.parquet", "region").with_elements()
+    nation.persist_elements()
+    region.persist_elements()
+    filtered = nation.where(F.col("n_nationkey") >= 5, track_dropped=True)
+    filtered.persist_elements()
+    joined = filtered.join(
+        region, on=filtered.raw.n_regionkey == region.raw.r_regionkey, how="inner"
+    )
+    joined.persist_elements()
+    agged = joined.group_by("r_name").agg(F.count(F.lit(1)).alias("cnt"))
+    agged.persist_elements()
+    agged.collect()
+    return {
+        "nation": nation,
+        "region": region,
+        "filtered": filtered,
+        "joined": joined,
+        "agged": agged,
+    }
+
+
+def _deps_of_task(engine, task_id):
+    return (
+        engine.store.table("element_deps")
+        .where(F.col("task_id") == task_id)
+        .collect()
+    )
+
+
+def test_agg_n_to_1_lineage(engine, pipeline):
+    """Invariant 1: every agg element's deps resolve only to join-task
+    elements (reference Aggregator.scala:38-55)."""
+    join_ids = {
+        r.element_id
+        for r in engine.store.table("elements")
+        .where(F.col("task_id") == pipeline["joined"].task_id)
+        .collect()
+    }
+    agg_deps = _deps_of_task(engine, pipeline["agged"].task_id)
+    assert agg_deps, "agg task has no element deps"
+    assert {d.dep_element_id for d in agg_deps} <= join_ids
+    # n-1: total fan-in equals the join's element count (every join row
+    # lands in exactly one group)
+    assert len(agg_deps) == len(join_ids)
+
+
+def test_filter_drop_sentinel(engine, pipeline, spark, sf_smoke):
+    """Invariant 2: |passed| + |sentinel deps| = |input|
+    (reference rdd/MapPartitionsRDD.scala:108-118)."""
+    from samba_spark.operators.wrapper import DROP_SENTINEL_PREFIX
+
+    n_input = spark.read.parquet(f"{sf_smoke}/nation.parquet").count()
+    task = pipeline["filtered"].task_id
+    deps = _deps_of_task(engine, task)
+    sentinel = [d for d in deps if d.element_id.startswith(DROP_SENTINEL_PREFIX)]
+    passed = [d for d in deps if not d.element_id.startswith(DROP_SENTINEL_PREFIX)]
+    assert len(passed) + len(sentinel) == n_input
+    assert len(passed) == pipeline["filtered"].count()
+
+
+def test_join_lineage_two_sided(engine, pipeline):
+    """Join outputs depend on exactly one element from each side
+    (reference rdd/CoGroupedRDD.scala:86-133)."""
+    nation_ids = {
+        r.element_id
+        for r in engine.store.table("elements")
+        .where(F.col("task_id") == pipeline["filtered"].task_id)
+        .collect()
+    }
+    region_ids = {
+        r.element_id
+        for r in engine.store.table("elements")
+        .where(F.col("task_id") == pipeline["region"].task_id)
+        .collect()
+    }
+    deps = _deps_of_task(engine, pipeline["joined"].task_id)
+    by_elem = {}
+    for d in deps:
+        by_elem.setdefault(d.element_id, []).append(d.dep_element_id)
+    assert by_elem
+    for elem, dd in by_elem.items():
+        assert len(dd) == 2, f"join element {elem} has {len(dd)} deps"
+        assert len(set(dd) & nation_ids) == 1
+        assert len(set(dd) & region_ids) == 1
+
+
+def test_task_dag_matches_pipeline(engine, pipeline):
+    """Invariant 3: task graph mirrors the written pipeline."""
+    deps = {
+        (r.task_id, r.dep_task_id)
+        for r in engine.store.table("task_deps").collect()
+    }
+    p = pipeline
+    assert (p["filtered"].task_id, p["nation"].task_id) in deps
+    assert (p["joined"].task_id, p["filtered"].task_id) in deps
+    assert (p["joined"].task_id, p["region"].task_id) in deps
+    assert (p["agged"].task_id, p["joined"].task_id) in deps
+
+
+def test_ignored_transparent(engine, sf_smoke):
+    """Invariant 4: ignored ops absent from tasks; element deps flow through
+    (reference DataElement.scala:34-46, RDD.scala:238-241)."""
+    nation = engine.read_parquet(f"{sf_smoke}/nation.parquet", "nation").with_elements()
+    nation.persist_elements()
+    hidden = nation.select("n_nationkey", "n_name", "n_regionkey").ignore_it()
+    after = hidden.where("n_regionkey = 2")
+    after.persist_elements()
+    after.collect()
+
+    task_ids = {r.task_id for r in engine.store.table("tasks").collect()}
+    assert hidden.task_id not in task_ids
+    # Task-level: `after` depends directly on the source, skipping `hidden`.
+    tdeps = {
+        (r.task_id, r.dep_task_id)
+        for r in engine.store.table("task_deps").collect()
+    }
+    assert (after.task_id, nation.task_id) in tdeps
+    # Element-level: deps of `after` elements point at source elements.
+    source_ids = {
+        r.element_id
+        for r in engine.store.table("elements")
+        .where(F.col("task_id") == nation.task_id)
+        .collect()
+    }
+    after_deps = {
+        r.dep_element_id
+        for r in engine.store.table("element_deps")
+        .where(F.col("task_id") == after.task_id)
+        .collect()
+    }
+    assert after_deps and after_deps <= source_ids
+
+
+def test_transformation_group_scope(engine, sf_smoke):
+    """A13 group invariants (TransformationGroupManager.scala:15-70)."""
+    nation = engine.read_parquet(f"{sf_smoke}/nation.parquet", "nation")
+    with engine.group("prep"):
+        a = nation.select("n_nationkey", "n_regionkey")
+        b = a.where("n_regionkey > 0")
+    groups = engine.store.table("transformation_groups").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.name == "prep"
+    assert g.finish_task == b.task_id
+    assert a.task_id in g.init_tasks + g.intermediary_tasks
+    # nesting is rejected
+    with pytest.raises(RuntimeError):
+        with engine.group("outer"):
+            with engine.group("inner"):
+                pass
+
+
+def test_transitive_lineage_bfs(engine, sf_smoke):
+    from samba_spark.prov import queries as pq
+
+    nation = engine.read_parquet(f"{sf_smoke}/nation.parquet", "nation").with_elements()
+    nation.persist_elements()
+    step1 = nation.select("n_nationkey", "n_name")
+    step1.persist_elements()
+    step2 = step1.where("n_nationkey = 3")
+    step2.persist_elements()
+    step2.collect()
+    leaf = engine.store.table("elements").where(
+        F.col("task_id") == step2.task_id
+    ).collect()
+    assert len(leaf) == 1
+    ancestors = pq.transitive_lineage(
+        engine.store, engine.run_id, [leaf[0].element_id], direction="up"
+    ).collect()
+    # hop0 leaf, hop1 the select element, hop2 the source element
+    assert {r.hop for r in ancestors} == {0, 1, 2}
+
+
+def test_export_graph(engine, sf_smoke, tmp_path):
+    nation = engine.read_parquet(f"{sf_smoke}/nation.parquet", "nation").with_elements()
+    nation.persist_elements()
+    out = tmp_path / "graph.json"
+    g = engine.store.export_graph(engine.run_id, str(out))
+    assert len(g["nodes"]) == 25
+    assert out.exists()
