@@ -53,6 +53,16 @@ def get_spark(
     extra_conf: Optional[dict] = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with the engine's tuned defaults."""
+    # Executor Python workers must be able to import this package: closures
+    # (black-box runner, pandas UDFs) reference samba_spark.* by module path.
+    # Local mode: export via PYTHONPATH before the JVM forks workers. On a
+    # real cluster ship the package with --py-files / pip instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    current = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + current if current else "")
+        )
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
