@@ -20,19 +20,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from samba_spark.queries import DECLARED
+    """One entry per implemented operator from SURVEY.md §2 (Q1-Q23
+    relational surface + x1-x13 extension operators)."""
+    from samba_spark.queries import ALL_QUERIES
 
-    return {name: spec.fn for name, spec in DECLARED.items()}
+    return {name: spec.fn for name, spec in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query key. Keys absent here (non-SQL-
-    expressible ops) get a rows-only check from the driver."""
-    from samba_spark.queries import DECLARED
+    expressible ops: xxhash64-family minhash/simhash, seeded-LSH ANN) get a
+    rows-only check from the driver."""
+    from samba_spark.queries import ALL_QUERIES
 
     return {
         name: spec.oracle.strip()
-        for name, spec in DECLARED.items()
+        for name, spec in ALL_QUERIES.items()
         if spec.oracle is not None
     }

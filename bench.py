@@ -27,18 +27,18 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from samba_spark.queries import DECLARED
+    from samba_spark.queries import ALL_QUERIES
     from samba_spark.session import get_spark
 
     spark = get_spark(app_name="samba_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM + codegen + parquet footer caches
-    force(DECLARED["q1_scan_count"].fn(spark, sf_dir))
+    force(ALL_QUERIES["q1_scan_count"].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name, spec in DECLARED.items():
+    for name, spec in ALL_QUERIES.items():
         t0 = time.perf_counter()
         force(spec.fn(spark, sf_dir))
         dt = time.perf_counter() - t0

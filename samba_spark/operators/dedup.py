@@ -1,0 +1,264 @@
+"""Deduplication operators — exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB document sets:
+
+- exact / normalized dedup: one hash-partitioned groupBy on the dedup key —
+  the minimum possible: a single shuffle keyed by the digest, never by the
+  full text (digest first, so the shuffle moves 16-byte keys, not documents).
+- MinHash-LSH: shingle → per-shingle hashes from the xxhash64 family
+  (seeded) → minhash signature → band buckets → candidate pairs via a
+  self-join *on bucket keys only*. Quadratic blow-up is confined to each
+  bucket; band/row parameters tune recall vs. bucket size. Skewed buckets
+  (boilerplate shingles) are capped.
+- SimHash: 64-bit signature from token-hash bit votes, all Catalyst
+  expressions; near-dup = signature XOR popcount ≤ k.
+- n-gram Jaccard: exact similarity on candidate pairs (typically the
+  verification stage after LSH).
+
+None of these exist in the reference (its dedup story is ``distinct`` at
+RDD level, rdd/RDD.scala:534-555); they are the BASELINE.json north-star
+extension set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_NORM = r"\s+"
+
+
+def _normalized(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), _NORM, " "))
+
+
+def dedup_exact(documents: DataFrame, key: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical key; report group
+    size. Shuffles on md5(key) — constant-width shuffle keys at any doc
+    size."""
+    digest = F.md5(F.col(key)).alias("_digest")
+    return (
+        documents.select("doc_id", digest)
+        .groupBy("_digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_doc_id", "n_dups")
+    )
+
+
+def dedup_normalized(documents: DataFrame) -> DataFrame:
+    """Exact dedup after whitespace/case normalization."""
+    digest = F.md5(_normalized(F.col("text"))).alias("_digest")
+    return (
+        documents.select("doc_id", digest)
+        .groupBy("_digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("keep_doc_id", "n_dups")
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs: word n-grams over normalized tokens."""
+    toks = F.filter(
+        F.split(_normalized(F.col("text")), " "), lambda x: x != F.lit("")
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return documents.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(
+    documents: DataFrame, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """(doc_id, sig array<bigint>): minhash over word-shingles using the
+    seeded xxhash64 family — one pass, one groupBy(doc_id) shuffle."""
+    sh = shingles(documents, n)
+    hash_cols = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*hash_cols)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH. Pairs are generated
+    bucket-locally: explode signatures into ``bands`` band-keys, self-join on
+    (band, band_hash). ``max_bucket`` caps degenerate buckets (boilerplate)
+    — the 100 TB skew guard; capped buckets are dropped, trading recall for
+    a bound on the join fan-out."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(documents, n, num_hashes)
+    band_entries = sig.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_hash")
+    counts = band_entries.groupBy("band", "band_hash").agg(
+        F.count(F.lit(1)).alias("_bucket_n")
+    )
+    bounded = band_entries.join(
+        counts.where(F.col("_bucket_n") <= max_bucket), ["band", "band_hash"]
+    )
+    a = bounded.alias("a")
+    b = bounded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(documents: DataFrame, **kw) -> DataFrame:
+    """Fuzzy dedup clusters: candidate pairs → connected components by
+    min-label propagation (iterative join; converges in O(log n) rounds for
+    typical near-dup clusters). Returns (doc_id, cluster_id)."""
+    pairs = lsh_candidate_pairs(documents, **kw)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(10):
+        prop = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(prop, labels.doc_id == prop.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash from token-hash bit votes — pure Catalyst: explode
+    tokens, xxhash64 per token, per-bit ±1 vote aggregation, recombine."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(_normalized(F.col("text")), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        sum(
+            [
+                # shiftleft keeps bit 63 in long range (1<<63 overflows a lit)
+                F.when(
+                    F.col(f"b{i}") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long"))
+                for i in range(bits)
+            ],
+            F.lit(0).cast("long"),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+    return sig
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, candidate_pairs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the verify stage after
+    LSH). Joins shingle sets by doc, computes |∩|/|∪|."""
+    sh = shingles(documents, n).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        candidate_pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

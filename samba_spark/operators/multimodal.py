@@ -1,0 +1,173 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (per the north-star spec): media rides in ordinary ``BinaryType``
+columns — the same machinery as FileGroup ``files.content`` — with a typed
+metadata struct alongside. Decode / feature-extraction run as Arrow-batched
+``mapInPandas`` stages; the Spark-side plumbing (schema, partitioning,
+batch shape) is real and tested, while actual codec work is stubbed behind
+import guards (PIL/librosa are not in this container) with a deterministic
+byte-level fallback so pipelines remain testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.MapType(T.StringType(), T.StringType()),
+        ),
+    ]
+)
+
+BYTE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_histogram", T.ArrayType(T.LongType())),  # 16 bins
+    ]
+)
+
+
+def media_from_files(spark, paths: list[str], kind: str) -> DataFrame:
+    """Build a media table from files via the distributed binaryFile source."""
+    raw = spark.read.format("binaryFile").load(paths)
+    return raw.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col("content"),
+        F.create_map(
+            F.lit("path"), F.col("path"), F.lit("size"), F.col("length").cast("string")
+        ).alias("meta"),
+    )
+
+
+def extract_byte_features(media: DataFrame) -> DataFrame:
+    """Deterministic byte-level features (size, sha256, mean, 16-bin
+    histogram) — real distributed feature extraction with the exact batch
+    shape a codec-backed extractor would use."""
+
+    def _extract(batches: Iterable[pd.DataFrame]):
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for _, row in batch.iterrows():
+                content = bytes(row["content"] or b"")
+                arr = np.frombuffer(content, dtype=np.uint8)
+                hist = (
+                    np.bincount(arr >> 4, minlength=16).astype("int64").tolist()
+                    if arr.size
+                    else [0] * 16
+                )
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_bytes": len(content),
+                        "sha256": hashlib.sha256(content).hexdigest(),
+                        "byte_mean": float(arr.mean()) if arr.size else 0.0,
+                        "byte_histogram": hist,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        _extract, BYTE_FEATURES_SCHEMA
+    )
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_images(media: DataFrame, *, allow_stub: bool = False) -> DataFrame:
+    """Image decode → (width, height, channels). Requires PIL; without it,
+    ``allow_stub=True`` yields a deterministic fake (dimensions derived from
+    the content digest) so pipeline plumbing can be exercised."""
+
+    def _decode(batches: Iterable[pd.DataFrame]):
+        try:
+            from PIL import Image  # noqa: F401
+            import io
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        if not have_pil and not allow_stub:
+            raise NotImplementedError(
+                "image decode requires Pillow, which is not installed; "
+                "pass allow_stub=True for the deterministic fake"
+            )
+        for batch in batches:
+            out = []
+            for _, row in batch.iterrows():
+                content = bytes(row["content"] or b"")
+                if have_pil:
+                    import io
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(content))
+                    w, h = img.size
+                    c = len(img.getbands())
+                else:
+                    digest = hashlib.sha256(content).digest()
+                    w = 16 + digest[0] % 240
+                    h = 16 + digest[1] % 240
+                    c = 3
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        _decode, IMAGE_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, *, every_n_bytes: int = 4096, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling plumbing: emits one row per 'frame' (fixed-stride
+    byte windows standing in for decoded frames — real codec stubbed). Shows
+    the 1-row→N-rows fan-out shape a real sampler has."""
+    idx = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.least(
+                F.floor(F.length("content") / every_n_bytes).cast("int"),
+                F.lit(max_frames - 1),
+            ),
+        )
+    ).alias("frame_idx")
+    return media.select("media_id", idx, F.lit(every_n_bytes).alias("stride"))

@@ -1,0 +1,177 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Two paths, per SURVEY.md §2.3 north-star table:
+
+- ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+  score every corpus vector with a pure-Catalyst dot product
+  (``F.aggregate``/``zip_with`` — no Python in the loop), take top-k per
+  query with a window. At 100 TB this is the partition-local-topk-then-merge
+  pattern: the window's partial TakeOrderedAndProject keeps only k rows per
+  partition before the final merge.
+- ``lsh_ann_topk`` — approximate: random-hyperplane LSH (sign bits of dot
+  products against seeded deterministic planes) buckets the corpus; only the
+  query's bucket (optionally ± multi-probe neighbors) is scored. The scale
+  path: bucket key is a shuffle-friendly int, bucket population is
+  controllable by the number of planes.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, strictly left-to-right — deterministic
+    and whole-stage-codegen'd."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine. ``queries``: (query_id, q_embedding).
+    Rounds similarity *before* ranking so ranking is stable across engines
+    and summation orders; ties broken by vec_id."""
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), round_to).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def make_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded PRNG, unit-free —
+    sign-only use). Generated driver-side once; tiny (num_planes × dim)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-bit string of plane dot products."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        bits.append(
+            F.when(_dot(vec, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: int = 42,
+    round_to: int = 6,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. 2^num_planes buckets → expected bucket = N/2^p vectors; the
+    cross join is bucket-local. ``multiprobe`` additionally probes every
+    1-bit-flip neighbor bucket (num_planes+1 probes per query) — the
+    standard recall lift for sign-LSH at no extra corpus cost."""
+    planes = make_planes(dim, num_planes, seed)
+    corpus = embeddings.withColumn("bucket", _bucket_expr(F.col("embedding"), planes))
+    qs = queries.withColumn("bucket", _bucket_expr(F.col("q_embedding"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
+                for j in range(num_planes)
+            ],
+        )
+        qs = qs.withColumn("bucket", F.explode(probes))
+    scored = corpus.join(F.broadcast(qs), "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), round_to).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: pairs are only
+    scored within a bucket (recall knob = num_planes)."""
+    planes = make_planes(dim, num_planes, seed)
+    tagged = embeddings.withColumn(
+        "bucket", _bucket_expr(F.col("embedding"), planes)
+    )
+    a = tagged.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = tagged.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), round_to).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` expressions —
+whole-stage-codegen'd, zero Python in the data path, so a 100 TB documents
+scan runs at parquet-scan speed. Each operator has an exact ANSI-SQL
+equivalent (see queries/extensions.py) so the DuckDB oracle can check it.
+
+Not present in the reference (its text handling is opaque JVM lambdas —
+SURVEY.md §2.3 scalar functions note); these are the north-star extension
+operators required by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared marker/stopword vocabularies — tiny by design so the SQL oracle can
+# inline them. Deterministic heuristic quality, not linguistic accuracy.
+STOPWORDS = ["the", "and", "of", "to", "a", "in", "is", "on", "for", "it"]
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "les", "et", "des", "un"],
+}
+# BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens, empty-safe."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Quality-scoring stats: length, word count, punctuation ratio,
+    stopword ratio, composite quality score. One projection — no shuffle."""
+    toks = tokens_col(F.col("text"))
+    n_chars = F.length("text")
+    n_words = F.size(toks)
+    punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(STOPWORDS))
+    )
+    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+    quality = F.round(
+        0.5 * F.least(F.lit(1.0), n_words / F.lit(100.0))
+        + 0.3 * (1 - punct_ratio)
+        + 0.2 * stop_ratio,
+        6,
+    )
+    return documents.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_calc"),
+        n_words.cast("long").alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    ws = F.size(tokens_col(F.col("text"))).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN), 0)
+    ).cast("long")
+    return documents.select(
+        "doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """N-gram-free marker-word language heuristic: count marker hits per
+    language, argmax with deterministic precedence en > es > fr."""
+    toks = tokens_col(F.col("text"))
+
+    def marker_filter(markers):
+        # closure factory: a default-arg lambda would have arity 2 and be
+        # misread by F.filter as an (element, index) lambda
+        return lambda w: w.isin(list(markers))
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]), "en"
+        )
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return documents.select(
+        "doc_id",
+        scores["en"].cast("long").alias("s_en"),
+        scores["es"].cast("long").alias("s_es"),
+        scores["fr"].cast("long").alias("s_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowered text.
+    md5 (not xxhash64) so the DuckDB oracle computes the identical digest."""
+    normalized = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return documents.select(
+        "doc_id", F.md5(normalized).alias("fp")
+    )

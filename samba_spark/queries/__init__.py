@@ -6,5 +6,8 @@ ANSI-SQL equivalent DuckDB runs on the same parquet for the correctness gate.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
+from samba_spark.queries.extensions import EXTENSIONS
 
-__all__ = ["DECLARED", "QuerySpec"]
+ALL_QUERIES = {**DECLARED, **EXTENSIONS}
+
+__all__ = ["DECLARED", "EXTENSIONS", "ALL_QUERIES", "QuerySpec"]

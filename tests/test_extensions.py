@@ -1,0 +1,111 @@
+"""M4 extension operators: oracle matches where declared, semantic
+invariants for the rows-only ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.queries.extensions import EXTENSIONS
+from tests.oracle_util import compare, duckdb_conn
+
+ORACLE = [n for n, s in EXTENSIONS.items() if s.oracle]
+ROWS_ONLY = [n for n, s in EXTENSIONS.items() if not s.oracle]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_smoke):
+    con = duckdb_conn(sf_smoke)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE)
+def test_extension_oracle_match(spark, sf_smoke, duck, name):
+    spec = EXTENSIONS[name]
+    compare(spec.fn(spark, sf_smoke), duck, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_smoke, name):
+    df = EXTENSIONS[name].fn(spark, sf_smoke)
+    assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_smoke):
+    """sf0.001 documents have no exact dup texts; synthesize some — copy 10
+    docs under fresh ids (+1M), plus near-dups with one word appended."""
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    base = docs.limit(10)
+    exact = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    near = base.select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extraword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def test_minhash_dedup_finds_dups(spark, docs_with_dups):
+    """Exact dups (identical signatures) must always cluster; near-dups
+    (one word in ~128 changed) should too at 16-band/64-hash settings."""
+    from samba_spark.operators.dedup import minhash_lsh_dedup
+
+    clusters = {
+        r.doc_id: r.cluster_id for r in minhash_lsh_dedup(docs_with_dups).collect()
+    }
+    paired_exact = sum(
+        1 for i in range(10) if clusters.get(i) == clusters.get(i + 1_000_000)
+        and clusters.get(i) is not None
+    )
+    assert paired_exact == 10, f"exact dup pairs clustered: {paired_exact}/10"
+    paired_near = sum(
+        1 for i in range(10) if clusters.get(i) == clusters.get(i + 2_000_000)
+        and clusters.get(i) is not None
+    )
+    assert paired_near >= 8, f"near dup pairs clustered: {paired_near}/10"
+
+
+def test_simhash_identical_for_dups(spark, docs_with_dups):
+    from samba_spark.operators.dedup import simhash
+
+    sigs = {r.doc_id: r.simhash for r in simhash(docs_with_dups).collect()}
+    for i in range(10):
+        assert sigs[i] == sigs[i + 1_000_000]
+        # near-dup: small Hamming distance
+        assert bin(sigs[i] ^ sigs[i + 2_000_000]).count("1") <= 12
+
+
+def test_ann_recall_against_exact(spark, sf_smoke):
+    """LSH ANN should retrieve a reasonable fraction of the exact top-10
+    (including each query itself at rank 1)."""
+    from samba_spark.queries.extensions import x_ann_lsh_topk, x_cosine_topk
+
+    exact = {
+        (r.query_id, r.vec_id) for r in x_cosine_topk(spark, sf_smoke).collect()
+    }
+    approx_rows = x_ann_lsh_topk(spark, sf_smoke).collect()
+    approx = {(r.query_id, r.vec_id) for r in approx_rows}
+    self_hits = {r for r in approx_rows if r.query_id == r.vec_id}
+    assert len(self_hits) == 5  # every query finds itself in its own bucket
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ANN recall suspiciously low: {recall}"
+
+
+def test_entry_contract_includes_extensions(spark):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert "x1_dedup_exact" in qs and "x10_cosine_topk" in qs
+    assert set(os_) <= set(qs)
+    assert "x3_minhash_lsh_dedup" in qs and "x3_minhash_lsh_dedup" not in os_
