@@ -40,6 +40,9 @@ _SESSION_CONF = {
     # Spark agrees with DuckDB byte-for-byte.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": str(DEFAULT_SHUFFLE_PARTITIONS),
+    # events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
+    # default; read as long and convert in sources.tables.load_tables.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Don't let tiny fixture files produce one-partition plans that hide
     # distribution bugs; at 100 TB the default 128m is right.
     "spark.sql.parquet.compression.codec": "zstd",

@@ -32,7 +32,16 @@ def load_tables(
     for name in names or TABLE_NAMES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            df = spark.read.parquet(path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # TIMESTAMP(NANOS) read as long (nanosAsLong); truncate to
+                # microseconds — same as DuckDB's nanos→TIMESTAMP read.
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                )
+            out[name] = df
     return out
 
 

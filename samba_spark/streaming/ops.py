@@ -1,0 +1,199 @@
+"""Structured Streaming operators over the events table.
+
+The reference inherits Spark's DStream layer only, with no watermarks, no
+event-time windows, and no provenance in streaming (SURVEY.md §2.3
+Streaming; reference streaming/src/main/scala/.../dstream/DStream.scala —
+signature-adapted stock code). Our engine supersedes that with Structured
+Streaming: event-time tumbling/sliding/session windows, watermark late-data
+handling, arbitrary stateful processing via applyInPandasWithState, and
+micro-batch-grain provenance through foreachBatch.
+
+Scale notes: all aggregations below are keyed by (window, key) — state
+store size is O(#open windows × #keys), bounded by the watermark which
+expires state; at 100 TB/day ingest the same topology runs with more
+shuffle partitions and RocksDB state store, no code change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-based replayable stream of the events fixture — deterministic
+    micro-batch replay for tests (one parquet file per batch when
+    ``max_files_per_trigger=1``)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, duration: str = "10 minutes", watermark: Optional[str] = None
+) -> DataFrame:
+    """Tumbling event-time window: count + sum(value) per (window, type)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Sliding window: each event lands in duration/slide windows."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.round(F.avg("value"), 2).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "avg_value",
+            "n",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: Optional[str] = None
+) -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of silence."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = "total BIGINT, total_value DOUBLE"
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Custom stateful operator: cumulative per-user event count + value sum
+    across micro-batches (the applyInPandasWithState analogue of the
+    reference's StateDStream, which SAMbA inherits unmodified)."""
+    if state.exists:
+        total, total_value = state.get
+    else:
+        total, total_value = 0, 0.0
+    for pdf in pdfs:
+        total += len(pdf)
+        total_value += float(pdf["value"].sum())
+    state.update((total, round(total_value, 2)))
+    yield pd.DataFrame(
+        [{"user_id": key[0], "total": total, "total_value": round(total_value, 2)}]
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Stateful running totals per user (update output mode)."""
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input into an in-memory table; return it as a
+    batch DataFrame. Deterministic replay harness for tests."""
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_with_batch_provenance(
+    session, stream_df: DataFrame, sink_path: str, *, desc: str = "stream"
+):
+    """Micro-batch-grain provenance: each foreachBatch invocation records a
+    task row (one per batch) in the provenance store — the streaming
+    analogue of operator Task rows (SURVEY.md §7 M5)."""
+    store = session.store
+    run_id = session.run_id
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import uuid as _uuid
+
+        task_id = str(_uuid.uuid4())
+        store.write_task(
+            run_id,
+            task_id,
+            transformation_type="stream_batch",
+            description=f"{desc}#batch={batch_id}",
+            schema_fields=batch_df.columns,
+            dep_task_ids=[],
+        )
+        batch_df.write.mode("append").parquet(sink_path)
+
+    query = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

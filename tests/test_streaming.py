@@ -1,0 +1,132 @@
+"""M5: Structured Streaming — deterministic micro-batch replay tests
+(BASELINE.md: streaming is excluded from the DuckDB oracle; verified by
+replay-vs-batch equivalence instead)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.streaming import ops as S
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke, tmp_path_factory):
+    """Events split into two parquet files by time order, with distinct
+    mtimes so the file source replays them as two deterministic batches."""
+    from samba_spark.sources.tables import load_tables
+
+    src = load_tables(spark, sf_smoke, ["events"])["events"].orderBy("ts")
+    rows = src.count()
+    first = src.limit(rows // 2)
+    second = src.subtract(first)
+    d = tmp_path_factory.mktemp("events_stream")
+    p1, p2 = str(d / "batch1"), str(d / "batch2")
+    first.coalesce(1).write.parquet(p1)
+    time.sleep(1.1)
+    second.coalesce(1).write.parquet(p2)
+    out = str(d / "files")
+    os.makedirs(out)
+    for i, p in enumerate([p1, p2]):
+        f = [x for x in os.listdir(p) if x.endswith(".parquet")][0]
+        dst = os.path.join(out, f"part{i}.parquet")
+        os.rename(os.path.join(p, f), dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+    return out
+
+
+def test_tumbling_window_matches_batch(spark, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    result = S.run_to_memory(
+        S.tumbling_counts(stream, "10 minutes"), "t_tumble", "complete"
+    )
+    batch = S.tumbling_counts(spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir))
+    assert sorted(map(tuple, result.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_sliding_window_matches_batch(spark, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    result = S.run_to_memory(
+        S.sliding_avg(stream, "10 minutes", "5 minutes"), "t_slide", "complete"
+    )
+    batch = S.sliding_avg(spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir))
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+    # sliding windows: ~2x window instances vs tumbling
+    assert result.count() > 0
+
+
+def test_session_window_matches_batch(spark, events_dir):
+    stream = S.read_events_stream(spark, events_dir)
+    result = S.run_to_memory(
+        S.session_counts(stream, "5 minutes"), "t_session", "complete"
+    )
+    batch = S.session_counts(spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir))
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_windows(spark, events_dir):
+    """Append mode + watermark: after replaying both batches, only windows
+    finalized by the watermark (max event time of batch 1 minus delay) are
+    emitted — late/open windows are withheld. Multi-batch replay is what
+    advances the watermark."""
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = S.run_to_memory(
+        S.tumbling_counts(stream, "10 minutes", watermark="10 minutes"),
+        "t_wm",
+        "append",
+    )
+    batch_all = S.tumbling_counts(
+        spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir)
+    )
+    emitted = {tuple(r) for r in result.collect()}
+    all_windows = {tuple(r) for r in batch_all.collect()}
+    assert emitted  # batch-1-finalized windows were flushed in batch 2
+    assert emitted < all_windows  # open/withheld windows absent
+    # every emitted window's content matches the full-data batch answer
+    assert emitted <= all_windows
+
+
+def test_stateful_totals_accumulate_across_batches(spark, events_dir):
+    """applyInPandasWithState: state carries across the two micro-batches;
+    the *last* update per user equals the full batch aggregate."""
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = S.run_to_memory(S.user_running_totals(stream), "t_state", "update")
+    # update mode appends one row per user per batch it appears in; the max
+    # total per user is the final state
+    final = (
+        result.groupBy("user_id")
+        .agg(F.max("total").alias("total"))
+        .collect()
+    )
+    expected = {
+        r.user_id: r.n
+        for r in spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r.user_id: r.total for r in final}
+    assert got == expected
+    # state genuinely accumulated: at least one user appears in both batches
+    multi = result.groupBy("user_id").count().where("count > 1")
+    assert not multi.isEmpty()
+
+
+def test_foreach_batch_provenance(engine, events_dir, tmp_path):
+    stream = S.read_events_stream(engine.spark, events_dir, max_files_per_trigger=1)
+    counts = S.tumbling_counts(stream, "10 minutes", watermark="10 minutes")
+    sink = str(tmp_path / "stream_sink")
+    S.run_with_batch_provenance(engine, counts, sink, desc="tumble10")
+    tasks = (
+        engine.store.table("tasks")
+        .where(F.col("transformation_type") == "stream_batch")
+        .collect()
+    )
+    assert len(tasks) >= 2  # one task row per micro-batch
+    descs = {t.description for t in tasks}
+    assert any("tumble10#batch=0" in d for d in descs)
+    assert os.path.exists(sink)
