@@ -45,6 +45,8 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
+    prov_ratio = measure_prov_overhead(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -53,9 +55,51 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "prov_overhead_ratio": prov_ratio,
             }
         )
     )
+
+
+def measure_prov_overhead(spark, sf_dir: str) -> float:
+    """BASELINE.md bound: task-level provenance ON must stay ≤ 2× OFF.
+    Runs a representative pipeline (scan→filter→join→agg→sort) through
+    ProvSession both ways and reports the wall-clock ratio."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from samba_spark.session import ProvSession
+
+    def pipeline(enabled: bool) -> float:
+        eng = ProvSession(
+            spark,
+            name="bench_prov",
+            provenance=enabled,
+            prov_dir=tempfile.mkdtemp(),
+        )
+        t0 = time.perf_counter()
+        orders = eng.read_parquet(f"{sf_dir}/orders.parquet", "orders")
+        customer = eng.read_parquet(f"{sf_dir}/customer.parquet", "customer")
+        big = orders.where(F.col("o_totalprice") > 50000)
+        joined = big.join(
+            customer,
+            on=big.raw.o_custkey == customer.raw.c_custkey,
+            how="inner",
+        )
+        agged = joined.group_by("c_mktsegment").agg(
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        agged.order_by("c_mktsegment").collect()
+        dt = time.perf_counter() - t0
+        eng.stop()
+        return dt
+
+    pipeline(False)  # warm
+    off = min(pipeline(False) for _ in range(2))
+    on = min(pipeline(True) for _ in range(2))
+    return round(on / off, 3) if off > 0 else -1.0
 
 
 if __name__ == "__main__":

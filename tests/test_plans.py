@@ -1,0 +1,52 @@
+"""Plan-shape regression tests: the properties that make the declared
+queries scale are pinned here — a refactor that silently loses pushdown or
+broadcast fails these before it ever hits a big cluster."""
+
+from samba_spark.plans.inspect import (
+    assert_pruned_columns,
+    assert_pushdown,
+    plan_summary,
+)
+from samba_spark.queries import DECLARED
+
+
+def test_q2_filter_pushdown_and_pruning(spark, sf_smoke):
+    df = DECLARED["q2_filter"].fn(spark, sf_smoke)
+    assert_pushdown(df, "GreaterThan(l_quantity,45.0)", "LessThan(l_discount,0.02)")
+    # 2 projected + 2 filter columns
+    assert_pruned_columns(df, 4)
+
+
+def test_q1_column_pruning(spark, sf_smoke):
+    df = DECLARED["q1_scan_count"].fn(spark, sf_smoke)
+    assert_pruned_columns(df, 1)  # only l_returnflag read
+
+
+def test_q5_partial_aggregation(spark, sf_smoke):
+    s = plan_summary(DECLARED["q5_groupby_aggs"].fn(spark, sf_smoke))
+    # partial + final HashAggregate around one exchange = map-side combine
+    assert s["n_hash_aggregates"] >= 2
+    assert s["n_exchanges"] >= 1
+
+
+def test_q12_topk_is_take_ordered(spark, sf_smoke):
+    s = plan_summary(DECLARED["q12_topk"].fn(spark, sf_smoke))
+    assert s["has_take_ordered"], "ORDER BY+LIMIT must plan as TakeOrderedAndProject"
+
+
+def test_q23_broadcasts_dimension(spark, sf_smoke):
+    s = plan_summary(DECLARED["q23_star_join"].fn(spark, sf_smoke))
+    assert s["broadcast_joins"] >= 1, "filtered customer dim must broadcast"
+    df = DECLARED["q23_star_join"].fn(spark, sf_smoke)
+    assert_pushdown(df, "IsNotNull")
+
+
+def test_q8_join_shape(spark, sf_smoke):
+    """Small-dim join: broadcast (no shuffle of orders for the join),
+    partial count before the groupBy exchange, top-100 via TakeOrdered.
+    (WholeStageCodegen ids only appear in post-AQE final plans, so the
+    codegen span is not assertable pre-execution.)"""
+    s = plan_summary(DECLARED["q8_inner_join"].fn(spark, sf_smoke))
+    assert s["broadcast_joins"] >= 1
+    assert s["n_hash_aggregates"] >= 2
+    assert s["has_take_ordered"]
