@@ -1,0 +1,154 @@
+"""Relational operator compositions completing the reference's RDD surface
+(SURVEY.md §2.3) plus the time-series joins the reference lacks (theta/
+range/as-of — §2.3 joins table, 'extension' row).
+
+Everything here is a composition of built-in DataFrame ops — no UDFs, no
+Python in the data path — so Catalyst plans and scales them like any
+declarative query.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cogroup_collect(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    *,
+    left_alias: str = "left_values",
+    right_alias: str = "right_values",
+) -> DataFrame:
+    """RDD cogroup (reference PairRDDFunctions.scala:785-806,
+    CoGroupedRDD.scala:86): per key, the collected values of each side.
+    Implemented as per-side collect_list aggregations + full outer join —
+    each side shuffles once on the key, no row blow-up."""
+    lcols = [c for c in left.columns if c != key]
+    rcols = [c for c in right.columns if c != key]
+    lagg = left.groupBy(key).agg(
+        F.collect_list(F.struct(*lcols)).alias(left_alias)
+    )
+    ragg = right.groupBy(key).agg(
+        F.collect_list(F.struct(*rcols)).alias(right_alias)
+    )
+    joined = lagg.join(ragg, key, "full_outer")
+    return joined.select(
+        key,
+        F.coalesce(left_alias, F.array()).alias(left_alias),
+        F.coalesce(right_alias, F.array()).alias(right_alias),
+    )
+
+
+def zip_with_index(df: DataFrame, order_by: Sequence, name: str = "idx") -> DataFrame:
+    """zipWithIndex (reference rdd/RDD.scala:1505, ZippedWithIndexRDD): a
+    total order is required for determinism — Spark has no stable implicit
+    row order, so the caller names one."""
+    w = Window.orderBy(*order_by)
+    return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
+
+
+def zip_dataframes(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence,
+    right_order: Sequence,
+) -> DataFrame:
+    """RDD zip (reference rdd/RDD.scala:1053): pairwise align two datasets
+    by position under explicit total orders; errors at action time if
+    lengths differ (inner join drops nothing when counts match)."""
+    l = zip_with_index(left, left_order, "_zip_idx")
+    r = zip_with_index(right, right_order, "_zip_idx")
+    return l.join(r, "_zip_idx", "inner").drop("_zip_idx")
+
+
+def sample_by(
+    df: DataFrame, col: str, fractions: dict, seed: Optional[int] = None
+) -> DataFrame:
+    """sampleByKey (reference PairRDDFunctions.scala:257-286)."""
+    return df.sampleBy(col, fractions, seed=seed)
+
+
+def lookup(df: DataFrame, key: str, value) -> list:
+    """PairRDD lookup (reference PairRDDFunctions.scala:940): filter
+    pushdown makes this a pruned scan, not a full pass."""
+    return df.where(F.col(key) == value).collect()
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` on the same key — the operator DuckDB spells
+    ASOF JOIN and the reference does not have at all.
+
+    Implementation is the union+window trick — one shuffle on the key,
+    no range explosion: tag both sides, sort by (key, ts, side) with right
+    rows first at equal ts (inclusive semantics), then last_value(...,
+    ignorenulls) carries the most recent right payload onto each left row.
+    Scales as a single window over (key, time) — the partition key is
+    ``on``, so skew follows key skew, not time range.
+    """
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(c + suffix) for c in right_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
+    for c in rt.columns:
+        if c not in lt.columns:
+            lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *left.columns,
+        "_side",
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+            for c in right_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_point: str,
+    right_point: str,
+    lower,
+    upper,
+) -> DataFrame:
+    """Banded range join: equi key + ``right_point`` within
+    [left_point+lower, left_point+upper]. The equi key keeps the join
+    hash-partitioned; the band is a post-join filter Catalyst fuses into
+    the join condition. For keyless range joins, bucketize the range into
+    band keys first (same pattern as LSH bucketing)."""
+    cond = (
+        (left[on] == right[on])
+        & (right[right_point] >= left[left_point] + lower)
+        & (right[right_point] <= left[left_point] + upper)
+    )
+    return left.join(right, cond, "inner")

@@ -7,7 +7,8 @@ ANSI-SQL equivalent DuckDB runs on the same parquet for the correctness gate.
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
 from samba_spark.queries.extensions import EXTENSIONS
+from samba_spark.queries.extras import EXTRAS
 
-ALL_QUERIES = {**DECLARED, **EXTENSIONS}
+ALL_QUERIES = {**DECLARED, **EXTRAS, **EXTENSIONS}
 
-__all__ = ["DECLARED", "EXTENSIONS", "ALL_QUERIES", "QuerySpec"]
+__all__ = ["DECLARED", "EXTRAS", "EXTENSIONS", "ALL_QUERIES", "QuerySpec"]

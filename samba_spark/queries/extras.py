@@ -1,0 +1,236 @@
+"""Q24–Q30: provenance lineage (engine-internal oracle) + the operator
+families beyond the core declared set — as-of join, range join, cogroup,
+zip, approximate count-distinct, stratified sampling (SURVEY.md §2.3 rows
+marked extension / not-oracle-declared).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from samba_spark.operators import relational as R
+from samba_spark.queries.declared import QuerySpec
+from samba_spark.sources.tables import load_tables
+
+
+# Q24 provenance lineage invariant summary (engine-internal oracle —
+# FIXTURES.md Q24; rows-only for the driver, asserted in tests/)
+def q24_provenance_lineage(spark, sf_dir):
+    """Runs an instrumented scan→filter→join→agg pipeline and returns the
+    deterministic lineage profile: per transformation type, #elements and
+    #lineage edges."""
+    import tempfile
+
+    from samba_spark.session import ProvSession
+
+    eng = ProvSession(
+        spark, name="q24", prov_dir=tempfile.mkdtemp(prefix="q24_prov_")
+    )
+    try:
+        nation = eng.read_parquet(f"{sf_dir}/nation.parquet", "nation").with_elements()
+        region = eng.read_parquet(f"{sf_dir}/region.parquet", "region").with_elements()
+        nation.persist_elements()
+        region.persist_elements()
+        filt = nation.where(F.col("n_nationkey") >= 5, track_dropped=True)
+        filt.persist_elements()
+        joined = filt.join(
+            region, on=filt.raw.n_regionkey == region.raw.r_regionkey, how="inner"
+        )
+        joined.persist_elements()
+        agg = joined.group_by("r_name").agg(F.count(F.lit(1)).alias("cnt"))
+        agg.persist_elements()
+        agg.collect()
+        tasks = eng.store.table("tasks").select("task_id", "transformation_type")
+        elements = eng.store.table("elements").groupBy("task_id").agg(
+            F.count(F.lit(1)).alias("n_elements")
+        )
+        edges = eng.store.table("element_deps").groupBy("task_id").agg(
+            F.count(F.lit(1)).alias("n_edges")
+        )
+        out = (
+            tasks.join(elements, "task_id", "left")
+            .join(edges, "task_id", "left")
+            .groupBy("transformation_type")
+            .agg(
+                F.sum(F.coalesce("n_elements", F.lit(0))).alias("n_elements"),
+                F.sum(F.coalesce("n_edges", F.lit(0))).alias("n_edges"),
+            )
+            .orderBy("transformation_type")
+        )
+        out = out.localCheckpoint()  # materialize before the store tempdir dies
+        return out
+    finally:
+        eng.stop()
+
+
+# Q25 as-of join — the union+window composition vs DuckDB's native ASOF.
+# Right side deduped to unique (user, ts) in both engines (tie contract).
+def q25_asof_join(spark, sf_dir):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = R.asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("click_id_asof").alias("prev_click_id")
+    ).orderBy("event_id")
+
+
+Q25_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+SELECT e.event_id, e.user_id, c.click_id AS prev_click_id
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+"""
+
+
+# Q26 range join: equi key + time band
+def q26_range_join(spark, sf_dir):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("user_id").alias("u"), "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("c_ts")
+    )
+    joined = R.range_join(
+        errors,
+        clicks,
+        on="u",
+        left_point="ts",
+        right_point="c_ts",
+        lower=F.expr("INTERVAL -1 HOUR"),
+        upper=F.expr("INTERVAL 0 SECONDS"),
+    )
+    return (
+        joined.groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_recent_clicks"))
+        .orderBy("err_id")
+    )
+
+
+Q26_SQL = """
+SELECT e.event_id AS err_id, COUNT(*) AS n_recent_clicks
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error') e
+JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts
+GROUP BY e.event_id ORDER BY err_id
+"""
+
+
+# Q27 cogroup (reference PairRDDFunctions.scala:785) — oracle checks the
+# per-key group sizes (array payloads are engine-representation-specific)
+def q27_cogroup(spark, sf_dir):
+    customer, supplier = (
+        load_tables(spark, sf_dir, ["customer", "supplier"])[t]
+        for t in ("customer", "supplier")
+    )
+    cg = R.cogroup_collect(
+        customer.select(F.col("c_nationkey").alias("k"), "c_custkey"),
+        supplier.select(F.col("s_nationkey").alias("k"), "s_suppkey"),
+        "k",
+    )
+    return cg.select(
+        "k",
+        F.size("left_values").cast("long").alias("n_customers"),
+        F.size("right_values").cast("long").alias("n_suppliers"),
+    ).orderBy("k")
+
+
+Q27_SQL = """
+WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_customers
+           FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers
+           FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(c.k, s.k) AS k,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.k = s.k
+ORDER BY k
+"""
+
+
+# Q28 zip (reference rdd/RDD.scala:1053): positional alignment under
+# explicit total orders
+def q28_zip(spark, sf_dir):
+    region, nation = (
+        load_tables(spark, sf_dir, ["region", "nation"])[t]
+        for t in ("region", "nation")
+    )
+    top_nations = nation.orderBy("n_nationkey").limit(5).select("n_name", "n_nationkey")
+    zipped = R.zip_dataframes(
+        region.select("r_name", "r_regionkey"),
+        top_nations,
+        left_order=[F.col("r_regionkey")],
+        right_order=[F.col("n_nationkey")],
+    )
+    return zipped.select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+Q28_SQL = """
+WITH r AS (SELECT r_name, ROW_NUMBER() OVER (ORDER BY r_regionkey) AS i FROM region),
+     n AS (SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS i
+           FROM (SELECT * FROM nation ORDER BY n_nationkey LIMIT 5))
+SELECT r_name, n_name FROM r JOIN n USING (i) ORDER BY r_name, n_name
+"""
+
+
+# Q29 approx count-distinct (reference countApproxDistinct,
+# rdd/RDD.scala:1449, HLL++) — excluded from the duckdb oracle per
+# BASELINE.md (estimator-specific); deterministic per engine
+def q29_approx_count_distinct(spark, sf_dir):
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_custs"))
+        .orderBy("o_orderstatus")
+    )
+
+
+# Q30 stratified sample (reference sampleByKey) — seeded, deterministic per
+# engine, not cross-engine
+def q30_sample_by(spark, sf_dir):
+    customer = load_tables(spark, sf_dir, ["customer"])["customer"]
+    sampled = R.sample_by(
+        customer,
+        "c_mktsegment",
+        {"BUILDING": 0.5, "AUTOMOBILE": 0.1},
+        seed=42,
+    )
+    return (
+        sampled.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+EXTRAS: dict[str, QuerySpec] = {
+    "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
+    "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
+    "q26_range_join": QuerySpec(q26_range_join, Q26_SQL),
+    "q27_cogroup": QuerySpec(q27_cogroup, Q27_SQL),
+    "q28_zip": QuerySpec(q28_zip, Q28_SQL),
+    "q29_approx_count_distinct": QuerySpec(q29_approx_count_distinct, None),
+    "q30_sample_by": QuerySpec(q30_sample_by, None),
+}

@@ -129,6 +129,48 @@ class ProvSession:
         df = self.spark.read.parquet(path)
         return ProvDataFrame._source(self, df, op="read_parquet", desc=name or path)
 
+    def read_text(self, path: str, wholetext: bool = False):
+        from samba_spark.operators.wrapper import ProvDataFrame
+        from samba_spark.sources import readers
+
+        df = readers.read_text(self.spark, path, wholetext=wholetext)
+        return ProvDataFrame._source(
+            self, df, op="wholeTextFiles" if wholetext else "textFile", desc=path
+        )
+
+    def read_csv(self, path: str, **kw):
+        from samba_spark.operators.wrapper import ProvDataFrame
+        from samba_spark.sources import readers
+
+        return ProvDataFrame._source(
+            self, readers.read_csv(self.spark, path, **kw), op="hadoopFile", desc=path
+        )
+
+    def read_json(self, path: str, **kw):
+        from samba_spark.operators.wrapper import ProvDataFrame
+        from samba_spark.sources import readers
+
+        return ProvDataFrame._source(
+            self, readers.read_json(self.spark, path, **kw), op="hadoopFile", desc=path
+        )
+
+    def read_binary(self, path: str):
+        from samba_spark.operators.wrapper import ProvDataFrame
+        from samba_spark.sources import readers
+
+        return ProvDataFrame._source(
+            self, readers.read_binary(self.spark, path), op="binaryFiles", desc=path
+        )
+
+    def sql(self, query: str, name: str = "sql"):
+        """Spark SQL passthrough with a provenance task (the reference has
+        no SQL surface of its own — SURVEY.md §0 Layer B)."""
+        from samba_spark.operators.wrapper import ProvDataFrame
+
+        return ProvDataFrame._source(
+            self, self.spark.sql(query), op="sql", desc=query[:200]
+        )
+
     def create_dataframe(self, data, schema=None, name: str = "parallelize"):
         from samba_spark.operators.wrapper import ProvDataFrame
 

@@ -1,0 +1,61 @@
+"""Additional sources/sinks from the reference's inventory (SURVEY.md §2.3
+sources table): textFile, wholeTextFiles, binaryFiles, hadoop-style
+structured readers, JDBC — each mapped to the idiomatic DataFrame reader
+and wrapped with a provenance task when accessed through ProvSession.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """textFile / wholeTextFiles (reference SparkContext.scala:849,892)."""
+    return spark.read.text(path, wholetext=wholetext)
+
+
+def read_binary(spark: SparkSession, path: str) -> DataFrame:
+    """binaryFiles (reference SparkContext.scala:944) → binaryFile source
+    with (path, modificationTime, length, content)."""
+    return spark.read.format("binaryFile").load(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, *, header: bool = True, schema=None
+) -> DataFrame:
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, *, properties: Optional[dict] = None
+) -> DataFrame:
+    """JdbcRDD analogue (reference rdd/JdbcRDD.scala) — partitionable via
+    the standard numPartitions/partitionColumn options in properties."""
+    return spark.read.jdbc(url, table, properties=properties or {})
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """saveAsTextFile (reference rdd/RDD.scala:1684): single string column."""
+    df.write.mode(mode).text(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

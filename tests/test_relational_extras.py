@@ -1,0 +1,139 @@
+"""Readers/sinks + relational compositions (cogroup/zip/asof/range/lookup)
+and a property-based check that the provenance wrapper is semantically
+transparent."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.operators import relational as R
+from samba_spark.sources import readers
+
+
+def test_text_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([("hello",), ("world",)], "value string")
+    out = str(tmp_path / "txt")
+    readers.write_text(df, out)
+    back = readers.read_text(spark, out)
+    assert sorted(r.value for r in back.collect()) == ["hello", "world"]
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    csv_p, json_p = str(tmp_path / "c"), str(tmp_path / "j")
+    readers.write_csv(df, csv_p)
+    readers.write_json(df, json_p)
+    assert sorted(map(tuple, readers.read_csv(spark, csv_p).collect())) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert sorted(
+        map(tuple, readers.read_json(spark, json_p).select("id", "name").collect())
+    ) == [(1, "a"), (2, "b")]
+
+
+def test_read_binary(spark, tmp_path):
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"\x00\x01\x02")
+    df = readers.read_binary(spark, str(p))
+    row = df.collect()[0]
+    assert bytes(row.content) == b"\x00\x01\x02"
+    assert row.length == 3
+
+
+def test_wholetext(spark, tmp_path):
+    p = tmp_path / "doc.txt"
+    p.write_text("line1\nline2\n")
+    df = readers.read_text(spark, str(p), wholetext=True)
+    assert df.collect()[0].value == "line1\nline2\n"
+
+
+def test_cogroup_collect(spark):
+    l = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    r = spark.createDataFrame([(1, 10.0), (3, 30.0)], "k int, w double")
+    cg = {row.k: row for row in R.cogroup_collect(l, r, "k").collect()}
+    assert sorted(x.v for x in cg[1].left_values) == ["a", "b"]
+    assert [x.w for x in cg[1].right_values] == [10.0]
+    assert cg[2].right_values == []
+    assert cg[3].left_values == []
+
+
+def test_zip_dataframes_alignment(spark):
+    a = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "i int, x string")
+    b = spark.createDataFrame([(30, "C"), (10, "A"), (20, "B")], "j int, y string")
+    z = R.zip_dataframes(a, b, [F.col("i")], [F.col("j")])
+    assert sorted((r.x, r.y) for r in z.collect()) == [
+        ("a", "A"),
+        ("b", "B"),
+        ("c", "C"),
+    ]
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right ts <= left ts; inclusive at equality;
+    null when no prior right row."""
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 2, 50)], "id long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "r100"), (1, 200, "r200"), (2, 60, "r60")],
+        "k long, t long, tag string",
+    )
+    out = {
+        r.id: r.tag_asof
+        for r in R.asof_join(
+            left, right, on="k", left_ts="t", right_ts="t", right_cols=["tag"]
+        ).collect()
+    }
+    assert out == {1: "r100", 2: "r200", 3: None}
+
+
+def test_lookup_pushdown(spark, sf_smoke):
+    df = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    rows = R.lookup(df, "n_nationkey", 7)
+    assert len(rows) == 1 and rows[0].n_nationkey == 7
+
+
+def test_wrapper_transparency_property(engine, spark):
+    """Property: for arbitrary small datasets, a wrapped
+    filter→select→groupBy pipeline returns exactly what the plain DataFrame
+    pipeline returns (provenance must never change results)."""
+    from hypothesis import given, settings, strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(rows_strategy)
+    def check(rows):
+        df = spark.createDataFrame(rows, "v long, k long") if rows else (
+            spark.createDataFrame([], "v long, k long")
+        )
+        plain = (
+            df.where(F.col("v") > 0)
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        wrapped = (
+            engine.create_dataframe(rows, "v long, k long")
+            if rows
+            else engine.create_dataframe([], "v long, k long")
+        )
+        got = (
+            wrapped.with_elements()
+            .where(F.col("v") > 0)
+            .group_by("k")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
+
+    check()
