@@ -225,6 +225,120 @@ def q30_sample_by(spark, sf_dir):
     )
 
 
+# Q31 streaming tumbling window — run as an availableNow replay over the
+# fixture file and return the drained result. Deterministic, so it IS
+# oracle-checkable (DuckDB time_bucket); this upgrades streaming from the
+# "rows-only" bucket BASELINE.md anticipated.
+def q31_stream_tumbling(spark, sf_dir):
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    name = "q31_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(S.tumbling_counts(stream, "10 minutes"), name, "complete")
+    return out.orderBy("w_start", "event_type")
+
+
+Q31_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+       time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+         + INTERVAL '10 minutes' AS w_end,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY w_start, event_type
+"""
+
+
+# Q32 streaming session windows — oracle via gaps-and-islands: a session
+# breaks after >5 min silence; Spark's session_window end = last_ts + gap.
+def q32_stream_sessions(spark, sf_dir):
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    name = "q32_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(S.session_counts(stream, "5 minutes"), name, "complete")
+    return out.orderBy("user_id", "s_start")
+
+
+Q32_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '5 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT MIN(ts) AS s_start,
+       MAX(ts) + INTERVAL '5 minutes' AS s_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, s_start
+"""
+
+
+# Q33 grouping-sets cube (Q7 covers rollup; reference capability is the
+# stock SQL GroupingSets analyzer — SURVEY §2.3 aggregations table)
+def q33_cube(spark, sf_dir):
+    customer = load_tables(spark, sf_dir, ["customer"])["customer"]
+    return (
+        customer.cube("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("c_nationkey").asc_nulls_first(),
+        )
+    )
+
+
+Q33_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+"""
+
+
+# Q34 global aggregate — reduce/fold/aggregate/treeAggregate/count/max/min
+# (reference rdd/RDD.scala:1219-1360,1656-1668): no grouping key, partial
+# aggregation collapses everything map-side
+def q34_global_agg(spark, sf_dir):
+    lineitem = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+Q34_SQL = """
+SELECT COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS total_qty,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -233,4 +347,8 @@ EXTRAS: dict[str, QuerySpec] = {
     "q28_zip": QuerySpec(q28_zip, Q28_SQL),
     "q29_approx_count_distinct": QuerySpec(q29_approx_count_distinct, None),
     "q30_sample_by": QuerySpec(q30_sample_by, None),
+    "q31_stream_tumbling": QuerySpec(q31_stream_tumbling, Q31_SQL),
+    "q32_stream_sessions": QuerySpec(q32_stream_sessions, Q32_SQL),
+    "q33_cube": QuerySpec(q33_cube, Q33_SQL),
+    "q34_global_agg": QuerySpec(q34_global_agg, Q34_SQL),
 }

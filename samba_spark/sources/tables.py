@@ -39,7 +39,7 @@ def load_tables(
                 from pyspark.sql import functions as F
 
                 df = df.withColumn(
-                    "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
             out[name] = df
     return out

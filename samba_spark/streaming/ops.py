@@ -37,19 +37,45 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+EVENTS_SCHEMA_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
     *,
     max_files_per_trigger: Optional[int] = None,
+    nanos: bool = False,
+    path_glob: Optional[str] = None,
 ) -> DataFrame:
     """File-based replayable stream of the events fixture — deterministic
     micro-batch replay for tests (one parquet file per batch when
-    ``max_files_per_trigger=1``)."""
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    ``max_files_per_trigger=1``). ``nanos=True`` streams the raw fixture
+    file (TIMESTAMP(NANOS)), truncating to micros like load_tables.
+    ``path_glob`` selects files within ``path`` (the streaming file source
+    requires a directory)."""
+    reader = spark.readStream.schema(
+        EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path)
+    if path_glob is not None:
+        reader = reader.option("pathGlobFilter", path_glob)
+    df = reader.parquet(path)
+    if nanos:
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
 
 
 def tumbling_counts(
