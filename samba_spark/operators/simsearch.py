@@ -140,6 +140,77 @@ def lsh_ann_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the 100 TB scale path named
+    in SCALE.md: a KMeans coarse quantizer (pyspark.ml, distributed)
+    partitions the corpus into ``n_cells`` cells; each query scores only
+    its ``n_probe`` nearest cells. Recall/cost knob: n_probe/n_cells.
+
+    Unlike sign-LSH, IVF cells adapt to the data distribution, so recall
+    on clustered real-world embeddings is far better at equal probe cost.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_vec = embeddings.withColumn("_features", array_to_vector("embedding"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_features", predictionCol="_cell")
+    model = km.fit(corpus_vec)
+    corpus = model.transform(corpus_vec).select("vec_id", "embedding", "_cell")
+
+    centers = [c.tolist() for c in model.clusterCenters()]
+
+    def _dist2(vec: Column, center: list[float]) -> Column:
+        lit_c = F.array(*[F.lit(float(v)) for v in center])
+        return F.aggregate(
+            F.zip_with(
+                vec, lit_c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # nearest n_probe cells per query: distances to all centers (tiny,
+    # n_cells literals), sorted, sliced — pure expressions, no Python loop
+    dists = F.array(
+        *[
+            F.struct(
+                _dist2(F.col("q_embedding"), c).alias("d"), F.lit(i).alias("cell")
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    probed = queries.withColumn(
+        "_cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+            )
+        ),
+    )
+    scored = corpus.join(F.broadcast(probed), "_cell").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), round_to).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     *,

@@ -488,6 +488,52 @@ class ProvDataFrame:
             "sample",
         )
 
+    def map_values(self, key_cols: list[str], col: Column, alias: str) -> "ProvDataFrame":
+        """mapValues analogue (reference PairRDDFunctions.scala:754):
+        transform the value while keeping the key columns untouched."""
+        df = self._df.select(*key_cols, col.alias(alias),
+                             *[c for c in (PROV_ID, PROV_DEPS) if c in self._df.columns])
+        return self._child(self._lineage_1to1(df), "mapValues", alias)
+
+    def key_by(self, col: Column, alias: str = "key") -> "ProvDataFrame":
+        """keyBy (reference rdd/RDD.scala:1738)."""
+        return self.with_column(alias, col)
+
+    def glom(self) -> "ProvDataFrame":
+        """glom (reference rdd/RDD.scala:826): one row per partition holding
+        all its rows — via mapInPandas batch collection."""
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        cols = self.user_columns
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "partition_rows",
+                    T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+                ),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+
+        def _glom_str(batches):
+            rows = []
+            for b in batches:
+                rows.extend(
+                    [{k: str(v) for k, v in r.items()} for r in b[cols].to_dict("records")]
+                )
+            yield pd.DataFrame([{"partition_rows": rows, "n": len(rows)}])
+
+        return self._child(
+            self._lineage_fresh(self.df.mapInPandas(_glom_str, schema)), "glom"
+        )
+
+    def checkpoint(self, eager: bool = True) -> "ProvDataFrame":
+        """checkpoint (reference rdd/RDD.scala:1755) — truncates lineage of
+        the *physical* plan; provenance task lineage is unaffected."""
+        self._df = self._df.localCheckpoint(eager=eager)
+        return self
+
     def map_in_pandas(self, fn, schema) -> "ProvDataFrame":
         """mapPartitions analogue (reference rdd/RDD.scala:955-1044)."""
         return self._child(

@@ -200,6 +200,13 @@ def x_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def x_ivf_topk(spark, sf_dir):
+    """IVF approximate NN (KMeans coarse quantizer; rows-only check —
+    estimator-trained cells are engine-specific)."""
+    embs = _embs(spark, sf_dir)
+    return S.ivf_topk(embs, _queries_df(embs), k=10).orderBy("query_id", "rank")
+
+
 def x_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only check)."""
     return S.embedding_neardup_pairs(_embs(spark, sf_dir)).orderBy(
@@ -244,6 +251,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x9_fingerprint": QuerySpec(x_fingerprint, X_FINGERPRINT_SQL),
     "x10_cosine_topk": QuerySpec(x_cosine_topk, X_COSINE_TOPK_SQL),
     "x11_ann_lsh_topk": QuerySpec(x_ann_lsh_topk, None),
+    "x14_ivf_topk": QuerySpec(x_ivf_topk, None),
     "x12_embedding_neardup": QuerySpec(x_embedding_neardup, None),
     "x13_multimodal_byte_stats": QuerySpec(
         x_multimodal_byte_stats, X_MULTIMODAL_SQL

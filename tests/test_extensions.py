@@ -101,6 +101,28 @@ def test_ann_recall_against_exact(spark, sf_smoke):
     assert recall >= 0.2, f"ANN recall suspiciously low: {recall}"
 
 
+def test_ivf_beats_lsh_recall(spark, sf_smoke):
+    """IVF (data-adaptive cells) must dominate sign-LSH recall at similar
+    probe budgets, and always finds each query itself."""
+    from samba_spark.queries.extensions import (
+        x_ann_lsh_topk,
+        x_cosine_topk,
+        x_ivf_topk,
+    )
+
+    exact = {(r.query_id, r.vec_id) for r in x_cosine_topk(spark, sf_smoke).collect()}
+    ivf_rows = x_ivf_topk(spark, sf_smoke).collect()
+    ivf = {(r.query_id, r.vec_id) for r in ivf_rows}
+    lsh = {
+        (r.query_id, r.vec_id) for r in x_ann_lsh_topk(spark, sf_smoke).collect()
+    }
+    assert sum(1 for q, v in ivf if q == v) == 5
+    ivf_recall = len(exact & ivf) / len(exact)
+    lsh_recall = len(exact & lsh) / len(exact)
+    assert ivf_recall >= lsh_recall
+    assert ivf_recall >= 0.5, f"IVF recall too low: {ivf_recall}"
+
+
 def test_entry_contract_includes_extensions(spark):
     import __spark_entry__ as e
 

@@ -1,0 +1,89 @@
+"""Bucketing and salting: prove the physical claims with plan + result
+checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.plans.inspect import plan_summary
+from samba_spark.plans.layout import repartition_for_join, salted_join, write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_smoke):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 8)
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        ["o_custkey"],
+        8,
+    )
+    yield "b_orders", "b_customer"
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables, sf_smoke):
+    t1, t2 = bucketed_tables
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t1).join(spark.table(t2), "o_custkey", "inner")
+        s = plan_summary(joined)
+        assert s["n_exchanges"] == 0, f"bucketed join still shuffles:\n{s['plan'][:500]}"
+        # and the result is correct
+        plain = (
+            spark.read.parquet(f"{sf_smoke}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{sf_smoke}/customer.parquet").withColumnRenamed(
+                    "c_custkey", "o_custkey"
+                ),
+                "o_custkey",
+                "inner",
+            )
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_tables):
+    t1, _ = bucketed_tables
+    agged = spark.table(t1).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    s = plan_summary(agged)
+    assert s["n_exchanges"] == 0
+
+
+def test_salted_join_correctness(spark):
+    """Salted join must return exactly the plain join's rows — including a
+    pathologically hot key."""
+    left = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 8, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )  # ~80% of rows share k=1
+    right = spark.createDataFrame(
+        [(1, "hot"), (17, "cold"), (999999, "missing-from-left... almost")],
+        "k long, tag string",
+    )
+    plain = left.join(right, "k", "inner")
+    salted = salted_join(left, right, "k")
+    assert salted.count() == plain.count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_repartition_for_join_reuses_partitioning(spark, sf_smoke):
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_smoke}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l, r = repartition_for_join(orders, customer, "o_custkey", 8)
+        joined = l.join(r, "o_custkey").groupBy("o_custkey").count()
+        s = plan_summary(joined)
+        # two explicit repartitions; join + groupBy add none
+        assert s["n_exchanges"] == 2, s["plan"][:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
