@@ -143,6 +143,78 @@ class ProvStore:
             return
         df.write.mode("append").parquet(os.path.join(self.prov_dir, "element_deps"))
 
+    # -- element mutation (A17 parity) --------------------------------------
+    # The reference DAO exposes update-element-value and delete-element
+    # (CassandraDBDao.scala:150-170). Parquet is append-only, so mutations
+    # are appended as versioned tombstone/override rows; readers resolve
+    # latest-wins via read_elements_current().
+    def _write_override(self, run_id, task_id, element_id, values, value_json):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(model.ELEMENTS.fields) + [T.StructField("seq", T.LongType(), False)]
+        )
+        df = self.spark.createDataFrame(
+            [(run_id, task_id, element_id, values, value_json, time.time_ns())],
+            schema=schema,
+        )
+        df.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.prov_dir, "element_overrides")
+        )
+
+    def update_element_value(
+        self, run_id: str, task_id: str, element_id: str, values, value_json=None
+    ) -> None:
+        if not self.enabled:
+            return
+        self._write_override(run_id, task_id, element_id, values, value_json)
+
+    def delete_element(self, run_id: str, task_id: str, element_id: str) -> None:
+        if not self.enabled:
+            return
+        self._write_override(run_id, task_id, element_id, None, "__deleted__")
+
+    def read_elements_current(self, run_id: str) -> DataFrame:
+        """elements with overrides applied: latest override wins; deleted
+        elements are filtered out."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        base = self.table("elements").where(F.col("run_id") == run_id)
+        path = os.path.join(self.prov_dir, "element_overrides")
+        if not os.path.exists(path):
+            return base
+        w = Window.partitionBy("element_id").orderBy(F.desc("seq"))
+        overrides = (
+            self.spark.read.parquet(path)
+            .where(F.col("run_id") == run_id)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)  # latest override wins
+        )
+        merged = base.join(
+            overrides.select(
+                "element_id",
+                F.col("values").alias("_ov_values"),
+                F.col("value_json").alias("_ov_json"),
+            ),
+            "element_id",
+            "left",
+        )
+        return (
+            merged.where(
+                F.coalesce(F.col("_ov_json"), F.lit("")) != "__deleted__"
+            )
+            .select(
+                "run_id",
+                "task_id",
+                "element_id",
+                F.coalesce("_ov_values", "values").alias("values"),
+                F.when(F.col("_ov_json").isNotNull(), F.col("_ov_json"))
+                .otherwise(F.col("value_json"))
+                .alias("value_json"),
+            )
+        )
+
     # -- flush / read ------------------------------------------------------
     def flush(self) -> None:
         if not self.enabled:

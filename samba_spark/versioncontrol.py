@@ -1,0 +1,115 @@
+"""Optional git backend for artifact versioning — A18 full parity.
+
+Reference behavior (core/.../versioncontrol/VersionControl.scala:46-157,
+GitServerManager.scala:19-60): one bare repo per application on an embedded
+Gitblit server; one branch per execution named
+``<executionID>_machine_id=<executor>``; each produced FileGroup is
+committed under ``task.description/fileGroup.name/``; branches are merged
+by a driver-side service at finish.
+
+Ours shells out to the system ``git`` (no server, no JGit): a bare repo per
+engine instance, one branch per run, the same ``<task>/<group>/`` commit
+tree. The content-addressed ArtifactStore (samba_spark/artifacts.py)
+remains the default, scale-appropriate backend; this one exists for
+workflows that want a literal git history of artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+
+def _git(args: list[str], cwd: str) -> str:
+    proc = subprocess.run(
+        ["git", *args],
+        cwd=cwd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        env={**os.environ, "GIT_AUTHOR_NAME": "samba_spark",
+             "GIT_AUTHOR_EMAIL": "samba@localhost",
+             "GIT_COMMITTER_NAME": "samba_spark",
+             "GIT_COMMITTER_EMAIL": "samba@localhost"},
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"git {' '.join(args)} failed: {proc.stderr.decode()[:500]}"
+        )
+    return proc.stdout.decode()
+
+
+class GitArtifactBackend:
+    def __init__(self, root: str):
+        self.bare = os.path.join(root, "artifacts.git")
+        if not os.path.exists(self.bare):
+            os.makedirs(self.bare, exist_ok=True)
+            _git(["init", "--bare", "--initial-branch=main", self.bare], cwd=root)
+
+    def branch_name(self, run_id: str) -> str:
+        """Per-execution branch (reference VersionControl.scala:85:
+        '<executionID>_machine_id=<id>'; we are single-driver)."""
+        return f"{run_id}_machine_id=driver"
+
+    def commit_groups(self, pdf, *, task_desc: Optional[str] = None) -> str:
+        """Commit every FileGroup of a (small or collected) FileGroup frame
+        under <task>/<group>/ on the run's branch; returns the commit sha.
+
+        Driver-side by design: a git history is a serialized artifact log —
+        the reference funnels all commits through a single-thread executor
+        for the same reason (VersionControl.scala:96). Use ArtifactStore
+        for the distributed path."""
+        session = pdf.session
+        run_id = session.run_id
+        branch = self.branch_name(run_id)
+        desc = task_desc or pdf.desc or pdf.op
+        rows = pdf.df.select("group_name", "files").collect()
+        with tempfile.TemporaryDirectory() as wt:
+            has_branch = branch in _git(["branch", "--list", branch], cwd=self.bare)
+            clone_args = ["clone", "--quiet"]
+            if has_branch:
+                clone_args += ["--branch", branch]
+            _git([*clone_args, self.bare, wt], cwd="/")
+            if not has_branch:
+                _git(["checkout", "--orphan", branch], cwd=wt)
+                _git(["rm", "-rf", "--ignore-unmatch", "."], cwd=wt)
+            for row in rows:
+                gdir = os.path.join(
+                    wt, desc.replace("/", "_"), str(row.group_name).replace("/", "_")
+                )
+                os.makedirs(gdir, exist_ok=True)
+                for f in row.files or []:
+                    with open(os.path.join(gdir, f.name), "wb") as fh:
+                        fh.write(bytes(f.content or b""))
+            _git(["add", "-A"], cwd=wt)
+            _git(
+                ["commit", "--allow-empty", "-m",
+                 f"run {run_id}: {desc} ({len(rows)} group(s))"],
+                cwd=wt,
+            )
+            _git(["push", "--quiet", "origin", f"HEAD:{branch}"], cwd=wt)
+            return _git(["rev-parse", "HEAD"], cwd=wt).strip()
+
+    def list_files(self, run_id: str, ref: Optional[str] = None) -> list[str]:
+        """File tree of a run branch (reference web API resolves trees via
+        JGit TreeWalk, DataElementAPICtrl.kt:235-314)."""
+        branch = ref or self.branch_name(run_id)
+        out = _git(["ls-tree", "-r", "--name-only", branch], cwd=self.bare)
+        return sorted(x for x in out.splitlines() if x)
+
+    def read_file(self, run_id: str, path: str, ref: Optional[str] = None) -> bytes:
+        branch = ref or self.branch_name(run_id)
+        proc = subprocess.run(
+            ["git", "show", f"{branch}:{path}"],
+            cwd=self.bare,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        if proc.returncode != 0:
+            raise FileNotFoundError(f"{path} @ {branch}: {proc.stderr.decode()[:200]}")
+        return proc.stdout
+
+    def log(self, run_id: str) -> list[str]:
+        branch = self.branch_name(run_id)
+        return _git(["log", "--oneline", branch], cwd=self.bare).splitlines()

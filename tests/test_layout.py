@@ -10,8 +10,15 @@ from samba_spark.plans.layout import repartition_for_join, salted_join, write_bu
 
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, sf_smoke):
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_customer")
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a managed-table location can outlive the in-memory catalog
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
     customer = spark.read.parquet(f"{sf_smoke}/customer.parquet")
     write_bucketed(orders, "b_orders", ["o_custkey"], 8)
