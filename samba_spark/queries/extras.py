@@ -339,6 +339,54 @@ FROM lineitem
 """
 
 
+# Q35 streaming sliding window — each event lands in duration/slide
+# windows; oracle enumerates the candidate window starts per event.
+# Metric is ROUND(SUM,2), not AVG: averaging two 2-decimal values lands on
+# .xx5 ties where Spark (HALF_UP) and DuckDB (HALF_EVEN) round apart.
+def q35_stream_sliding(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import functions as FF
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    windowed = (
+        stream.groupBy(FF.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            FF.round(FF.sum("value"), 2).alias("sum_value"),
+            FF.count(FF.lit(1)).alias("n"),
+        )
+        .select(
+            FF.col("w.start").alias("w_start"),
+            FF.col("w.end").alias("w_end"),
+            "sum_value",
+            "n",
+        )
+    )
+    name = "q35_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(windowed, name, "complete")
+    return out.orderBy("w_start")
+
+
+Q35_SQL = """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+cand AS (
+  SELECT ts, value, w_start
+  FROM e, UNNEST([time_bucket(INTERVAL '5 minutes', ts),
+                  time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+                 ]) AS t(w_start)
+  WHERE ts >= w_start AND ts < w_start + INTERVAL '10 minutes')
+SELECT w_start,
+       w_start + INTERVAL '10 minutes' AS w_end,
+       ROUND(SUM(value), 2) AS sum_value,
+       COUNT(*) AS n
+FROM cand GROUP BY w_start ORDER BY w_start
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -351,4 +399,5 @@ EXTRAS: dict[str, QuerySpec] = {
     "q32_stream_sessions": QuerySpec(q32_stream_sessions, Q32_SQL),
     "q33_cube": QuerySpec(q33_cube, Q33_SQL),
     "q34_global_agg": QuerySpec(q34_global_agg, Q34_SQL),
+    "q35_stream_sliding": QuerySpec(q35_stream_sliding, Q35_SQL),
 }
