@@ -22,10 +22,31 @@ extension set.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _NORM = r"\s+"
+
+# --- md5 hash family (oracle-reproducible) --------------------------------
+# MinHash/SimHash default to a hash family DuckDB can replicate exactly:
+# base(s) = first 8 hex chars of md5(s) as a 32-bit int, permuted by
+# h_j(x) = (A_j*x + B_j) mod P with P = 2^61-1 and A_j,B_j < 2^30, so every
+# intermediate fits signed 64-bit in both engines (2^30 * 2^32 < 2^63).
+# Set hash_family="xxhash64" for the cheaper non-cryptographic family when
+# cross-engine reproducibility is not needed (throughput path at scale).
+MINHASH_P = (1 << 61) - 1
+_rng = random.Random(20260813)
+MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(64)]
+del _rng
+
+
+def _md5_base32(col: Column) -> Column:
+    """32-bit integer from the first 8 hex chars of md5 — identical to
+    DuckDB's ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def _normalized(text: Column) -> Column:
@@ -82,15 +103,35 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    documents: DataFrame, n: int = 3, num_hashes: int = 64
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    hash_family: str = "md5",
 ) -> DataFrame:
-    """(doc_id, sig array<bigint>): minhash over word-shingles using the
-    seeded xxhash64 family — one pass, one groupBy(doc_id) shuffle."""
+    """(doc_id, sig array<bigint>): minhash over word-shingles — one pass,
+    one groupBy(doc_id) shuffle.
+
+    hash_family="md5" (default): one md5 per shingle + linear permutations,
+    bit-for-bit reproducible in DuckDB (the correctness oracle).
+    hash_family="xxhash64": seeded xxhash64 per (shingle, j) — cheaper per
+    hash, the throughput option when no oracle parity is needed."""
     sh = shingles(documents, n)
-    hash_cols = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        sh = sh.withColumn("_h0", _md5_base32(F.col("shingle")))
+        hash_cols = [
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("_h0") + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P)
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        hash_cols = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     sig = sh.groupBy("doc_id").agg(*hash_cols)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -103,6 +144,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 1000,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH. Pairs are generated
     bucket-locally: explode signatures into ``bands`` band-keys, self-join on
@@ -110,23 +152,27 @@ def lsh_candidate_pairs(
     — the 100 TB skew guard; capped buckets are dropped, trading recall for
     a bound on the join fan-out."""
     rows = num_hashes // bands
-    sig = minhash_signatures(documents, n, num_hashes)
+    sig = minhash_signatures(documents, n, num_hashes, hash_family)
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("sig"), b * rows + 1, rows),
+                lambda x: x.cast("string"),
+            ),
+        )
+        # md5 family keys on the md5 hex string (DuckDB-identical); the
+        # xxhash64 family keeps a cheap 64-bit numeric key
+        return F.md5(joined) if hash_family == "md5" else F.xxhash64(joined)
+
     band_entries = sig.select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
+                    b.alias("band"), band_key(b).alias("band_hash")
                 ),
             )
         ).alias("bk"),
@@ -168,7 +214,7 @@ def minhash_lsh_dedup(documents: DataFrame, **kw) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    for _ in range(10):
+    for _ in range(25):
         prop = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
@@ -197,9 +243,25 @@ def minhash_lsh_dedup(documents: DataFrame, **kw) -> DataFrame:
     return labels
 
 
-def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash from token-hash bit votes — pure Catalyst: explode
-    tokens, xxhash64 per token, per-bit ±1 vote aggregation, recombine."""
+def simhash(
+    documents: DataFrame, bits: int | None = None, hash_family: str = "md5"
+) -> DataFrame:
+    """SimHash from token-hash bit votes — pure Catalyst: explode tokens,
+    hash per token, per-bit ±1 vote aggregation, recombine.
+
+    hash_family="md5" (default): 32-bit signature from the md5-derived base
+    hash, bit-for-bit reproducible in DuckDB. hash_family="xxhash64":
+    64-bit signature, cheaper hashing (throughput path)."""
+    if bits is None:
+        bits = 32 if hash_family == "md5" else 64
+    if hash_family == "md5":
+        if bits > 32:
+            raise ValueError("md5 family base hash has 32 bits")
+        hash_col = _md5_base32(F.col("tok"))
+    elif hash_family == "xxhash64":
+        hash_col = F.xxhash64("tok")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     toks = documents.select(
         "doc_id",
         F.explode(
@@ -208,7 +270,7 @@ def simhash(documents: DataFrame, bits: int = 64) -> DataFrame:
                 lambda x: x != F.lit(""),
             )
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_col)
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -263,10 +325,13 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            # raw IEEE quotient: thresholds should compare the integer
+            # counts (k*n_inter >= m*n_union), not this float
+            (
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ).alias("jaccard"),
         )
     )

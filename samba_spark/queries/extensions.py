@@ -50,24 +50,126 @@ ORDER BY keep_doc_id
 
 
 def x_minhash_lsh_dedup(spark, sf_dir):
-    """Fuzzy dedup clusters (rows-only check: xxhash64 family)."""
+    """Fuzzy dedup clusters via banded MinHash-LSH + connected components.
+    md5 hash family → DuckDB replicates the exact pipeline; the oracle's
+    connected components is a recursive transitive closure."""
     return D.minhash_lsh_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def x_simhash(spark, sf_dir):
-    """64-bit SimHash signatures (rows-only check)."""
+    """32-bit SimHash signatures (md5 hash family, oracle-checked)."""
     return D.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def x_ngram_jaccard(spark, sf_dir):
-    """LSH candidates verified by exact 3-gram Jaccard (rows-only check)."""
+    """LSH candidates verified by exact 3-gram Jaccard ≥ 0.8. The threshold
+    compares integers (5·|∩| ≥ 4·|∪|) and the reported jaccard is a raw
+    IEEE quotient — both engines divide the same integers, so the doubles
+    are bit-identical with no rounding-mode exposure."""
     docs = _docs(spark, sf_dir)
     pairs = D.lsh_candidate_pairs(docs)
+    j = D.ngram_jaccard_pairs(docs, pairs)
     return (
-        D.ngram_jaccard_pairs(docs, pairs)
-        .where(F.col("jaccard") >= 0.8)
+        j.where(F.lit(5) * F.col("n_inter") >= F.lit(4) * F.col("n_union"))
+        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Shared LSH CTE prefix (DuckDB), mirroring operators/dedup.py defaults:
+# 3-gram shingles, 64 hashes, 16 bands × 4 rows, bucket cap 1000.
+_A = "[" + ",".join(str(a) for a in D.MINHASH_A) + "]"
+_B = "[" + ",".join(str(b) for b in D.MINHASH_B) + "]"
+
+_LSH_PAIRS_CTES = rf"""
+toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(toks[i+1 : i+3], ' ') AS shingle
+  FROM toked, UNNEST(range(0, greatest(len(toks)-3, 0) + 1)) AS u(i)),
+base AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0
+  FROM sh),
+hj AS (
+  SELECT doc_id, j,
+         MIN((({_A})[j+1] * h0 + ({_B})[j+1]) % {D.MINHASH_P}) AS hj
+  FROM base, UNNEST(range(0, 64)) AS r(j)
+  GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id, list(hj ORDER BY j) AS sig FROM hj GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id, b,
+         md5(array_to_string(
+               list_transform(sig[b*4+1 : b*4+4], x -> x::VARCHAR),
+               ',')) AS band_hash
+  FROM sig, UNNEST(range(0, 16)) AS rb(b)),
+bounded AS (
+  SELECT doc_id, b, band_hash FROM bandkeys
+  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= 1000),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bounded x JOIN bounded y
+    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)"""
+
+
+X_MINHASH_LSH_SQL = rf"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT r.src, e.doc_b
+  FROM reach r JOIN edges e ON r.dst = e.doc_a AND e.doc_b <> r.src)
+SELECT src AS doc_id, LEAST(src, MIN(dst))::BIGINT AS cluster_id
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+X_NGRAM_JACCARD_SQL = rf"""
+WITH {_LSH_PAIRS_CTES},
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN shd a ON a.doc_id = p.doc_a
+  JOIN shd b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b)
+SELECT i.doc_a, i.doc_b,
+       i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 5 * i.n_inter >= 4 * (sa.n_sh + sb.n_sh - i.n_inter)
+ORDER BY doc_a, doc_b
+"""
+
+
+X_SIMHASH_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, t AS tok FROM toked, UNNEST(toks) AS u(t)),
+base AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+votes AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM base, UNNEST(range(0, 32)) AS r(i)
+  GROUP BY doc_id, i)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+         AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
 
 
 # -- text analysis ---------------------------------------------------------
@@ -242,9 +344,9 @@ FROM documents ORDER BY media_id
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
-    "x3_minhash_lsh_dedup": QuerySpec(x_minhash_lsh_dedup, None),
-    "x4_simhash": QuerySpec(x_simhash, None),
-    "x5_ngram_jaccard": QuerySpec(x_ngram_jaccard, None),
+    "x3_minhash_lsh_dedup": QuerySpec(x_minhash_lsh_dedup, X_MINHASH_LSH_SQL),
+    "x4_simhash": QuerySpec(x_simhash, X_SIMHASH_SQL),
+    "x5_ngram_jaccard": QuerySpec(x_ngram_jaccard, X_NGRAM_JACCARD_SQL),
     "x6_text_stats": QuerySpec(x_text_stats, X_TEXT_STATS_SQL),
     "x7_token_count": QuerySpec(x_token_count, X_TOKEN_COUNT_SQL),
     "x8_lang_id": QuerySpec(x_lang_id, X_LANG_ID_SQL),

@@ -4,10 +4,12 @@ same comparison at sf0.01."""
 
 import pytest
 
-from samba_spark.queries import DECLARED
+from samba_spark.queries import ALL_QUERIES, DECLARED
 from tests.oracle_util import compare, duckdb_conn
 
-ORACLE_QUERIES = [name for name, spec in DECLARED.items() if spec.oracle]
+# the driver's gate runs every oracle-bearing query (declared + extras +
+# extensions); mirror that here so a parity break fails locally first
+ORACLE_QUERIES = [name for name, spec in ALL_QUERIES.items() if spec.oracle]
 
 
 @pytest.fixture(scope="module")
@@ -19,7 +21,7 @@ def duck(sf_smoke):
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_match(spark, sf_smoke, duck, name):
-    spec = DECLARED[name]
+    spec = ALL_QUERIES[name]
     df = spec.fn(spark, sf_smoke)
     compare(df, duck, spec.oracle)
 

@@ -130,4 +130,8 @@ def test_entry_contract_includes_extensions(spark):
     os_ = e.oracle_sql()
     assert "x1_dedup_exact" in qs and "x10_cosine_topk" in qs
     assert set(os_) <= set(qs)
-    assert "x3_minhash_lsh_dedup" in qs and "x3_minhash_lsh_dedup" not in os_
+    # md5 hash family: the full LSH pipeline is oracle-replicated in DuckDB
+    assert "x3_minhash_lsh_dedup" in qs and "x3_minhash_lsh_dedup" in os_
+    assert "x4_simhash" in os_ and "x5_ngram_jaccard" in os_
+    # seeded-randomness ops stay rows-only
+    assert "x11_ann_lsh_topk" not in os_ and "x14_ivf_topk" not in os_
