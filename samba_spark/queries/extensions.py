@@ -295,11 +295,86 @@ WHERE rank <= 10 ORDER BY query_id, rank
 
 
 def x_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN via random-hyperplane LSH (rows-only check)."""
+    """Approximate NN via random-hyperplane LSH. The planes are seeded
+    driver-side constants, so the oracle embeds the same plane literals and
+    replays bucketing + multi-probe + bucket-local scoring in SQL."""
     embs = _embs(spark, sf_dir)
     return S.lsh_ann_topk(embs, _queries_df(embs), k=10).orderBy(
         "query_id", "rank"
     )
+
+
+def _plane_sql_list(planes) -> str:
+    """DuckDB literal: list of plane vectors (round-trip double reprs)."""
+    return (
+        "["
+        + ",".join("[" + ",".join(repr(v) for v in p) + "]" for p in planes)
+        + "]"
+    )
+
+
+def _lsh_bucket_cte(planes, vec_expr: str) -> str:
+    """bucket = Σ (1<<i | dot(vec, plane_i) >= 0) as one SQL expression."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"{_plane_sql_list([p])[1:-1]}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _x11_sql() -> str:
+    planes = S.make_planes(64, 6, 42)
+    bucket_c = _lsh_bucket_cte(planes, "emb")
+    bucket_q = _lsh_bucket_cte(planes, "q_emb")
+    probes = "[b0" + "".join(f", xor(b0, {1 << j}::BIGINT)" for j in range(6)) + "]"
+    return f"""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+cb AS (SELECT vec_id, emb, {bucket_c} AS bucket FROM c),
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+  FROM embeddings WHERE vec_id < 5),
+qb AS (SELECT query_id, q_emb, {bucket_q} AS b0 FROM q),
+qp AS (SELECT query_id, q_emb, UNNEST({probes}) AS bucket FROM qb),
+scored AS (
+  SELECT DISTINCT qp.query_id, cb.vec_id,
+         ROUND(list_dot_product(qp.q_emb, cb.emb) /
+               (sqrt(list_dot_product(qp.q_emb, qp.q_emb)) *
+                sqrt(list_dot_product(cb.emb, cb.emb))), 6) AS sim
+  FROM cb JOIN qp ON cb.bucket = qp.bucket),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, sim, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def _x12_sql() -> str:
+    planes = S.make_planes(64, 6, 7)
+    bucket = _lsh_bucket_cte(planes, "emb")
+    return f"""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+cb AS (SELECT vec_id, emb, {bucket} AS bucket FROM c)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) *
+              sqrt(list_dot_product(b.emb, b.emb))), 6) AS sim
+FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) *
+             sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
+ORDER BY vec_a, vec_b
+"""
 
 
 def x_ivf_topk(spark, sf_dir):
@@ -310,10 +385,13 @@ def x_ivf_topk(spark, sf_dir):
 
 
 def x_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, LSH-bucketed (rows-only check)."""
-    return S.embedding_neardup_pairs(_embs(spark, sf_dir)).orderBy(
-        "vec_a", "vec_b"
-    )
+    """Embedding-cosine near-dup pairs, LSH-bucketed. The fixture's
+    embeddings are random (max pairwise cosine ≈ 0.51), so the query runs
+    at threshold 0.4 to produce a non-empty, oracle-verifiable result; the
+    operator's production default stays 0.95."""
+    return S.embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.4
+    ).orderBy("vec_a", "vec_b")
 
 
 # -- multimodal ------------------------------------------------------------
@@ -352,9 +430,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x8_lang_id": QuerySpec(x_lang_id, X_LANG_ID_SQL),
     "x9_fingerprint": QuerySpec(x_fingerprint, X_FINGERPRINT_SQL),
     "x10_cosine_topk": QuerySpec(x_cosine_topk, X_COSINE_TOPK_SQL),
-    "x11_ann_lsh_topk": QuerySpec(x_ann_lsh_topk, None),
+    "x11_ann_lsh_topk": QuerySpec(x_ann_lsh_topk, _x11_sql()),
     "x14_ivf_topk": QuerySpec(x_ivf_topk, None),
-    "x12_embedding_neardup": QuerySpec(x_embedding_neardup, None),
+    "x12_embedding_neardup": QuerySpec(x_embedding_neardup, _x12_sql()),
     "x13_multimodal_byte_stats": QuerySpec(
         x_multimodal_byte_stats, X_MULTIMODAL_SQL
     ),

@@ -133,5 +133,7 @@ def test_entry_contract_includes_extensions(spark):
     # md5 hash family: the full LSH pipeline is oracle-replicated in DuckDB
     assert "x3_minhash_lsh_dedup" in qs and "x3_minhash_lsh_dedup" in os_
     assert "x4_simhash" in os_ and "x5_ngram_jaccard" in os_
-    # seeded-randomness ops stay rows-only
-    assert "x11_ann_lsh_topk" not in os_ and "x14_ivf_topk" not in os_
+    # seeded plane literals make sign-LSH oracle-replayable too
+    assert "x11_ann_lsh_topk" in os_ and "x12_embedding_neardup" in os_
+    # KMeans training is engine-specific → rows-only
+    assert "x14_ivf_topk" not in os_
