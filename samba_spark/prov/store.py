@@ -20,8 +20,53 @@ import time
 from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from samba_spark.prov import model
+
+
+def _arrow_schema(spark_schema: T.StructType):
+    """Arrow equivalent of a (simple-typed) Spark schema. Driver-side
+    metadata tables only use string/double/bool/long/array<string>."""
+    import pyarrow as pa
+
+    def conv(dt):
+        if isinstance(dt, T.StringType):
+            return pa.string()
+        if isinstance(dt, T.DoubleType):
+            return pa.float64()
+        if isinstance(dt, T.BooleanType):
+            return pa.bool_()
+        if isinstance(dt, T.LongType):
+            return pa.int64()
+        if isinstance(dt, T.ArrayType):
+            return pa.list_(conv(dt.elementType))
+        raise TypeError(f"no arrow mapping for {dt}")
+
+    return pa.schema(
+        [pa.field(f.name, conv(f.dataType), f.nullable) for f in spark_schema.fields]
+    )
+
+
+def _write_rows_parquet(dir_path: str, rows: list[tuple], spark_schema) -> None:
+    """Write driver-side buffered rows as one parquet file WITHOUT a Spark
+    job. A 1-row createDataFrame(...).coalesce(1).write costs ~5 s in local
+    mode (32 Python partitions funneled through one task, one Python-worker
+    round-trip each); pyarrow does it in milliseconds, and Spark reads the
+    file back with the same explicit schema."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = _arrow_schema(spark_schema)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema]
+    arrays = [pa.array(list(c), type=f.type) for c, f in zip(cols, schema)]
+    table = pa.Table.from_arrays(arrays, schema=schema)
+    os.makedirs(dir_path, exist_ok=True)
+    pq.write_table(
+        table, os.path.join(dir_path, f"part-{uuid.uuid4().hex}.parquet")
+    )
 
 
 class ProvStore:
@@ -149,17 +194,13 @@ class ProvStore:
     # are appended as versioned tombstone/override rows; readers resolve
     # latest-wins via read_elements_current().
     def _write_override(self, run_id, task_id, element_id, values, value_json):
-        from pyspark.sql import types as T
-
         schema = T.StructType(
             list(model.ELEMENTS.fields) + [T.StructField("seq", T.LongType(), False)]
         )
-        df = self.spark.createDataFrame(
+        _write_rows_parquet(
+            os.path.join(self.prov_dir, "element_overrides"),
             [(run_id, task_id, element_id, values, value_json, time.time_ns())],
-            schema=schema,
-        )
-        df.coalesce(1).write.mode("append").parquet(
-            os.path.join(self.prov_dir, "element_overrides")
+            schema,
         )
 
     def update_element_value(
@@ -223,9 +264,9 @@ class ProvStore:
             for name, rows in self._buffers.items():
                 if not rows:
                     continue
-                df = self.spark.createDataFrame(rows, schema=model.TABLES[name])
-                path = os.path.join(self.prov_dir, name)
-                df.coalesce(1).write.mode("append").parquet(path)
+                _write_rows_parquet(
+                    os.path.join(self.prov_dir, name), rows, model.TABLES[name]
+                )
                 rows.clear()
 
     def table(self, name: str) -> DataFrame:
