@@ -387,6 +387,88 @@ FROM cand GROUP BY w_start ORDER BY w_start
 """
 
 
+# Q36 pivot — groupBy().pivot() with an explicit value list (no extra scan
+# to discover values; at scale the value list must be declared anyway).
+def q36_pivot(spark, sf_dir):
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("cnt_p"),
+    ).orderBy("o_orderpriority")
+
+
+Q36_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (o_orderstatus = 'F') AS cnt_f,
+       COUNT(*) FILTER (o_orderstatus = 'O') AS cnt_o,
+       COUNT(*) FILTER (o_orderstatus = 'P') AS cnt_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# Q37 exact percentiles — Spark percentile() and DuckDB quantile_cont share
+# the linear-interpolation definition (pos = p*(n-1) over the sorted set).
+def q37_percentiles(spark, sf_dir):
+    lineitem = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q37_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# Q38 ordered string aggregation — deterministic via explicit sort of the
+# collected set (collect_list order is nondeterministic under parallelism;
+# array_sort makes the contract total).
+def q38_string_agg(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ["region", "nation"])
+    joined = tables["nation"].join(
+        F.broadcast(tables["region"]),
+        tables["nation"].n_regionkey == tables["region"].r_regionkey,
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q38_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -400,4 +482,7 @@ EXTRAS: dict[str, QuerySpec] = {
     "q33_cube": QuerySpec(q33_cube, Q33_SQL),
     "q34_global_agg": QuerySpec(q34_global_agg, Q34_SQL),
     "q35_stream_sliding": QuerySpec(q35_stream_sliding, Q35_SQL),
+    "q36_pivot": QuerySpec(q36_pivot, Q36_SQL),
+    "q37_percentiles": QuerySpec(q37_percentiles, Q37_SQL),
+    "q38_string_agg": QuerySpec(q38_string_agg, Q38_SQL),
 }
