@@ -31,6 +31,7 @@ def plan_summary(df: DataFrame) -> dict:
         "has_take_ordered": "TakeOrderedAndProject" in simple,
         "n_hash_aggregates": len(re.findall(r"HashAggregate", simple)),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "partition_filters": re.findall(r"PartitionFilters: \[([^\]]*)\]", plan),
         "read_schemas": re.findall(r"ReadSchema: ([^\n]*)", plan),
         "wholestage_codegen_ids": sorted(
             set(int(x) for x in re.findall(r"WholeStageCodegen \((\d+)\)", simple))
@@ -57,4 +58,17 @@ def assert_pruned_columns(df: DataFrame, max_cols: int, table_hint: str = "") ->
         ncols = schema.count(":")
         assert ncols <= max_cols, (
             f"scan reads {ncols} columns (> {max_cols}): {schema} {table_hint}"
+        )
+
+
+def assert_partition_pruned(df: DataFrame, *fragments: str) -> None:
+    """Assert each fragment appears in some PartitionFilters of the scan —
+    i.e. the predicate prunes whole hive-style partition directories before
+    any file is opened (the difference between scanning one day and
+    scanning 100 TB)."""
+    s = plan_summary(df)
+    parts = " | ".join(s["partition_filters"])
+    for frag in fragments:
+        assert frag in parts, (
+            f"'{frag}' not in PartitionFilters; got: {parts!r}"
         )

@@ -61,6 +61,22 @@ def salted_join(
     return out.drop("_salt")
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Persist hive-style partitioned parquet (``path/col=value/...``).
+    Readers filtering on ``partition_cols`` prune whole directories at
+    planning time (PartitionFilters in the scan) — at 100 TB this is the
+    primary access path for time- or tenant-scoped queries. Partition
+    columns must be low-cardinality (days, regions), never high-cardinality
+    keys (one directory per value)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def repartition_for_join(
     left: DataFrame, right: DataFrame, on: str, partitions: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -94,3 +94,26 @@ def test_repartition_for_join_reuses_partitioning(spark, sf_smoke):
         assert s["n_exchanges"] == 2, s["plan"][:800]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
+    """A filter on the partition column must appear as a PartitionFilter
+    (directory pruning at planning time), and the scan must touch only the
+    matching partition's files."""
+    from samba_spark.plans.inspect import assert_partition_pruned
+    from samba_spark.plans.layout import write_partitioned
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
+        "event_date", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(events, path, ["event_date"])
+
+    one_day = spark.read.parquet(path).where(
+        F.col("event_date") == F.lit("2024-01-01").cast("date")
+    )
+    assert_partition_pruned(one_day, "event_date")
+    # correctness: partitioned round trip preserves the day's rows
+    expected = events.where(F.to_date(F.timestamp_micros(F.expr("ts div 1000"))) == "2024-01-01").count()
+    assert expected > 0, "fixture has no 2024-01-01 events; test is vacuous"
+    assert one_day.count() == expected
