@@ -201,46 +201,16 @@ def lsh_candidate_pairs(
 
 def minhash_lsh_dedup(documents: DataFrame, **kw) -> DataFrame:
     """Fuzzy dedup clusters: candidate pairs → connected components by
-    min-label propagation (iterative join; converges in O(log n) rounds for
-    typical near-dup clusters). Returns (doc_id, cluster_id)."""
+    min-label propagation (operators/graph.py; converges in rounds ≈
+    cluster diameter — near-dup clusters are near-cliques, so 2-3).
+    Returns (doc_id, cluster_id)."""
+    from samba_spark.operators.graph import connected_components
+
     pairs = lsh_candidate_pairs(documents, **kw)
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint()  # materialize once; every iteration re-reads it
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
     )
-    for _ in range(25):
-        prop = (
-            edges.join(labels, edges.doc_b == labels.doc_id)
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # carry a per-row changed flag so convergence is read off the same
-        # checkpointed result — one job per iteration, not two
-        new_labels = (
-            labels.join(prop, labels.doc_id == prop.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (
-                    F.coalesce("nbr_min", F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("_changed"),
-            )
-            .localCheckpoint()
-        )
-        converged = new_labels.where(F.col("_changed")).isEmpty()
-        labels = new_labels.drop("_changed")
-        if converged:
-            break
-    return labels
 
 
 def simhash(

@@ -387,7 +387,183 @@ FROM cand GROUP BY w_start ORDER BY w_start
 """
 
 
-# Q36 pivot — groupBy().pivot() with an explicit value list (no extra scan
+# Q39 end-to-end training-data pipeline: language filter → quality filter
+# → normalized dedup → per-source doc/token totals. The composition query:
+# every stage is one of the x-operators, chained the way a 100 TB corpus
+# prep job would chain them (all pure Catalyst, one shuffle for the dedup
+# and one for the final rollup).
+def q39_training_pipeline(spark, sf_dir):
+    from samba_spark.operators import textual as X
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    lang = X.lang_id(docs).select("doc_id", "lang_pred")
+    quality = X.text_stats(docs).select("doc_id", "quality_score")
+    toks = X.token_count(docs).select("doc_id", "ws_tokens")
+    kept = (
+        docs.join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .where((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.55))
+    )
+    surviving = (
+        kept.select(
+            "doc_id",
+            F.md5(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+            ).alias("_fp"),
+        )
+        .groupBy("_fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        surviving.join(docs.select("doc_id", "source"), "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q39_STOP = None  # built below with the textual vocabularies
+
+
+def _q39_sql() -> str:
+    from samba_spark.operators.textual import LANG_MARKERS, STOPWORDS
+
+    stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+    m = {
+        k: "[" + ",".join(f"'{w}'" for w in v) + "]"
+        for k, v in LANG_MARKERS.items()
+    }
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks,
+         length(text) AS n_chars
+  FROM documents),
+scored AS (
+  SELECT doc_id, text, source, toks,
+         len(list_filter(toks, w -> list_contains({m['en']}, w))) AS s_en,
+         len(list_filter(toks, w -> list_contains({m['es']}, w))) AS s_es,
+         len(list_filter(toks, w -> list_contains({m['fr']}, w))) AS s_fr,
+         ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+               / greatest(n_chars, 1), 6) AS punct_ratio,
+         ROUND(len(list_filter(toks, w -> list_contains({stop}, w)))
+               / greatest(len(toks), 1), 6) AS stopword_ratio
+  FROM t),
+kept AS (
+  SELECT doc_id, text, source, len(toks) AS ws_tokens
+  FROM scored
+  WHERE s_en >= s_es AND s_en >= s_fr
+    AND ROUND(0.5 * least(1.0, len(toks) / 100.0)
+              + 0.3 * (1 - punct_ratio)
+              + 0.2 * stopword_ratio, 6) >= 0.55),
+surviving AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept
+  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+SELECT k.source, COUNT(*) AS n_docs, SUM(k.ws_tokens) AS total_tokens
+FROM surviving s JOIN kept k ON k.doc_id = s.doc_id
+GROUP BY k.source ORDER BY k.source
+"""
+
+
+# Q40 connected components over an edge DataFrame (operators/graph.py) —
+# min-label propagation; the oracle resolves the same components with a
+# recursive transitive closure. Edge set: the nation "path graph" per
+# region (consecutive nation keys within a region), diameter 4, so the
+# loop takes several propagation rounds.
+def q40_connected_components(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from samba_spark.operators.graph import connected_components
+
+    nation = load_tables(spark, sf_dir, ["nation"])["nation"]
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges = nation.select(
+        F.col("n_nationkey").alias("src"),
+        F.lead("n_nationkey").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    return connected_components(edges).orderBy("vertex")
+
+
+Q40_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT n_nationkey AS src,
+         LEAD(n_nationkey) OVER (PARTITION BY n_regionkey
+                                 ORDER BY n_nationkey) AS dst
+  FROM nation),
+e1 AS (SELECT src, dst FROM e0 WHERE dst IS NOT NULL),
+edges AS (SELECT src AS a, dst AS b FROM e1
+          UNION SELECT dst, src FROM e1),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a AND e.b <> r.src)
+SELECT src AS vertex, LEAST(src, MIN(dst))::BIGINT AS component
+FROM reach GROUP BY src ORDER BY vertex
+"""
+
+
+# Q41 PageRank over the customer↔supplier interaction graph (edges both
+# directions, so no dangling mass and the oracle's recursive term
+# references the working table exactly once — the SQL-standard limit).
+def q41_pagerank(spark, sf_dir):
+    from samba_spark.operators.graph import pagerank
+
+    tables = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = (
+        tables["lineitem"]
+        .join(
+            tables["orders"],
+            tables["lineitem"].l_orderkey == tables["orders"].o_orderkey,
+        )
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(edges, iterations=5).orderBy("vertex")
+
+
+Q41_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst, src FROM pairs),
+verts AS (SELECT DISTINCT src AS vertex FROM edges),
+params AS (SELECT COUNT(*)::DOUBLE AS n FROM verts),
+outdeg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+pr(it, vertex, rank) AS (
+  SELECT 0, vertex, 1.0 / (SELECT n FROM params) FROM verts
+  UNION ALL
+  -- every vertex of this graph has in-edges (edges are symmetric), so one
+  -- aggregation over (verts ⟕ edges ⟕ working-table) references the
+  -- recursive table exactly once, as the SQL standard requires
+  SELECT it + 1, vertex,
+         (1 - 0.85) / (SELECT n FROM params) + 0.85 * inflow
+  FROM (
+    SELECT v.vertex,
+           MAX(p.it) AS it,
+           SUM(p.rank / o.d) AS inflow
+    FROM verts v
+    JOIN edges e ON e.dst = v.vertex
+    JOIN pr p ON p.vertex = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY v.vertex)
+  WHERE it < 5)
+SELECT vertex, ROUND(rank, 6) AS rank
+FROM pr WHERE it = 5 ORDER BY vertex
+"""
 # to discover values; at scale the value list must be declared anyway).
 def q36_pivot(spark, sf_dir):
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
@@ -485,4 +661,7 @@ EXTRAS: dict[str, QuerySpec] = {
     "q36_pivot": QuerySpec(q36_pivot, Q36_SQL),
     "q37_percentiles": QuerySpec(q37_percentiles, Q37_SQL),
     "q38_string_agg": QuerySpec(q38_string_agg, Q38_SQL),
+    "q39_training_pipeline": QuerySpec(q39_training_pipeline, _q39_sql()),
+    "q40_connected_components": QuerySpec(q40_connected_components, Q40_SQL),
+    "q41_pagerank": QuerySpec(q41_pagerank, Q41_SQL),
 }

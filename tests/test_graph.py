@@ -1,0 +1,43 @@
+"""Graph operators: connected components and PageRank invariants."""
+
+from pyspark.sql import functions as F
+
+from samba_spark.operators.graph import connected_components, pagerank
+
+
+def test_connected_components_two_chains(spark):
+    # two path components {1-2-3-4} and {10-11}, plus the 4-chain needing
+    # several propagation rounds (diameter 3)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r.vertex: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_star_and_singleton_edge(spark):
+    edges = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (7, 8)], ["src", "dst"]
+    )
+    got = {
+        r.vertex: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 8: 7}
+
+
+def test_pagerank_mass_conserved_and_symmetric_ring_uniform(spark):
+    # directed ring a→b→c→a: by symmetry every vertex has equal rank 1/3
+    ring = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    ranks = {r.vertex: r.rank for r in pagerank(ring, iterations=8).collect()}
+    assert all(abs(v - 1 / 3) < 1e-6 for v in ranks.values()), ranks
+    assert abs(sum(ranks.values()) - 1.0) < 1e-5
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 1→2, 2 dangling: without dangling redistribution Σrank < 1
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    ranks = {r.vertex: r.rank for r in pagerank(edges, iterations=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4, ranks
+    assert ranks[2] > ranks[1]  # sink accumulates more rank
