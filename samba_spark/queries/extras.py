@@ -593,13 +593,22 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 # the linear-interpolation definition (pos = p*(n-1) over the sorted set).
 def q37_percentiles(spark, sf_dir):
     lineitem = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # one percentile agg with an array argument: the per-group sort is paid
+    # once for all three quantiles, not three times
     return (
         lineitem.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_p"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p25"),
+            F.round(F.col("_p")[1], 6).alias("p50"),
+            F.round(F.col("_p")[2], 6).alias("p75"),
+            "n",
         )
         .orderBy("l_returnflag")
     )

@@ -59,3 +59,15 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (hadoopFile/sequenceFile analogue for columnar data —
+    the reference reads arbitrary Hadoop InputFormats, rdd/SparkContext
+    hadoopFile; ORC and parquet are the two columnar formats Spark ships
+    built-in, with the same pushdown/pruning support)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -137,3 +137,20 @@ def test_wrapper_transparency_property(engine, spark):
         assert sorted(map(tuple, got)) == sorted(map(tuple, plain))
 
     check()
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_smoke, tmp_path):
+    """ORC round trip preserves rows; filters push into the ORC scan just
+    like parquet (same columnar reader contract)."""
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.readers import read_orc, write_orc
+
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(nation, path)
+    back = read_orc(spark, path)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
+    filtered = back.where("n_nationkey >= 10").select("n_name")
+    pushed = " | ".join(plan_summary(filtered)["pushed_filters"])
+    assert "n_nationkey" in pushed
