@@ -177,12 +177,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_hash")
-    counts = band_entries.groupBy("band", "band_hash").agg(
-        F.count(F.lit(1)).alias("_bucket_n")
-    )
-    bounded = band_entries.join(
-        counts.where(F.col("_bucket_n") <= max_bucket), ["band", "band_hash"]
-    )
+    # bucket-size cap via a window over the same shuffle key — one exchange
+    # (vs groupBy+join-back = two) and the band entries stay partitioned by
+    # (band, band_hash) for the self-join that follows
+    w = Window.partitionBy("band", "band_hash")
+    bounded = band_entries.withColumn(
+        "_bucket_n", F.count(F.lit(1)).over(w)
+    ).where(F.col("_bucket_n") <= max_bucket)
     a = bounded.alias("a")
     b = bounded.alias("b")
     return (

@@ -1,0 +1,155 @@
+"""Property-based invariants (hypothesis) for the extension operators —
+random inputs, Python-reference semantics. Heavier strategies are kept
+small: each example pays Spark job overhead, so the value is in the shape
+coverage (empty strings, unicode, duplicate rows), not the example count.
+"""
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c.\tZ9é")),
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_dedup_exact_partitions_by_text(spark, texts):
+    """Exact dedup: one keeper per distinct text, keeper is the min doc_id,
+    group sizes sum to the row count."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from samba_spark.operators.dedup import dedup_exact
+
+    out = dedup_exact(docs).collect()
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(t, []).append(i)
+    assert len(out) == len(by_text)
+    expected = {min(ids): len(ids) for ids in by_text.values()}
+    assert {r.keep_doc_id: r.n_dups for r in out} == expected
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_fingerprint_collision_iff_normalized_equal(spark, texts):
+    """fingerprint(x) == fingerprint(y) ⇔ normalized(x) == normalized(y)
+    (md5 collisions are not a realistic hypothesis input)."""
+    import re
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from samba_spark.operators.textual import fingerprint
+
+    fps = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    for i, a in enumerate(texts):
+        for j, b in enumerate(texts):
+            assert (fps[i] == fps[j]) == (norm(a) == norm(b)), (a, b)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-5, max_value=5, allow_nan=False, width=32
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_cosine_topk_matches_python_reference(spark, vecs):
+    """Brute-force cosine top-k agrees with a NumPy-free Python reference
+    on ranking (sim rounded to 6, ties by vec_id — the declared contract)."""
+    from samba_spark.operators.simsearch import cosine_topk
+
+    # skip degenerate all-zero vectors (norm 0 → NaN sim on both sides is
+    # fine, but ranking NaNs is not part of the contract)
+    if any(all(x == 0 for x in v) for v in vecs):
+        return
+    embs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    queries = embs.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    got = [
+        (r.vec_id, r.rank)
+        for r in cosine_topk(embs, queries, k=len(vecs))
+        .orderBy("rank")
+        .collect()
+    ]
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(x) ** 2 for x in b))
+        return round(d / (na * nb), 6)
+
+    q = vecs[0]
+    ref = sorted(
+        range(len(vecs)), key=lambda i: (-cos(q, vecs[i]), i)
+    )
+    assert [v for v, _ in got] == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Connected components agrees with a driver-side union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from samba_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r.vertex: r.component for r in connected_components(edges).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    assert got == expected
