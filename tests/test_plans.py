@@ -50,3 +50,39 @@ def test_q8_join_shape(spark, sf_smoke):
     assert s["broadcast_joins"] >= 1
     assert s["n_hash_aggregates"] >= 2
     assert s["has_take_ordered"]
+
+
+def test_dedup_shuffle_key_is_digest_not_payload(spark, sf_smoke):
+    """Exact dedup must shuffle 16-byte digests, never document text — at
+    100 TB the difference is the whole job."""
+    from samba_spark.operators.dedup import dedup_exact
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    plan = plan_summary(dedup_exact(docs))["plan"]
+    assert "hashpartitioning(_digest" in plan
+    # the exchange's input projection must not carry the text column
+    exchange_inputs = [
+        l for l in plan.splitlines() if "Arguments: hashpartitioning" in l
+    ]
+    assert exchange_inputs and all("text" not in l for l in exchange_inputs)
+
+
+def test_cosine_topk_uses_window_group_limit(spark, sf_smoke):
+    """rank<=k over a window must compile to WindowGroupLimit — each
+    partition keeps only k candidates before the exchange (the partial
+    top-k that makes brute-force search scan-bound)."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.simsearch import cosine_topk
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    embs = load_tables(spark, sf_smoke, ["embeddings"])["embeddings"]
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    plan = plan_summary(cosine_topk(embs, queries))["plan"]
+    assert "WindowGroupLimit" in plan
