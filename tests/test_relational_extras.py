@@ -154,3 +154,25 @@ def test_orc_round_trip_with_pushdown(spark, sf_smoke, tmp_path):
     filtered = back.where("n_nationkey >= 10").select("n_name")
     pushed = " | ".join(plan_summary(filtered)["pushed_filters"])
     assert "n_nationkey" in pushed
+
+
+def test_functions_namespace(spark):
+    """samba_spark.functions: column primitives compute what they claim."""
+    from samba_spark import functions as SF
+
+    row = (
+        spark.range(1)
+        .select(
+            SF.md5_base32(F.lit("hello")).alias("h"),
+            SF.cosine_sim(
+                F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(1.0), F.lit(0.0))
+            ).alias("cos"),
+            SF.whitespace_tokens(F.lit("  A  b\tc ")).alias("toks"),
+            SF.normalized_text(F.lit("  A  b\tc ")).alias("norm"),
+        )
+        .collect()[0]
+    )
+    assert row.h == 1564557354  # == DuckDB ('0x'||substr(md5('hello'),1,8))
+    assert abs(row.cos - 1.0) < 1e-12
+    assert row.toks == ["a", "b", "c"]
+    assert row.norm == "a b c"
