@@ -654,6 +654,35 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+# Q42 skew-salted join — the layout.salted_join path: the fact side gets a
+# random salt, the dimension side is replicated per salt value, so one hot
+# key spreads over `salt` tasks. Semantics are exactly the plain join's
+# (the oracle IS the plain join) — salting only changes the partitioning.
+def q42_salted_join(spark, sf_dir):
+    from samba_spark.plans.layout import salted_join
+
+    tables = load_tables(spark, sf_dir, ["orders", "customer"])
+    orders = tables["orders"].withColumnRenamed("o_custkey", "c_custkey")
+    joined = salted_join(orders, tables["customer"], "c_custkey", salt=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q42_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -673,4 +702,5 @@ EXTRAS: dict[str, QuerySpec] = {
     "q39_training_pipeline": QuerySpec(q39_training_pipeline, _q39_sql()),
     "q40_connected_components": QuerySpec(q40_connected_components, Q40_SQL),
     "q41_pagerank": QuerySpec(q41_pagerank, Q41_SQL),
+    "q42_salted_join": QuerySpec(q42_salted_join, Q42_SQL),
 }
