@@ -654,6 +654,60 @@ GROUP BY r_name ORDER BY r_name
 """
 
 
+# Q43 stream-stream interval join — errors joined to same-user clicks in
+# the preceding 2 hours, replayed availableNow; the oracle is the plain
+# interval join (inner-join emission is complete, so the sets agree).
+def q43_stream_join(spark, sf_dir):
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    errors = stream.where(F.col("event_type") == "error")
+    clicks = stream.where(F.col("event_type") == "click")
+    joined = S.interval_join_errors_clicks(errors, clicks, lookback="2 hours")
+    name = "q43_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(joined, name, "append")
+    return out.orderBy("err_id", "click_id")
+
+
+Q43_SQL = """
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click')
+SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+FROM e JOIN c ON e.user_id = c.user_id
+              AND c.ts BETWEEN e.ts - INTERVAL '2 hours' AND e.ts
+ORDER BY err_id, click_id
+"""
+
+
+# Q44 streaming deduplication — dropDuplicates state over the key columns;
+# projecting to the key first makes the append-mode output a deterministic
+# set (no arbitrary first-seen payload).
+def q44_stream_dedup(spark, sf_dir):
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    distinct = S.streaming_distinct(stream, "user_id", "event_type")
+    name = "q44_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(distinct, name, "append")
+    return out.orderBy("user_id", "event_type")
+
+
+Q44_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
 # Q42 skew-salted join — the layout.salted_join path: the fact side gets a
 # random salt, the dimension side is replicated per salt value, so one hot
 # key spreads over `salt` tasks. Semantics are exactly the plain join's
@@ -703,4 +757,6 @@ EXTRAS: dict[str, QuerySpec] = {
     "q40_connected_components": QuerySpec(q40_connected_components, Q40_SQL),
     "q41_pagerank": QuerySpec(q41_pagerank, Q41_SQL),
     "q42_salted_join": QuerySpec(q42_salted_join, Q42_SQL),
+    "q43_stream_join": QuerySpec(q43_stream_join, Q43_SQL),
+    "q44_stream_dedup": QuerySpec(q44_stream_dedup, Q44_SQL),
 }

@@ -176,6 +176,47 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_errors_clicks(
+    errors: DataFrame,
+    clicks: DataFrame,
+    *,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner interval join: for each error, the clicks of the
+    same user in the ``lookback`` window before it. Both sides carry
+    watermarks so the join state is bounded: a click older than
+    (watermark + lookback) can never match a future error and is evicted.
+    Inner-join emission is complete under availableNow replay, so the
+    result is the deterministic set of qualifying pairs."""
+    e = errors.select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    ).withWatermark("err_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return e.join(
+        c,
+        F.expr(
+            f"err_user = click_user AND "
+            f"click_ts BETWEEN err_ts - INTERVAL {lookback} AND err_ts"
+        ),
+        "inner",
+    ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
+
+
+def streaming_distinct(events: DataFrame, *cols: str) -> DataFrame:
+    """Streaming deduplication: emit each distinct combination of ``cols``
+    once (dropDuplicates keeps state per key; project first so the kept
+    row IS the key — no arbitrary first-seen payload columns, making the
+    append-mode output a deterministic set)."""
+    return events.select(*cols).dropDuplicates(list(cols))
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
