@@ -427,9 +427,6 @@ def q39_training_pipeline(spark, sf_dir):
     )
 
 
-_Q39_STOP = None  # built below with the textual vocabularies
-
-
 def _q39_sql() -> str:
     from samba_spark.operators.textual import LANG_MARKERS, STOPWORDS
 
