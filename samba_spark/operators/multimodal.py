@@ -155,6 +155,76 @@ def decode_images(media: DataFrame, *, allow_stub: bool = False) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int = 64,
+    height: int = 64,
+    allow_stub: bool = False,
+) -> DataFrame:
+    """Image resize → (media_id, width, height, content). Requires PIL;
+    without it, ``allow_stub=True`` emits a deterministic fake payload
+    (content digest cycled to width*height*3 bytes) so the binary-in →
+    binary-out batch shape — the expensive multimodal pattern at 100 TB —
+    stays exercised end-to-end."""
+
+    def _resize(batches: Iterable[pd.DataFrame]):
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        if not have_pil and not allow_stub:
+            raise NotImplementedError(
+                "image resize requires Pillow, which is not installed; "
+                "pass allow_stub=True for the deterministic fake"
+            )
+        n_out = width * height * 3
+        for batch in batches:
+            out = []
+            for _, row in batch.iterrows():
+                content = bytes(row["content"] or b"")
+                if have_pil:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(content)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    payload = buf.getvalue()
+                else:
+                    digest = hashlib.sha256(content).digest()
+                    payload = (digest * (n_out // len(digest) + 1))[:n_out]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": width,
+                        "height": height,
+                        "content": payload,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        _resize, RESIZED_SCHEMA
+    )
+
+
 def sample_frames(
     media: DataFrame, *, every_n_bytes: int = 4096, max_frames: int = 8
 ) -> DataFrame:

@@ -1,0 +1,79 @@
+"""Multimodal plumbing: binary columns, Arrow-batched extractors, stubbed
+codecs (PIL absent in this environment — the stubs must be deterministic
+and the real-codec path must fail loudly when not allowed)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.operators.multimodal import (
+    decode_images,
+    extract_byte_features,
+    media_from_files,
+    resize_images,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"m{i}.bin").write_bytes(bytes([i]) * (1000 * (i + 1)))
+    return media_from_files(spark, [str(tmp_path)], "image")
+
+
+def test_media_from_files_schema_and_content(media):
+    rows = media.orderBy("media_id").collect()
+    assert len(rows) == 3
+    assert {len(r.content) for r in rows} == {1000, 2000, 3000}
+    assert all(r.kind == "image" and "path" in r.meta for r in rows)
+
+
+def test_extract_byte_features_matches_python(media):
+    feats = {r.media_id: r for r in extract_byte_features(media).collect()}
+    for r in media.collect():
+        f = feats[r.media_id]
+        assert f.n_bytes == len(r.content)
+        assert f.sha256 == hashlib.sha256(bytes(r.content)).hexdigest()
+        assert sum(f.byte_histogram) == len(r.content)
+
+
+def test_decode_images_stub_is_deterministic(media):
+    a = {(r.media_id, r.width, r.height) for r in
+         decode_images(media, allow_stub=True).collect()}
+    b = {(r.media_id, r.width, r.height) for r in
+         decode_images(media, allow_stub=True).collect()}
+    assert a == b and len(a) == 3
+
+
+def test_decode_images_without_pil_raises(media):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; stub error path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as exc_info:
+        decode_images(media, allow_stub=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_resize_images_stub_payload_shape(media):
+    out = {r.media_id: r for r in
+           resize_images(media, width=8, height=8, allow_stub=True).collect()}
+    assert len(out) == 3
+    for r in out.values():
+        assert (r.width, r.height) == (8, 8)
+        assert len(r.content) == 8 * 8 * 3  # deterministic fake payload
+
+
+def test_sample_frames_fanout(media):
+    frames = sample_frames(media, every_n_bytes=1000, max_frames=8)
+    counts = (
+        frames.groupBy("media_id").count().orderBy("media_id").collect()
+    )
+    # 1000/2000/3000 bytes at stride 1000 → 2/3/4 windows (0..len/stride)
+    assert sorted(r["count"] for r in counts) == [2, 3, 4]
