@@ -734,6 +734,48 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# Q45 correlated subqueries — EXISTS and NOT EXISTS through spark.sql;
+# Catalyst rewrites both into semi/anti joins (the SQL-string surface of
+# Layer B: identical text runs on both engines).
+_Q45_SQL = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 100000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
+ORDER BY c.c_custkey
+"""
+
+
+def q45_exists_subqueries(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ["customer", "orders"])
+    tables["customer"].createOrReplaceTempView("customer")
+    tables["orders"].createOrReplaceTempView("orders")
+    return spark.sql(_Q45_SQL)
+
+
+# Q46 LATERAL join — per-region top-2 nations by key, the lateral-subquery
+# form (Catalyst plans a correlated limited subquery per outer row).
+_Q46_SQL = """
+SELECT r.r_name, t.n_name, t.n_nationkey
+FROM region r,
+LATERAL (SELECT n_name, n_nationkey FROM nation n
+         WHERE n.n_regionkey = r.r_regionkey
+         ORDER BY n.n_nationkey LIMIT 2) AS t
+ORDER BY r.r_name, t.n_nationkey
+"""
+
+
+def q46_lateral_join(spark, sf_dir):
+    tables = load_tables(spark, sf_dir, ["region", "nation"])
+    tables["region"].createOrReplaceTempView("region")
+    tables["nation"].createOrReplaceTempView("nation")
+    return spark.sql(_Q46_SQL)
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -756,4 +798,6 @@ EXTRAS: dict[str, QuerySpec] = {
     "q42_salted_join": QuerySpec(q42_salted_join, Q42_SQL),
     "q43_stream_join": QuerySpec(q43_stream_join, Q43_SQL),
     "q44_stream_dedup": QuerySpec(q44_stream_dedup, Q44_SQL),
+    "q45_exists_subqueries": QuerySpec(q45_exists_subqueries, _Q45_SQL),
+    "q46_lateral_join": QuerySpec(q46_lateral_join, _Q46_SQL),
 }
