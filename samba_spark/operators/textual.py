@@ -41,16 +41,18 @@ def text_stats(documents: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     n_words = F.size(toks)
     punct = F.length(F.regexp_replace("text", r"[a-zA-Z0-9\s]", ""))
-    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    # Raw IEEE quotients, NOT ROUND(…,6): integer/integer division is
+    # bit-identical on every engine, while ROUND of such quotients can land
+    # exactly on a decimal half (e.g. 1/640) and flip HALF_UP vs HALF_EVEN.
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
     stop_hits = F.size(
         F.filter(toks, lambda w: w.isin(STOPWORDS))
     )
-    stop_ratio = F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
-    quality = F.round(
+    stop_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    quality = (
         0.5 * F.least(F.lit(1.0), n_words / F.lit(100.0))
         + 0.3 * (1 - punct_ratio)
-        + 0.2 * stop_ratio,
-        6,
+        + 0.2 * stop_ratio
     )
     return documents.select(
         "doc_id",
@@ -59,6 +61,47 @@ def text_stats(documents: DataFrame) -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         quality.alias("quality_score"),
+    )
+
+
+def quality_keep(text: Column, num: int = 11, den: int = 20) -> Column:
+    """Tie-free quality gate: ``quality_score >= num/den`` decided in exact
+    integer arithmetic so Spark and any SQL oracle agree bit-for-bit.
+
+    quality = min(W,100)/200 + 3/10·(1 − P/C) + 1/5·(S/T) with
+    W=n_words, P=n_punct_chars, C=max(n_chars,1), T=max(n_words,1),
+    S=n_stopword_hits. Multiplying the inequality by the positive 200·C·T
+    clears every division:
+
+        den·(min(W,100)·C·T + 60·C·T − 60·P·T + 40·S·C) >= 200·num·C·T
+
+    All terms are BIGINT (≤ ~2·10^13 for 100 k-char docs) — no rounding,
+    no HALF_UP/HALF_EVEN divergence. Same pattern as the n-gram Jaccard
+    threshold (extensions.py x5)."""
+    toks = tokens_col(text)
+    w = F.size(toks).cast("long")
+    c = F.greatest(F.length(text).cast("long"), F.lit(1))
+    t = F.greatest(w, F.lit(1))
+    p = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")).cast("long")
+    s = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))).cast("long")
+    min_w = F.least(w, F.lit(100))
+    lhs = den * (min_w * c * t + 60 * c * t - 60 * p * t + 40 * s * c)
+    return lhs >= (200 * num) * c * t
+
+
+def quality_keep_sql(
+    w: str, c: str, p: str, s: str, num: int = 11, den: int = 20
+) -> str:
+    """DuckDB boolean expression mirroring :func:`quality_keep` exactly.
+    ``w/c/p/s`` name integer columns (word count, char count, punct chars,
+    stopword hits) the caller's CTE has already computed — same integer
+    arithmetic as the Spark side, so the oracle gate never diverges."""
+    C = f"greatest({c}, 1)"
+    T = f"greatest({w}, 1)"
+    return (
+        f"({den} * (least({w}, 100) * {C} * {T}"
+        f" + 60 * {C} * {T} - 60 * {p} * {T} + 40 * {s} * {C})"
+        f" >= {200 * num} * {C} * {T})"
     )
 
 

@@ -188,19 +188,19 @@ WITH t AS (
   FROM documents),
 r AS (
   SELECT doc_id, n_chars, len(toks) AS n_words,
-         ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
-               / greatest(n_chars, 1), 6) AS punct_ratio,
-         ROUND(len(list_filter(toks, w -> list_contains({_STOP}, w)))
-               / greatest(len(toks), 1), 6) AS stopword_ratio
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+               / greatest(n_chars, 1) AS punct_ratio,
+         len(list_filter(toks, w -> list_contains({_STOP}, w)))
+               / greatest(len(toks), 1) AS stopword_ratio
   FROM t)
 SELECT doc_id,
        n_chars AS n_chars_calc,
        n_words,
        punct_ratio,
        stopword_ratio,
-       ROUND(0.5 * least(1.0, n_words / 100.0)
+       0.5 * least(1.0, n_words / 100.0)
              + 0.3 * (1 - punct_ratio)
-             + 0.2 * stopword_ratio, 6) AS quality_score
+             + 0.2 * stopword_ratio AS quality_score
 FROM r ORDER BY doc_id
 """
 

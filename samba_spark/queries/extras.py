@@ -397,12 +397,16 @@ def q39_training_pipeline(spark, sf_dir):
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     lang = X.lang_id(docs).select("doc_id", "lang_pred")
-    quality = X.text_stats(docs).select("doc_id", "quality_score")
     toks = X.token_count(docs).select("doc_id", "ws_tokens")
+    # Quality gate in exact integer arithmetic (quality >= 11/20) — no
+    # ROUND, so Spark HALF_UP vs DuckDB HALF_EVEN can never flip a doc
+    # across the threshold (round-1 hash-fail root cause).
     kept = (
         docs.join(lang, "doc_id")
-        .join(quality, "doc_id")
-        .where((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.55))
+        .where(
+            (F.col("lang_pred") == "en")
+            & X.quality_keep(F.col("text"), num=11, den=20)
+        )
     )
     surviving = (
         kept.select(
@@ -428,13 +432,20 @@ def q39_training_pipeline(spark, sf_dir):
 
 
 def _q39_sql() -> str:
-    from samba_spark.operators.textual import LANG_MARKERS, STOPWORDS
+    from samba_spark.operators.textual import (
+        LANG_MARKERS,
+        STOPWORDS,
+        quality_keep_sql,
+    )
 
     stop = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
     m = {
         k: "[" + ",".join(f"'{w}'" for w in v) + "]"
         for k, v in LANG_MARKERS.items()
     }
+    gate = quality_keep_sql(
+        w="len(toks)", c="n_chars", p="n_punct", s="n_stop", num=11, den=20
+    )
     return rf"""
 WITH t AS (
   SELECT doc_id, text, source,
@@ -443,22 +454,18 @@ WITH t AS (
          length(text) AS n_chars
   FROM documents),
 scored AS (
-  SELECT doc_id, text, source, toks,
+  SELECT doc_id, text, source, toks, n_chars,
          len(list_filter(toks, w -> list_contains({m['en']}, w))) AS s_en,
          len(list_filter(toks, w -> list_contains({m['es']}, w))) AS s_es,
          len(list_filter(toks, w -> list_contains({m['fr']}, w))) AS s_fr,
-         ROUND(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
-               / greatest(n_chars, 1), 6) AS punct_ratio,
-         ROUND(len(list_filter(toks, w -> list_contains({stop}, w)))
-               / greatest(len(toks), 1), 6) AS stopword_ratio
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+         len(list_filter(toks, w -> list_contains({stop}, w))) AS n_stop
   FROM t),
 kept AS (
   SELECT doc_id, text, source, len(toks) AS ws_tokens
   FROM scored
   WHERE s_en >= s_es AND s_en >= s_fr
-    AND ROUND(0.5 * least(1.0, len(toks) / 100.0)
-              + 0.3 * (1 - punct_ratio)
-              + 0.2 * stopword_ratio, 6) >= 0.55),
+    AND {gate}),
 surviving AS (
   SELECT MIN(doc_id) AS doc_id
   FROM kept
