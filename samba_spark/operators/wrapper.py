@@ -542,6 +542,83 @@ class ProvDataFrame:
 
     mapInPandas = map_in_pandas
 
+    def pipe(
+        self,
+        command: "str | list[str]",
+        *,
+        input_col: Optional[str] = None,
+        output_col: str = "value",
+        env: Optional[dict] = None,
+        encoding: str = "utf-8",
+        check_exit_code: bool = True,
+    ) -> "ProvDataFrame":
+        """Line-mode pipe (reference rdd/RDD.scala:887-945,
+        PipedRDD.scala:70-236): partition rows become stdin lines of one
+        forked process per partition; its stdout lines become output rows.
+        The command is a black box, so when element capture is on every
+        output element depends on ALL input elements its partition consumed
+        (all-to-all, capped at AGG_DEPS_CAP — PipedRDD.scala:170-236)."""
+        from samba_spark.operators.pipe import make_partition_runner, pipe_lines
+
+        if not self.elements_enabled:
+            out = pipe_lines(
+                self.df,
+                command,
+                input_col=input_col,
+                output_col=output_col,
+                env=env,
+                encoding=encoding,
+                check_exit_code=check_exit_code,
+            )
+            return self._child(out, "pipe", f"pipe({str(command)[:80]})")
+
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        cols = self.user_columns
+        if input_col is not None:
+            line = F.col(input_col).cast("string")
+        elif len(cols) == 1:
+            line = F.col(cols[0]).cast("string")
+        else:
+            line = F.concat_ws("\t", *[F.col(c).cast("string") for c in cols])
+        src = self._df.withColumn("_deps_in", _dep_expr(self._df)).select(
+            line.alias("_line"), "_deps_in"
+        )
+        schema = T.StructType(
+            [
+                T.StructField(output_col, T.StringType()),
+                T.StructField(PROV_DEPS, T.ArrayType(T.StringType())),
+            ]
+        )
+        cap = AGG_DEPS_CAP
+        runner = make_partition_runner(
+            command, env=env, encoding=encoding, check_exit_code=check_exit_code
+        )
+
+        def _pipe(batches):
+            seen: list[str] = []
+            seen_set: set[str] = set()
+
+            def lines():
+                for b in batches:
+                    for v, deps in zip(b["_line"], b["_deps_in"]):
+                        if deps is not None:
+                            it = deps.tolist() if hasattr(deps, "tolist") else deps
+                            for d in it:
+                                if d not in seen_set and len(seen) < cap:
+                                    seen_set.add(d)
+                                    seen.append(d)
+                        yield "" if v is None else str(v)
+
+            out = runner(lines())
+            yield pd.DataFrame(
+                {output_col: out, PROV_DEPS: [list(seen)] * len(out)}
+            )
+
+        result = ProvDataFrame._mint_ids(src.mapInPandas(_pipe, schema))
+        return self._child(result, "pipe", f"pipe({str(command)[:80]})")
+
     # -- actions ------------------------------------------------------------
     def collect(self):
         if self.elements_enabled:
