@@ -72,7 +72,7 @@ ORDER BY l_orderkey, l_linenumber
 def q3(spark, sf_dir):
     (part,) = _t(spark, sf_dir, "part")
     return (
-        part.where(F.col("p_type").like("%BRASS%") | F.col("p_name").like("a%"))
+        part.where(F.col("p_type").like("%ECO%") | F.col("p_name").like("b%"))
         .select(
             "p_partkey",
             F.upper("p_brand").alias("b"),
@@ -84,7 +84,7 @@ def q3(spark, sf_dir):
 
 Q3_SQL = """
 SELECT p_partkey, UPPER(p_brand) AS b, SUBSTR(p_name, 1, 5) AS pfx
-FROM part WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
+FROM part WHERE p_type LIKE '%ECO%' OR p_name LIKE 'b%'
 ORDER BY p_partkey
 """
 
@@ -456,7 +456,9 @@ FROM customer ORDER BY c_custkey LIMIT 500
 # aggregate (no driver collect; scales to any orders size)
 def q20(spark, sf_dir):
     (orders,) = _t(spark, sf_dir, "orders")
-    thr = orders.agg((F.avg("o_totalprice") * 2).alias("_thr"))
+    # ×1.5 keeps the threshold below the fixture's max price, so the
+    # subquery gate actually selects rows (×2 proved a 0-row no-op green)
+    thr = orders.agg((F.avg("o_totalprice") * 1.5).alias("_thr"))
     return (
         orders.crossJoin(F.broadcast(thr))
         .where(F.col("o_totalprice") > F.col("_thr"))
@@ -467,7 +469,7 @@ def q20(spark, sf_dir):
 
 Q20_SQL = """
 SELECT o_orderkey, o_totalprice FROM orders
-WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
 ORDER BY o_orderkey
 """
 

@@ -568,7 +568,8 @@ pr(it, vertex, rank) AS (
 SELECT vertex, ROUND(rank, 6) AS rank
 FROM pr WHERE it = 5 ORDER BY vertex
 """
-# to discover values; at scale the value list must be declared anyway).
+# Q36 pivot with a declared value list (no extra scan to discover values;
+# at scale the value list must be declared anyway).
 def q36_pivot(spark, sf_dir):
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
     piv = (
@@ -783,6 +784,40 @@ def q46_lateral_join(spark, sf_dir):
     return spark.sql(_Q46_SQL)
 
 
+# Q47 line-mode pipe (reference rdd/RDD.scala:887-945, PipedRDD.scala:
+# 70-236): rows stream through a native `sed` as stdin/stdout lines, one
+# process per partition. The oracle replays the same per-line rewrite with
+# DuckDB string functions. LC_ALL=C makes sed byte-wise — the ASCII-only
+# pattern can't match UTF-8 continuation bytes, so it equals DuckDB's
+# character-wise regexp_replace. Output order is partition-dependent (as in
+# the reference), so both sides sort by value.
+def q47_pipe(spark, sf_dir):
+    from samba_spark.operators.pipe import pipe_lines
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    lines = docs.select(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.translate(F.col("text"), "\n\t\r", "   "),
+        ).alias("line")
+    )
+    out = pipe_lines(
+        lines, "sed -E 's/[aeiou]//g'", env={"LC_ALL": "C"}
+    )
+    return out.orderBy("value")
+
+
+Q47_SQL = """
+SELECT regexp_replace(
+         doc_id::VARCHAR || '|' ||
+         replace(replace(replace(text, chr(10), ' '),
+                         chr(9), ' '), chr(13), ' '),
+         '[aeiou]', '', 'g') AS value
+FROM documents ORDER BY value
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -807,4 +842,5 @@ EXTRAS: dict[str, QuerySpec] = {
     "q44_stream_dedup": QuerySpec(q44_stream_dedup, Q44_SQL),
     "q45_exists_subqueries": QuerySpec(q45_exists_subqueries, _Q45_SQL),
     "q46_lateral_join": QuerySpec(q46_lateral_join, _Q46_SQL),
+    "q47_pipe": QuerySpec(q47_pipe, Q47_SQL),
 }
