@@ -72,6 +72,7 @@ class ArtifactStore:
 
         def _write(batches: Iterable[pd.DataFrame]):
             import hashlib
+            import uuid
 
             for batch in batches:
                 out = []
@@ -83,10 +84,14 @@ class ArtifactStore:
                     os.makedirs(sub, exist_ok=True)
                     path = os.path.join(sub, sha)
                     if not os.path.exists(path):
-                        tmp = path + ".tmp"
+                        # per-writer unique temp name: two workers landing
+                        # the same sha must not interleave into one file;
+                        # os.replace then publishes atomically (content is
+                        # identical for equal sha, so last-wins is safe)
+                        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
                         with open(tmp, "wb") as fh:
                             fh.write(content)
-                        os.replace(tmp, path)  # atomic: concurrent writers race safely
+                        os.replace(tmp, path)
                     out.append(
                         {
                             "group_name": row["group_name"],
@@ -107,14 +112,18 @@ class ArtifactStore:
         run_dir = os.path.join(self.root, "runs", run_id, pdf.task_id)
         manifest.write.mode("append").parquet(run_dir)
         written = session.spark.read.parquet(run_dir)
-        # provenance link: element → artifact folder (fileGroupReference)
-        for row in written.select("group_name", "element_id").distinct().collect():
-            session.store.write_filegroup_ref(
-                run_id,
-                task_id=pdf.task_id,
-                element_id=row["element_id"],
-                folder_path=os.path.join(run_dir, str(row["group_name"])),
-            )
+        # provenance link: element → artifact folder (fileGroupReference).
+        # Distributed append straight from the manifest — no driver collect
+        # loop; at millions of groups this is one small shuffle + write.
+        refs = written.select("group_name", "element_id").distinct().select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(pdf.task_id).alias("task_id"),
+            F.col("element_id"),
+            F.concat(
+                F.lit(run_dir + os.sep), F.col("group_name")
+            ).alias("folder_path"),
+        )
+        session.store.append_filegroup_refs(refs)
         return written
 
     def read_blob(self, sha: str) -> bytes:

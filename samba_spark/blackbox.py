@@ -280,3 +280,22 @@ def save_files_at(pdf, directory: str, *, by: str = "group") -> None:
                     fh.write(bytes(f["content"] or b""))
 
     rows.foreachPartition(_write)
+
+
+def save_files_at_async(pdf, directory: str, *, by: str = "group"):
+    """A8 async variant (reference FileGroupRDDFunctions.scala:80-87 returns
+    a FutureAction over the same job): kick the distributed write off on a
+    background thread, return a ``concurrent.futures.Future`` that resolves
+    to the output directory. The Spark job itself is already parallel — the
+    future only unblocks the driver thread, exactly the reference's use."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def _run() -> str:
+        save_files_at(pdf, directory, by=by)
+        return directory
+
+    fut = pool.submit(_run)
+    pool.shutdown(wait=False)
+    return fut

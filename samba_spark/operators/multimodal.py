@@ -67,28 +67,37 @@ def extract_byte_features(media: DataFrame) -> DataFrame:
     def _extract(batches: Iterable[pd.DataFrame]):
         import numpy as np
 
+        def _feats(v) -> tuple:
+            content = bytes(v or b"")
+            arr = np.frombuffer(content, dtype=np.uint8)
+            hist = (
+                np.bincount(arr >> 4, minlength=16).astype("int64").tolist()
+                if arr.size
+                else [0] * 16
+            )
+            return (
+                len(content),
+                hashlib.sha256(content).hexdigest(),
+                float(arr.mean()) if arr.size else 0.0,
+                hist,
+            )
+
         for batch in batches:
-            out = []
-            for _, row in batch.iterrows():
-                content = bytes(row["content"] or b"")
-                arr = np.frombuffer(content, dtype=np.uint8)
-                hist = (
-                    np.bincount(arr >> 4, minlength=16).astype("int64").tolist()
-                    if arr.size
-                    else [0] * 16
-                )
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_bytes": len(content),
-                        "sha256": hashlib.sha256(content).hexdigest(),
-                        "byte_mean": float(arr.mean()) if arr.size else 0.0,
-                        "byte_histogram": hist,
-                    }
-                )
-            if out:
-                yield pd.DataFrame(out)
+            if not len(batch):
+                continue
+            # vectorized column ops (pandas .map), not iterrows — the
+            # binary payloads dominate, but the row bookkeeping is free
+            feats = batch["content"].map(_feats)
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "kind": batch["kind"].values,
+                    "n_bytes": feats.map(lambda t: t[0]).values,
+                    "sha256": feats.map(lambda t: t[1]).values,
+                    "byte_mean": feats.map(lambda t: t[2]).values,
+                    "byte_histogram": feats.map(lambda t: t[3]).values,
+                }
+            )
 
     return media.select("media_id", "kind", "content").mapInPandas(
         _extract, BYTE_FEATURES_SCHEMA
@@ -105,40 +114,50 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _pil_image():
+    """The PIL Image module, or None when Pillow is absent. Resolved at
+    call time (per worker) so the real/stub switch is decided where the
+    row is processed."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_one(content: bytes, *, allow_stub: bool = False) -> tuple:
+    """Per-row decode contract: bytes → (width, height, channels), same
+    types and value ranges on the real (PIL) and stub paths — the switch is
+    behavior-identical in shape, asserted by tests/test_multimodal.py."""
+    Image = _pil_image()
+    if Image is None and not allow_stub:
+        raise NotImplementedError(
+            "image decode requires Pillow, which is not installed; "
+            "pass allow_stub=True for the deterministic fake"
+        )
+    if Image is not None:
+        import io
+
+        img = Image.open(io.BytesIO(content))
+        w, h = img.size
+        return int(w), int(h), len(img.getbands())
+    digest = hashlib.sha256(content).digest()
+    return 16 + digest[0] % 240, 16 + digest[1] % 240, 3
+
+
 def decode_images(media: DataFrame, *, allow_stub: bool = False) -> DataFrame:
     """Image decode → (width, height, channels). Requires PIL; without it,
     ``allow_stub=True`` yields a deterministic fake (dimensions derived from
     the content digest) so pipeline plumbing can be exercised."""
 
     def _decode(batches: Iterable[pd.DataFrame]):
-        try:
-            from PIL import Image  # noqa: F401
-            import io
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
-        if not have_pil and not allow_stub:
-            raise NotImplementedError(
-                "image decode requires Pillow, which is not installed; "
-                "pass allow_stub=True for the deterministic fake"
-            )
         for batch in batches:
             out = []
             for _, row in batch.iterrows():
-                content = bytes(row["content"] or b"")
-                if have_pil:
-                    import io
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(content))
-                    w, h = img.size
-                    c = len(img.getbands())
-                else:
-                    digest = hashlib.sha256(content).digest()
-                    w = 16 + digest[0] % 240
-                    h = 16 + digest[1] % 240
-                    c = 3
+                w, h, c = decode_one(
+                    bytes(row["content"] or b""), allow_stub=allow_stub
+                )
                 out.append(
                     {
                         "media_id": row["media_id"],
@@ -165,6 +184,29 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def resize_one(
+    content: bytes, width: int, height: int, *, allow_stub: bool = False
+) -> bytes:
+    """Per-row resize contract: bytes → bytes, real (PIL) and stub paths
+    both return a non-empty binary payload for the (width, height) target."""
+    Image = _pil_image()
+    if Image is None and not allow_stub:
+        raise NotImplementedError(
+            "image resize requires Pillow, which is not installed; "
+            "pass allow_stub=True for the deterministic fake"
+        )
+    if Image is not None:
+        import io
+
+        img = Image.open(io.BytesIO(content)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    n_out = width * height * 3
+    digest = hashlib.sha256(content).digest()
+    return (digest * (n_out // len(digest) + 1))[:n_out]
+
+
 def resize_images(
     media: DataFrame,
     *,
@@ -179,36 +221,15 @@ def resize_images(
     stays exercised end-to-end."""
 
     def _resize(batches: Iterable[pd.DataFrame]):
-        try:
-            import io
-
-            from PIL import Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
-        if not have_pil and not allow_stub:
-            raise NotImplementedError(
-                "image resize requires Pillow, which is not installed; "
-                "pass allow_stub=True for the deterministic fake"
-            )
-        n_out = width * height * 3
         for batch in batches:
             out = []
             for _, row in batch.iterrows():
-                content = bytes(row["content"] or b"")
-                if have_pil:
-                    import io
-
-                    from PIL import Image
-
-                    img = Image.open(io.BytesIO(content)).resize((width, height))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    payload = buf.getvalue()
-                else:
-                    digest = hashlib.sha256(content).digest()
-                    payload = (digest * (n_out // len(digest) + 1))[:n_out]
+                payload = resize_one(
+                    bytes(row["content"] or b""),
+                    width,
+                    height,
+                    allow_stub=allow_stub,
+                )
                 out.append(
                     {
                         "media_id": row["media_id"],

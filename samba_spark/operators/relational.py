@@ -43,12 +43,49 @@ def cogroup_collect(
     )
 
 
+_MID_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits = row#
+
+
 def zip_with_index(df: DataFrame, order_by: Sequence, name: str = "idx") -> DataFrame:
     """zipWithIndex (reference rdd/RDD.scala:1505, ZippedWithIndexRDD): a
     total order is required for determinism — Spark has no stable implicit
-    row order, so the caller names one."""
-    w = Window.orderBy(*order_by)
-    return df.withColumn(name, (F.row_number().over(w) - 1).cast("long"))
+    row order, so the caller names one.
+
+    Two-pass scheme, the same trick as the reference's ZippedWithIndexRDD:
+    range-partition + sort on the order, count rows per partition, then add
+    each partition's start offset to its local row number. No global data
+    window — a ``Window.orderBy`` with no partitionBy funnels every row
+    through ONE task, which dies at 100 TB; here every row-bearing stage
+    stays parallel. The prefix-sum window runs over #partitions rows (not
+    data rows) and the offsets come back via a broadcast join.
+
+    The sorted layout is pinned with ``localCheckpoint`` before both
+    branches read it: range partitioning estimates boundaries by sampling,
+    and two independent exchanges are not guaranteed identical boundaries —
+    without the pin, the count branch could disagree with the output branch
+    and mis-index silently. The checkpoint also means the sort shuffle runs
+    once, not twice (same rationale as the graph operators' per-round
+    checkpoint). ``monotonically_increasing_id`` encodes
+    (partition id << 33 | local row#) over the sorted layout, so the local
+    row number is just the low bits."""
+    sdf = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .localCheckpoint(eager=False)
+    )
+    counts = sdf.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("_off")
+    )
+    out = sdf.join(F.broadcast(offsets), "_pid", "left")
+    local = F.col("_mid").bitwiseAND(F.lit(_MID_MASK))
+    return (
+        out.withColumn(name, (F.col("_off") + local).cast("long"))
+        .drop("_mid", "_pid", "_off")
+    )
 
 
 def zip_dataframes(

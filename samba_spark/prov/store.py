@@ -188,6 +188,16 @@ class ProvStore:
             return
         df.write.mode("append").parquet(os.path.join(self.prov_dir, "element_deps"))
 
+    def append_filegroup_refs(self, df: DataFrame) -> None:
+        """Append a DataFrame shaped like model.FILEGROUP_REFS — the
+        distributed-write path for O(#groups) refs (the driver-side
+        ``write_filegroup_ref`` buffer stays for one-off rows)."""
+        if not self.enabled:
+            return
+        df.write.mode("append").parquet(
+            os.path.join(self.prov_dir, "filegroup_refs")
+        )
+
     # -- element mutation (A17 parity) --------------------------------------
     # The reference DAO exposes update-element-value and delete-element
     # (CassandraDBDao.scala:150-170). Parquet is append-only, so mutations
@@ -278,9 +288,33 @@ class ProvStore:
             return self.spark.createDataFrame([], schema=model.TABLES[name])
         return self.spark.read.schema(model.TABLES[name]).parquet(path)
 
+    def export_graph_distributed(self, run_id: str, out_dir: str) -> None:
+        """A16 at scale: stream the element graph as JSON-lines directories
+        (``<out_dir>/nodes``, ``<out_dir>/links``) via distributed
+        ``df.write.json`` — no driver collect. The single-file
+        :meth:`export_graph` keeps the reference's exact {nodes, links}
+        shape for fixture-scale graphs; past that, one JSON in driver
+        memory is the bottleneck and this is the export to use."""
+        from pyspark.sql import functions as F
+
+        elements = self.table("elements").where(f"run_id = '{run_id}'")
+        deps = self.table("element_deps").where(f"run_id = '{run_id}'")
+        elements.select(
+            F.col("element_id").alias("id"),
+            F.col("task_id").alias("task"),
+            "values",
+        ).write.mode("overwrite").json(os.path.join(out_dir, "nodes"))
+        deps.select(
+            F.col("dep_element_id").alias("source"),
+            F.col("element_id").alias("target"),
+            F.col("task_id").alias("task"),
+        ).write.mode("overwrite").json(os.path.join(out_dir, "links"))
+
     def export_graph(self, run_id: str, path: str) -> dict:
         """A16: export the element graph as JSON {nodes, links}
-        (reference br/uff/spark/DataflowProvenance.scala:106-132)."""
+        (reference br/uff/spark/DataflowProvenance.scala:106-132).
+        Fixture-scale convenience — use :meth:`export_graph_distributed`
+        when the graph exceeds driver memory."""
         elements = self.table("elements").where(f"run_id = '{run_id}'")
         deps = self.table("element_deps").where(f"run_id = '{run_id}'")
         nodes = [

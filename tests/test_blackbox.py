@@ -164,3 +164,19 @@ def test_sciphy_style_chain(engine, input_dir, tmp_path):
     assert files == ["input.txt", "rev.txt", "upper.txt"]
     assert open(os.path.join(out_dir, "chain", "upper.txt")).read() == "ALPHA\nBETA\nGAMMA\n"
     assert open(os.path.join(out_dir, "chain", "rev.txt")).read() == "AHPLA\nATEB\nAMMAG\n"
+
+
+def test_save_files_at_async(engine, input_dir, tmp_path):
+    """A8 async variant (reference FileGroupRDDFunctions.scala:80-87):
+    returns a Future; files land when it resolves."""
+    from samba_spark.blackbox import save_files_at_async
+
+    t = FileGroupTemplate.of_directory(input_dir, name="g1")
+    pdf = engine.file_groups(t)
+    out_dir = str(tmp_path / "async_out")
+    fut = save_files_at_async(pdf, out_dir)
+    assert fut.result(timeout=120) == out_dir
+    assert sorted(os.listdir(os.path.join(out_dir, "g1"))) == [
+        "input.txt",
+        "other.txt",
+    ]

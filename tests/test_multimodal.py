@@ -77,3 +77,62 @@ def test_sample_frames_fanout(media):
     )
     # 1000/2000/3000 bytes at stride 1000 → 2/3/4 windows (0..len/stride)
     assert sorted(r["count"] for r in counts) == [2, 3, 4]
+
+
+def test_codec_stub_real_switch_shape_contract():
+    """The real (PIL) and stub codec paths must be behavior-identical in
+    shape: same return types and value ranges from decode_one/resize_one.
+    Pillow is not installed in this container, so the real path is driven
+    through an injected fake PIL implementing the exact API surface the
+    operators use (Image.open → .size/.getbands/.resize/.save)."""
+    import io
+    import sys
+    import types
+
+    from samba_spark.operators.multimodal import decode_one, resize_one
+
+    payload = b"not-a-real-image-but-bytes"
+
+    # stub path (no PIL installed)
+    stub_decoded = decode_one(payload, allow_stub=True)
+    stub_resized = resize_one(payload, 8, 8, allow_stub=True)
+
+    class _FakeImg:
+        size = (320, 200)
+
+        def getbands(self):
+            return ("R", "G", "B")
+
+        def resize(self, wh):
+            self._wh = wh
+            return self
+
+        def save(self, buf, format):
+            buf.write(b"\x89PNG-fake-" + bytes(str(self._wh), "ascii"))
+
+    fake_image_mod = types.SimpleNamespace(open=lambda fh: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    sys.modules["PIL"] = fake_pil
+    sys.modules["PIL.Image"] = fake_image_mod
+    try:
+        real_decoded = decode_one(payload)
+        real_resized = resize_one(payload, 8, 8)
+    finally:
+        del sys.modules["PIL"]
+        del sys.modules["PIL.Image"]
+
+    # identical shape contract across the switch
+    assert [type(v) for v in real_decoded] == [type(v) for v in stub_decoded]
+    assert len(real_decoded) == len(stub_decoded) == 3
+    assert all(v > 0 for v in real_decoded) and all(v > 0 for v in stub_decoded)
+    assert isinstance(real_resized, bytes) and isinstance(stub_resized, bytes)
+    assert len(real_resized) > 0 and len(stub_resized) > 0
+
+    # without PIL and without allow_stub, both operations refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_one(payload)
+    with _pytest.raises(NotImplementedError):
+        resize_one(payload, 8, 8)

@@ -3,6 +3,7 @@ queries scale are pinned here — a refactor that silently loses pushdown or
 broadcast fails these before it ever hits a big cluster."""
 
 from samba_spark.plans.inspect import (
+    plan_string,
     assert_pruned_columns,
     assert_pushdown,
     plan_summary,
@@ -86,3 +87,22 @@ def test_cosine_topk_uses_window_group_limit(spark, sf_smoke):
     )
     plan = plan_summary(cosine_topk(embs, queries))["plan"]
     assert "WindowGroupLimit" in plan
+
+
+def test_zip_with_index_no_global_window(spark, sf_smoke):
+    """zip_with_index must never funnel data rows through one task: the
+    two-pass partition-offset scheme keeps every row-bearing stage
+    parallel (a global Window.orderBy would show Exchange SinglePartition
+    on the data path)."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.relational import zip_with_index
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    z = zip_with_index(
+        li, [F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_quantity")]
+    )
+    plan = plan_string(z, "formatted")
+    assert "Exchange SinglePartition" not in plan

@@ -192,3 +192,20 @@ def test_export_graph(engine, sf_smoke, tmp_path):
     g = engine.store.export_graph(engine.run_id, str(out))
     assert len(g["nodes"]) == 25
     assert out.exists()
+
+
+def test_export_graph_distributed(engine, sf_smoke, tmp_path, spark):
+    """A16 scale path: nodes/links land as JSON-lines directories via
+    distributed writes (no driver collect), same graph content as the
+    single-file export."""
+    region = engine.read_parquet(
+        f"{sf_smoke}/region.parquet", "region"
+    ).with_elements()
+    region.persist_elements()
+    out = str(tmp_path / "graph")
+    engine.store.export_graph_distributed(engine.run_id, out)
+    nodes = spark.read.json(f"{out}/nodes")
+    links = spark.read.json(f"{out}/links")
+    assert nodes.count() == 5
+    assert {"id", "task", "values"} <= set(nodes.columns)
+    assert links.count() == 0  # source elements have no deps
