@@ -33,8 +33,19 @@ def main() -> None:
     spark = get_spark(app_name="samba_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
-    force(ALL_QUERIES["q1_scan_count"].fn(spark, sf_dir))
+    # Warmup (untimed): JVM JIT, whole-stage-codegen compilation, parquet
+    # footer caches, OS page cache for every fixture file, the streaming
+    # replay machinery, and the higher-order-function expression shapes
+    # (~5 s one-time codegen each). Without this the first few timed
+    # queries absorb one-time costs that have nothing to do with their
+    # plans — measured: a fully cold suite reads ~1.5× slower end-to-end.
+    from samba_spark.sources.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    for warm_q in ("q1_scan_count", "q31_stream_tumbling", "x6_text_stats"):
+        if warm_q in ALL_QUERIES:
+            force(ALL_QUERIES[warm_q].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     total = 0.0
