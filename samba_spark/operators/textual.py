@@ -12,7 +12,7 @@ operators required by BASELINE.json.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Shared marker/stopword vocabularies — tiny by design so the SQL oracle can
@@ -143,6 +143,71 @@ def lang_id(documents: DataFrame) -> DataFrame:
         scores["es"].cast("long").alias("s_es"),
         scores["fr"].cast("long").alias("s_fr"),
         pred.alias("lang_pred"),
+    )
+
+
+def top_terms(documents: DataFrame, k: int = 10, group: str = "source") -> DataFrame:
+    """Per-group top-k vocabulary terms by frequency, ties broken by term
+    (fully deterministic, integer-only — no float rank exposure).
+
+    Scale shape: explode → groupBy(group, term) runs with map-side partial
+    aggregation, so the shuffle carries one row per (group, distinct term)
+    per partition, not one per token. The ranking window partitions by
+    group over the aggregated vocabulary (|vocab| ≪ corpus), never over
+    raw rows."""
+    tok = documents.select(
+        group, F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    counts = tok.groupBy(group, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("term_count")
+    )
+    w = Window.partitionBy(group).orderBy(F.desc("term_count"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ngram_set(documents: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, ngram): distinct word n-grams per document. Tokenization is
+    bound to a column before the per-position slice (the O(len²)
+    re-evaluation trap — see dedup.shingles). Documents shorter than n
+    tokens contribute their full token run, matching the shingle edge
+    semantics the x5 oracle already verifies."""
+    toked = documents.select(
+        "doc_id", tokens_col(F.col("text")).alias("_toks")
+    )
+    ngs = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+    )
+    return toked.select(
+        "doc_id", F.explode(F.array_distinct(ngs)).alias("ngram")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Training-vs-eval n-gram overlap check (decontamination): for every
+    corpus document, count distinct word n-grams that also appear anywhere
+    in the benchmark set, and flag overlap > 0 as contaminated.
+
+    Scale shape: the benchmark n-gram set is small by nature (eval suites,
+    not corpora) and is deduplicated then **broadcast**, so the corpus side
+    never shuffles — the contamination probe is a map-side hash join over
+    the exploded n-grams followed by one aggregation keyed on doc_id."""
+    c_ng = ngram_set(corpus, n)
+    b_ng = ngram_set(benchmark, n).select("ngram").distinct()
+    hits = (
+        c_ng.join(F.broadcast(b_ng), "ngram", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
     )
 
 

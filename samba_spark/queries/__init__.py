@@ -32,6 +32,12 @@ _AUX_NAMES = [
     "q38_string_agg",
     "q44_stream_dedup",
     "x14_ivf_topk",
+    # round-2 additions: oracle-checked locally (tests/test_declared_queries
+    # runs every oracle-bearing AUX entry); the 50-slot driver window was
+    # already allocated to operators that had no hard signal in round 1.
+    "x15_sequence_pack",
+    "x16_decontaminate",
+    "x17_top_terms",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

@@ -419,6 +419,94 @@ FROM documents ORDER BY media_id
 """
 
 
+# -- training-data pipeline ops (packing / decontamination / vocab) --------
+def x_sequence_pack(spark, sf_dir):
+    """Token-budget sequence packing (concat-and-chunk per source); the
+    two-pass grouped running total replaces a single-task global window."""
+    from samba_spark.operators import packing as P
+
+    return P.pack_sequences(_docs(spark, sf_dir), budget=256).orderBy(
+        "source", "seq_id"
+    )
+
+
+X_SEQUENCE_PACK_SQL = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS tok_before
+  FROM t)
+SELECT source, (tok_before // 256)::BIGINT AS seq_id,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS seq_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY source, tok_before // 256 ORDER BY source, seq_id
+"""
+
+
+def x_decontaminate(spark, sf_dir):
+    """Benchmark-overlap decontamination: src0 plays the eval set; every
+    other document reports how many distinct 5-grams it shares with it."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("source") != "src0")
+    benchmark = docs.where(F.col("source") == "src0")
+    return X.decontaminate(corpus, benchmark, n=5).orderBy("doc_id")
+
+
+X_DECONTAMINATE_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+ng AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(toks[i+1 : i+5], ' ') AS ngram
+  FROM toked, UNNEST(range(0, greatest(len(toks)-5, 0) + 1)) AS u(i)),
+bench AS (SELECT DISTINCT ngram FROM ng WHERE source = 'src0'),
+hits AS (
+  SELECT c.doc_id, COUNT(*)::BIGINT AS n_overlap
+  FROM ng c JOIN bench b ON c.ngram = b.ngram
+  WHERE c.source <> 'src0'
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap,
+       COALESCE(h.n_overlap, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.source <> 'src0'
+ORDER BY d.doc_id
+"""
+
+
+def x_top_terms(spark, sf_dir):
+    """Per-source top-10 vocabulary terms, integer counts, term tie-break."""
+    return X.top_terms(_docs(spark, sf_dir), k=10).orderBy("source", "rank")
+
+
+X_TOP_TERMS_SQL = r"""
+WITH toked AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+t AS (SELECT source, u.term FROM toked, UNNEST(toks) AS u(term)),
+c AS (SELECT source, term, COUNT(*)::BIGINT AS term_count
+      FROM t GROUP BY source, term),
+r AS (SELECT source, term, term_count,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY term_count DESC, term) AS rank
+      FROM c)
+SELECT source, term, term_count, rank::BIGINT AS rank
+FROM r WHERE rank <= 10 ORDER BY source, rank
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -436,4 +524,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x13_multimodal_byte_stats": QuerySpec(
         x_multimodal_byte_stats, X_MULTIMODAL_SQL
     ),
+    "x15_sequence_pack": QuerySpec(x_sequence_pack, X_SEQUENCE_PACK_SQL),
+    "x16_decontaminate": QuerySpec(x_decontaminate, X_DECONTAMINATE_SQL),
+    "x17_top_terms": QuerySpec(x_top_terms, X_TOP_TERMS_SQL),
 }

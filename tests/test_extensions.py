@@ -137,3 +137,98 @@ def test_entry_contract_includes_extensions(spark):
     assert "x11_ann_lsh_topk" in os_ and "x12_embedding_neardup" in os_
     # KMeans training is engine-specific → rows-only
     assert "x14_ivf_topk" not in os_
+
+
+# -- x15-x17 training-pipeline ops -----------------------------------------
+def test_pack_sequences_conservation_and_order(spark, sf_smoke):
+    """Packing must conserve documents and tokens, and sequences within a
+    source must cover disjoint, increasing doc ranges (assignment is
+    monotone in the group's doc order)."""
+    from samba_spark.operators.packing import pack_sequences
+    from samba_spark.operators.textual import tokens_col
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    packed = pack_sequences(docs, budget=256).collect()
+    n_docs = docs.count()
+    total_toks = docs.select(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("t")
+    ).collect()[0].t
+    assert sum(r.n_docs for r in packed) == n_docs
+    assert sum(r.seq_tokens for r in packed) == total_toks
+    by_source = {}
+    for r in packed:
+        by_source.setdefault(r.source, []).append(r)
+    for rows in by_source.values():
+        rows.sort(key=lambda r: r.seq_id)
+        for a, b in zip(rows, rows[1:]):
+            assert a.last_doc < b.first_doc
+
+
+def test_pack_sequences_no_single_partition_exchange(spark, sf_smoke):
+    """The grouped running total must stay parallel: no global-window
+    SinglePartition exchange anywhere in the plan (the 100 TB posture that
+    motivated the two-pass scheme)."""
+    from samba_spark.operators.packing import pack_sequences
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    plan = pack_sequences(docs, budget=256)._jdf.queryExecution().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_decontaminate_flags_planted_overlap(spark, sf_smoke):
+    """A corpus doc that copies benchmark text must be flagged; untouched
+    synthetic corpus docs sharing no 5-gram must not be."""
+    from samba_spark.operators.textual import decontaminate
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    benchmark = docs.where(F.col("source") == "src0")
+    bench_row = benchmark.orderBy("doc_id").limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(10_000_000, bench_row.text)], "doc_id long, text string"
+    )
+    clean = spark.createDataFrame(
+        [(10_000_001, "zz1 zz2 zz3 zz4 zz5 zz6 zz7")],
+        "doc_id long, text string",
+    )
+    corpus = planted.unionByName(clean)
+    out = {r.doc_id: r for r in decontaminate(corpus, benchmark, n=5).collect()}
+    assert out[10_000_000].contaminated and out[10_000_000].n_overlap >= 1
+    assert not out[10_000_001].contaminated
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_smoke):
+    """The benchmark n-gram probe must be a broadcast join — the corpus
+    side of the contamination check never shuffles."""
+    from samba_spark.operators.textual import decontaminate
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    df = decontaminate(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+    )
+    plan = df._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_top_terms_rank_window_is_deterministic(spark, sf_smoke):
+    """Equal-count terms must rank by term text; ranks are 1..k dense per
+    source."""
+    from samba_spark.operators.textual import top_terms
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    rows = top_terms(docs, k=10).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for rs in by_source.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a.term_count > b.term_count or (
+                a.term_count == b.term_count and a.term < b.term
+            )
