@@ -65,6 +65,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
                 "prov_overhead_ratio": prov_ratio,
             }

@@ -1,0 +1,94 @@
+"""Data-mixing operators for training-corpus assembly.
+
+Deterministic train/val/test splitting and per-source capping — the two
+primitives a 100 TB corpus mix needs before packing/tokenization. Both are
+pure Catalyst expressions keyed on the md5 hash family the dedup operators
+already use (dedup._md5_base32), so the DuckDB oracle replays the exact
+assignment and the split is stable across runs, partitionings, and engines
+(unlike ``randomSplit``, whose assignment depends on partition layout).
+
+Not present in the reference (its sampling surface is ``sample``/
+``randomSplit`` — SURVEY.md §2.3 sampling row); these extend it with the
+reproducible-by-key semantics modern data pipelines standardize on.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from samba_spark.operators.dedup import _md5_base32
+
+
+def hash_bucket(key: Column, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5(key-as-string).
+
+    The 32-bit md5 base is non-negative, so ``%`` agrees between Spark
+    (sign-preserving pmod here is moot) and DuckDB's ``%``."""
+    return (_md5_base32(key.cast("string")) % n_buckets).cast("long")
+
+
+def assign_split(
+    df: DataFrame,
+    key: str,
+    splits: Mapping[str, int] | None = None,
+    bucket_col: str = "bucket",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable split label by hashing ``key``.
+
+    ``splits`` maps label → integer weight (percent when they sum to 100).
+    Buckets are carved by cumulative ranges in declaration order, so
+    ``{"train": 90, "val": 5, "test": 5}`` sends bucket 0-89 to train,
+    90-94 to val, 95-99 to test. Zero shuffle — a projection over the scan,
+    so at 100 TB this is parquet-scan speed and the assignment of any given
+    key never changes when the corpus grows."""
+    splits = dict(splits or {"train": 90, "val": 5, "test": 5})
+    total = sum(splits.values())
+    b = hash_bucket(F.col(key), total)
+    expr = None
+    edge = 0
+    for label, weight in splits.items():
+        edge += weight
+        cond = b < F.lit(edge)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn(bucket_col, b).withColumn(
+        split_col, expr  # final when() covers bucket == total-1
+    )
+
+
+def split_bucket_sql(key_expr: str, n_buckets: int = 100) -> str:
+    """DuckDB expression mirroring :func:`hash_bucket` bit-for-bit."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {n_buckets})"
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group: str,
+    k: int,
+    key: str,
+    extra_order: Sequence[str] = (),
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Deterministically downsample each ``group`` to at most ``k`` rows —
+    the over-represented-source cap in a corpus mix. Rows are ranked by
+    (md5-hash of ``key``, key) so the kept subset is a stable pseudo-random
+    sample, independent of partitioning.
+
+    Scale shape: ``row_number() <= k`` compiles to WindowGroupLimit
+    (plan-asserted in tests/test_plans.py for the top-k family), so each
+    map task keeps only k rows per group before the shuffle — the exchange
+    carries O(groups × k), never the full corpus sort."""
+    order = [F.asc(c) for c in (*extra_order,)] or []
+    w = Window.partitionBy(group).orderBy(
+        _md5_base32(F.col(key).cast("string")).asc(), F.col(key).asc(), *order
+    )
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .where(F.col(rank_col) <= k)
+    )

@@ -211,6 +211,38 @@ def decontaminate(
     )
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rules):
+    per document, total token occurrences, distinct tokens, the modal
+    token's count, and the derived duplicate-token / top-token fractions.
+
+    Scale shape: explode → groupBy(doc_id, term) partial-aggregates
+    map-side, so the shuffle carries one row per (doc, distinct term) per
+    partition; the second aggregation is keyed on doc_id alone. No window
+    over raw rows, no per-doc Python. Fractions are raw IEEE quotients of
+    integers (bit-identical on any engine — no ROUND tie exposure)."""
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    per_term = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    agg = per_term.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("cnt").cast("long").alias("top_count"),
+    )
+    n = F.greatest(F.col("n_tokens"), F.lit(1))
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        ((F.col("n_tokens") - F.col("n_distinct")) / n).alias("dup_frac"),
+        (F.col("top_count") / n).alias("top_frac"),
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowered text.
     md5 (not xxhash64) so the DuckDB oracle computes the identical digest."""

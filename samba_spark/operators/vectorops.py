@@ -1,0 +1,95 @@
+"""Distributed vector aggregation over embedding columns.
+
+Per-group centroids (and quantized exact-parity sums) for
+``array<float>`` embedding columns — the building block for semantic
+clustering, IVF training stats, and drift monitoring over a 100 TB
+embedding store.
+
+Scale shape: ``posexplode`` multiplies rows by the dimension count, but
+sum/count aggregation is partial (map-side combine), so the shuffle carries
+O(groups × dims) rows per partition — never the exploded data. The array is
+re-assembled AFTER aggregation (|groups| rows), so collect_list never sees
+raw vectors. No Python in the data path.
+
+Float caveat: distributed float sums are order-dependent, so the centroid
+op itself is rows-only checkable. For the oracle gate,
+:func:`centroid_sums_quantized` quantizes each component to an integer
+(floor(x·10^6) of the exact float→double widening) BEFORE summing — integer
+sums are associative, so Spark and DuckDB agree bit-for-bit.
+
+Not present in the reference (no vector surface at all); north-star
+extension per BASELINE.json similarity family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUANT_SCALE = 1_000_000
+
+
+def vector_centroids(
+    df: DataFrame, group: str = "label", vec: str = "embedding"
+) -> DataFrame:
+    """(group, centroid array<double>, n_vecs): the per-group mean vector."""
+    pos = df.select(
+        group, F.posexplode(F.col(vec).cast("array<double>")).alias("pos", "v")
+    )
+    per_dim = pos.groupBy(group, "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy(group)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda x: x["s"] / x["n"],
+            ).alias("centroid"),
+            F.first(F.col("n")).cast("long").alias("n_vecs"),
+        )
+    )
+
+
+def centroid_sums_quantized(
+    df: DataFrame,
+    group: str = "label",
+    vec: str = "embedding",
+    scale: int = QUANT_SCALE,
+) -> DataFrame:
+    """(group, pos, sum_q, n_vecs): exact integer component sums.
+
+    Quantization is floor(double(v) · scale) — float→double widening is
+    exact and the double multiply/floor are IEEE-defined, so any engine
+    computes the identical BIGINT per component. Output is one row per
+    (group, dimension): small, stable, hash-comparable."""
+    pos = df.select(
+        group, F.posexplode(F.col(vec).cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        pos.groupBy(group, "pos")
+        .agg(
+            F.sum(F.floor(F.col("v") * scale).cast("long"))
+            .cast("long")
+            .alias("sum_q"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+        .select(group, F.col("pos").cast("long").alias("pos"), "sum_q", "n_vecs")
+    )
+
+
+def normalize_vectors(
+    df: DataFrame, vec: str = "embedding", out: str = "unit"
+) -> DataFrame:
+    """Append an L2-normalized copy of ``vec`` (zero-norm → nulls).
+    Pure Catalyst higher-order functions — codegen'd, zero-shuffle."""
+    v = F.col(vec).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return df.withColumn(
+        out,
+        F.when(
+            norm > 0, F.transform(v, lambda x: x / norm)
+        ).otherwise(F.lit(None)),
+    )

@@ -38,6 +38,10 @@ _AUX_NAMES = [
     "x15_sequence_pack",
     "x16_decontaminate",
     "x17_top_terms",
+    "x18_repetition",
+    "x19_hash_split",
+    "x20_source_cap",
+    "x21_label_centroids",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

@@ -507,6 +507,110 @@ FROM r WHERE rank <= 10 ORDER BY source, rank
 """
 
 
+# -- repetition / mixing / vector aggregation (round 2) --------------------
+def x_repetition(spark, sf_dir):
+    """Gopher-style repetition signals; fractions are raw IEEE quotients of
+    exact integers so no rounding-mode exposure."""
+    return X.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+X_REPETITION_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+t AS (SELECT doc_id, u.term FROM toked, UNNEST(toks) AS u(term)),
+c AS (SELECT doc_id, term, COUNT(*)::BIGINT AS cnt
+      FROM t GROUP BY doc_id, term),
+a AS (SELECT doc_id, SUM(cnt)::BIGINT AS n_tokens,
+             COUNT(*)::BIGINT AS n_distinct, MAX(cnt)::BIGINT AS top_count
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_tokens, n_distinct, top_count,
+       (n_tokens - n_distinct) * 1.0 / greatest(n_tokens, 1) AS dup_frac,
+       top_count * 1.0 / greatest(n_tokens, 1) AS top_frac
+FROM a ORDER BY doc_id
+"""
+
+
+def x_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train-val-test assignment by md5(doc_id);
+    reported as per-(split, source) doc and char totals."""
+    from samba_spark.operators import mixing as MX
+
+    s = MX.assign_split(_docs(spark, sf_dir), "doc_id")
+    return (
+        s.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _x19_sql() -> str:
+    from samba_spark.operators.mixing import split_bucket_sql
+
+    return f"""
+WITH b AS (
+  SELECT source, n_chars, {split_bucket_sql('doc_id')} AS bucket
+  FROM documents)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+FROM b GROUP BY 1, 2 ORDER BY split, source
+"""
+
+
+def x_source_cap(spark, sf_dir):
+    """Per-source deterministic cap (data-mixing downsample): keep the 10
+    hash-first docs of each source; stable under any partitioning."""
+    from samba_spark.operators import mixing as MX
+
+    return (
+        MX.cap_per_group(_docs(spark, sf_dir), "source", 10, "doc_id")
+        .select("source", "doc_id", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+X_SOURCE_CAP_SQL = """
+WITH h AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hb
+  FROM documents)
+SELECT source, doc_id,
+       row_number() OVER (PARTITION BY source ORDER BY hb, doc_id)::BIGINT
+         AS rk
+FROM h QUALIFY rk <= 10 ORDER BY source, rk
+"""
+
+
+def x_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid sums, quantized to exact integers
+    (floor(double·10^6)) so the distributed sum is associative and the
+    oracle matches bit-for-bit; the float centroid op itself is
+    vectorops.vector_centroids (tested vs numpy)."""
+    from samba_spark.operators import vectorops as V
+
+    return V.centroid_sums_quantized(_embs(spark, sf_dir)).orderBy(
+        "label", "pos"
+    )
+
+
+X_LABEL_CENTROIDS_SQL = """
+WITH pos AS (
+  SELECT label, i AS pos, CAST(embedding[i+1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(0, len(embedding))) AS r(i))
+SELECT label, pos::BIGINT AS pos,
+       SUM(floor(v * 1000000)::BIGINT)::BIGINT AS sum_q,
+       COUNT(*)::BIGINT AS n_vecs
+FROM pos GROUP BY label, pos ORDER BY label, pos
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -527,4 +631,8 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x15_sequence_pack": QuerySpec(x_sequence_pack, X_SEQUENCE_PACK_SQL),
     "x16_decontaminate": QuerySpec(x_decontaminate, X_DECONTAMINATE_SQL),
     "x17_top_terms": QuerySpec(x_top_terms, X_TOP_TERMS_SQL),
+    "x18_repetition": QuerySpec(x_repetition, X_REPETITION_SQL),
+    "x19_hash_split": QuerySpec(x_hash_split, _x19_sql()),
+    "x20_source_cap": QuerySpec(x_source_cap, X_SOURCE_CAP_SQL),
+    "x21_label_centroids": QuerySpec(x_label_centroids, X_LABEL_CENTROIDS_SQL),
 }

@@ -232,3 +232,84 @@ def test_top_terms_rank_window_is_deterministic(spark, sf_smoke):
             assert a.term_count > b.term_count or (
                 a.term_count == b.term_count and a.term < b.term
             )
+
+
+def test_assign_split_is_partitioning_independent(spark, sf_smoke):
+    """Split assignment is a pure function of the key: identical labels on
+    any partition layout (unlike randomSplit), all rows labeled, and all
+    three splits non-empty at fixture scale."""
+    from samba_spark.operators.mixing import assign_split
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    a = {r.doc_id: r.split for r in assign_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in assign_split(docs.repartition(7), "doc_id").collect()
+    }
+    assert a == b
+    assert None not in a.values()
+    assert {"train", "val", "test"} == set(a.values())
+    n = len(a)
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * n <= n_train <= 0.97 * n  # ~90% ± hash noise
+
+
+def test_cap_per_group_enforces_k_and_is_stable(spark, sf_smoke):
+    from samba_spark.operators.mixing import cap_per_group
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    kept = cap_per_group(docs, "source", 7, "doc_id")
+    rows = kept.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(s) <= 7 for s in per.values())
+    again = {
+        (r.source, r.doc_id)
+        for r in cap_per_group(docs.repartition(5), "source", 7, "doc_id").collect()
+    }
+    assert {(r.source, r.doc_id) for r in rows} == again
+
+
+def test_vector_centroids_match_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from samba_spark.operators.vectorops import vector_centroids
+    from samba_spark.sources.tables import load_tables
+
+    embs = load_tables(spark, sf_smoke, ["embeddings"])["embeddings"]
+    got = {r.label: (r.centroid, r.n_vecs) for r in vector_centroids(embs).collect()}
+    pdf = embs.toPandas()
+    for label, grp in pdf.groupby("label"):
+        want = np.mean(np.stack(grp["embedding"].map(np.asarray)), axis=0)
+        cent, n = got[label]
+        assert n == len(grp)
+        assert np.allclose(cent, want, atol=1e-9)
+
+
+def test_normalize_vectors_unit_norm(spark, sf_smoke):
+    import math
+
+    from samba_spark.operators.vectorops import normalize_vectors
+    from samba_spark.sources.tables import load_tables
+
+    embs = load_tables(spark, sf_smoke, ["embeddings"])["embeddings"]
+    rows = normalize_vectors(embs).select("unit").limit(50).collect()
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r.unit))
+        assert abs(norm - 1.0) < 1e-9
+
+
+def test_repetition_stats_on_known_text(spark):
+    from samba_spark.operators.textual import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_distinct == 2
+    assert out[1].top_count == 3 and abs(out[1].top_frac - 0.75) < 1e-12
+    assert abs(out[1].dup_frac - 0.5) < 1e-12
+    assert out[2].dup_frac == 0.0 and out[2].top_count == 1
