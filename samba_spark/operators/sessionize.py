@@ -1,0 +1,77 @@
+"""Batch sessionization — gap-based session assignment over an event log.
+
+The streaming side already has ``session_window`` (streaming/ops.py
+session_counts, reference has no streaming at all); this is the BATCH
+equivalent a backfill over a 100 TB event archive needs: the classic
+gaps-and-islands construction expressed so every step rides ONE shuffle.
+
+Scale shape: ``Window.partitionBy(user).orderBy(ts)`` hash-partitions by
+user once; the LAG, the running SUM that numbers sessions, and the final
+``groupBy(user, session_id)`` all reuse that same exchange (Catalyst
+collapses the two windows into one sort, and the aggregation's partial
+combine happens map-side on already-co-located data). No global window, no
+driver-side state. Skewed users (bots) bound the per-task work by that
+user's event count — cap upstream with mixing.cap_per_group if needed.
+
+Exactness: session numbering is integer (SUM of 0/1 breaks) and timestamps
+compare exactly, so any SQL engine replays the identical assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Annotate each event with a per-user session ordinal (1-based).
+
+    A session breaks when the gap to the previous event of the same user
+    exceeds ``gap_seconds``. Duplicate timestamps within a user don't need
+    a tie-break: the break test only compares ``ts`` to the previous
+    ``ts``, and equal timestamps can never exceed the gap, so the session
+    assignment is order-insensitive among ties and therefore engine-exact.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    # Compare in exact epoch-MICROS (unix_micros), not cast-to-long — the
+    # latter truncates to seconds and a 300.5 s gap would diverge from a
+    # SQL engine's exact `> INTERVAL '300 seconds'` test.
+    gap_us = gap_seconds * 1_000_000
+    brk = (
+        F.when(prev.isNull(), 1)
+        .when(F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us, 1)
+        .otherwise(0)
+    )
+    running = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn("_brk", brk).withColumn(
+        session_col, F.sum("_brk").over(running).cast("long")
+    ).drop("_brk")
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 300,
+) -> DataFrame:
+    """One row per (user, session): bounds and exact integer stats.
+
+    Rides the sessionize shuffle — groupBy keys are a superset of the
+    window partition key, so no second exchange.
+    """
+    s = sessionize(events, user_col, ts_col, gap_seconds)
+    return s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("s_start"),
+        F.max(ts_col).alias("s_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )

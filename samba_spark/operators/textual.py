@@ -250,3 +250,95 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(normalized).alias("fp")
     )
+
+
+# Default PII-shaped scrub patterns. Written in the regex subset that Java
+# (Spark) and RE2 (DuckDB) interpret identically — character classes,
+# quantifiers, alternation; no backrefs, no lookaround — so the oracle
+# replays the exact same redaction.
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    (r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    (r"[0-9]+", "<NUM>"),
+]
+
+
+def redact(col: Column | str, patterns=None) -> Column:
+    """PII/pattern scrub: chained ``regexp_replace`` — one codegen'd
+    projection, zero shuffle, so a 100 TB scrub runs at scan speed.
+    Patterns apply in declaration order (most specific first: an email is
+    redacted as <EMAIL> before its digits could match <NUM>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in patterns or REDACT_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def redaction_stats(
+    df: DataFrame, col: str, patterns=None, key: str | None = None
+) -> DataFrame:
+    """Per-row redacted text + exact char-delta accounting.
+
+    ``n_redacted_chars`` = chars removed net of the replacement tokens
+    (length delta) — an integer, engine-exact; ``was_redacted`` gates
+    audits/sampling of scrubbed rows."""
+    red = redact(F.col(col), patterns)
+    keep = [key] if key else [c for c in df.columns if c != col]
+    return df.select(
+        *keep,
+        red.alias(f"{col}_redacted"),
+        (F.length(F.col(col)) - F.length(red)).cast("long").alias("char_delta"),
+        (F.col(col) != red).alias("was_redacted"),
+    )
+
+
+def salient_terms(
+    documents: DataFrame, k: int = 3, scale: int = 1_000_000
+) -> DataFrame:
+    """Per-document top-k salient terms — the TF-IDF family with an
+    integer-exact score so ranking never hinges on float log rounding:
+
+        score_q = (tf · n_docs · scale) div (df · n_tokens_doc)
+
+    i.e. quantized (term freq ÷ doc length) · (N ÷ doc freq) — monotone in
+    classic tf-idf for fixed doc, and BIGINT throughout (integer ``div``),
+    so Spark and any SQL oracle rank identically. Ties break (term asc).
+
+    Scale shape: tf is a partial-agg groupBy(doc, term); df is a
+    partial-agg over distinct (term, doc) pairs, and the result —
+    |vocab| rows — is **broadcast** back onto the tf side, so the corpus
+    shuffles once on (doc_id, term) and never on raw tokens. n_docs is a
+    1-row broadcast cross join. The ranking window partitions by doc over
+    ≤ |doc vocab| rows.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    doclen = Window.partitionBy("doc_id")
+    tf = tf.withColumn("n_tok", F.sum("tf").over(doclen).cast("long"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = documents.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score_q",
+            F.expr(f"(tf * n_docs * {scale}L) div (df * n_tok)").cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_q"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_q", "rank")
+    )

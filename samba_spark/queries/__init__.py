@@ -42,6 +42,10 @@ _AUX_NAMES = [
     "x19_hash_split",
     "x20_source_cap",
     "x21_label_centroids",
+    "x22_sessionize",
+    "x23_json_extract",
+    "x24_redact",
+    "x25_salient_terms",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

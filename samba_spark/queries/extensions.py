@@ -611,6 +611,154 @@ FROM pos GROUP BY label, pos ORDER BY label, pos
 """
 
 
+
+# -- sessionize / json / redaction / salient terms (round 2, batch 2) ------
+def x_sessionize(spark, sf_dir):
+    """Batch gap-based sessionization (5-min gap) over the event log; one
+    shuffle on user_id shared by lag, session numbering, and the final
+    per-session aggregate. Counterpart of the streaming q32."""
+    from samba_spark.operators import sessionize as SS
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return SS.session_stats(events, gap_seconds=300).orderBy(
+        "user_id", "session_id"
+    )
+
+
+X_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL '300 seconds'
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id, session_id::BIGINT AS session_id,
+       MIN(ts) AS s_start, MAX(ts) AS s_end,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT event_type)::BIGINT AS n_types
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def x_json_extract(spark, sf_dir):
+    """JSON payload extraction (get_json_object, codegen'd in the scan
+    stage) + integer-exact per-type stats of the extracted field."""
+    from samba_spark.operators import semistructured as J
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    parsed = J.with_json_fields(events, "props", {"k": ("k", "long")})
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X_JSON_EXTRACT_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       COUNT(k)::BIGINT AS n_with_k, SUM(k)::BIGINT AS sum_k,
+       MIN(k)::BIGINT AS min_k, MAX(k)::BIGINT AS max_k,
+       COUNT(DISTINCT k)::BIGINT AS n_distinct_k
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def x_redact(spark, sf_dir):
+    """PII-pattern scrub over the JSON payload column: chained
+    regexp_replace (email/IP/phone/number), zero-shuffle projection;
+    audited per event_type with exact integer char deltas."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    red = X.redaction_stats(events, "props", key="event_type")
+    return (
+        red.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("was_redacted").cast("long"))
+            .cast("long")
+            .alias("n_redacted"),
+            F.sum("char_delta").cast("long").alias("sum_char_delta"),
+            F.countDistinct("props_redacted")
+            .cast("long")
+            .alias("n_shapes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _x24_sql() -> str:
+    from samba_spark.operators.textual import REDACT_PATTERNS
+
+    expr = "props"
+    for pat, token in REDACT_PATTERNS:
+        # DuckDB single-quoted strings are NOT escape-processed (standard
+        # SQL), so the pattern passes through verbatim; only quotes double.
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{token}', 'g')"
+    return f"""
+WITH r AS (
+  SELECT event_type, props, {expr} AS props_redacted FROM events)
+SELECT event_type, COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN props <> props_redacted THEN 1 ELSE 0 END)::BIGINT
+         AS n_redacted,
+       SUM(length(props) - length(props_redacted))::BIGINT
+         AS sum_char_delta,
+       COUNT(DISTINCT props_redacted)::BIGINT AS n_shapes
+FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+def x_salient_terms(spark, sf_dir):
+    """Per-document top-3 salient terms: integer-quantized tf-idf-family
+    score (tf·N·scale div df·doclen) so ranking is engine-exact."""
+    return X.salient_terms(_docs(spark, sf_dir), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+X_SALIENT_TERMS_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+t AS (SELECT doc_id, u.term FROM toked, UNNEST(toks) AS u(term)),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+tf2 AS (SELECT *, SUM(tf) OVER (PARTITION BY doc_id)::BIGINT AS n_tok
+        FROM tf),
+df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf2.doc_id, tf2.term, tf2.tf, df.df,
+         ((tf2.tf * nd.n_docs * 1000000) // (df.df * tf2.n_tok))::BIGINT
+           AS score_q
+  FROM tf2 JOIN df USING (term) CROSS JOIN nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term)::BIGINT
+        AS rank
+      FROM scored)
+SELECT doc_id, term, tf, df, score_q, rank
+FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -635,4 +783,8 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x19_hash_split": QuerySpec(x_hash_split, _x19_sql()),
     "x20_source_cap": QuerySpec(x_source_cap, X_SOURCE_CAP_SQL),
     "x21_label_centroids": QuerySpec(x_label_centroids, X_LABEL_CENTROIDS_SQL),
+    "x22_sessionize": QuerySpec(x_sessionize, X_SESSIONIZE_SQL),
+    "x23_json_extract": QuerySpec(x_json_extract, X_JSON_EXTRACT_SQL),
+    "x24_redact": QuerySpec(x_redact, _x24_sql()),
+    "x25_salient_terms": QuerySpec(x_salient_terms, X_SALIENT_TERMS_SQL),
 }

@@ -313,3 +313,95 @@ def test_repetition_stats_on_known_text(spark):
     assert out[1].top_count == 3 and abs(out[1].top_frac - 0.75) < 1e-12
     assert abs(out[1].dup_frac - 0.5) < 1e-12
     assert out[2].dup_frac == 0.0 and out[2].top_count == 1
+
+
+def test_sessionize_known_gaps(spark):
+    """Constructed event stream with known gaps: sessions split exactly at
+    >gap boundaries; micro-second precision (a 300.000001s gap splits, a
+    300.0s gap does not)."""
+    from samba_spark.operators.sessionize import sessionize
+
+    rows = [
+        # user 1: 3 events, gaps 300s (no split) then 300.000001s (split)
+        (1, 0),
+        (1, 300_000_000),
+        (1, 600_000_001),
+        # user 2: single event
+        (2, 0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long").select(
+        "user_id", F.timestamp_micros("us").alias("ts")
+    )
+    out = {
+        (r.user_id, r.ts): r.session_id
+        for r in sessionize(df, gap_seconds=300).collect()
+    }
+    by_user1 = sorted(
+        sid for (u, _), sid in out.items() if u == 1
+    )
+    assert by_user1 == [1, 1, 2]
+    assert [sid for (u, _), sid in out.items() if u == 2] == [1]
+
+
+def test_sessionize_partitioning_independent(spark, sf_smoke):
+    """Session assignment must not depend on input partitioning."""
+    from samba_spark.operators.sessionize import session_stats
+    from samba_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    a = session_stats(events).orderBy("user_id", "session_id").collect()
+    b = (
+        session_stats(events.repartition(17))
+        .orderBy("user_id", "session_id")
+        .collect()
+    )
+    assert a == b
+
+
+def test_json_field_null_on_missing_and_malformed(spark):
+    from samba_spark.operators.semistructured import with_json_fields
+
+    df = spark.createDataFrame(
+        [('{"k": 7}',), ('{"other": 1}',), ("not json",), (None,)],
+        "props string",
+    )
+    out = with_json_fields(df, "props", {"k": ("k", "long")}).select("k")
+    assert [r.k for r in out.collect()] == [7, None, None, None]
+
+
+def test_redact_pattern_order_and_delta(spark):
+    """Email redacts as one <EMAIL> (not digit-fragments); char_delta is
+    the exact length difference."""
+    from samba_spark.operators.textual import redaction_stats
+
+    df = spark.createDataFrame(
+        [(1, "mail bob99@x.co ip 10.0.0.1 n 42"), (2, "clean text")],
+        "id long, t string",
+    )
+    out = {r.id: r for r in redaction_stats(df, "t", key="id").collect()}
+    assert out[1].t_redacted == "mail <EMAIL> ip <IP> n <NUM>"
+    assert out[1].char_delta == len("mail bob99@x.co ip 10.0.0.1 n 42") - len(
+        "mail <EMAIL> ip <IP> n <NUM>"
+    )
+    assert out[1].was_redacted and not out[2].was_redacted
+    assert out[2].char_delta == 0
+
+
+def test_salient_terms_prefers_rare_terms(spark):
+    """A term unique to one doc must outrank a term every doc shares, even
+    at equal tf (df in the denominator)."""
+    from samba_spark.operators.textual import salient_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared unique unique", "x", "s", 0),
+            (2, "shared shared aaaa aaaa", "x", "s", 0),
+            (3, "shared shared bbbb bbbb", "x", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    top = {
+        r.doc_id: r.term
+        for r in salient_terms(docs, k=1).collect()
+    }
+    assert top == {1: "unique", 2: "aaaa", 3: "bbbb"}

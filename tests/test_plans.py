@@ -106,3 +106,41 @@ def test_zip_with_index_no_global_window(spark, sf_smoke):
     )
     plan = plan_string(z, "formatted")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_sessionize_single_user_exchange(spark, sf_smoke):
+    """Lag window, session-numbering window, and the per-session aggregate
+    must all ride ONE hash exchange on user_id (groupBy keys are a
+    superset of the window partition key)."""
+    from samba_spark.operators.sessionize import session_stats
+    from samba_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    s = plan_summary(session_stats(events))
+    assert s["n_exchanges"] == 1, s["plan"]
+    assert "Exchange SinglePartition" not in s["plan"]
+
+
+def test_redact_is_zero_shuffle_projection(spark, sf_smoke):
+    """The scrub itself must be a pure projection over the scan."""
+    from samba_spark.operators.textual import redaction_stats
+    from samba_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    s = plan_summary(redaction_stats(events, "props", key="event_id"))
+    assert s["n_exchanges"] == 0, s["plan"]
+
+
+def test_salient_terms_broadcasts_df_side(spark, sf_smoke):
+    """df (|vocab| rows) and n_docs (1 row) join back by broadcast — the
+    corpus-sized tf side must never re-shuffle for those joins."""
+    from samba_spark.operators.textual import salient_terms
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    s = plan_summary(salient_terms(docs))
+    # df joins back as BroadcastHashJoin; the 1-row n_docs cross join plans
+    # as BroadcastNestedLoopJoin (broadcast, trivially sized)
+    assert s["broadcast_joins"] >= 1, s["plan"]
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in s["plan"]
+    assert s["sortmerge_joins"] == 0 and s["shuffled_hash_joins"] == 0
