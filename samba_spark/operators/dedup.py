@@ -306,3 +306,34 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_incremental(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    key: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: drop incoming docs whose
+    content already exists in the accumulated corpus, then exact-dedup
+    within the batch itself (keep lowest doc_id).
+
+    Scale shape: both sides reduce to 16-byte md5 digests BEFORE the join,
+    so the anti-join shuffles constant-width keys regardless of document
+    size; the corpus side projects a single digest column (column-pruned at
+    the scan). In production the corpus digest set is the previously
+    persisted digest index — pass that DataFrame directly as ``corpus``
+    (any frame with the same ``key`` column works).
+    """
+    keyc = _normalized(F.col(key)) if normalize else F.col(key)
+    inc = incoming.select("doc_id", F.md5(keyc).alias("_digest"))
+    seen = corpus.select(F.md5(keyc).alias("_digest")).distinct()
+    fresh = inc.join(seen, "_digest", "left_anti")
+    return (
+        fresh.groupBy("_digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_batch_dups"),
+        )
+        .select("keep_doc_id", F.col("n_batch_dups").cast("long").alias("n_batch_dups"))
+    )

@@ -92,3 +92,33 @@ def cap_per_group(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .where(F.col(rank_col) <= k)
     )
+
+
+def filter_top_quantile(
+    df: DataFrame,
+    group: str,
+    score: Column,
+    num: int,
+    den: int,
+    tiebreak: str = "doc_id",
+) -> DataFrame:
+    """Keep the top num/den fraction of each group by ``score``, decided by
+    EXACT rank arithmetic (den·rank ≤ num·count) — no float percentile
+    estimation, so any SQL engine keeps the identical row set.
+
+    Scale shape: rank and count windows share one hash exchange on
+    ``group``; the per-group sort is the inherent cost of an exact
+    quantile (it IS the order statistic). For approximate gating at
+    extreme scale use ``approxQuantile`` thresholds instead; this operator
+    is the exact-answer path.
+    """
+    w = Window.partitionBy(group).orderBy(
+        score.desc(), F.col(tiebreak).asc()
+    )
+    cnt = Window.partitionBy(group)
+    return (
+        df.withColumn("_rk", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt).cast("long"))
+        .where(F.lit(den) * F.col("_rk") <= F.lit(num) * F.col("_n"))
+        .drop("_rk", "_n")
+    )

@@ -342,3 +342,23 @@ def salient_terms(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score_q", "rank")
     )
+
+
+def length_histogram(
+    documents: DataFrame, group: str = "source", col: str = "n_chars"
+) -> DataFrame:
+    """Corpus length profile: per (group, log2 bucket) doc count and char
+    mass. The bucket is ``length(bin(n))`` = floor(log2 n)+1 computed in
+    pure integer/string ops — no float log2, whose last-ulp rounding could
+    flip a boundary value between engines. One partial-agg groupBy; the
+    shuffle carries O(groups × 64) rows."""
+    bucket = F.length(F.bin(F.greatest(F.col(col), F.lit(1)))).cast("long")
+    return (
+        documents.groupBy(group, bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(col).cast("long").alias("sum_chars"),
+            F.min(col).cast("long").alias("min_chars"),
+            F.max(col).cast("long").alias("max_chars"),
+        )
+    )

@@ -46,6 +46,9 @@ _AUX_NAMES = [
     "x23_json_extract",
     "x24_redact",
     "x25_salient_terms",
+    "x26_quantile_filter",
+    "x27_dedup_incremental",
+    "x28_length_histogram",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

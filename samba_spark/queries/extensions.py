@@ -759,6 +759,68 @@ FROM r WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+
+# -- quantile filter / incremental dedup / length histogram (round 2) ------
+def x_quantile_filter(spark, sf_dir):
+    """Keep the longest quarter of each source's docs by exact rank
+    arithmetic (4*rank <= 1*count) — integer score (n_chars), integer
+    gate, zero estimation."""
+    from samba_spark.operators import mixing as MX
+
+    kept = MX.filter_top_quantile(
+        _docs(spark, sf_dir), "source", F.col("n_chars"), 1, 4
+    )
+    return kept.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
+X_QUANTILE_FILTER_SQL = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT doc_id, source, n_chars FROM r WHERE 4 * rk <= n ORDER BY doc_id
+"""
+
+
+def x_dedup_incremental(spark, sf_dir):
+    """Daily-ingest dedup: odd doc_ids are the incoming batch, even the
+    accumulated corpus; digest-first anti-join then in-batch dedup."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    return D.dedup_incremental(incoming, corpus).orderBy("keep_doc_id")
+
+
+X_DEDUP_INCREMENTAL_SQL = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 2 = 0),
+fresh AS (
+  SELECT doc_id, md5(text) AS d FROM documents
+  WHERE doc_id % 2 = 1 AND md5(text) NOT IN (SELECT d FROM seen))
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*)::BIGINT AS n_batch_dups
+FROM fresh GROUP BY d ORDER BY keep_doc_id
+"""
+
+
+def x_length_histogram(spark, sf_dir):
+    """Per-source log2 length-bucket profile; bucket = length(bin(n)) —
+    floor(log2 n)+1 in pure integer ops, engine-exact at the powers-of-two
+    boundaries where float log2 could flip."""
+    return X.length_histogram(_docs(spark, sf_dir)).orderBy(
+        "source", "len_bucket"
+    )
+
+
+X_LENGTH_HISTOGRAM_SQL = """
+SELECT source, length(bin(greatest(n_chars, 1)))::BIGINT AS len_bucket,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(n_chars)::BIGINT AS min_chars, MAX(n_chars)::BIGINT AS max_chars
+FROM documents GROUP BY source, len_bucket ORDER BY source, len_bucket
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -787,4 +849,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x23_json_extract": QuerySpec(x_json_extract, X_JSON_EXTRACT_SQL),
     "x24_redact": QuerySpec(x_redact, _x24_sql()),
     "x25_salient_terms": QuerySpec(x_salient_terms, X_SALIENT_TERMS_SQL),
+    "x26_quantile_filter": QuerySpec(x_quantile_filter, X_QUANTILE_FILTER_SQL),
+    "x27_dedup_incremental": QuerySpec(x_dedup_incremental, X_DEDUP_INCREMENTAL_SQL),
+    "x28_length_histogram": QuerySpec(x_length_histogram, X_LENGTH_HISTOGRAM_SQL),
 }

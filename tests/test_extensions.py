@@ -405,3 +405,47 @@ def test_salient_terms_prefers_rare_terms(spark):
         for r in salient_terms(docs, k=1).collect()
     }
     assert top == {1: "unique", 2: "aaaa", 3: "bbbb"}
+
+
+def test_filter_top_quantile_exact_fraction(spark):
+    """With 8 rows and num/den = 1/4, exactly 2 survive per group — the
+    highest-scored, ties by doc_id."""
+    from samba_spark.operators.mixing import filter_top_quantile
+
+    rows = [(i, "g", 100 - i) for i in range(8)] + [(10 + i, "h", 5) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = filter_top_quantile(df, "source", F.col("n_chars"), 1, 4)
+    got = {(r.source, r.doc_id) for r in kept.collect()}
+    # group g: scores 100..93 → doc_id 0,1 win; group h: all tied at 5 →
+    # lowest doc_ids 10 win (1/4 of 4 = 1 row)
+    assert got == {("g", 0), ("g", 1), ("h", 10)}
+
+
+def test_dedup_incremental_drops_seen_content(spark):
+    """Incoming docs whose text exists in the corpus are dropped; in-batch
+    dups collapse to the lowest doc_id."""
+    from samba_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_doc_id: r.n_batch_dups for r in dedup_incremental(incoming, corpus).collect()}
+    assert out == {11: 2, 13: 1}
+
+
+def test_length_histogram_bucket_boundaries(spark):
+    """Bucket = floor(log2 n)+1 via length(bin(n)): 1→1, 2→2, 3→2, 4→3,
+    1023→10, 1024→11 — the power-of-two boundaries land exactly."""
+    from samba_spark.operators.textual import length_histogram
+
+    rows = [(i, "s", n) for i, n in enumerate([1, 2, 3, 4, 1023, 1024])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        (r.len_bucket): r.n_docs
+        for r in length_histogram(df).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 1, 10: 1, 11: 1}
