@@ -189,3 +189,55 @@ def range_join(
         & (right[right_point] <= left[left_point] + upper)
     )
     return left.join(right, cond, "inner")
+
+
+def latest_wins(
+    df: DataFrame,
+    key,
+    version_col: str = "ts",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """CDC log compaction: keep each key's newest record by ``version_col``
+    (ties broken by ``tiebreak`` columns descending, so the survivor is
+    total-order-determined and engine-exact).
+
+    Scale shape: ``row_number() = 1`` over (key → version desc) compiles to
+    WindowGroupLimit — each map task keeps one row per key before the
+    exchange, so the shuffle carries O(distinct keys), not the full log.
+    This is the standard upsert-materialization for an append-only change
+    log at warehouse scale.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.desc(version_col), *[F.desc(c) for c in tiebreak]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key,
+    version_col: str | None = None,
+) -> DataFrame:
+    """SCD-1 merge: rows of ``updates`` replace same-key rows of
+    ``target``; unmatched keys union in. With ``version_col``, ``updates``
+    is first compacted to latest-wins per key (so a change batch with
+    multiple versions of one key applies its newest).
+
+    Scale shape: one shuffle per side on the key (the anti-join and the
+    union both hash on it); no window over the target. Equivalent to
+    ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` —
+    expressed as target-anti-join ∪ updates so it runs on any Spark sink,
+    no table format required.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if version_col is not None:
+        updates = latest_wins(updates, keys, version_col)
+    survivors = target.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
+    return survivors.unionByName(updates.select(*target.columns))
