@@ -59,19 +59,27 @@ def read_events_stream(
 ) -> DataFrame:
     """File-based replayable stream of the events fixture — deterministic
     micro-batch replay for tests (one parquet file per batch when
-    ``max_files_per_trigger=1``). ``nanos=True`` streams the raw fixture
-    file (TIMESTAMP(NANOS)), truncating to micros like load_tables.
-    ``path_glob`` selects files within ``path`` (the streaming file source
-    requires a directory)."""
+    ``max_files_per_trigger=1``). ``nanos=True`` means "stream the raw
+    fixture file"; the actual layout is sniffed from the parquet footer
+    (the generator has shipped both TIMESTAMP(NANOS) and MICROS), and a
+    NANOS file is truncated to micros like load_tables. ``path_glob``
+    selects files within ``path`` (the streaming file source requires a
+    directory)."""
+    from samba_spark.sources.tables import (
+        events_ts_is_nanos,
+        resolve_events_file,
+    )
+
+    use_long = nanos and events_ts_is_nanos(resolve_events_file(path, path_glob))
     reader = spark.readStream.schema(
-        EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA
+        EVENTS_SCHEMA_NANOS if use_long else EVENTS_SCHEMA
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path_glob is not None:
         reader = reader.option("pathGlobFilter", path_glob)
     df = reader.parquet(path)
-    if nanos:
+    if use_long:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )

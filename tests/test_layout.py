@@ -103,8 +103,10 @@ def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
     from samba_spark.plans.inspect import assert_partition_pruned
     from samba_spark.plans.layout import write_partitioned
 
-    events = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
-        "event_date", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    from samba_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"].withColumn(
+        "event_date", F.to_date("ts")
     )
     path = str(tmp_path / "events_by_date")
     write_partitioned(events, path, ["event_date"])
@@ -114,6 +116,6 @@ def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
     )
     assert_partition_pruned(one_day, "event_date")
     # correctness: partitioned round trip preserves the day's rows
-    expected = events.where(F.to_date(F.timestamp_micros(F.expr("ts div 1000"))) == "2024-01-01").count()
+    expected = events.where(F.to_date("ts") == "2024-01-01").count()
     assert expected > 0, "fixture has no 2024-01-01 events; test is vacuous"
     assert one_day.count() == expected
