@@ -337,3 +337,78 @@ def dedup_incremental(
         )
         .select("keep_doc_id", F.col("n_batch_dups").cast("long").alias("n_batch_dups"))
     )
+
+
+def cross_source_overlap(
+    documents: DataFrame, n: int = 2, source_col: str = "source"
+) -> DataFrame:
+    """Pairwise content overlap between sources, measured on word n-gram
+    shingle vocabularies: for each source pair (a < b) that shares at least
+    one shingle, the shared-distinct-shingle count, both vocabulary sizes,
+    and the Jaccard of the two vocabularies. The dedup-analysis companion
+    to :func:`minhash_lsh_dedup` — "how much does src A repeat src B"
+    drives mixing weights before any pairwise doc dedup runs.
+
+    Scale shape: the join key is the *shingle vocabulary* (distinct
+    (source, shingle)), which grows with vocabulary, not corpus size; the
+    per-source sizes come back as a broadcast (#sources rows). The pair
+    aggregation shuffles on (source_a, source_b) — #sources² keys, tiny.
+    """
+    toked = documents.select(
+        F.col(source_col).alias("src"),
+        F.filter(
+            F.split(_normalized(F.col("text")), " "), lambda x: x != F.lit("")
+        ).alias("_toks"),
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+    )
+    vocab = toked.select("src", F.explode(sh).alias("shingle")).distinct()
+    sizes = vocab.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab")
+    )
+    pairs = (
+        vocab.alias("a")
+        .join(
+            vocab.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("src").alias("source_a"),
+                    F.col("n_vocab").alias("n_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("src").alias("source_b"),
+                    F.col("n_vocab").alias("n_b"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

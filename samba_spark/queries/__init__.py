@@ -49,6 +49,9 @@ _AUX_NAMES = [
     "x26_quantile_filter",
     "x27_dedup_incremental",
     "x28_length_histogram",
+    "x29_chunk_documents",
+    "x30_merge_upsert",
+    "x31_cross_source_overlap",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

@@ -821,6 +821,93 @@ FROM documents GROUP BY source, len_bucket ORDER BY source, len_bucket
 """
 
 
+def x_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (chunk=64, stride=32) — the
+    fixed-context training-example / RAG-passage splitter. Zero-shuffle
+    fan-out: sequence + posexplode inside the scan stage."""
+    from samba_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk=64, stride=32).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+X_CHUNK_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM toked WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, toks, i AS start, (i // 32)::BIGINT AS chunk_id
+  FROM n, UNNEST(range(0, n, 32)) AS u(i))
+SELECT doc_id, chunk_id, start,
+       len(toks[start+1 : start+64])::BIGINT AS chunk_len,
+       md5(array_to_string(toks[start+1 : start+64], ' ')) AS chunk_digest
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
+def x_merge_upsert(spark, sf_dir):
+    """Snapshot MERGE (type-1 upsert): a re-crawl batch (every 7th doc,
+    re-tagged + size-bumped) replaces its previous version; everything else
+    passes through. One anti-join + union — the MERGE INTO plan."""
+    from samba_spark.operators.merge import merge_upsert
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    updates = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("source", F.lit("recrawl"))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+    )
+    return merge_upsert(docs, updates, ["doc_id"]).orderBy("doc_id")
+
+
+X_MERGE_UPSERT_SQL = """
+WITH updates AS (
+  SELECT doc_id, 'recrawl' AS source, n_chars + 1000 AS n_chars
+  FROM documents WHERE doc_id % 7 = 0)
+SELECT doc_id, source, n_chars FROM updates
+UNION ALL
+SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+ORDER BY doc_id
+"""
+
+
+def x_cross_source_overlap(spark, sf_dir):
+    """Pairwise source-vocabulary overlap on word bigram shingles — the
+    mixing-weight diagnostic that runs before pairwise dedup. Join key is
+    the distinct shingle vocabulary, not the corpus."""
+    return D.cross_source_overlap(_docs(spark, sf_dir), n=2).orderBy(
+        "source_a", "source_b"
+    )
+
+
+X_CROSS_SOURCE_SQL = r"""
+WITH toked AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT DISTINCT source, array_to_string(toks[i+1 : i+2], ' ') AS shingle
+  FROM toked, UNNEST(range(0, greatest(len(toks)-2, 0) + 1)) AS u(i)),
+sizes AS (SELECT source, COUNT(*)::BIGINT AS n_vocab FROM sh GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.source_a, p.source_b, p.n_shared,
+       sa.n_vocab AS n_a, sb.n_vocab AS n_b,
+       ROUND(p.n_shared * 1.0 / (sa.n_vocab + sb.n_vocab - p.n_shared), 6) AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -852,4 +939,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x26_quantile_filter": QuerySpec(x_quantile_filter, X_QUANTILE_FILTER_SQL),
     "x27_dedup_incremental": QuerySpec(x_dedup_incremental, X_DEDUP_INCREMENTAL_SQL),
     "x28_length_histogram": QuerySpec(x_length_histogram, X_LENGTH_HISTOGRAM_SQL),
+    "x29_chunk_documents": QuerySpec(x_chunk_documents, X_CHUNK_SQL),
+    "x30_merge_upsert": QuerySpec(x_merge_upsert, X_MERGE_UPSERT_SQL),
+    "x31_cross_source_overlap": QuerySpec(
+        x_cross_source_overlap, X_CROSS_SOURCE_SQL
+    ),
 }

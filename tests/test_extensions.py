@@ -449,3 +449,67 @@ def test_length_histogram_bucket_boundaries(spark):
         for r in length_histogram(df).collect()
     }
     assert got == {1: 1, 2: 2, 3: 1, 10: 1, 11: 1}
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """chunk=4, stride=2 over 6 tokens → starts 0,2,4; the last window is
+    short; digests are md5 of the space-joined window; empty docs vanish."""
+    import hashlib
+
+    from samba_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "   "), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, chunk=4, stride=2).orderBy(
+        "doc_id", "chunk_id"
+    ).collect()
+    got = [(r.doc_id, r.chunk_id, r.start, r.chunk_len, r.chunk_digest) for r in rows]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got == [
+        (1, 0, 0, 4, md5("a b c d")),
+        (1, 1, 2, 4, md5("c d e f")),
+        (1, 2, 4, 2, md5("e f")),
+        (3, 0, 0, 1, md5("x")),
+    ]
+
+
+def test_chunk_documents_with_text_roundtrip(spark):
+    from samba_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "p q r")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk=2, stride=2, with_text=True).orderBy(
+        "chunk_id"
+    ).collect()
+    assert [r.chunk_text for r in rows] == ["p q", "r"]
+
+
+def test_merge_upsert_update_wins(spark):
+    from samba_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "v1"), (2, "v1"), (3, "v1")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "v2"), (4, "v2")], "k long, v string"
+    )
+    got = {r.k: r.v for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v1", 4: "v2"}
+
+
+def test_cross_source_overlap_known_bigrams(spark):
+    """src A='a b c' (bigrams: 'a b','b c'), src B='a b d' ('a b','b d')
+    → shared 1, sizes 2 and 2, jaccard 1/3. A pair with no shared shingle
+    emits no row."""
+    from samba_spark.operators.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [(1, "A", "a b c"), (2, "B", "a b d"), (3, "C", "zz qq")],
+        "doc_id long, source string, text string",
+    )
+    rows = cross_source_overlap(df, n=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.source_a, r.source_b, r.n_shared, r.n_a, r.n_b) == ("A", "B", 1, 2, 2)
+    assert r.jaccard == round(1 / 3, 6)
