@@ -340,7 +340,10 @@ def dedup_incremental(
 
 
 def cross_source_overlap(
-    documents: DataFrame, n: int = 2, source_col: str = "source"
+    documents: DataFrame,
+    n: int = 2,
+    source_col: str = "source",
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Pairwise content overlap between sources, measured on word n-gram
     shingle vocabularies: for each source pair (a < b) that shares at least
@@ -353,6 +356,14 @@ def cross_source_overlap(
     (source, shingle)), which grows with vocabulary, not corpus size; the
     per-source sizes come back as a broadcast (#sources rows). The pair
     aggregation shuffles on (source_a, source_b) — #sources² keys, tiny.
+
+    ``hash_shingles=True`` replaces the shingle strings with xxhash64
+    values before the distinct — 8-byte shuffle/join keys instead of
+    arbitrary-length strings. At warehouse scale this is the mode to run
+    (a web-corpus bigram vocabulary is billions of entries; 64-bit
+    collisions shift counts by ~n²/2⁶⁴, far below mixing-decision noise).
+    The default keeps exact strings so the counts are engine-reproducible
+    bit-for-bit (the oracle gate).
     """
     toked = documents.select(
         F.col(source_col).alias("src"),
@@ -364,7 +375,10 @@ def cross_source_overlap(
         F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
     )
-    vocab = toked.select("src", F.explode(sh).alias("shingle")).distinct()
+    exploded = toked.select("src", F.explode(sh).alias("shingle"))
+    if hash_shingles:
+        exploded = exploded.select("src", F.xxhash64("shingle").alias("shingle"))
+    vocab = exploded.distinct()
     sizes = vocab.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("n_vocab")
     )

@@ -144,3 +144,65 @@ def test_salient_terms_broadcasts_df_side(spark, sf_smoke):
     assert s["broadcast_joins"] >= 1, s["plan"]
     assert "BroadcastNestedLoopJoin Cross BuildRight" in s["plan"]
     assert s["sortmerge_joins"] == 0 and s["shuffled_hash_joins"] == 0
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_smoke):
+    """x29: chunking is a scan-stage fan-out — no Exchange anywhere."""
+    from samba_spark.operators.chunking import chunk_documents
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    s = plan_summary(chunk_documents(docs))
+    assert s["n_exchanges"] == 0, s["plan"][:800]
+
+
+def test_merge_upsert_single_antijoin(spark, sf_smoke):
+    """x30: the MERGE plan is one anti-join + union; the small update side
+    broadcasts, so the corpus side never shuffles."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.merge import merge_upsert
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"].select(
+        "doc_id", "source", "n_chars"
+    )
+    updates = docs.where(F.col("doc_id") % 7 == 0)
+    s = plan_summary(merge_upsert(docs, updates, ["doc_id"]))
+    plan = s["plan"]
+    assert "LeftAnti" in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert s["n_exchanges"] == 0, s["plan"][:800]
+
+
+def test_cross_source_overlap_broadcast_sizes(spark, sf_smoke):
+    """x31: per-source sizes join back as broadcasts; the only real
+    shuffles are the vocabulary distinct (both branches) and the tiny
+    pair aggregation."""
+    from samba_spark.operators.dedup import cross_source_overlap
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    plan = plan_summary(cross_source_overlap(docs))["plan"]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+
+
+def test_cross_source_overlap_hashed_matches_exact(spark, sf_smoke):
+    """The 8-byte-key scale mode must agree with the exact-string mode on
+    the fixture (no collisions at this vocabulary size)."""
+    from samba_spark.operators.dedup import cross_source_overlap
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    exact = {
+        (r.source_a, r.source_b): (r.n_shared, r.n_a, r.n_b)
+        for r in cross_source_overlap(docs).collect()
+    }
+    hashed = {
+        (r.source_a, r.source_b): (r.n_shared, r.n_a, r.n_b)
+        for r in cross_source_overlap(docs, hash_shingles=True).collect()
+    }
+    assert exact == hashed
