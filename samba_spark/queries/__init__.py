@@ -52,6 +52,9 @@ _AUX_NAMES = [
     "x29_chunk_documents",
     "x30_merge_upsert",
     "x31_cross_source_overlap",
+    "q48_tpch_q1",
+    "q49_tpch_q6",
+    "q50_tpch_q3",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

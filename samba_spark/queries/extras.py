@@ -818,6 +818,116 @@ FROM documents ORDER BY value
 """
 
 
+# --- q48–q50: the classic TPC-H showcase trio (Q1, Q6, Q3) over the
+# TPC-H-ish fixture. Money columns are exact 2-decimal values, so every
+# aggregate is quantized to integer cents (×100 / ×10⁴ / ×10⁶ per the
+# factor count) BEFORE summing — engine-exact, no float-sum-order or
+# rounding-mode exposure (the x21/x25 pattern). Catalyst plan: pushed
+# shipdate filter + partial aggregation; Q3 is a broadcast-dim star join
+# with TakeOrderedAndProject for the top-10.
+
+
+def q48_tpch_q1(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    cents = lambda c: F.round(c * 100).cast("long")
+    e4 = lambda c: F.round(c * 10000).cast("long")
+    e6 = lambda c: F.round(c * 1000000).cast("long")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(e4(disc_price)).alias("sum_disc_price_e4"),
+            F.sum(e6(charge)).alias("sum_charge_e6"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q48_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_c,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT AS sum_disc_price_e4,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))::BIGINT AS sum_charge_e6,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q49_tpch_q6(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast(
+                    "long"
+                )
+            ).alias("revenue_e4"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+Q49_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT))::BIGINT AS revenue_e4,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q50_tpch_q3(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    orders = t["orders"].where(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].where(F.col("l_shipdate") > cutoff)
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q50_SQL = """
+SELECT l_orderkey, o_orderdate,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_e4 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -843,4 +953,7 @@ EXTRAS: dict[str, QuerySpec] = {
     "q45_exists_subqueries": QuerySpec(q45_exists_subqueries, _Q45_SQL),
     "q46_lateral_join": QuerySpec(q46_lateral_join, _Q46_SQL),
     "q47_pipe": QuerySpec(q47_pipe, Q47_SQL),
+    "q48_tpch_q1": QuerySpec(q48_tpch_q1, Q48_SQL),
+    "q49_tpch_q6": QuerySpec(q49_tpch_q6, Q49_SQL),
+    "q50_tpch_q3": QuerySpec(q50_tpch_q3, Q50_SQL),
 }

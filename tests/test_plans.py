@@ -206,3 +206,25 @@ def test_cross_source_overlap_hashed_matches_exact(spark, sf_smoke):
         for r in cross_source_overlap(docs, hash_shingles=True).collect()
     }
     assert exact == hashed
+
+
+def test_tpch_q1_pushdown_and_partial_agg(spark, sf_smoke):
+    """q48: shipdate filter reaches the parquet scan; aggregation is
+    two-phase (partial before the exchange)."""
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.queries.extras import q48_tpch_q1
+
+    s = plan_summary(q48_tpch_q1(spark, sf_smoke))
+    assert "PushedFilters" in s["plan"] and "l_shipdate" in s["plan"], s["plan"][:900]
+    assert s["plan"].count("HashAggregate") >= 2, s["plan"][:900]
+
+
+def test_tpch_q3_broadcast_star_topk(spark, sf_smoke):
+    """q50: the customer dim broadcasts and the top-10 runs as
+    TakeOrderedAndProject, not a global sort."""
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.queries.extras import q50_tpch_q3
+
+    plan = plan_summary(q50_tpch_q3(spark, sf_smoke))["plan"]
+    assert "BroadcastHashJoin" in plan, plan[:900]
+    assert "TakeOrderedAndProject" in plan, plan[:900]
