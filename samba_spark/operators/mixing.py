@@ -122,3 +122,32 @@ def filter_top_quantile(
         .where(F.lit(den) * F.col("_rk") <= F.lit(num) * F.col("_n"))
         .drop("_rk", "_n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    rates: Mapping[str, float],
+    group_col: str = "source",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic per-group subsampling to target mixture rates — the
+    "data mixing" step that downweights overrepresented sources before
+    training. A row survives iff ``hash_bucket(key) < rate × n_buckets``
+    for its group's rate (groups absent from ``rates`` keep everything).
+
+    Deterministic by construction: the same key always makes the same
+    keep/drop decision, so re-runs, backfills, and incremental batches
+    agree without coordination — unlike ``df.sample`` whose outcome
+    depends on partitioning. Zero shuffle: one hash + one comparison in
+    the scan stage. Rates are quantized to 1/n_buckets (0.01% at the
+    default), exact for the rational rates mixing configs use.
+    """
+    b = hash_bucket(F.col(key), n_buckets)
+    thr = None
+    for label, rate in rates.items():
+        t = int(round(rate * n_buckets))
+        cond = F.col(group_col) == label
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(n_buckets) if thr is None else thr.otherwise(F.lit(n_buckets))
+    return df.where(b < thr)

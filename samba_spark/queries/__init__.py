@@ -55,6 +55,7 @@ _AUX_NAMES = [
     "q48_tpch_q1",
     "q49_tpch_q6",
     "q50_tpch_q3",
+    "x32_weighted_sample",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

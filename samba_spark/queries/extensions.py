@@ -908,6 +908,39 @@ ORDER BY source_a, source_b
 """
 
 
+def x_weighted_sample(spark, sf_dir):
+    """Deterministic mixture sampling: downweight three sources (25% /
+    50% / 75%), keep the rest — then audit the per-source survivor counts.
+    Zero-shuffle keep/drop; the audit agg is the only exchange."""
+    from samba_spark.operators.mixing import weighted_sample
+
+    rates = {"src0": 0.25, "src1": 0.5, "src2": 0.75}
+    kept = weighted_sample(_docs(spark, sf_dir), "doc_id", rates)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _x32_sql() -> str:
+    from samba_spark.operators.mixing import split_bucket_sql
+
+    return f"""
+WITH b AS (
+  SELECT source, n_chars, {split_bucket_sql('doc_id', 10000)} AS bucket
+  FROM documents)
+SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS sum_chars
+FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
+                           WHEN 'src2' THEN 7500 ELSE 10000 END
+GROUP BY source ORDER BY source
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -944,4 +977,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x31_cross_source_overlap": QuerySpec(
         x_cross_source_overlap, X_CROSS_SOURCE_SQL
     ),
+    "x32_weighted_sample": QuerySpec(x_weighted_sample, _x32_sql()),
 }

@@ -513,3 +513,37 @@ def test_cross_source_overlap_known_bigrams(spark):
     r = rows[0]
     assert (r.source_a, r.source_b, r.n_shared, r.n_a, r.n_b) == ("A", "B", 1, 2, 2)
     assert r.jaccard == round(1 / 3, 6)
+
+
+def test_weighted_sample_deterministic_and_rate_bound(spark):
+    """The same key set always survives; missing groups keep 100%; the
+    kept fraction tracks the target rate (hash uniformity at n=2000)."""
+    from samba_spark.operators.mixing import weighted_sample
+
+    rows = [(i, "heavy" if i % 2 == 0 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = sorted(
+        r.doc_id for r in weighted_sample(df, "doc_id", {"heavy": 0.3}).collect()
+    )
+    kept2 = sorted(
+        r.doc_id for r in weighted_sample(df, "doc_id", {"heavy": 0.3}).collect()
+    )
+    assert kept1 == kept2
+    heavy = [i for i in kept1 if i % 2 == 0]
+    rare = [i for i in kept1 if i % 2 == 1]
+    assert len(rare) == 1000  # untouched group keeps everything
+    assert 0.2 <= len(heavy) / 1000 <= 0.4  # ~0.3 within hash noise
+
+
+def test_weighted_sample_subset_stability(spark):
+    """A key kept at rate r is also kept at every higher rate — thresholds
+    nest, so raising a source's weight only ADDS documents (stable
+    incremental mixing)."""
+    from samba_spark.operators.mixing import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(500)], "doc_id long, source string"
+    )
+    low = {r.doc_id for r in weighted_sample(df, "doc_id", {"s": 0.2}).collect()}
+    high = {r.doc_id for r in weighted_sample(df, "doc_id", {"s": 0.6}).collect()}
+    assert low <= high
