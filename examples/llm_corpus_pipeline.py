@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-corpus pipeline on samba_spark — the extension
+operators (x1-x32) composed the way a real data-prep run chains them:
+
+  raw documents
+    → exact dedup                 (x1: digest groupBy, keep lowest doc_id)
+    → fuzzy dedup                 (x3: MinHash-LSH clusters, keep one per cluster)
+    → quality gate                (x6: stats; keep score above threshold)
+    → decontamination             (x16: drop docs overlapping the benchmark)
+    → mixture sampling            (x32: deterministic per-source downweights)
+    → train/val/test split        (x19: md5-bucket hash split)
+    → chunking                    (x29: token windows for fixed-context examples)
+    → sequence packing            (x15: token-budget packing stats)
+
+Every stage is a lazy DataFrame transform — Catalyst sees the whole chain
+and fuses the zero-shuffle stages (quality gate, sampling, split,
+chunking) into the scan. Stage counts print once at the end from a single
+pass over the final frames.
+
+Run:  python examples/llm_corpus_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from samba_spark.operators.chunking import chunk_documents
+from samba_spark.operators.dedup import dedup_exact, minhash_lsh_dedup
+from samba_spark.operators.mixing import assign_split, weighted_sample
+from samba_spark.operators.packing import pack_sequences
+from samba_spark.operators.textual import decontaminate, text_stats
+from samba_spark.session import get_spark
+from samba_spark.sources.tables import load_tables
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="llm_corpus_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_raw = docs.count()
+
+    # 1. exact dedup — survivors only
+    exact_keep = dedup_exact(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    docs1 = docs.join(exact_keep, "doc_id", "left_semi")
+
+    # 2. fuzzy dedup — one representative (min doc_id) per LSH cluster
+    clusters = minhash_lsh_dedup(docs1)
+    reps = clusters.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs2 = docs1.join(reps.select("doc_id"), "doc_id", "left_semi")
+
+    # 3. quality gate — zero-shuffle projection; threshold the composite
+    scored = docs2.join(
+        text_stats(docs2).select("doc_id", "quality_score"), "doc_id"
+    )
+    docs3 = scored.where(F.col("quality_score") >= 0.3).drop("quality_score")
+
+    # 4. decontamination vs a benchmark set (here: a held-out slice)
+    benchmark = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    flags = decontaminate(docs3, benchmark, n=5)
+    docs4 = docs3.join(
+        flags.where(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    # 5. deterministic mixture sampling — downweight the loudest sources
+    docs5 = weighted_sample(
+        docs4, "doc_id", {"src0": 0.5, "src1": 0.5}, group_col="source"
+    )
+
+    # 6. stable train/val/test split (zero shuffle)
+    split = assign_split(docs5, "doc_id")
+    train = split.where(F.col("split") == "train")
+
+    # 7. chunk the training split into 64-token windows (stride 32)
+    chunks = chunk_documents(train, chunk=64, stride=32)
+
+    # 8. packing audit: how many 256-token sequences does the split yield
+    packs = pack_sequences(train, budget=256)
+
+    n1, n2, n3, n4, n5 = (
+        docs1.count(),
+        docs2.count(),
+        docs3.count(),
+        docs4.count(),
+        docs5.count(),
+    )
+    n_train = train.count()
+    n_chunks = chunks.count()
+    n_seqs = packs.count()
+    print(f"raw documents         : {n_raw}")
+    print(f"after exact dedup     : {n1}")
+    print(f"after fuzzy dedup     : {n2}")
+    print(f"after quality gate    : {n3}")
+    print(f"after decontamination : {n4}")
+    print(f"after mixture sampling: {n5}")
+    print(f"train split           : {n_train}")
+    print(f"chunks (64/32)        : {n_chunks}")
+    print(f"packed 256-tok seqs   : {n_seqs}")
+    assert n_raw >= n1 >= n2 >= n3 >= n4 >= n5 >= n_train
+    assert n_chunks >= n_train  # every surviving doc yields ≥1 chunk
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
