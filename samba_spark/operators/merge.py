@@ -33,3 +33,36 @@ def merge_upsert(
     keys = list(keys)
     kept = base.join(updates.select(*keys), on=keys, how="left_anti")
     return updates.unionByName(kept)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    payload: str = "text",
+) -> DataFrame:
+    """Corpus-version diff: ``(key, status)`` for every key that is
+    ``added`` (new only), ``removed`` (old only), or ``changed`` (both,
+    different content fingerprint). Unchanged keys are omitted — at
+    corpus scale the diff is tiny relative to the snapshots, so emitting
+    only deltas keeps the output proportional to the change set.
+
+    Scale shape: both sides reduce to (key, md5) — constant-width rows —
+    before a single full-outer hash join on the key. With both snapshots
+    bucketed on the key this is exchange-free; the payload column never
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(key), F.md5(F.col(payload)).alias("_od"))
+    n = new.select(F.col(key), F.md5(F.col(payload)).alias("_nd"))
+    j = o.join(n, on=key, how="full_outer")
+    return (
+        j.withColumn(
+            "status",
+            F.when(F.col("_od").isNull(), "added")
+            .when(F.col("_nd").isNull(), "removed")
+            .when(F.col("_od") != F.col("_nd"), "changed"),
+        )
+        .where(F.col("status").isNotNull())
+        .select(key, "status")
+    )

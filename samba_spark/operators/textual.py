@@ -362,3 +362,47 @@ def length_histogram(
             F.max(col).cast("long").alias("max_chars"),
         )
     )
+
+
+def collocations(
+    documents: DataFrame, top_k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus collocations: word bigrams ranked by frequency, each
+    with its component unigram counts — the integer numerators of PMI
+    (callers compute log(n_ab·N / (n_a·n_b)) downstream; this operator
+    stays integer-exact so results are engine-reproducible).
+
+    Scale shape: one shuffle for bigram counts, one for unigram counts;
+    the unigram side joins back onto the top-k bigram rows only (k rows —
+    broadcastable), never onto the full bigram table. The top-k itself is
+    a TakeOrderedAndProject, not a global sort."""
+    toks = documents.select(tokens_col(F.col(text_col)).alias("_toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("_toks") - 2, F.lit(0))
+                ),
+                lambda i: F.struct(
+                    F.element_at("_toks", i + 1).alias("w1"),
+                    F.element_at("_toks", i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2").where(F.col("w2").isNotNull())
+    top = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .orderBy(F.desc("n_ab"), F.asc("w1"), F.asc("w2"))
+        .limit(top_k)
+    )
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        top.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .select("w1", "w2", "n_ab", "n_a", "n_b")
+    )

@@ -56,6 +56,8 @@ _AUX_NAMES = [
     "q49_tpch_q6",
     "q50_tpch_q3",
     "x32_weighted_sample",
+    "x33_collocations",
+    "x34_corpus_diff",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

@@ -941,6 +941,73 @@ GROUP BY source ORDER BY source
 """
 
 
+def x_collocations(spark, sf_dir):
+    """Top-40 corpus bigram collocations with PMI numerator counts —
+    integer-exact, TakeOrderedAndProject top-k, unigram counts joined
+    onto the k winners only."""
+    return X.collocations(_docs(spark, sf_dir), top_k=40).orderBy(
+        F.desc("n_ab"), F.asc("w1"), F.asc("w2")
+    )
+
+
+X_COLLOCATIONS_SQL = r"""
+WITH toked AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT toks[i+1] AS w1, toks[i+2] AS w2
+  FROM toked, UNNEST(range(0, greatest(len(toks)-2, 0) + 1)) AS u(i)
+  WHERE toks[i+2] IS NOT NULL),
+top AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n_ab
+  FROM bg GROUP BY w1, w2
+  ORDER BY n_ab DESC, w1 ASC, w2 ASC LIMIT 40),
+uni AS (
+  SELECT t AS w, COUNT(*)::BIGINT AS n
+  FROM toked, UNNEST(toks) AS u(t) GROUP BY t)
+SELECT top.w1, top.w2, top.n_ab, a.n AS n_a, b.n AS n_b
+FROM top JOIN uni a ON a.w = top.w1 JOIN uni b ON b.w = top.w2
+ORDER BY n_ab DESC, w1 ASC, w2 ASC
+"""
+
+
+def x_corpus_diff(spark, sf_dir):
+    """Snapshot diff between two corpus versions: v2 drops every 11th
+    doc, uppercases every 5th, and the rest pass through — the diff
+    reports added/removed/changed only."""
+    from samba_spark.operators.merge import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    v1 = docs.where(F.col("doc_id") % 11 != 3)
+    v2 = docs.where(F.col("doc_id") % 11 != 7).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(v1, v2).orderBy("doc_id")
+
+
+X_CORPUS_DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id % 11 <> 3),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END) AS d
+  FROM documents WHERE doc_id % 11 <> 7)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN v1.doc_id IS NULL THEN 'added'
+            WHEN v2.doc_id IS NULL THEN 'removed'
+            WHEN v1.d <> v2.d THEN 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE CASE WHEN v1.doc_id IS NULL THEN 'added'
+           WHEN v2.doc_id IS NULL THEN 'removed'
+           WHEN v1.d <> v2.d THEN 'changed' END IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -978,4 +1045,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_cross_source_overlap, X_CROSS_SOURCE_SQL
     ),
     "x32_weighted_sample": QuerySpec(x_weighted_sample, _x32_sql()),
+    "x33_collocations": QuerySpec(x_collocations, X_COLLOCATIONS_SQL),
+    "x34_corpus_diff": QuerySpec(x_corpus_diff, X_CORPUS_DIFF_SQL),
 }

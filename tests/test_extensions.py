@@ -547,3 +547,31 @@ def test_weighted_sample_subset_stability(spark):
     low = {r.doc_id for r in weighted_sample(df, "doc_id", {"s": 0.2}).collect()}
     high = {r.doc_id for r in weighted_sample(df, "doc_id", {"s": 0.6}).collect()}
     assert low <= high
+
+
+def test_collocations_counts_and_topk(spark):
+    from samba_spark.operators.textual import collocations
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog")],
+        "doc_id long, text string",
+    )
+    rows = {(r.w1, r.w2): (r.n_ab, r.n_a, r.n_b) for r in collocations(df, top_k=10).collect()}
+    # 'the cat' twice; unigrams: the=2, cat=2, sat=1, ran=1, a=1, dog=1
+    assert rows[("the", "cat")] == (2, 2, 2)
+    assert rows[("cat", "sat")] == (1, 2, 1)
+    assert rows[("a", "dog")] == (1, 1, 1)
+    assert ("dog", None) not in rows  # single-tail tokens emit no bigram
+
+
+def test_snapshot_diff_statuses(spark):
+    from samba_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}
