@@ -20,8 +20,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 (Q1-Q23
-    relational surface + x1-x13 extension operators)."""
+    """One entry per implemented operator from SURVEY.md §2 (Q1-Q50
+    relational/streaming/graph surface + x1-x34 extension operators)."""
     from samba_spark.queries import ALL_QUERIES
 
     return {name: spec.fn for name, spec in ALL_QUERIES.items()}

@@ -58,6 +58,7 @@ _AUX_NAMES = [
     "x32_weighted_sample",
     "x33_collocations",
     "x34_corpus_diff",
+    "q51_stream_static_join",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

@@ -818,6 +818,38 @@ FROM documents ORDER BY value
 """
 
 
+# Q51 stream-static enrichment join — the lookup-table pattern: each
+# micro-batch of the events stream joins the (batch) customer dimension;
+# stateless, so availableNow replay emits exactly the batch-join rows and
+# the plain-SQL oracle agrees.
+def q51_stream_static_join(spark, sf_dir):
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    purchases = stream.where(F.col("event_type") == "purchase")
+    dim = load_tables(spark, sf_dir, ["customer"])["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = S.enrich_with_dimension(purchases, dim, on="user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    name = "q51_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(enriched, name, "append")
+    return out.orderBy("event_id")
+
+
+Q51_SQL = """
+SELECT e.event_id, e.user_id, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""
+
+
 # --- q48–q50: the classic TPC-H showcase trio (Q1, Q6, Q3) over the
 # TPC-H-ish fixture. Money columns are exact 2-decimal values, so every
 # aggregate is quantized to integer cents (×100 / ×10⁴ / ×10⁶ per the
@@ -956,4 +988,5 @@ EXTRAS: dict[str, QuerySpec] = {
     "q48_tpch_q1": QuerySpec(q48_tpch_q1, Q48_SQL),
     "q49_tpch_q6": QuerySpec(q49_tpch_q6, Q49_SQL),
     "q50_tpch_q3": QuerySpec(q50_tpch_q3, Q50_SQL),
+    "q51_stream_static_join": QuerySpec(q51_stream_static_join, Q51_SQL),
 }

@@ -272,3 +272,14 @@ def run_with_batch_provenance(
     )
     query.awaitTermination()
     return query
+
+
+def enrich_with_dimension(
+    stream: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    (batch) dimension — stateless, no watermark needed, and Spark
+    broadcasts the dimension side per batch when it fits (the standard
+    lookup-table pattern; dim updates are picked up on re-read for file
+    sources). Contrast with stream-stream joins, which buffer state."""
+    return stream.join(dim, on=on, how=how)
