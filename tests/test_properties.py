@@ -153,3 +153,69 @@ def test_connected_components_matches_union_find(spark, edge_list):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {v: find(v) for v in parent}
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_chunking_conservation(spark, texts):
+    """Non-overlapping chunking (stride == chunk) partitions the token
+    stream exactly: chunk lengths sum to the token count and the joined
+    chunk texts reassemble the normalized document."""
+    from samba_spark.operators.chunking import chunk_documents
+    from samba_spark.operators.textual import tokens_col
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    toks = {
+        r.doc_id: r.t
+        for r in docs.select("doc_id", tokens_col(F.col("text")).alias("t")).collect()
+    }
+    chunks = chunk_documents(docs, chunk=3, stride=3, with_text=True).collect()
+    per_doc = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        assert sum(r.chunk_len for r in rows) == len(toks[doc_id])
+        assert " ".join(r.chunk_text for r in rows) == " ".join(toks[doc_id])
+    # zero-token docs emit nothing; everything else emits >= 1 chunk
+    for doc_id, t in toks.items():
+        assert (doc_id in per_doc) == (len(t) > 0)
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_merge_upsert_idempotent(spark, texts):
+    """Applying the same update batch twice equals applying it once, and
+    the merged key set is the union of base and update keys."""
+    from samba_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["k", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(i, t + "!") for i, t in enumerate(texts) if i % 2 == 0]
+        + [(len(texts) + 1, "new")],
+        ["k", "v"],
+    )
+    once = {(r.k, r.v) for r in merge_upsert(base, updates, ["k"]).collect()}
+    twice = {
+        (r.k, r.v)
+        for r in merge_upsert(
+            merge_upsert(base, updates, ["k"]), updates, ["k"]
+        ).collect()
+    }
+    assert once == twice
+    assert {k for k, _ in once} == set(range(len(texts))) | {len(texts) + 1}
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_snapshot_diff_self_is_empty(spark, texts):
+    from samba_spark.operators.merge import snapshot_diff
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    assert snapshot_diff(docs, docs).count() == 0
