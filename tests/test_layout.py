@@ -119,3 +119,25 @@ def test_partitioned_write_prunes_partitions(spark, sf_smoke, tmp_path):
     expected = events.where(F.to_date("ts") == "2024-01-01").count()
     assert expected > 0, "fixture has no 2024-01-01 events; test is vacuous"
     assert one_day.count() == expected
+
+
+def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
+    """Many tiny files in, few files out, identical content."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.plans.layout import compact_dataset
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10000).withColumn("v", F.col("id") % 97)
+    df.repartition(64).write.parquet(path)
+    import os
+
+    n_before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before >= 32
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    n_after = compact_dataset(spark, path, target_mb=512)
+    assert n_after < n_before
+    after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
