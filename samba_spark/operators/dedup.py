@@ -426,3 +426,42 @@ def cross_source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def repeated_spans(
+    documents: DataFrame, n: int = 8, stride: int = 4
+) -> DataFrame:
+    """Cross-document repeated-span detection — the span-granular exact
+    dedup signal (à la "Deduplicating Training Data Makes Language Models
+    Better": repeated substrings, here at token-window granularity): every
+    (doc_id, start) position whose n-token window also occurs in at least
+    one OTHER document. Downstream pipelines drop or down-weight the
+    flagged spans rather than whole documents.
+
+    Built compositionally on :func:`operators.chunking.chunk_documents`
+    (digest windows, stride ``stride``); only full n-token windows
+    participate (short tails would false-match). Scale shape: one
+    16-byte-digest shuffle for the occurrence counts — the digest table is
+    corpus_tokens/stride rows; the flagged-position join keys on the same
+    digest. Boilerplate mega-spans concentrate on few digests and stay
+    bounded because the count side aggregates before joining back.
+    """
+    from samba_spark.operators.chunking import chunk_documents
+
+    spans = chunk_documents(documents, chunk=n, stride=stride).where(
+        F.col("chunk_len") == n
+    )
+    cross_doc = (
+        spans.groupBy("chunk_digest")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    return (
+        spans.join(cross_doc, "chunk_digest")
+        .select(
+            "doc_id",
+            "start",
+            "chunk_digest",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )

@@ -59,6 +59,7 @@ _AUX_NAMES = [
     "x33_collocations",
     "x34_corpus_diff",
     "q51_stream_static_join",
+    "x35_repeated_spans",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

@@ -1008,6 +1008,37 @@ ORDER BY doc_id
 """
 
 
+def x_repeated_spans(spark, sf_dir):
+    """Span-granular exact-dup signal: every 3-token window (stride 2)
+    that also occurs in another document — the drop/down-weight targets
+    for substring-level dedup."""
+    return D.repeated_spans(_docs(spark, sf_dir), n=3, stride=2).orderBy(
+        "doc_id", "start"
+    )
+
+
+X_REPEATED_SPANS_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+nn AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM toked WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(toks[i+1 : i+3], ' ')) AS chunk_digest,
+         len(toks[i+1 : i+3])::BIGINT AS clen
+  FROM nn, UNNEST(range(0, n, 2)) AS u(i)),
+f AS (SELECT * FROM s WHERE clen = 3),
+cd AS (
+  SELECT chunk_digest, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM f GROUP BY chunk_digest HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT f.doc_id, f.start, f.chunk_digest, cd.n_docs
+FROM f JOIN cd USING (chunk_digest)
+ORDER BY doc_id, start
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1047,4 +1078,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x32_weighted_sample": QuerySpec(x_weighted_sample, _x32_sql()),
     "x33_collocations": QuerySpec(x_collocations, X_COLLOCATIONS_SQL),
     "x34_corpus_diff": QuerySpec(x_corpus_diff, X_CORPUS_DIFF_SQL),
+    "x35_repeated_spans": QuerySpec(x_repeated_spans, X_REPEATED_SPANS_SQL),
 }

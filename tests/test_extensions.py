@@ -575,3 +575,30 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_repeated_spans_planted_duplicate(spark):
+    """A 3-token span shared by two docs is flagged at both positions; a
+    span repeated only WITHIN one doc is not; short tails never match."""
+    from samba_spark.operators.dedup import repeated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "common span here unique one"),
+            (2, "zz common span here qq"),
+            (3, "self self self self self self"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_spans(df, n=3, stride=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.start)
+    # 'common span here' at doc1 start 0 and doc2 start 1
+    assert 0 in by_doc.get(1, set())
+    assert 1 in by_doc.get(2, set())
+    # doc3's spans repeat only within itself -> no cross-doc flag
+    assert 3 not in by_doc
+    # doc4 has <3 tokens -> nothing
+    assert 4 not in by_doc
