@@ -151,3 +151,35 @@ def weighted_sample(
         thr = F.when(cond, t) if thr is None else thr.when(cond, t)
     thr = F.lit(n_buckets) if thr is None else thr.otherwise(F.lit(n_buckets))
     return df.where(b < thr)
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    key: str,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group TOKEN-budget cap (the token-denominated sibling of
+    :func:`cap_per_group`): within each group, documents are laid out in
+    deterministic hash order (md5 bucket, then key) and kept while the
+    running token total before them is under ``budget`` — so each group
+    contributes ~budget tokens, with the straddling document included.
+    This is how mixing configs are actually denominated (tokens, not doc
+    counts).
+
+    Deterministic under re-partitioning and corpus growth-at-the-tail
+    (hash order is content-independent), and built on the two-pass
+    partition-offset running total — no single-task global window."""
+    from samba_spark.operators.packing import grouped_running_total
+    from samba_spark.operators.textual import tokens_col
+
+    base = df.withColumn(
+        "_n_tokens", F.size(tokens_col(F.col(text_col))).cast("long")
+    ).withColumn("_b", hash_bucket(F.col(key), 1 << 16))
+    tot = grouped_running_total(
+        base, group_col, ["_b", key], "_n_tokens", name="_tok_before"
+    )
+    return tot.where(F.col("_tok_before") < budget).drop(
+        "_b", "_tok_before", "_n_tokens"
+    )

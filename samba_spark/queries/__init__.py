@@ -60,6 +60,7 @@ _AUX_NAMES = [
     "x34_corpus_diff",
     "q51_stream_static_join",
     "x35_repeated_spans",
+    "x36_token_budget_cap",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

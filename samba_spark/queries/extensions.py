@@ -1039,6 +1039,48 @@ ORDER BY doc_id, start
 """
 
 
+def x_token_budget_cap(spark, sf_dir):
+    """Token-denominated per-source cap (2000 tokens each) in
+    deterministic hash order; audit the kept docs/tokens per source."""
+    from samba_spark.operators.mixing import cap_tokens_per_group
+    from samba_spark.operators.textual import tokens_col
+
+    kept = cap_tokens_per_group(_docs(spark, sf_dir), "doc_id", 2000)
+    return (
+        kept.withColumn(
+            "_nt", F.size(tokens_col(F.col("text"))).cast("long")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _x36_sql() -> str:
+    from samba_spark.operators.mixing import split_bucket_sql
+
+    return rf"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> ''))::BIGINT AS nt,
+         {split_bucket_sql('doc_id', 1 << 16)} AS b
+  FROM documents),
+c AS (
+  SELECT source, doc_id, nt,
+         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY b, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::BIGINT AS tok_before
+  FROM t)
+SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS n_tokens
+FROM c WHERE tok_before < 2000
+GROUP BY source ORDER BY source
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1079,4 +1121,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x33_collocations": QuerySpec(x_collocations, X_COLLOCATIONS_SQL),
     "x34_corpus_diff": QuerySpec(x_corpus_diff, X_CORPUS_DIFF_SQL),
     "x35_repeated_spans": QuerySpec(x_repeated_spans, X_REPEATED_SPANS_SQL),
+    "x36_token_budget_cap": QuerySpec(x_token_budget_cap, _x36_sql()),
 }

@@ -602,3 +602,36 @@ def test_repeated_spans_planted_duplicate(spark):
     assert 3 not in by_doc
     # doc4 has <3 tokens -> nothing
     assert 4 not in by_doc
+
+
+def test_cap_tokens_per_group_budget_and_determinism(spark):
+    """Each group keeps ~budget tokens (straddler included), hash order is
+    stable across runs, and an untouched group under budget keeps all."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.mixing import cap_tokens_per_group
+    from samba_spark.operators.textual import tokens_col
+
+    rows = [(i, "big", "w " * 50) for i in range(40)] + [
+        (100 + i, "small", "w w w") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = cap_tokens_per_group(df, "doc_id", 500)
+    agg = {
+        r.source: (r.n, r.t)
+        for r in kept.withColumn(
+            "_nt", F.size(tokens_col(F.col("text")))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_nt").alias("t"))
+        .collect()
+    }
+    # 'big': 50-token docs against a 500 budget -> exactly 10 kept
+    # (tok_before of the 10th is 450 < 500; of the 11th is 500, excluded)
+    assert agg["big"] == (10, 500)
+    assert agg["small"] == (3, 9)  # under budget: all kept
+    ids1 = sorted(r.doc_id for r in kept.collect())
+    ids2 = sorted(
+        r.doc_id for r in cap_tokens_per_group(df, "doc_id", 500).collect()
+    )
+    assert ids1 == ids2
