@@ -72,19 +72,30 @@ def main() -> None:
         "left_semi",
     )
 
-    # 5. deterministic mixture sampling — downweight the loudest sources
+    # 5. span-level duplication report (substring-granular signal — here
+    #    used as a diagnostic; a stricter pipeline would mask the spans)
+    from samba_spark.operators.dedup import repeated_spans
+
+    n_span_flags = repeated_spans(docs4, n=3, stride=2).count()
+
+    # 6. deterministic mixture sampling — downweight the loudest sources,
+    #    then cap every source at a token budget (mixing configs are
+    #    denominated in tokens, not documents)
+    from samba_spark.operators.mixing import cap_tokens_per_group
+
     docs5 = weighted_sample(
         docs4, "doc_id", {"src0": 0.5, "src1": 0.5}, group_col="source"
     )
+    docs5 = cap_tokens_per_group(docs5, "doc_id", budget=100_000)
 
-    # 6. stable train/val/test split (zero shuffle)
+    # 7. stable train/val/test split (zero shuffle)
     split = assign_split(docs5, "doc_id")
     train = split.where(F.col("split") == "train")
 
-    # 7. chunk the training split into 64-token windows (stride 32)
+    # 8. chunk the training split into 64-token windows (stride 32)
     chunks = chunk_documents(train, chunk=64, stride=32)
 
-    # 8. packing audit: how many 256-token sequences does the split yield
+    # 9. packing audit: how many 256-token sequences does the split yield
     packs = pack_sequences(train, budget=256)
 
     n1, n2, n3, n4, n5 = (
@@ -102,7 +113,8 @@ def main() -> None:
     print(f"after fuzzy dedup     : {n2}")
     print(f"after quality gate    : {n3}")
     print(f"after decontamination : {n4}")
-    print(f"after mixture sampling: {n5}")
+    print(f"repeated-span flags   : {n_span_flags}")
+    print(f"after mixing + caps   : {n5}")
     print(f"train split           : {n_train}")
     print(f"chunks (64/32)        : {n_chunks}")
     print(f"packed 256-tok seqs   : {n_seqs}")
