@@ -228,3 +228,34 @@ def test_tpch_q3_broadcast_star_topk(spark, sf_smoke):
     plan = plan_summary(q50_tpch_q3(spark, sf_smoke))["plan"]
     assert "BroadcastHashJoin" in plan, plan[:900]
     assert "TakeOrderedAndProject" in plan, plan[:900]
+
+
+def test_repeated_spans_no_cartesian(spark, sf_smoke):
+    """x35: the span join keys on the chunk digest — hash join, never a
+    nested-loop/cartesian; chunk fan-out itself stays shuffle-free."""
+    from samba_spark.operators.dedup import repeated_spans
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    plan = plan_summary(repeated_spans(docs))["plan"]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan[:900]
+
+
+def test_cap_tokens_no_global_window(spark, sf_smoke):
+    """x36: the running total must come from the two-pass partition-offset
+    scheme — no windowless-partition global sort (a single-task stage at
+    scale)."""
+    import re
+
+    from samba_spark.operators.mixing import cap_tokens_per_group
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    plan = plan_summary(cap_tokens_per_group(docs, "doc_id", 2000))["plan"]
+    # every Window node must carry a partition spec (partitionBy list
+    # non-empty); the global form renders as "Window [..], [..ASC..]" with
+    # no partition list between the function list and the sort order
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), f"global window found:\n{plan[:900]}"
