@@ -12,7 +12,7 @@ byte-level fallback so pipelines remain testable end-to-end.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, Optional
+from typing import Iterable
 
 import pandas as pd
 

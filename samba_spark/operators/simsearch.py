@@ -17,9 +17,7 @@ Two paths, per SURVEY.md §2.3 north-star table:
 
 from __future__ import annotations
 
-import math
 import random
-from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F

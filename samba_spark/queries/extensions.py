@@ -7,7 +7,7 @@ but DuckDB has no xxhash64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from samba_spark.operators import dedup as D
