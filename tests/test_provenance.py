@@ -209,3 +209,27 @@ def test_export_graph_distributed(engine, sf_smoke, tmp_path, spark):
     assert nodes.count() == 5
     assert {"id", "task", "values"} <= set(nodes.columns)
     assert links.count() == 0  # source elements have no deps
+
+
+def test_dedup_pipeline_with_element_lineage(engine, spark):
+    """Layer A composes with the extension surface: exact dedup (x1's
+    digest-groupBy shape) run THROUGH the provenance wrapper — every
+    surviving group element deps on all of its duplicate occurrences,
+    like `distinct` but keyed on the content digest."""
+    rows = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")]
+    src = engine.create_dataframe(
+        rows, "doc_id long, text string", name="docs"
+    ).with_elements()
+    src.persist_elements()
+    digested = src.with_column("digest", F.md5(F.col("text")))
+    keep = digested.group_by("digest").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    keep.persist_elements()
+    got = {r.keep_doc_id: r.n_dups for r in keep.collect()}
+    assert got == {1: 3, 2: 1, 5: 1}
+    deps = _deps_of_task(engine, keep.task_id)
+    # n-1 capture: total fan-in equals the source row count (each doc row
+    # lands in exactly one digest group)
+    assert len(deps) == len(rows)
