@@ -93,3 +93,47 @@ def normalize_vectors(
             norm > 0, F.transform(v, lambda x: x / norm)
         ).otherwise(F.lit(None)),
     )
+
+
+def norm_stats(
+    df: DataFrame, vec: str = "embedding", group: str = "label"
+) -> DataFrame:
+    """Per-group L2-norm statistics over an embedding column — the drift /
+    health metric a 100 TB embedding store monitors per ingest batch
+    (collapsed or exploding norms signal a broken encoder).
+
+    Engine-exact by construction: each vector's sum of squares is
+    quantized to integers (floor(x²·10¹²), associative sum), the norm is
+    sqrt of that single double (correctly rounded in every IEEE engine),
+    and per-group stats aggregate the ×10⁶-quantized norm integers — so
+    min/max/avg carry no float-sum-order exposure. Zero-shuffle per-row
+    math; one partial-agg shuffle keyed by ``group``.
+    """
+    v = F.col(vec).cast("array<double>")
+    sumsq_q = F.aggregate(
+        F.transform(v, lambda x: F.floor(x * x * F.lit(1e12)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm_q = F.floor(
+        F.sqrt(sumsq_q.cast("double") / F.lit(1e12)) * F.lit(1e6)
+    ).cast("long")
+    per_row = df.select(F.col(group), norm_q.alias("_nq"))
+    return (
+        per_row.groupBy(group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("_nq").alias("min_norm_e6"),
+            F.max("_nq").alias("max_norm_e6"),
+            F.sum("_nq").alias("_sum_nq"),
+        )
+        .select(
+            group,
+            "n_vecs",
+            "min_norm_e6",
+            "max_norm_e6",
+            F.round(F.col("_sum_nq") / F.col("n_vecs") / F.lit(1e6), 6).alias(
+                "avg_norm"
+            ),
+        )
+    )

@@ -61,6 +61,7 @@ _AUX_NAMES = [
     "q51_stream_static_join",
     "x35_repeated_spans",
     "x36_token_budget_cap",
+    "x37_norm_stats",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

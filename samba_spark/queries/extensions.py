@@ -1081,6 +1081,28 @@ GROUP BY source ORDER BY source
 """
 
 
+def x_norm_stats(spark, sf_dir):
+    """Per-label embedding L2-norm health stats, integer-quantized for
+    engine-exact parity (floor(x²·10¹²) squares, ×10⁶ norms)."""
+    from samba_spark.operators.vectorops import norm_stats
+
+    return norm_stats(_embs(spark, sf_dir)).orderBy("label")
+
+
+X_NORM_STATS_SQL = """
+WITH q AS (
+  SELECT label,
+         FLOOR(SQRT(list_sum(list_transform(embedding,
+                 x -> FLOOR(x::DOUBLE * x::DOUBLE * 1e12)::BIGINT))::DOUBLE
+               / 1e12) * 1e6)::BIGINT AS nq
+  FROM embeddings)
+SELECT label, COUNT(*)::BIGINT AS n_vecs,
+       MIN(nq) AS min_norm_e6, MAX(nq) AS max_norm_e6,
+       ROUND(SUM(nq) / COUNT(*) / 1e6, 6) AS avg_norm
+FROM q GROUP BY label ORDER BY label
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1122,4 +1144,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x34_corpus_diff": QuerySpec(x_corpus_diff, X_CORPUS_DIFF_SQL),
     "x35_repeated_spans": QuerySpec(x_repeated_spans, X_REPEATED_SPANS_SQL),
     "x36_token_budget_cap": QuerySpec(x_token_budget_cap, _x36_sql()),
+    "x37_norm_stats": QuerySpec(x_norm_stats, X_NORM_STATS_SQL),
 }

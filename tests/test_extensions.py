@@ -635,3 +635,24 @@ def test_cap_tokens_per_group_budget_and_determinism(spark):
         r.doc_id for r in cap_tokens_per_group(df, "doc_id", 500).collect()
     )
     assert ids1 == ids2
+
+
+def test_norm_stats_known_vectors(spark):
+    """Unit vectors → norm 1.0; a 3-4-5 triangle → norm 5; zero vector →
+    norm 0. Quantized stats match the analytic values."""
+    from samba_spark.operators.vectorops import norm_stats
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (0, [0.0, 1.0]),
+        (1, [3.0, 4.0]),
+        (2, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        r.label: (r.n_vecs, r.min_norm_e6, r.max_norm_e6, r.avg_norm)
+        for r in norm_stats(df).collect()
+    }
+    assert got[0] == (2, 1_000_000, 1_000_000, 1.0)
+    assert got[1] == (1, 5_000_000, 5_000_000, 5.0)
+    assert got[2] == (1, 0, 0, 0.0)
