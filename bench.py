@@ -108,9 +108,12 @@ def measure_prov_overhead(spark, sf_dir: str) -> float:
         eng.stop()
         return dt
 
+    # min-of-3 after a warmup: the VM's scheduling noise is ±20% on a
+    # single ~1 s pipeline run, and min() is the standard noise-floor
+    # estimator for a deterministic workload.
     pipeline(False)  # warm
-    off = min(pipeline(False) for _ in range(2))
-    on = min(pipeline(True) for _ in range(2))
+    off = min(pipeline(False) for _ in range(3))
+    on = min(pipeline(True) for _ in range(3))
     return round(on / off, 3) if off > 0 else -1.0
 
 
