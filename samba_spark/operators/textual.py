@@ -406,3 +406,63 @@ def collocations(
         .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b")), "w2")
         .select("w1", "w2", "n_ab", "n_a", "n_b")
     )
+
+
+def search_topk(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword search: score every document against a bag of query terms
+    with a TF·IDF-family ranking and return the top-k — the text-side
+    complement to the embedding similarity search operators.
+
+    Scoring is integer-exact for engine parity: idf is quantized to
+    ``floor(10⁶·N/df)`` per term (N total docs, df the term's document
+    frequency — both exact integers, so the quotient double and its floor
+    are identical in every IEEE engine) and the document score is
+    ``Σ tf·idf_q`` — an integer. Ties break on doc_id.
+
+    Scale shape: per-document term frequencies are a zero-shuffle
+    projection (one ``filter``+``size`` per query term — terms are a
+    handful, not the vocabulary); the (N, df…) corpus stats are one 1-row
+    aggregate that joins back as a broadcast (never a driver collect), so
+    scoring is a single pass ending in a TakeOrderedAndProject top-k."""
+    toks = tokens_col(F.col(text_col))
+    base = documents.select("doc_id", toks.alias("_toks"))
+
+    def _match(term):
+        # NB: a single-arg lambda is required — a two-arg lambda would hit
+        # F.filter's (element, index) overload and bind the index instead
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(F.col("_toks"), _match(t)))
+        .cast("long")
+        .alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    with_tf = base.select("doc_id", *tf_cols)
+    stats = with_tf.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = with_tf.crossJoin(F.broadcast(stats))
+    score = F.lit(0).cast("long")
+    for i in range(len(terms)):
+        idf_q = F.floor(
+            F.lit(1e6) * F.col("_n") / F.col(f"_df_{i}")
+        ).cast("long")
+        score = score + F.when(
+            F.col(f"_df_{i}") > 0, F.col(f"_tf_{i}") * idf_q
+        ).otherwise(F.lit(0))
+    return (
+        scored.select("doc_id", score.cast("long").alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

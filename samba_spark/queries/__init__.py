@@ -62,6 +62,7 @@ _AUX_NAMES = [
     "x35_repeated_spans",
     "x36_token_budget_cap",
     "x37_norm_stats",
+    "x38_search_topk",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

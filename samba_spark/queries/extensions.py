@@ -1103,6 +1103,46 @@ FROM q GROUP BY label ORDER BY label
 """
 
 
+def x_search_topk(spark, sf_dir):
+    """Keyword search over the corpus: top-15 docs for a 3-term query,
+    integer-quantized TF·IDF ranking, ties on doc_id."""
+    return X.search_topk(
+        _docs(spark, sf_dir), ["table", "stream", "vector"], k=15
+    )
+
+
+X_SEARCH_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x = 'table'))::BIGINT AS tf0,
+         len(list_filter(toks, x -> x = 'stream'))::BIGINT AS tf1,
+         len(list_filter(toks, x -> x = 'vector'))::BIGINT AS tf2
+  FROM toked),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+  FROM tf)
+SELECT doc_id,
+       (CASE WHEN df0 > 0 THEN tf0 * FLOOR(1e6 * n / df0)::BIGINT ELSE 0 END
+      + CASE WHEN df1 > 0 THEN tf1 * FLOOR(1e6 * n / df1)::BIGINT ELSE 0 END
+      + CASE WHEN df2 > 0 THEN tf2 * FLOOR(1e6 * n / df2)::BIGINT ELSE 0 END
+       )::BIGINT AS score
+FROM tf, stats
+WHERE (CASE WHEN df0 > 0 THEN tf0 * FLOOR(1e6 * n / df0)::BIGINT ELSE 0 END
+     + CASE WHEN df1 > 0 THEN tf1 * FLOOR(1e6 * n / df1)::BIGINT ELSE 0 END
+     + CASE WHEN df2 > 0 THEN tf2 * FLOOR(1e6 * n / df2)::BIGINT ELSE 0 END) > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1145,4 +1185,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x35_repeated_spans": QuerySpec(x_repeated_spans, X_REPEATED_SPANS_SQL),
     "x36_token_budget_cap": QuerySpec(x_token_budget_cap, _x36_sql()),
     "x37_norm_stats": QuerySpec(x_norm_stats, X_NORM_STATS_SQL),
+    "x38_search_topk": QuerySpec(x_search_topk, X_SEARCH_SQL),
 }

@@ -656,3 +656,27 @@ def test_norm_stats_known_vectors(spark):
     assert got[0] == (2, 1_000_000, 1_000_000, 1.0)
     assert got[1] == (1, 5_000_000, 5_000_000, 5.0)
     assert got[2] == (1, 0, 0, 0.0)
+
+
+def test_search_topk_ranking(spark):
+    """Rarer terms contribute more; tf multiplies; zero-hit docs are
+    excluded; absent query terms contribute nothing."""
+    from samba_spark.operators.textual import search_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common"),
+            (3, "rare rare"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = search_topk(df, ["rare", "common", "ghost"], k=10).collect()
+    scores = {r.doc_id: r.score for r in rows}
+    # N=4, df(rare)=2 -> idf 2_000_000; df(common)=2 -> 2_000_000
+    assert scores[1] == 1 * 2_000_000 + 2 * 2_000_000
+    assert scores[2] == 2_000_000
+    assert scores[3] == 2 * 2_000_000
+    assert 4 not in scores
+    assert [r.doc_id for r in rows] == [1, 3, 2]  # desc score, asc id
