@@ -134,3 +134,28 @@ def compact_dataset(
         for f in fs
         if f.endswith(".parquet")
     )
+
+
+def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
+    """Pre-join skew diagnostic for a prospective shuffle key: the ``top``
+    heaviest key values with their row counts and each key's share of the
+    total in parts-per-million (integer — no float exposure). The numbers
+    that decide between a plain shuffle join, a broadcast, or salting
+    (``salted_join``) BEFORE burning a 100 TB shuffle on a hot key.
+
+    One partial-agg shuffle keyed by ``key``; the total joins back as a
+    1-row broadcast; top-k via TakeOrderedAndProject."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("long").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key,
+            "n_rows",
+            F.floor(F.lit(1_000_000) * F.col("n_rows") / F.col("_total"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(top)
+    )

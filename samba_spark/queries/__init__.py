@@ -63,6 +63,8 @@ _AUX_NAMES = [
     "x36_token_budget_cap",
     "x37_norm_stats",
     "x38_search_topk",
+    "x39_skew_profile",
+    "q52_integrity_audit",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

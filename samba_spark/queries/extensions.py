@@ -1143,6 +1143,74 @@ LIMIT 15
 """
 
 
+def x_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic on lineitem.l_suppkey: top-10 heaviest
+    keys with integer ppm shares — the decide-before-you-shuffle tool."""
+    from samba_spark.plans.layout import skew_profile
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return skew_profile(li, "l_suppkey", top=10)
+
+
+X_SKEW_SQL = """
+WITH c AS (
+  SELECT l_suppkey, COUNT(*)::BIGINT AS n_rows FROM lineitem GROUP BY l_suppkey),
+t AS (SELECT SUM(n_rows)::BIGINT AS total FROM c)
+SELECT l_suppkey, n_rows,
+       FLOOR(1000000 * n_rows / total)::BIGINT AS share_ppm
+FROM c, t ORDER BY n_rows DESC, l_suppkey ASC LIMIT 10
+"""
+
+
+def q52_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema: per
+    relationship, the row count and the orphan count (children whose
+    foreign key has no parent) — each an anti-join that broadcasts the
+    parent key set when it fits. The data-quality gate a warehouse runs
+    per ingest."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"]
+    )
+
+    def audit(name, child, fk, parent, pk):
+        orphans = child.join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        ).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+
+    audits = [
+        audit("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        audit("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        audit("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        audit("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("relationship")
+
+
+Q52_SQL = """
+SELECT 'customer->nation' AS relationship, (SELECT COUNT(*) FROM customer)::BIGINT AS n_rows,
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))::BIGINT AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders', (SELECT COUNT(*) FROM lineitem)::BIGINT,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+UNION ALL
+SELECT 'nation->region', (SELECT COUNT(*) FROM nation)::BIGINT,
+       (SELECT COUNT(*) FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))::BIGINT
+UNION ALL
+SELECT 'orders->customer', (SELECT COUNT(*) FROM orders)::BIGINT,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+ORDER BY relationship
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1186,4 +1254,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x36_token_budget_cap": QuerySpec(x_token_budget_cap, _x36_sql()),
     "x37_norm_stats": QuerySpec(x_norm_stats, X_NORM_STATS_SQL),
     "x38_search_topk": QuerySpec(x_search_topk, X_SEARCH_SQL),
+    "x39_skew_profile": QuerySpec(x_skew_profile, X_SKEW_SQL),
+    "q52_integrity_audit": QuerySpec(q52_integrity_audit, Q52_SQL),
 }

@@ -680,3 +680,23 @@ def test_search_topk_ranking(spark):
     assert scores[3] == 2 * 2_000_000
     assert 4 not in scores
     assert [r.doc_id for r in rows] == [1, 3, 2]  # desc score, asc id
+
+
+def test_skew_profile_hot_key(spark):
+    from samba_spark.plans.layout import skew_profile
+
+    rows = [(1,)] * 80 + [(2,)] * 15 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    got = [(r.k, r.n_rows, r.share_ppm) for r in skew_profile(df, "k", top=2).collect()]
+    assert got == [(1, 80, 800_000), (2, 15, 150_000)]
+
+
+def test_integrity_audit_detects_planted_orphans(spark, tmp_path, sf_smoke):
+    """An orphaned child row shows up in n_orphans; clean fixtures are 0."""
+    from samba_spark.queries.extensions import q52_integrity_audit
+
+    rows = {r.relationship: r.n_orphans for r in q52_integrity_audit(spark, sf_smoke).collect()}
+    assert set(rows) == {
+        "lineitem->orders", "orders->customer", "customer->nation", "nation->region"
+    }
+    assert all(v == 0 for v in rows.values())  # fixture is referentially clean
