@@ -75,3 +75,59 @@ def session_stats(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the completion time of every
+    step they reached IN ORDER (step i counts only strictly after step
+    i-1's completion — the standard product-analytics funnel, not a bag of
+    event types). Returns one row per user who completed at least step 0,
+    with nullable-free times up to their deepest step (inner progression:
+    users drop out of deeper rows).
+
+    Scale shape: every stage joins and aggregates on the SAME key
+    (``user_col``), so the per-stage exchanges reuse one hash
+    partitioning; per-stage state is one timestamp per user — no window
+    over raw events, no session explosion."""
+    cur = None
+    for i, step in enumerate(steps):
+        e = events.where(F.col(type_col) == step).select(
+            user_col, F.col(ts_col).alias(f"_t{i}")
+        )
+        if cur is None:
+            cur = e.groupBy(user_col).agg(F.min(f"_t{i}").alias(f"t{i}"))
+        else:
+            j = e.join(cur, user_col).where(
+                F.col(f"_t{i}") > F.col(f"t{i-1}")
+            )
+            cur = j.groupBy(user_col).agg(
+                F.min(f"_t{i}").alias(f"t{i}"),
+                *[F.first(f"t{k}").alias(f"t{k}") for k in range(i)],
+            )
+    return cur.select(user_col, *[f"t{i}" for i in range(len(steps))])
+
+
+def funnel_counts(
+    events: DataFrame, steps: list[str], **kw
+) -> DataFrame:
+    """Funnel summary: (step, n_users) — how many users reached each step
+    in order. Each stage's survivors come from :func:`funnel`'s iterative
+    progression, counted with one tiny agg per stage."""
+    from functools import reduce
+
+    counts = []
+    for i in range(len(steps)):
+        reached = funnel(events, steps[: i + 1], **kw)
+        counts.append(
+            reached.agg(
+                F.lit(f"step{i}_{steps[i]}").alias("step"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), counts).orderBy("step")

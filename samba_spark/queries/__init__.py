@@ -65,6 +65,7 @@ _AUX_NAMES = [
     "x38_search_topk",
     "x39_skew_profile",
     "q52_integrity_audit",
+    "x40_funnel",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

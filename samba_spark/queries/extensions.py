@@ -1211,6 +1211,34 @@ ORDER BY relationship
 """
 
 
+def x_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (signup → click → purchase) over events:
+    per-step user counts, each step strictly after the previous."""
+    from samba_spark.operators.sessionize import funnel_counts
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return funnel_counts(events, ["signup", "click", "purchase"])
+
+
+X_FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t0
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'step0_signup' AS step, COUNT(*)::BIGINT AS n_users FROM s0
+UNION ALL SELECT 'step1_click', COUNT(*)::BIGINT FROM s1
+UNION ALL SELECT 'step2_purchase', COUNT(*)::BIGINT FROM s2
+ORDER BY step
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1256,4 +1284,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x38_search_topk": QuerySpec(x_search_topk, X_SEARCH_SQL),
     "x39_skew_profile": QuerySpec(x_skew_profile, X_SKEW_SQL),
     "q52_integrity_audit": QuerySpec(q52_integrity_audit, Q52_SQL),
+    "x40_funnel": QuerySpec(x_funnel, X_FUNNEL_SQL),
 }

@@ -700,3 +700,28 @@ def test_integrity_audit_detects_planted_orphans(spark, tmp_path, sf_smoke):
         "lineitem->orders", "orders->customer", "customer->nation", "nation->region"
     }
     assert all(v == 0 for v in rows.values())  # fixture is referentially clean
+
+
+def test_funnel_strict_ordering(spark):
+    """A user whose purchase precedes their click does NOT count at the
+    purchase step; per-user times are the earliest valid progression."""
+    import datetime as dt
+
+    from samba_spark.operators.sessionize import funnel, funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: clean signup->click->purchase
+        (1, "signup", t(0)), (1, "click", t(10)), (1, "purchase", t(20)),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "signup", t(0)), (2, "purchase", t(5)), (2, "click", t(10)),
+        # u3: click before signup doesn't count; later click does
+        (3, "click", t(0)), (3, "signup", t(5)), (3, "click", t(6)),
+        # u4: never signs up
+        (4, "click", t(1)), (4, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    counts = {r.step: r.n_users for r in funnel_counts(df, ["signup", "click", "purchase"]).collect()}
+    assert counts == {"step0_signup": 3, "step1_click": 3, "step2_purchase": 1}
+    times = {r.user_id: (r.t0, r.t1) for r in funnel(df, ["signup", "click"]).collect()}
+    assert times[3] == (t(5), t(6))  # pre-signup click ignored
