@@ -131,3 +131,37 @@ def funnel_counts(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), counts).orderBy("step")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Retention-cohort matrix: users grouped by their first-seen period
+    (cohort), counted as retained in each later period they were active —
+    the classic product-retention triangle.
+
+    Scale shape: two aggregations keyed by user (first-seen, and distinct
+    user-period activity — both partial-agg), one join on user, and a
+    final small agg keyed by (cohort, offset): #periods² output rows. No
+    window over raw events."""
+    first_seen = events.groupBy(user_col).agg(
+        F.date_trunc(granularity, F.min(ts_col)).cast("date").alias("cohort")
+    )
+    active = events.select(
+        user_col, F.date_trunc(granularity, F.col(ts_col)).cast("date").alias("_p")
+    ).distinct()
+    days = {"week": 7, "month": 30}[granularity]
+    return (
+        active.join(first_seen, user_col)
+        .groupBy(
+            "cohort",
+            F.expr(f"datediff(_p, cohort) div {days}").cast("long").alias(
+                "period_offset"
+            ),
+        )
+        .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
+        .orderBy("cohort", "period_offset")
+    )

@@ -66,6 +66,7 @@ _AUX_NAMES = [
     "x39_skew_profile",
     "q52_integrity_audit",
     "x40_funnel",
+    "x41_retention_cohorts",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

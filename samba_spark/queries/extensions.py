@@ -1239,6 +1239,27 @@ ORDER BY step
 """
 
 
+def x_retention(spark, sf_dir):
+    """Weekly retention-cohort triangle over events."""
+    from samba_spark.operators.sessionize import retention_cohorts
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return retention_cohorts(events)
+
+
+X_RETENTION_SQL = """
+WITH c AS (
+  SELECT user_id, date_trunc('week', MIN(ts))::DATE AS cohort
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS p FROM events)
+SELECT c.cohort, (date_diff('day', c.cohort, a.p) // 7)::BIGINT AS period_offset,
+       COUNT(DISTINCT a.user_id)::BIGINT AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1285,4 +1306,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x39_skew_profile": QuerySpec(x_skew_profile, X_SKEW_SQL),
     "q52_integrity_audit": QuerySpec(q52_integrity_audit, Q52_SQL),
     "x40_funnel": QuerySpec(x_funnel, X_FUNNEL_SQL),
+    "x41_retention_cohorts": QuerySpec(x_retention, X_RETENTION_SQL),
 }

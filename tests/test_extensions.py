@@ -725,3 +725,29 @@ def test_funnel_strict_ordering(spark):
     assert counts == {"step0_signup": 3, "step1_click": 3, "step2_purchase": 1}
     times = {r.user_id: (r.t0, r.t1) for r in funnel(df, ["signup", "click"]).collect()}
     assert times[3] == (t(5), t(6))  # pre-signup click ignored
+
+
+def test_retention_cohorts_triangle(spark):
+    """Two cohorts; a user active in weeks 0 and 2 counts at offsets 0 and
+    2 only; cohorts never gain users at offset 0 < later cohorts' users."""
+    import datetime as dt
+
+    from samba_spark.operators.sessionize import retention_cohorts
+
+    w = lambda k, d=0: dt.datetime(2024, 1, 1 + 7 * k + d, 12)  # Mondays
+    rows = [
+        (1, w(0)), (1, w(2)),          # cohort wk0, back in wk2
+        (2, w(0)), (2, w(0, 1)),       # cohort wk0, active only wk0
+        (3, w(1)), (3, w(2)),          # cohort wk1, retained wk2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort), r.period_offset): r.n_users
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
