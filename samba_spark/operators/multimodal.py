@@ -262,3 +262,142 @@ def sample_frames(
         )
     ).alias("frame_idx")
     return media.select("media_id", idx, F.lit(every_n_bytes).alias("stride"))
+
+
+# --- WAV audio: a REAL codec path (no external libs needed) ---------------
+# RIFF/WAVE canonical-header layout is pure struct arithmetic, so unlike
+# the PIL-gated image path this decode is fully functional in any
+# environment — the audio half of the multimodal surface parses actual
+# bytes, validated against the stdlib `wave` writer in tests.
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bits_per_sample", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def wav_bytes(
+    sample_rate: int, channels: int, bits: int, n_samples: int
+) -> bytes:
+    """Canonical 44-byte-header PCM WAV blob with a zeroed payload."""
+    import struct
+
+    block = channels * bits // 8
+    data = b"\x00" * (n_samples * block)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,
+            1,
+            channels,
+            sample_rate,
+            sample_rate * block,
+            block,
+            bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_wav_header(content: bytes) -> tuple:
+    """(sample_rate, channels, bits, n_samples, duration_ms) from a PCM WAV
+    blob; walks RIFF chunks, so non-canonical layouts (extra LIST/fact
+    chunks before data) parse too. Raises ValueError on non-WAV bytes."""
+    import struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, rate, channels, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _, channels, rate, _, block, bits = struct.unpack(
+                "<HHIIHH", content[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    block = channels * bits // 8
+    n_samples = data_len // block if block else 0
+    return rate, channels, bits, n_samples, n_samples * 1000 // rate
+
+
+def parse_wav_headers(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed WAV metadata extraction over a binary column —
+    Arrow-batched ``mapInPandas``, header-only reads (the payload bytes
+    never leave the batch), one row out per blob in."""
+
+    def _parse(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                rate, ch, bits, n, ms = parse_wav_header(bytes(content))
+                out.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": rate,
+                        "channels": ch,
+                        "bits_per_sample": bits,
+                        "n_samples": n,
+                        "duration_ms": ms,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select(
+        F.col(id_col), F.col(content_col)
+    ).mapInPandas(_parse, WAV_META_SCHEMA)
+
+
+def synth_wavs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    rate_col: str = "_rate",
+    channels_col: str = "_ch",
+    samples_col: str = "_n",
+) -> DataFrame:
+    """Deterministic WAV synthesis from parameter columns (16-bit PCM) —
+    the fixture generator for the audio path and a real binary-encode
+    exercise of the Arrow boundary."""
+
+    def _synth(batches):
+        for batch in batches:
+            out = []
+            for mid, rate, ch, n in zip(
+                batch[id_col], batch[rate_col], batch[channels_col], batch[samples_col]
+            ):
+                out.append(
+                    {
+                        "media_id": mid,
+                        "content": wav_bytes(int(rate), int(ch), 16, int(n)),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(rate_col), F.col(channels_col), F.col(samples_col)
+    ).mapInPandas(_synth, schema)

@@ -67,6 +67,7 @@ _AUX_NAMES = [
     "q52_integrity_audit",
     "x40_funnel",
     "x41_retention_cohorts",
+    "x42_wav_roundtrip",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

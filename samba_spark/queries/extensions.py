@@ -1260,6 +1260,35 @@ GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset
 """
 
 
+def x_wav_roundtrip(spark, sf_dir):
+    """Audio metadata extraction — REAL codec path (RIFF/WAV struct
+    parse, no stubs): synthesize deterministic PCM blobs from document
+    params, parse the headers back distributed. The oracle recomputes the
+    parameters arithmetically, so the check proves parse inverts encode."""
+    from samba_spark.operators.multimodal import parse_wav_headers, synth_wavs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.lit(8000) * (1 + F.col("doc_id") % 3)).alias("_rate"),
+        (1 + F.col("doc_id") % 2).alias("_ch"),
+        (64 + F.col("n_chars") % 128).alias("_n"),
+    )
+    wavs = synth_wavs(docs)
+    return parse_wav_headers(wavs).orderBy("media_id")
+
+
+X_WAV_SQL = """
+SELECT doc_id AS media_id,
+       (8000 * (1 + doc_id % 3))::BIGINT AS sample_rate,
+       (1 + doc_id % 2)::BIGINT AS channels,
+       16::BIGINT AS bits_per_sample,
+       (64 + n_chars % 128)::BIGINT AS n_samples,
+       ((64 + n_chars % 128) * 1000 // (8000 * (1 + doc_id % 3)))::BIGINT
+         AS duration_ms
+FROM documents ORDER BY media_id
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1307,4 +1336,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "q52_integrity_audit": QuerySpec(q52_integrity_audit, Q52_SQL),
     "x40_funnel": QuerySpec(x_funnel, X_FUNNEL_SQL),
     "x41_retention_cohorts": QuerySpec(x_retention, X_RETENTION_SQL),
+    "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),
 }
