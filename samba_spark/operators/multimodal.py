@@ -282,58 +282,69 @@ WAV_META_SCHEMA = T.StructType(
 )
 
 
-def wav_bytes(
-    sample_rate: int, channels: int, bits: int, n_samples: int
-) -> bytes:
-    """Canonical 44-byte-header PCM WAV blob with a zeroed payload."""
+# The codec functions are built by factories so their qualnames are not
+# importable — cloudpickle then serializes them BY VALUE into executor
+# closures, which must work in sessions that never exported the package
+# to worker PYTHONPATH (the driver's plain SparkSession; same rule every
+# mapInPandas body in this repo follows).
+def _make_wav_codec():
     import struct
 
-    block = channels * bits // 8
-    data = b"\x00" * (n_samples * block)
-    return (
-        b"RIFF"
-        + struct.pack("<I", 36 + len(data))
-        + b"WAVEfmt "
-        + struct.pack(
-            "<IHHIIHH",
-            16,
-            1,
-            channels,
-            sample_rate,
-            sample_rate * block,
-            block,
-            bits,
-        )
-        + b"data"
-        + struct.pack("<I", len(data))
-        + data
-    )
-
-
-def parse_wav_header(content: bytes) -> tuple:
-    """(sample_rate, channels, bits, n_samples, duration_ms) from a PCM WAV
-    blob; walks RIFF chunks, so non-canonical layouts (extra LIST/fact
-    chunks before data) parse too. Raises ValueError on non-WAV bytes."""
-    import struct
-
-    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE blob")
-    pos, rate, channels, bits, data_len = 12, None, None, None, None
-    while pos + 8 <= len(content):
-        cid = content[pos : pos + 4]
-        (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
-        if cid == b"fmt ":
-            _, channels, rate, _, block, bits = struct.unpack(
-                "<HHIIHH", content[pos + 8 : pos + 24]
+    def wav_bytes(sample_rate, channels, bits, n_samples):
+        """Canonical 44-byte-header PCM WAV blob with a zeroed payload."""
+        block = channels * bits // 8
+        data = b"\x00" * (n_samples * block)
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH",
+                16,
+                1,
+                channels,
+                sample_rate,
+                sample_rate * block,
+                block,
+                bits,
             )
-        elif cid == b"data":
-            data_len = size
-        pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
-    if rate is None or data_len is None:
-        raise ValueError("missing fmt/data chunk")
-    block = channels * bits // 8
-    n_samples = data_len // block if block else 0
-    return rate, channels, bits, n_samples, n_samples * 1000 // rate
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    def parse_wav_header(content):
+        """(sample_rate, channels, bits, n_samples, duration_ms) from a PCM
+        WAV blob; walks RIFF chunks, so non-canonical layouts (extra
+        LIST/fact chunks before data) parse too. Raises ValueError on
+        non-WAV bytes."""
+        if (
+            len(content) < 12
+            or content[:4] != b"RIFF"
+            or content[8:12] != b"WAVE"
+        ):
+            raise ValueError("not a RIFF/WAVE blob")
+        pos, rate, channels, bits, data_len = 12, None, None, None, None
+        while pos + 8 <= len(content):
+            cid = content[pos : pos + 4]
+            (size,) = struct.unpack("<I", content[pos + 4 : pos + 8])
+            if cid == b"fmt ":
+                _, channels, rate, _, block, bits = struct.unpack(
+                    "<HHIIHH", content[pos + 8 : pos + 24]
+                )
+            elif cid == b"data":
+                data_len = size
+            pos += 8 + size + (size % 2)  # RIFF chunks are word-aligned
+        if rate is None or data_len is None:
+            raise ValueError("missing fmt/data chunk")
+        block = channels * bits // 8
+        n_samples = data_len // block if block else 0
+        return rate, channels, bits, n_samples, n_samples * 1000 // rate
+
+    return wav_bytes, parse_wav_header
+
+
+wav_bytes, parse_wav_header = _make_wav_codec()
 
 
 def parse_wav_headers(
