@@ -412,3 +412,119 @@ def synth_wavs(
     return df.select(
         F.col(id_col), F.col(rate_col), F.col(channels_col), F.col(samples_col)
     ).mapInPandas(_synth, schema)
+
+
+# PNG sibling of the WAV codec: IHDR metadata is pure struct arithmetic
+# too, so image dimensions/bit-depth parse for real without PIL. Same
+# by-value serialization rule as the WAV pair.
+def _make_png_codec():
+    import struct
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def png_bytes(width, height, bit_depth=8, color_type=2):
+        """Minimal well-formed PNG: signature + IHDR + IEND (no IDAT —
+        header-level fixture, like a truncated-but-parseable file)."""
+        ihdr = struct.pack(
+            ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+        )
+        chunk = (
+            struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+            ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+        )
+        return SIG + chunk + iend
+
+    def parse_png_header(content):
+        """(width, height, bit_depth, color_type) from PNG bytes; verifies
+        the signature and the IHDR CRC. Raises ValueError otherwise."""
+        if len(content) < 33 or content[:8] != SIG:
+            raise ValueError("not a PNG")
+        (length,) = struct.unpack(">I", content[8:12])
+        if content[12:16] != b"IHDR" or length != 13:
+            raise ValueError("first chunk is not IHDR")
+        body = content[16:29]
+        (crc,) = struct.unpack(">I", content[29:33])
+        if crc != (zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF):
+            raise ValueError("IHDR CRC mismatch")
+        w, h, depth, color, _, _, _ = struct.unpack(">IIBBBBB", body)
+        return w, h, depth, color
+
+    return png_bytes, parse_png_header
+
+
+png_bytes, parse_png_header = _make_png_codec()
+
+PNG_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("color_type", T.LongType()),
+    ]
+)
+
+
+def parse_png_headers(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed PNG metadata extraction — Arrow-batched, header-only,
+    CRC-verified; the functional (non-PIL) half of the image path."""
+    _hdr = parse_png_header
+
+    def _parse(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                w, h, depth, color = _hdr(bytes(content))
+                out.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "bit_depth": depth,
+                        "color_type": color,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        _parse, PNG_META_SCHEMA
+    )
+
+
+def synth_pngs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "_w",
+    height_col: str = "_h",
+) -> DataFrame:
+    """Deterministic PNG synthesis from dimension columns (8-bit RGB)."""
+    _png = png_bytes
+
+    def _synth(batches):
+        for batch in batches:
+            out = []
+            for mid, w, h in zip(batch[id_col], batch[width_col], batch[height_col]):
+                out.append(
+                    {"media_id": mid, "content": _png(int(w), int(h))}
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(width_col), F.col(height_col)
+    ).mapInPandas(_synth, schema)

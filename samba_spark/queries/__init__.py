@@ -68,6 +68,7 @@ _AUX_NAMES = [
     "x40_funnel",
     "x41_retention_cohorts",
     "x42_wav_roundtrip",
+    "x43_png_roundtrip",
 ]
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}

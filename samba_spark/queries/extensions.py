@@ -1289,6 +1289,31 @@ FROM documents ORDER BY media_id
 """
 
 
+def x_png_roundtrip(spark, sf_dir):
+    """Image metadata extraction — REAL codec path (PNG IHDR struct
+    parse + CRC check, no PIL): synthesize deterministic PNGs from
+    document params, parse headers back distributed; the oracle
+    recomputes the parameters, proving parse inverts encode."""
+    from samba_spark.operators.multimodal import parse_png_headers, synth_pngs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        (16 + F.col("doc_id") % 240).alias("_w"),
+        (16 + F.col("n_chars") % 240).alias("_h"),
+    )
+    return parse_png_headers(synth_pngs(docs)).orderBy("media_id")
+
+
+X_PNG_SQL = """
+SELECT doc_id AS media_id,
+       (16 + doc_id % 240)::BIGINT AS width,
+       (16 + n_chars % 240)::BIGINT AS height,
+       8::BIGINT AS bit_depth,
+       2::BIGINT AS color_type
+FROM documents ORDER BY media_id
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1337,4 +1362,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x40_funnel": QuerySpec(x_funnel, X_FUNNEL_SQL),
     "x41_retention_cohorts": QuerySpec(x_retention, X_RETENTION_SQL),
     "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),
+    "x43_png_roundtrip": QuerySpec(x_png_roundtrip, X_PNG_SQL),
 }

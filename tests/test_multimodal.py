@@ -182,3 +182,34 @@ def test_wav_roundtrip_distributed(spark):
     assert got == {i: (8000 * i, 1, 16, 10 * i) for i in range(1, 5)}
     with _pytest.raises(ValueError):
         parse_wav_header(b"not a wav at all............")
+
+
+def test_png_parser_crc_and_roundtrip(spark):
+    """Distributed synth→parse inverts; corrupted CRC raises; the header
+    constants match the PNG spec (8-bit truecolor)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.multimodal import (
+        parse_png_header,
+        parse_png_headers,
+        png_bytes,
+        synth_pngs,
+    )
+
+    assert parse_png_header(png_bytes(1, 1)) == (1, 1, 8, 2)
+    bad = bytearray(png_bytes(10, 10))
+    bad[29] ^= 0xFF  # corrupt the IHDR CRC
+    with _pytest.raises(ValueError):
+        parse_png_header(bytes(bad))
+
+    df = spark.range(1, 4).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(100) * F.col("id")).alias("_w"),
+        (F.lit(50) * F.col("id")).alias("_h"),
+    )
+    got = {
+        r.media_id: (r.width, r.height, r.bit_depth, r.color_type)
+        for r in parse_png_headers(synth_pngs(df)).collect()
+    }
+    assert got == {i: (100 * i, 50 * i, 8, 2) for i in range(1, 4)}
