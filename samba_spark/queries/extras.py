@@ -470,7 +470,8 @@ surviving AS (
   SELECT MIN(doc_id) AS doc_id
   FROM kept
   GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
-SELECT k.source, COUNT(*) AS n_docs, SUM(k.ws_tokens) AS total_tokens
+SELECT k.source, COUNT(*) AS n_docs,
+       CAST(SUM(k.ws_tokens) AS BIGINT) AS total_tokens
 FROM surviving s JOIN kept k ON k.doc_id = s.doc_id
 GROUP BY k.source ORDER BY k.source
 """

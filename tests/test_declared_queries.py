@@ -36,6 +36,23 @@ def test_entry_smoke(spark):
     assert keys_o <= keys_q
 
 
+def test_no_hugeint_oracle_columns(duck):
+    """No oracle may produce a HUGEINT / DECIMAL(38,*) (int128) column:
+    DuckDB promotes bare SUM(BIGINT) to HUGEINT, which the driver's hasher
+    represents differently from BIGINT even when values are identical
+    (round-2 q39 hash-fail root cause). Every integer SUM must be wrapped
+    in CAST(... AS BIGINT) or ROUND."""
+    for name, spec in ALL_QUERIES.items():
+        if not spec.oracle:
+            continue
+        desc = duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        for col, typ, *_ in desc:
+            t = typ.upper()
+            assert "HUGEINT" not in t and not t.startswith("DECIMAL(38"), (
+                f"{name}.{col} is {typ}: cast to BIGINT in the oracle SQL"
+            )
+
+
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong,
