@@ -371,10 +371,16 @@ def cross_source_overlap(
             F.split(_normalized(F.col("text")), " "), lambda x: x != F.lit("")
         ).alias("_toks"),
     )
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
-    )
+    # full n-token shingles only: a doc with < n tokens contributes
+    # nothing (an empty/whitespace-only doc must not make two sources
+    # spuriously "share" the '' shingle)
+    sh = F.when(
+        F.size("_toks") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - n),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     exploded = toked.select("src", F.explode(sh).alias("shingle"))
     if hash_shingles:
         exploded = exploded.select("src", F.xxhash64("shingle").alias("shingle"))

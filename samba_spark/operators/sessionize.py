@@ -91,46 +91,66 @@ def funnel(
     with nullable-free times up to their deepest step (inner progression:
     users drop out of deeper rows).
 
-    Scale shape: every stage joins and aggregates on the SAME key
-    (``user_col``), so the per-stage exchanges reuse one hash
-    partitioning; per-stage state is one timestamp per user — no window
-    over raw events, no session explosion."""
-    cur = None
-    for i, step in enumerate(steps):
-        e = events.where(F.col(type_col) == step).select(
-            user_col, F.col(ts_col).alias(f"_t{i}")
+    Returns one row per user who completed step 0; deeper stage times are
+    NULL from the first step the user failed to reach (the progression is
+    monotone — a non-null ``t_i`` implies all earlier times are non-null).
+    Filter ``t_{k-1} IS NOT NULL`` for the old "full completers" view.
+
+    Scale shape: ONE scan of events (filtered to the step types, pushed to
+    the parquet scan) and ONE user-keyed shuffle. Per-user state is the
+    timestamp list of that user's funnel-step events, so skewed users
+    (bots) bound per-task memory by their own event count — cap upstream
+    with mixing.cap_per_group if needed. The progression itself
+    (min-after-previous per stage) is pure Catalyst array algebra, no
+    joins, no per-stage re-scan."""
+    typed = events.where(F.col(type_col).isin(list(steps))).select(
+        user_col, type_col, ts_col
+    )
+    # one list column per stage: that user's timestamps of the stage type
+    # (collect_list drops the nulls the when() emits for other types)
+    lists = typed.groupBy(user_col).agg(
+        *[
+            F.collect_list(
+                F.when(F.col(type_col) == s, F.col(ts_col))
+            ).alias(f"_l{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # single-arg lambda via factory (a defaulted second arg would make
+    # F.filter treat it as the (element, index) form)
+    def _after(prev_col):
+        return lambda x: x > prev_col
+
+    out = lists.withColumn("t0", F.array_min("_l0"))
+    for i in range(1, len(steps)):
+        # earliest stage-i event strictly after the previous stage's time;
+        # NULL prev ⇒ NULL comparison ⇒ empty filter ⇒ NULL array_min
+        out = out.withColumn(
+            f"t{i}",
+            F.array_min(F.filter(F.col(f"_l{i}"), _after(F.col(f"t{i-1}")))),
         )
-        if cur is None:
-            cur = e.groupBy(user_col).agg(F.min(f"_t{i}").alias(f"t{i}"))
-        else:
-            j = e.join(cur, user_col).where(
-                F.col(f"_t{i}") > F.col(f"t{i-1}")
-            )
-            cur = j.groupBy(user_col).agg(
-                F.min(f"_t{i}").alias(f"t{i}"),
-                *[F.first(f"t{k}").alias(f"t{k}") for k in range(i)],
-            )
-    return cur.select(user_col, *[f"t{i}" for i in range(len(steps))])
+    return out.where(F.col("t0").isNotNull()).select(
+        user_col, *[f"t{i}" for i in range(len(steps))]
+    )
 
 
 def funnel_counts(
     events: DataFrame, steps: list[str], **kw
 ) -> DataFrame:
     """Funnel summary: (step, n_users) — how many users reached each step
-    in order. Each stage's survivors come from :func:`funnel`'s iterative
-    progression, counted with one tiny agg per stage."""
-    from functools import reduce
-
-    counts = []
-    for i in range(len(steps)):
-        reached = funnel(events, steps[: i + 1], **kw)
-        counts.append(
-            reached.agg(
-                F.lit(f"step{i}_{steps[i]}").alias("step"),
-                F.count(F.lit(1)).cast("long").alias("n_users"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), counts).orderBy("step")
+    in order. ONE :func:`funnel` pass (one events scan), then a single
+    count-non-null aggregation unpivoted to (step, n_users) rows — not a
+    per-prefix re-run (the round-2 O(k²) shape)."""
+    prog = funnel(events, steps, **kw)
+    k = len(steps)
+    one = prog.agg(
+        *[F.count(f"t{i}").cast("long").alias(f"_c{i}") for i in range(k)]
+    )
+    stack = "stack({}, {}) as (step, n_users)".format(
+        k,
+        ", ".join(f"'step{i}_{steps[i]}', _c{i}" for i in range(k)),
+    )
+    return one.select(F.expr(stack)).orderBy("step")
 
 
 def retention_cohorts(
@@ -153,15 +173,20 @@ def retention_cohorts(
     active = events.select(
         user_col, F.date_trunc(granularity, F.col(ts_col)).cast("date").alias("_p")
     ).distinct()
-    days = {"week": 7, "month": 30}[granularity]
+    if granularity == "week":
+        # both dates are week-truncated, so day-diff div 7 is exact
+        offset = F.expr("datediff(_p, cohort) div 7")
+    elif granularity == "month":
+        # calendar months, NOT datediff div 30: a 59-day Jan→Mar span is
+        # offset 2, and div-30 would collide it with February's offset 1
+        offset = F.expr(
+            "(year(_p) * 12 + month(_p)) - (year(cohort) * 12 + month(cohort))"
+        )
+    else:
+        raise ValueError(f"granularity must be 'week' or 'month', got {granularity!r}")
     return (
         active.join(first_seen, user_col)
-        .groupBy(
-            "cohort",
-            F.expr(f"datediff(_p, cohort) div {days}").cast("long").alias(
-                "period_offset"
-            ),
-        )
+        .groupBy("cohort", offset.cast("long").alias("period_offset"))
         .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
         .orderBy("cohort", "period_offset")
     )

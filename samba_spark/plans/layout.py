@@ -103,13 +103,24 @@ def compact_dataset(
     streaming sinks and per-batch appends leave thousands of KB-sized
     files whose open/footer costs dominate scans. Compaction reads once,
     ``repartition``s to ceil(bytes / target) — a round-robin shuffle that
-    also rebalances skewed input files — and atomically swaps the
-    directory. At 100 TB this runs per-partition (pass ``partition_by``)
-    so each rewrite is bounded and incremental.
+    also rebalances skewed input files — then swaps the directory in two
+    renames. The swap is NOT atomic (two renames plus an rmtree cannot be
+    on a plain filesystem): a crash between the renames leaves the dataset
+    at ``<path>.compact.old``; stale ``.compact.{tmp,old}`` leftovers from
+    such a crash are cleaned up on the next run. On a real deployment use
+    a table format with transactional commit (Iceberg/Delta rewrite) —
+    this is the filesystem-only fallback. At 100 TB this runs
+    per-partition (pass ``partition_by``) so each rewrite is bounded and
+    incremental.
     """
     import math
     import os
     import shutil
+
+    # clear debris from a previously crashed run, else os.rename raises
+    for stale in (path.rstrip("/") + ".compact.tmp", path.rstrip("/") + ".compact.old"):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     size = sum(
         os.path.getsize(os.path.join(dp, f))

@@ -891,8 +891,10 @@ WITH toked AS (
                      x -> x <> '') AS toks
   FROM documents),
 sh AS (
+  -- full n-token shingles only (docs with < n tokens contribute nothing)
   SELECT DISTINCT source, array_to_string(toks[i+1 : i+2], ' ') AS shingle
-  FROM toked, UNNEST(range(0, greatest(len(toks)-2, 0) + 1)) AS u(i)),
+  FROM toked, UNNEST(range(0, len(toks) - 2 + 1)) AS u(i)
+  WHERE len(toks) >= 2),
 sizes AS (SELECT source, COUNT(*)::BIGINT AS n_vocab FROM sh GROUP BY source),
 pairs AS (
   SELECT a.source AS source_a, b.source AS source_b, COUNT(*)::BIGINT AS n_shared
@@ -1195,18 +1197,26 @@ def q52_integrity_audit(spark, sf_dir):
     return out.orderBy("relationship")
 
 
+# NOT EXISTS, not NOT IN: the Spark side's left_anti counts a NULL foreign
+# key as an orphan, while NOT IN's three-valued NULL semantics would
+# silently exclude NULL-keyed children — the two sides must agree even if
+# a fixture ever ships NULL FKs.
 Q52_SQL = """
 SELECT 'customer->nation' AS relationship, (SELECT COUNT(*) FROM customer)::BIGINT AS n_rows,
-       (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))::BIGINT AS n_orphans
+       (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+          (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))::BIGINT AS n_orphans
 UNION ALL
 SELECT 'lineitem->orders', (SELECT COUNT(*) FROM lineitem)::BIGINT,
-       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))::BIGINT
+       (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
 UNION ALL
 SELECT 'nation->region', (SELECT COUNT(*) FROM nation)::BIGINT,
-       (SELECT COUNT(*) FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))::BIGINT
+       (SELECT COUNT(*) FROM nation na WHERE NOT EXISTS
+          (SELECT 1 FROM region r WHERE r.r_regionkey = na.n_regionkey))::BIGINT
 UNION ALL
 SELECT 'orders->customer', (SELECT COUNT(*) FROM orders)::BIGINT,
-       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+       (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+          (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
 ORDER BY relationship
 """
 

@@ -871,7 +871,10 @@ def q48_tpch_q1(spark, sf_dir):
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            # ROUND before the cast (like the money columns): Spark's
+            # cast('long') truncates toward zero while DuckDB's CAST
+            # rounds, so parity must not hinge on integral fixtures
+            F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
             F.sum(e4(disc_price)).alias("sum_disc_price_e4"),
             F.sum(e6(charge)).alias("sum_charge_e6"),
@@ -883,7 +886,7 @@ def q48_tpch_q1(spark, sf_dir):
 
 Q48_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
        SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_price_c,
        SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT AS sum_disc_price_e4,
        SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT))::BIGINT AS sum_charge_e6,

@@ -727,6 +727,62 @@ def test_funnel_strict_ordering(spark):
     assert times[3] == (t(5), t(6))  # pre-signup click ignored
 
 
+def test_funnel_nullable_progression(spark):
+    """funnel() returns every step-0 user with NULL times from the first
+    step they failed to reach (monotone progression), in ONE events scan."""
+    import datetime as dt
+
+    from samba_spark.operators.sessionize import funnel, funnel_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, "signup", t(0)), (1, "click", t(10)), (1, "purchase", t(20)),
+        (2, "signup", t(0)), (2, "purchase", t(5)), (2, "click", t(10)),
+        (4, "click", t(1)), (4, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.user_id: (r.t0, r.t1, r.t2) for r in
+           funnel(df, ["signup", "click", "purchase"]).collect()}
+    assert got == {
+        1: (t(0), t(10), t(20)),
+        2: (t(0), t(10), None),  # purchase-before-click: stops at click
+    }  # u4 never signed up -> no row
+
+    # the O(k²) round-2 shape re-scanned events once per prefix; the
+    # single-pass rewrite must reference the events relation exactly once
+    plan = funnel_counts(df, ["signup", "click", "purchase"])._jdf.queryExecution().optimizedPlan().toString()
+    scans = plan.count("LogicalRDD") + plan.count("Relation [")
+    assert scans == 1, f"expected 1 events scan, got {scans}:\n{plan}"
+
+
+def test_retention_cohorts_month_calendar(spark):
+    """Month granularity uses calendar months: Jan 1 cohort active Mar 1
+    is offset 2 (59 days div 30 would wrongly give 1, colliding with
+    February)."""
+    import datetime as dt
+
+    from samba_spark.operators.sessionize import retention_cohorts
+
+    rows = [
+        (1, dt.datetime(2023, 1, 1)), (1, dt.datetime(2023, 3, 1)),
+        (2, dt.datetime(2023, 1, 15)), (2, dt.datetime(2023, 2, 28)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r.cohort), r.period_offset): r.n_users
+        for r in retention_cohorts(df, granularity="month").collect()
+    }
+    assert got == {
+        ("2023-01-01", 0): 2,
+        ("2023-01-01", 1): 1,  # u2 in February
+        ("2023-01-01", 2): 1,  # u1 in March — NOT merged with February
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        retention_cohorts(df, granularity="day")
+
+
 def test_retention_cohorts_triangle(spark):
     """Two cohorts; a user active in weeks 0 and 2 counts at offsets 0 and
     2 only; cohorts never gain users at offset 0 < later cohorts' users."""
