@@ -147,6 +147,73 @@ def compact_dataset(
     )
 
 
+def bucketed_rank(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    tiebreak: str,
+    buckets: int = 32,
+    out_col: str = "rnk",
+) -> DataFrame:
+    """Skew-safe per-key rank: ``ROW_NUMBER() OVER (PARTITION BY key ORDER
+    BY order_col, tiebreak)`` without ever putting a hot key's rows in one
+    task — the data-dependent window shape SCALE.md flags as needing
+    salting.
+
+    A plain window sends EVERY row of a key to one task; a bot key with
+    10⁹ rows is a straggler (or OOM) at 100 TB. Instead the key's value
+    range is split into ``buckets`` fixed-width slices (the per-key analog
+    of Spark's own RangePartitioner global sort):
+
+    1. 1-row min/max of ``order_col`` — broadcast.
+    2. counts per (key, bucket) — partial-agg shuffle of #keys×buckets
+       rows; running sum over buckets within key (a window over that tiny
+       relation) gives each bucket's global row offset.
+    3. row_number within (key, bucket) + offset — the hot key's window now
+       runs as ``buckets`` independent tasks.
+
+    Exactness: the bucket index is non-decreasing in ``order_col`` and
+    ties share a bucket, so local-rank + earlier-bucket-count equals the
+    global row_number for the composite (order_col, tiebreak) order —
+    engine-exact when that composite is unique per key. Limitation: a hot
+    key whose order values are all EQUAL still lands in one bucket (no
+    order-based split can help; salt the tiebreak instead)."""
+    lo, hi = F.col("_lo"), F.col("_hi")
+    stats = df.agg(
+        F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
+    )
+    width = (hi - lo) / buckets
+    bkt = (
+        F.when(hi == lo, F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(buckets),
+                (F.floor((F.col(order_col) - lo) / width) + 1).cast("int"),
+            )
+        )
+        .cast("int")
+    )
+    b = df.crossJoin(F.broadcast(stats)).withColumn("_bkt", bkt).drop(
+        "_lo", "_hi"
+    )
+    from pyspark.sql import Window
+
+    counts = b.groupBy(key, "_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    cum = Window.partitionBy(key).orderBy("_bkt")
+    offsets = counts.withColumn(
+        "_off", F.sum("_n").over(cum) - F.col("_n")
+    ).select(key, "_bkt", "_off")
+    local = Window.partitionBy(key, "_bkt").orderBy(order_col, tiebreak)
+    return (
+        b.join(F.broadcast(offsets), [key, "_bkt"])
+        .withColumn(
+            out_col,
+            (F.row_number().over(local) + F.col("_off")).cast("long"),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
 def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     """Pre-join skew diagnostic for a prospective shuffle key: the ``top``
     heaviest key values with their row counts and each key's share of the

@@ -6,35 +6,42 @@ is the ANSI-SQL equivalent DuckDB runs on the same parquet for the
 correctness gate.
 
 Ordering contract: the driver's correctness artifact records the FIRST 50
-entries, so ``ALL_QUERIES`` lists the 50 queries that need a hard driver
-signal first (all of DECLARED, the non-redundant EXTRAS, line-mode pipe,
-and extension operators x1–x13), and ``AUX_QUERIES`` last. Every AUX entry
-is either redundant with an in-window query (q33 cube ≡ q7 grouping-sets
-family, q44 stream-dedup ≡ q31+distinct), rows-only by design (q29 HLL,
-q30 sampling, x14 estimator-trained IVF), or was already driver-green in
-round 1 (q27, q28, q34, q36–q38 — see CORRECTNESS_r01.json); all of them
-stay under the local DuckDB parity harness in tests/test_declared_queries.
+entries of ``ALL_QUERIES``. Round-3 rotation (VERDICT r2 item 2): queries
+that were driver-green in rounds 1–2 move to ``AUX_QUERIES`` and a ~13-query
+sentinel core stays in-window (one representative per operator family, plus
+q39 whose oracle was fixed this round); the freed ~35 slots go to the
+never-driver-checked block (x14–x43, q48–q52) plus the two new round-3
+queries (q53 provenance-counts, q54 skew-window), so by end of round 3
+every query has had a hard driver row. Every AUX entry remains under the
+local DuckDB parity harness in tests/test_declared_queries.py, which runs
+ALL oracle-bearing queries regardless of window position.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
 from samba_spark.queries.extensions import EXTENSIONS
 from samba_spark.queries.extras import EXTRAS
 
-_AUX_NAMES = [
-    "q27_cogroup",
-    "q28_zip",
-    "q29_approx_count_distinct",
-    "q30_sample_by",
-    "q33_cube",
-    "q34_global_agg",
-    "q36_pivot",
-    "q37_percentiles",
-    "q38_string_agg",
-    "q44_stream_dedup",
+# Sentinel core: one driver-green representative per operator family, kept
+# in-window as regression canaries across rounds.
+_SENTINELS = [
+    "q7_rollup",               # grouping-sets family
+    "q9_outer_join",           # join family
+    "q14_rank_window",         # window family
+    "q21_cte",                 # subquery/CTE family
+    "q23_star_join",           # flagship star join
+    "q24_provenance_lineage",  # provenance contract (rows-only by design)
+    "q25_asof_join",           # custom-operator family
+    "q31_stream_tumbling",     # streaming family
+    "q39_training_pipeline",   # pipeline composition (oracle cast fixed r3)
+    "q41_pagerank",            # graph family + perf canary
+    "q43_stream_join",         # stream-stream join + perf canary
+    "q47_pipe",                # pipe operator
+    "x3_minhash_lsh_dedup",    # dedup family + perf canary
+]
+
+# Never driver-checked before round 3: every one of these gets a hard row.
+_ROTATED_IN = [
     "x14_ivf_topk",
-    # round-2 additions: oracle-checked locally (tests/test_declared_queries
-    # runs every oracle-bearing AUX entry); the 50-slot driver window was
-    # already allocated to operators that had no hard signal in round 1.
     "x15_sequence_pack",
     "x16_decontaminate",
     "x17_top_terms",
@@ -52,29 +59,33 @@ _AUX_NAMES = [
     "x29_chunk_documents",
     "x30_merge_upsert",
     "x31_cross_source_overlap",
-    "q48_tpch_q1",
-    "q49_tpch_q6",
-    "q50_tpch_q3",
     "x32_weighted_sample",
     "x33_collocations",
     "x34_corpus_diff",
-    "q51_stream_static_join",
     "x35_repeated_spans",
     "x36_token_budget_cap",
     "x37_norm_stats",
     "x38_search_topk",
     "x39_skew_profile",
-    "q52_integrity_audit",
     "x40_funnel",
     "x41_retention_cohorts",
     "x42_wav_roundtrip",
     "x43_png_roundtrip",
+    "q48_tpch_q1",
+    "q49_tpch_q6",
+    "q50_tpch_q3",
+    "q51_stream_static_join",
+    "q52_integrity_audit",
+    "q53_provenance_counts",
+    "q54_skew_window",
 ]
+
+_WINDOW_NAMES = _SENTINELS + _ROTATED_IN
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}
 
-CONTRACT_QUERIES = {k: v for k, v in _FULL.items() if k not in _AUX_NAMES}
-AUX_QUERIES = {k: _FULL[k] for k in _AUX_NAMES}
+CONTRACT_QUERIES = {k: _FULL[k] for k in _WINDOW_NAMES}
+AUX_QUERIES = {k: v for k, v in _FULL.items() if k not in CONTRACT_QUERIES}
 
 ALL_QUERIES = {**CONTRACT_QUERIES, **AUX_QUERIES}
 

@@ -1270,6 +1270,130 @@ GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset
 """
 
 
+# q53: the provenance surface's hard driver signal. q24 is rows-only by
+# design (its invariants are engine-internal); here the same capture
+# semantics are re-expressed as a deterministic COUNT query over the
+# persisted prov parquet, and the DuckDB oracle reads the SAME store —
+# a real value-hash row for the provenance family.
+import os as _os
+import tempfile as _tempfile
+
+Q53_PROV_DIR = _os.path.join(_tempfile.gettempdir(), "samba_q53_prov")
+
+
+def q53_provenance_counts(spark, sf_dir):
+    """scan(nation)+scan(region) → filter(track_dropped) → join → agg with
+    element capture, then per-transformation-type element/dep counts read
+    back from the prov store. nation/region are fixed-size at every SF, so
+    the counts are SF-independent and deterministic (element ids are
+    uuids, but only counts are compared)."""
+    import shutil
+
+    from samba_spark.session import ProvSession
+
+    shutil.rmtree(Q53_PROV_DIR, ignore_errors=True)
+    ps = ProvSession(spark, name="q53", prov_dir=Q53_PROV_DIR)
+    nation = ps.read_parquet(f"{sf_dir}/nation.parquet", "nation").with_elements()
+    region = ps.read_parquet(f"{sf_dir}/region.parquet", "region").with_elements()
+    nation.persist_elements()
+    region.persist_elements()
+    filtered = nation.where(F.col("n_nationkey") >= 5, track_dropped=True)
+    filtered.persist_elements()
+    joined = filtered.join(
+        region, on=filtered.raw.n_regionkey == region.raw.r_regionkey, how="inner"
+    )
+    joined.persist_elements()
+    agged = joined.group_by("r_name").agg(F.count(F.lit(1)).alias("cnt"))
+    agged.persist_elements()
+    agged.collect()
+    ps.stop()
+
+    tasks = spark.read.parquet(f"{Q53_PROV_DIR}/tasks").select(
+        "task_id", "transformation_type"
+    )
+    els = spark.read.parquet(f"{Q53_PROV_DIR}/elements")
+    deps = spark.read.parquet(f"{Q53_PROV_DIR}/element_deps")
+    e_per = (
+        els.join(tasks, "task_id")
+        .groupBy("transformation_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_elements"))
+    )
+    d_per = (
+        deps.join(tasks, "task_id")
+        .groupBy("transformation_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_deps"))
+    )
+    return (
+        e_per.join(d_per, "transformation_type", "full_outer")
+        .select(
+            "transformation_type",
+            F.coalesce("n_elements", F.lit(0)).cast("long").alias("n_elements"),
+            F.coalesce("n_deps", F.lit(0)).cast("long").alias("n_deps"),
+        )
+        .orderBy("transformation_type")
+    )
+
+
+Q53_SQL = f"""
+WITH t AS (
+  SELECT task_id, transformation_type
+  FROM read_parquet('{Q53_PROV_DIR}/tasks/*.parquet')),
+e AS (
+  SELECT t.transformation_type, COUNT(*)::BIGINT AS n_elements
+  FROM read_parquet('{Q53_PROV_DIR}/elements/*.parquet') el
+  JOIN t ON t.task_id = el.task_id
+  GROUP BY 1),
+d AS (
+  SELECT t.transformation_type, COUNT(*)::BIGINT AS n_deps
+  FROM read_parquet('{Q53_PROV_DIR}/element_deps/*.parquet') dp
+  JOIN t ON t.task_id = dp.task_id
+  GROUP BY 1)
+SELECT COALESCE(e.transformation_type, d.transformation_type) AS transformation_type,
+       COALESCE(e.n_elements, 0)::BIGINT AS n_elements,
+       COALESCE(d.n_deps, 0)::BIGINT AS n_deps
+FROM e FULL OUTER JOIN d ON e.transformation_type = d.transformation_type
+ORDER BY transformation_type
+"""
+
+
+def q54_skew_window(spark, sf_dir):
+    """Skew-stress window: 70% of orders funneled onto one synthetic hot
+    key, then per-key top-3 by (o_totalprice, o_orderkey) via
+    plans.layout.bucketed_rank — the hot key's window runs as 32 bucket
+    tasks instead of one straggler. Oracle is the plain ROW_NUMBER()."""
+    from samba_spark.plans.layout import bucketed_rank
+
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    skewed = o.withColumn(
+        "skew_key",
+        F.when(F.col("o_custkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("o_custkey"))
+        .cast("long"),
+    )
+    ranked = bucketed_rank(
+        skewed, "skew_key", "o_totalprice", "o_orderkey", buckets=32
+    )
+    return (
+        ranked.where(F.col("rnk") <= 3)
+        .select("skew_key", "o_orderkey", "rnk")
+        .orderBy("skew_key", "rnk")
+    )
+
+
+Q54_SQL = """
+WITH s AS (
+  SELECT o_orderkey, o_totalprice,
+         (CASE WHEN o_custkey % 10 < 7 THEN 0 ELSE o_custkey END)::BIGINT AS skew_key
+  FROM orders)
+SELECT skew_key, o_orderkey, rnk FROM (
+  SELECT skew_key, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY skew_key
+                            ORDER BY o_totalprice, o_orderkey)::BIGINT AS rnk
+  FROM s) z
+WHERE rnk <= 3 ORDER BY skew_key, rnk
+"""
+
+
 def x_wav_roundtrip(spark, sf_dir):
     """Audio metadata extraction — REAL codec path (RIFF/WAV struct
     parse, no stubs): synthesize deterministic PCM blobs from document
@@ -1369,6 +1493,8 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x38_search_topk": QuerySpec(x_search_topk, X_SEARCH_SQL),
     "x39_skew_profile": QuerySpec(x_skew_profile, X_SKEW_SQL),
     "q52_integrity_audit": QuerySpec(q52_integrity_audit, Q52_SQL),
+    "q53_provenance_counts": QuerySpec(q53_provenance_counts, Q53_SQL),
+    "q54_skew_window": QuerySpec(q54_skew_window, Q54_SQL),
     "x40_funnel": QuerySpec(x_funnel, X_FUNNEL_SQL),
     "x41_retention_cohorts": QuerySpec(x_retention, X_RETENTION_SQL),
     "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),

@@ -55,13 +55,24 @@ def test_no_hugeint_oracle_columns(duck):
 
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
-    ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong,
-    with every x1–x13 extension inside (the round-1 verdict's top fix)."""
+    ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
+    Round-3 rotation: every never-driver-checked query (x14–x43, q48–q54)
+    must be inside the window so each gets a hard row, plus the sentinel
+    core of family representatives."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
     assert len(CONTRACT_QUERIES) == 50
     assert names[:50] == list(CONTRACT_QUERIES)
     in_window = set(names[:50])
-    for i in range(1, 14):
+    for i in range(14, 44):
         assert any(n.startswith(f"x{i}_") for n in in_window), f"x{i} outside window"
+    for q in range(48, 55):
+        assert any(n.startswith(f"q{q}_") for n in in_window), f"q{q} outside window"
+    sentinels = {
+        "q7_rollup", "q9_outer_join", "q14_rank_window", "q21_cte",
+        "q23_star_join", "q24_provenance_lineage", "q25_asof_join",
+        "q31_stream_tumbling", "q39_training_pipeline", "q41_pagerank",
+        "q43_stream_join", "q47_pipe", "x3_minhash_lsh_dedup",
+    }
+    assert sentinels <= in_window

@@ -141,3 +141,50 @@ def test_compact_dataset_reduces_files_preserves_rows(spark, tmp_path):
     assert n_after < n_before
     after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
     assert after == before
+
+
+def test_bucketed_rank_exact_and_skew_bounded(spark):
+    """bucketed_rank equals the plain per-key ROW_NUMBER, while the hot
+    key's window work is split across buckets: no (key, bucket) task sees
+    more than a fraction of the hot key's rows, and the window's exchange
+    partitions on (key, _bkt), never on key alone."""
+    from pyspark.sql import Window
+
+    from samba_spark.plans.layout import bucketed_rank
+
+    # 9000 rows on hot key 0 (values spread), 1000 rows across 100 keys
+    rows = [(0, float(i % 977), i) for i in range(9000)] + [
+        (1 + i % 100, float(i % 53), 10_000 + i) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double, uid long")
+
+    got = bucketed_rank(df, "k", "v", "uid", buckets=16)
+    expected = df.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("k").orderBy("v", "uid")).cast("long"),
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # skew bound: largest (key, bucket) group ≪ the 9000-row hot key
+    from pyspark.sql import functions as FF
+
+    lo, hi = 0.0, 976.0
+    width = (hi - lo) / 16
+    bucketed = df.where("k = 0").withColumn(
+        "_bkt", FF.least(FF.lit(16), (FF.floor((FF.col("v") - lo) / width) + 1).cast("int"))
+    )
+    biggest = (
+        bucketed.groupBy("k", "_bkt").count().agg(FF.max("count")).collect()[0][0]
+    )
+    assert biggest <= 9000 / 8, f"hot-key bucket too large: {biggest}"
+
+    # the row_number (data-sized) window must partition on (k, _bkt) —
+    # a bare-k spec would put all 9000 hot-key rows in one task. (The
+    # cumulative-offset window partitions on bare k, but runs over the
+    # #keys×buckets counts relation, which is fine.)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines, plan
+    for l in rn_lines:
+        assert "_bkt" in l, f"row_number window not bucket-partitioned: {l}"
