@@ -3,10 +3,16 @@
 Design (per the north-star spec): media rides in ordinary ``BinaryType``
 columns — the same machinery as FileGroup ``files.content`` — with a typed
 metadata struct alongside. Decode / feature-extraction run as Arrow-batched
-``mapInPandas`` stages; the Spark-side plumbing (schema, partitioning,
-batch shape) is real and tested, while actual codec work is stubbed behind
-import guards (PIL/librosa are not in this container) with a deterministic
-byte-level fallback so pipelines remain testable end-to-end.
+``mapInPandas`` stages. Codec paths, in preference order:
+
+1. REAL pure-stdlib codecs, no external libs: RIFF/WAV header parse, PNG
+   IHDR parse, and a full PNG pixel codec (zlib inflate, all five scanline
+   filters, nearest-neighbor resize, re-encode) — these execute in any
+   environment and are what decode/resize use for PNG payloads.
+2. PIL, when installed, for every other image format.
+3. A deterministic byte-level stub, ONLY behind an explicit
+   ``allow_stub=True``, for non-PNG formats without PIL — pipelines stay
+   testable end-to-end, and the fake is loud, opt-in, and shape-identical.
 """
 
 from __future__ import annotations
@@ -114,48 +120,23 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _pil_image():
-    """The PIL Image module, or None when Pillow is absent. Resolved at
-    call time (per worker) so the real/stub switch is decided where the
-    row is processed."""
-    try:
-        from PIL import Image
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-        return Image
-    except ImportError:
-        return None
-
-
-def decode_one(content: bytes, *, allow_stub: bool = False) -> tuple:
-    """Per-row decode contract: bytes → (width, height, channels), same
-    types and value ranges on the real (PIL) and stub paths — the switch is
-    behavior-identical in shape, asserted by tests/test_multimodal.py."""
-    Image = _pil_image()
-    if Image is None and not allow_stub:
-        raise NotImplementedError(
-            "image decode requires Pillow, which is not installed; "
-            "pass allow_stub=True for the deterministic fake"
-        )
-    if Image is not None:
-        import io
-
-        img = Image.open(io.BytesIO(content))
-        w, h = img.size
-        return int(w), int(h), len(img.getbands())
-    digest = hashlib.sha256(content).digest()
-    return 16 + digest[0] % 240, 16 + digest[1] % 240, 3
+# channels per PNG color type (8-bit; type 3 = palette, one index byte)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_images(media: DataFrame, *, allow_stub: bool = False) -> DataFrame:
-    """Image decode → (width, height, channels). Requires PIL; without it,
-    ``allow_stub=True`` yields a deterministic fake (dimensions derived from
-    the content digest) so pipeline plumbing can be exercised."""
+    """Image decode → (width, height, channels). REAL for PNG payloads via
+    the pure-stdlib codec (PIL handles other formats when installed; the
+    opt-in ``allow_stub`` fake covers non-PNG-without-PIL plumbing runs)."""
+    _d1 = decode_one  # factory-made → cloudpickle ships it by value
 
     def _decode(batches: Iterable[pd.DataFrame]):
         for batch in batches:
             out = []
             for _, row in batch.iterrows():
-                w, h, c = decode_one(
+                w, h, c = _d1(
                     bytes(row["content"] or b""), allow_stub=allow_stub
                 )
                 out.append(
@@ -184,29 +165,6 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_one(
-    content: bytes, width: int, height: int, *, allow_stub: bool = False
-) -> bytes:
-    """Per-row resize contract: bytes → bytes, real (PIL) and stub paths
-    both return a non-empty binary payload for the (width, height) target."""
-    Image = _pil_image()
-    if Image is None and not allow_stub:
-        raise NotImplementedError(
-            "image resize requires Pillow, which is not installed; "
-            "pass allow_stub=True for the deterministic fake"
-        )
-    if Image is not None:
-        import io
-
-        img = Image.open(io.BytesIO(content)).resize((width, height))
-        buf = io.BytesIO()
-        img.save(buf, format="PNG")
-        return buf.getvalue()
-    n_out = width * height * 3
-    digest = hashlib.sha256(content).digest()
-    return (digest * (n_out // len(digest) + 1))[:n_out]
-
-
 def resize_images(
     media: DataFrame,
     *,
@@ -214,17 +172,18 @@ def resize_images(
     height: int = 64,
     allow_stub: bool = False,
 ) -> DataFrame:
-    """Image resize → (media_id, width, height, content). Requires PIL;
-    without it, ``allow_stub=True`` emits a deterministic fake payload
-    (content digest cycled to width*height*3 bytes) so the binary-in →
-    binary-out batch shape — the expensive multimodal pattern at 100 TB —
-    stays exercised end-to-end."""
+    """Image resize → (media_id, width, height, content). REAL for PNG via
+    the pure-stdlib pixel codec (decode → nearest-neighbor → re-encode);
+    PIL for other formats when installed; the opt-in ``allow_stub`` fake
+    keeps the binary-in → binary-out batch shape — the expensive
+    multimodal pattern at 100 TB — exercisable anywhere."""
+    _r1 = resize_one  # factory-made → cloudpickle ships it by value
 
     def _resize(batches: Iterable[pd.DataFrame]):
         for batch in batches:
             out = []
             for _, row in batch.iterrows():
-                payload = resize_one(
+                payload = _r1(
                     bytes(row["content"] or b""),
                     width,
                     height,
@@ -459,6 +418,294 @@ def _make_png_codec():
 
 
 png_bytes, parse_png_header = _make_png_codec()
+
+
+# Pixel-level PNG codec — REAL, pure stdlib (zlib + struct), no Pillow.
+# Supports 8-bit gray / gray+alpha / RGB / RGBA, all five scanline filters
+# on decode, selectable filter on encode (so the decoder's Sub/Up/Average/
+# Paeth reconstruction is testable without any external writer). This is
+# what makes decode_one/resize_one's non-PIL path real instead of a stub.
+def _make_png_pixel_codec():
+    import struct
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    CH = {0: 1, 2: 3, 4: 2, 6: 4}  # palette (3) unsupported at pixel level
+    COLOR = {1: 0, 2: 4, 3: 2, 4: 6}
+
+    def _chunk(typ, body):
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    def _paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def encode_png_pixels(width, height, channels, raw, filter_type=0):
+        """8-bit raw interleaved pixels → complete PNG (IHDR+IDAT+IEND).
+        ``filter_type`` applies to every scanline (0=None 1=Sub 2=Up
+        3=Average 4=Paeth) — non-zero values exist to exercise decode."""
+        bpp = channels
+        stride = width * bpp
+        raw = bytes(raw)
+        if len(raw) != stride * height:
+            raise ValueError(
+                f"raw pixel buffer is {len(raw)} bytes, want {stride * height}"
+            )
+        out = bytearray()
+        prev = bytes(stride)
+        for y in range(height):
+            line = raw[y * stride : (y + 1) * stride]
+            out.append(filter_type)
+            if filter_type == 0:
+                out += line
+            else:
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    if filter_type == 1:
+                        pred = a
+                    elif filter_type == 2:
+                        pred = b
+                    elif filter_type == 3:
+                        pred = (a + b) // 2
+                    elif filter_type == 4:
+                        pred = _paeth(a, b, c)
+                    else:
+                        raise ValueError(f"bad filter {filter_type}")
+                    out.append((line[x] - pred) & 0xFF)
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, COLOR[channels], 0, 0, 0)
+        return (
+            SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode_png_pixels(content):
+        """PNG bytes → (width, height, channels, raw interleaved pixels).
+        CRC-verifies every chunk, reconstructs all five filters. Raises
+        ValueError on non-PNG, interlaced, palette, non-8-bit, or
+        header-only (no IDAT) input — loud, never garbage."""
+        content = bytes(content)
+        if content[:8] != SIG:
+            raise ValueError("not a PNG")
+        pos = 8
+        w = h = color = None
+        idat = bytearray()
+        while pos + 12 <= len(content):
+            (length,) = struct.unpack(">I", content[pos : pos + 4])
+            typ = content[pos + 4 : pos + 8]
+            body = content[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", content[pos + 8 + length : pos + 12 + length]
+            )
+            if crc != (zlib.crc32(typ + body) & 0xFFFFFFFF):
+                raise ValueError(f"{typ!r} CRC mismatch")
+            if typ == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+                if depth != 8:
+                    raise ValueError(f"bit depth {depth} unsupported (8 only)")
+                if color not in CH:
+                    raise ValueError(f"color type {color} unsupported")
+                if interlace:
+                    raise ValueError("interlaced PNG unsupported")
+            elif typ == b"IDAT":
+                idat += body
+            elif typ == b"IEND":
+                break
+            pos += 12 + length
+        if w is None:
+            raise ValueError("no IHDR")
+        if not idat:
+            raise ValueError("no IDAT (header-only PNG)")
+        raw = zlib.decompress(bytes(idat))
+        ch = CH[color]
+        bpp = ch
+        stride = w * bpp
+        if len(raw) != (stride + 1) * h:
+            raise ValueError("pixel payload size mismatch")
+        out = bytearray(stride * h)
+        prev = bytes(stride)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            if f == 0:
+                pass
+            elif f == 1:
+                for x in range(bpp, stride):
+                    line[x] = (line[x] + line[x - bpp]) & 0xFF
+            elif f == 2:
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif f == 3:
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + (a + prev[x]) // 2) & 0xFF
+            elif f == 4:
+                for x in range(stride):
+                    a = line[x - bpp] if x >= bpp else 0
+                    c = prev[x - bpp] if x >= bpp else 0
+                    line[x] = (line[x] + _paeth(a, prev[x], c)) & 0xFF
+            else:
+                raise ValueError(f"bad scanline filter {f}")
+            out[y * stride : (y + 1) * stride] = line
+            prev = bytes(line)
+        return w, h, ch, bytes(out)
+
+    def resize_nearest(raw, w, h, ch, new_w, new_h):
+        """Nearest-neighbor resample of raw interleaved 8-bit pixels."""
+        out = bytearray(new_w * new_h * ch)
+        for y in range(new_h):
+            sy = y * h // new_h
+            row = sy * w
+            for x in range(new_w):
+                src = (row + x * w // new_w) * ch
+                dst = (y * new_w + x) * ch
+                out[dst : dst + ch] = raw[src : src + ch]
+        return bytes(out)
+
+    return encode_png_pixels, decode_png_pixels, resize_nearest
+
+
+encode_png_pixels, decode_png_pixels, resize_nearest = _make_png_pixel_codec()
+
+
+# decode_one/resize_one are factory-built (same by-value serialization rule
+# as the codecs: their qualnames are not importable, so cloudpickle ships
+# them — and the codec closures they capture — into executor closures of
+# sessions that never put samba_spark on worker PYTHONPATH).
+def _make_image_ops():
+    import hashlib as _hashlib
+
+    _sig = PNG_SIG
+    _chmap = dict(_PNG_CHANNELS)
+    _parse_hdr = parse_png_header
+    _dec_px = decode_png_pixels
+    _enc_px = encode_png_pixels
+    _rsz = resize_nearest
+
+    def _pil_image():
+        """The PIL Image module, or None when Pillow is absent. Resolved
+        at call time (per worker) so the switch is decided where the row
+        is processed."""
+        try:
+            from PIL import Image
+
+            return Image
+        except ImportError:
+            return None
+
+    def decode_one(content, *, allow_stub=False):
+        """Per-row decode contract: bytes → (width, height, channels),
+        same types and value ranges on every path. Path order: PIL when
+        installed (any format); else the REAL pure-stdlib PNG parse
+        (CRC-verified IHDR) for PNG payloads; else the deterministic stub
+        only when explicitly allowed — non-PNG without PIL fails loudly."""
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            img = Image.open(io.BytesIO(content))
+            w, h = img.size
+            return int(w), int(h), len(img.getbands())
+        if bytes(content[:8]) == _sig:
+            w, h, _depth, color = _parse_hdr(content)
+            return int(w), int(h), _chmap[color]
+        if not allow_stub:
+            raise NotImplementedError(
+                "non-PNG image decode requires Pillow, which is not "
+                "installed; pass allow_stub=True for the deterministic fake"
+            )
+        digest = _hashlib.sha256(content).digest()
+        return 16 + digest[0] % 240, 16 + digest[1] % 240, 3
+
+    def resize_one(content, width, height, *, allow_stub=False):
+        """Per-row resize contract: bytes → bytes (a valid PNG on the real
+        paths). Path order: PIL when installed; else the REAL pure-stdlib
+        PNG pixel path — full IDAT decode, filter reconstruction,
+        nearest-neighbor resample, re-encode; else the opt-in stub."""
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            img = Image.open(io.BytesIO(content)).resize((width, height))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
+        if bytes(content[:8]) == _sig:
+            w, h, ch, raw = _dec_px(content)
+            return _enc_px(
+                width, height, ch, _rsz(raw, w, h, ch, width, height)
+            )
+        if not allow_stub:
+            raise NotImplementedError(
+                "non-PNG image resize requires Pillow, which is not "
+                "installed; pass allow_stub=True for the deterministic fake"
+            )
+        n_out = width * height * 3
+        digest = _hashlib.sha256(content).digest()
+        return (digest * (n_out // len(digest) + 1))[:n_out]
+
+    return decode_one, resize_one
+
+
+decode_one, resize_one = _make_image_ops()
+
+
+def synth_pixel_pngs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "_w",
+    height_col: str = "_h",
+) -> DataFrame:
+    """Deterministic FULL PNGs (real IDAT pixel data, 8-bit RGB) from
+    dimension columns; the scanline filter cycles with the id so decode
+    exercises all five reconstructions in distributed runs."""
+    _enc = encode_png_pixels
+
+    def _synth(batches):
+        for batch in batches:
+            out = []
+            for mid, w, h in zip(batch[id_col], batch[width_col], batch[height_col]):
+                mid, w, h = int(mid), int(w), int(h)
+                raw = bytes(
+                    (x * 7 + y * 13 + c * 29 + mid * 31) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                out.append(
+                    {
+                        "media_id": mid,
+                        "content": _enc(w, h, 3, raw, filter_type=mid % 5),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.col(width_col), F.col(height_col)
+    ).mapInPandas(_synth, schema)
 
 PNG_META_SCHEMA = T.StructType(
     [

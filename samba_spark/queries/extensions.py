@@ -1270,6 +1270,45 @@ GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset
 """
 
 
+def x_png_pixel_pipeline(spark, sf_dir):
+    """Pixel-level image pipeline on the REAL pure-stdlib PNG codec (no
+    PIL, no stubs): synth full PNGs (IDAT pixels, filter cycling over all
+    five types) from document params, decode the dimensions back, resize
+    to 4×4, decode the resized payloads. The oracle recomputes every
+    dimension arithmetically — proving decode inverts encode AND resize
+    emits valid PNGs at the target size, distributed."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where("doc_id <= 5")
+        .select(
+            "doc_id",
+            (F.lit(8) + F.col("doc_id") % 8).cast("int").alias("_w"),
+            (F.lit(6) + F.col("doc_id") % 6).cast("int").alias("_h"),
+        )
+    )
+    media = M.synth_pixel_pngs(docs)
+    orig = M.decode_images(media)
+    resized = M.decode_images(M.resize_images(media, width=4, height=4)).select(
+        "media_id",
+        F.col("width").alias("r_width"),
+        F.col("height").alias("r_height"),
+        F.col("channels").alias("r_channels"),
+    )
+    return orig.join(resized, "media_id").orderBy("media_id")
+
+
+X_PNG_PIXEL_SQL = """
+SELECT doc_id::BIGINT AS media_id,
+       (8 + doc_id % 8)::INTEGER AS width,
+       (6 + doc_id % 6)::INTEGER AS height,
+       3::INTEGER AS channels,
+       4::INTEGER AS r_width,
+       4::INTEGER AS r_height,
+       3::INTEGER AS r_channels
+FROM documents WHERE doc_id <= 5 ORDER BY media_id
+"""
+
+
 # q53: the provenance surface's hard driver signal. q24 is rows-only by
 # design (its invariants are engine-internal); here the same capture
 # semantics are re-expressed as a deterministic COUNT query over the
@@ -1498,5 +1537,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x40_funnel": QuerySpec(x_funnel, X_FUNNEL_SQL),
     "x41_retention_cohorts": QuerySpec(x_retention, X_RETENTION_SQL),
     "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),
+    "x44_png_pixel_pipeline": QuerySpec(x_png_pixel_pipeline, X_PNG_PIXEL_SQL),
     "x43_png_roundtrip": QuerySpec(x_png_roundtrip, X_PNG_SQL),
 }

@@ -213,3 +213,133 @@ def test_png_parser_crc_and_roundtrip(spark):
         for r in parse_png_headers(synth_pngs(df)).collect()
     }
     assert got == {i: (100 * i, 50 * i, 8, 2) for i in range(1, 4)}
+
+
+# --- pixel-level PNG codec: REAL path, no PIL, no stubs -------------------
+
+
+def _gradient(w, h, ch):
+    """Deterministic test pixels with per-channel structure."""
+    return bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_png_pixel_roundtrip_all_filters(ch, filt):
+    """encode(filter=f) → decode inverts exactly for every channel count
+    and every scanline filter — the decoder's Sub/Up/Average/Paeth
+    reconstruction is exercised for real."""
+    from samba_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png_pixels,
+    )
+
+    raw = _gradient(9, 7, ch)
+    png = encode_png_pixels(9, 7, ch, raw, filter_type=filt)
+    w, h, got_ch, got = decode_png_pixels(png)
+    assert (w, h, got_ch) == (9, 7, ch)
+    assert got == raw
+
+
+def test_png_pixel_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from samba_spark.operators.multimodal import decode_png_pixels, png_bytes
+
+    with _pytest.raises(ValueError):
+        decode_png_pixels(b"not a png")
+    with _pytest.raises(ValueError):  # header-only fixture: loud, not garbage
+        decode_png_pixels(png_bytes(4, 4))
+    from samba_spark.operators.multimodal import encode_png_pixels
+
+    good = bytearray(encode_png_pixels(4, 4, 3, _gradient(4, 4, 3)))
+    good[40] ^= 0xFF  # corrupt inside IDAT
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bytes(good))
+
+
+def test_resize_nearest_exact():
+    from samba_spark.operators.multimodal import resize_nearest
+
+    # 2x2 RGB checker upscaled to 4x4: each source pixel becomes a 2x2 block
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    raw = bytes(v for p in px for v in p)
+    up = resize_nearest(raw, 2, 2, 3, 4, 4)
+    get = lambda x, y: tuple(up[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3])
+    assert get(0, 0) == get(1, 1) == px[0]
+    assert get(2, 0) == get(3, 1) == px[1]
+    assert get(0, 2) == get(1, 3) == px[2]
+    assert get(2, 2) == get(3, 3) == px[3]
+
+
+def test_decode_resize_one_real_png_path_without_pil():
+    """With no PIL installed, PNG payloads take the REAL codec path:
+    decode_one reads true dimensions; resize_one emits a valid PNG whose
+    pixels are the nearest-neighbor resample of the source."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; this exercises the non-PIL real path")
+    except ImportError:
+        pass
+    from samba_spark.operators.multimodal import (
+        decode_one,
+        decode_png_pixels,
+        encode_png_pixels,
+        resize_nearest,
+        resize_one,
+    )
+
+    raw = _gradient(16, 12, 3)
+    png = encode_png_pixels(16, 12, 3, raw, filter_type=4)
+    assert decode_one(png) == (16, 12, 3)  # no allow_stub needed
+
+    out = resize_one(png, 8, 6)
+    w, h, ch, got = decode_png_pixels(out)
+    assert (w, h, ch) == (8, 6, 3)
+    assert got == resize_nearest(raw, 16, 12, 3, 8, 6)
+
+    # header-only PNG (no IDAT): resize is impossible — loud ValueError,
+    # never a silent fake
+    from samba_spark.operators.multimodal import png_bytes
+
+    with pytest.raises(ValueError):
+        resize_one(png_bytes(4, 4), 2, 2)
+
+
+def test_decode_resize_images_distributed_real_png(spark):
+    """End-to-end distributed real-codec run: synth pixel PNGs → decode
+    dims → resize — no allow_stub anywhere."""
+    from pyspark.sql import types as T
+
+    from samba_spark.operators.multimodal import (
+        decode_images,
+        decode_png_pixels,
+        encode_png_pixels,
+        resize_images,
+    )
+
+    rows = [
+        (i, encode_png_pixels(8 + i, 6 + i, 3, _gradient(8 + i, 6 + i, 3)))
+        for i in range(1, 4)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    media = spark.createDataFrame(rows, schema)
+    dims = {r.media_id: (r.width, r.height, r.channels)
+            for r in decode_images(media).collect()}
+    assert dims == {i: (8 + i, 6 + i, 3) for i in range(1, 4)}
+    resized = {r.media_id: r for r in
+               resize_images(media, width=4, height=4).collect()}
+    for i in range(1, 4):
+        w, h, ch, _ = decode_png_pixels(bytes(resized[i].content))
+        assert (w, h, ch) == (4, 4, 3)
