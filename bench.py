@@ -58,19 +58,31 @@ def main() -> None:
 
     prov_ratio = measure_prov_overhead(spark, sf_dir)
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_wall_clock",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                "sf": sf,
-                "prov_overhead_ratio": prov_ratio,
-            }
-        )
-    )
+    payload = {
+        "metric": "declared_query_suite_wall_clock",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "n_queries": len(timings),
+        "sf": sf,
+        "prov_overhead_ratio": prov_ratio,
+    }
+    print(json.dumps(payload))
+
+    # The driver's BENCH_r{N}.json can truncate long stdout tails; persist
+    # the full parsed JSON beside bench.py so per-query timings and the
+    # suite total survive intact for the next round's comparison.
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m2 = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m2:
+            rounds.append(int(m2.group(1)))
+    n = (max(rounds) + 1) if rounds else 0
+    with open(os.path.join(here, f"bench_full_r{n:02d}.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
 
 
 def measure_prov_overhead(spark, sf_dir: str) -> float:

@@ -1249,6 +1249,52 @@ ORDER BY step
 """
 
 
+def x_deep_funnel(spark, sf_dir):
+    """6-step funnel (repeating step types allowed) — the depth that made
+    the round-2 per-prefix implementation O(k²) in events scans; the
+    single-pass rewrite holds one collect-list shuffle regardless of k."""
+    from samba_spark.operators.sessionize import funnel_counts
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return funnel_counts(
+        events, ["signup", "view", "click", "view", "click", "purchase"]
+    )
+
+
+X_DEEP_FUNNEL_SQL = """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s5 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s4 ON e.user_id = s4.user_id AND e.ts > s4.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'step0_signup' AS step, COUNT(*)::BIGINT AS n_users FROM s0
+UNION ALL SELECT 'step1_view', COUNT(*)::BIGINT FROM s1
+UNION ALL SELECT 'step2_click', COUNT(*)::BIGINT FROM s2
+UNION ALL SELECT 'step3_view', COUNT(*)::BIGINT FROM s3
+UNION ALL SELECT 'step4_click', COUNT(*)::BIGINT FROM s4
+UNION ALL SELECT 'step5_purchase', COUNT(*)::BIGINT FROM s5
+ORDER BY step
+"""
+
+
 def x_retention(spark, sf_dir):
     """Weekly retention-cohort triangle over events."""
     from samba_spark.operators.sessionize import retention_cohorts
@@ -1538,5 +1584,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x41_retention_cohorts": QuerySpec(x_retention, X_RETENTION_SQL),
     "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),
     "x44_png_pixel_pipeline": QuerySpec(x_png_pixel_pipeline, X_PNG_PIXEL_SQL),
+    "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
     "x43_png_roundtrip": QuerySpec(x_png_roundtrip, X_PNG_SQL),
 }
