@@ -1479,6 +1479,31 @@ WHERE rnk <= 3 ORDER BY skew_key, rnk
 """
 
 
+def x_retention_monthly(spark, sf_dir):
+    """Monthly retention-cohort triangle — exercises the calendar-month
+    offset path (fixed this round: datediff div 30 misbucketed Jan→Mar
+    as offset 1; now (year*12+month) deltas)."""
+    from samba_spark.operators.sessionize import retention_cohorts
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return retention_cohorts(events, granularity="month")
+
+
+X_RETENTION_MONTHLY_SQL = """
+WITH c AS (
+  SELECT user_id, date_trunc('month', MIN(ts))::DATE AS cohort
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts)::DATE AS p FROM events)
+SELECT c.cohort,
+       ((year(a.p) * 12 + month(a.p))
+        - (year(c.cohort) * 12 + month(c.cohort)))::BIGINT AS period_offset,
+       COUNT(DISTINCT a.user_id)::BIGINT AS n_users
+FROM a JOIN c USING (user_id)
+GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset
+"""
+
+
 def x_wav_roundtrip(spark, sf_dir):
     """Audio metadata extraction — REAL codec path (RIFF/WAV struct
     parse, no stubs): synthesize deterministic PCM blobs from document
@@ -1585,5 +1610,8 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),
     "x44_png_pixel_pipeline": QuerySpec(x_png_pixel_pipeline, X_PNG_PIXEL_SQL),
     "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
+    "x46_retention_monthly": QuerySpec(
+        x_retention_monthly, X_RETENTION_MONTHLY_SQL
+    ),
     "x43_png_roundtrip": QuerySpec(x_png_roundtrip, X_PNG_SQL),
 }
