@@ -103,6 +103,8 @@ def funnel(
     with mixing.cap_per_group if needed. The progression itself
     (min-after-previous per stage) is pure Catalyst array algebra, no
     joins, no per-stage re-scan."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
     typed = events.where(F.col(type_col).isin(list(steps))).select(
         user_col, type_col, ts_col
     )

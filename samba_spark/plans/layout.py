@@ -175,16 +175,21 @@ def bucketed_rank(
     Exactness: the bucket index is non-decreasing in ``order_col`` and
     ties share a bucket, so local-rank + earlier-bucket-count equals the
     global row_number for the composite (order_col, tiebreak) order —
-    engine-exact when that composite is unique per key. Limitation: a hot
-    key whose order values are all EQUAL still lands in one bucket (no
-    order-based split can help; salt the tiebreak instead)."""
+    engine-exact when that composite is unique per key. NULL order values
+    sort first (Spark's ASC default) and get bucket 0, so they are ranked,
+    never dropped. Limitation: a hot key whose order values are all EQUAL
+    still lands in one bucket (no order-based split can help; salt the
+    tiebreak instead)."""
     lo, hi = F.col("_lo"), F.col("_hi")
     stats = df.agg(
         F.min(order_col).alias("_lo"), F.max(order_col).alias("_hi")
     )
     width = (hi - lo) / buckets
+    # NULL order → bucket 0 (NULLs rank first under ASC); all-NULL input
+    # leaves lo/hi NULL, which the isNull branch also catches
     bkt = (
-        F.when(hi == lo, F.lit(1))
+        F.when(F.col(order_col).isNull(), F.lit(0))
+        .when(hi == lo, F.lit(1))
         .otherwise(
             F.least(
                 F.lit(buckets),

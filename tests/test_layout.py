@@ -188,3 +188,22 @@ def test_bucketed_rank_exact_and_skew_bounded(spark):
     assert rn_lines, plan
     for l in rn_lines:
         assert "_bkt" in l, f"row_number window not bucket-partitioned: {l}"
+
+
+def test_bucketed_rank_null_order_values_not_dropped(spark):
+    """NULL order values rank first (Spark ASC default) instead of being
+    silently dropped by a NULL bucket failing the offsets equi-join."""
+    from pyspark.sql import Window
+
+    from samba_spark.plans.layout import bucketed_rank
+
+    rows = [(1, None, 10), (1, 5.0, 11), (1, None, 12), (1, 1.0, 13)]
+    df = spark.createDataFrame(rows, "k int, v double, uid long")
+    got = bucketed_rank(df, "k", "v", "uid", buckets=4)
+    expected = df.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("k").orderBy("v", "uid")).cast("long"),
+    )
+    assert got.count() == 4
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
