@@ -48,6 +48,33 @@ def read_jdbc(
     return spark.read.jdbc(url, table, properties=properties or {})
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str, schema=None, **options
+) -> DataFrame:
+    """XML source (built into Spark 4; the reference reads arbitrary Hadoop
+    InputFormats — XML is the remaining common text format next to
+    csv/json). Schema inference works like JSON's; pass an explicit schema
+    at scale so the scan is single-pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+# NOTE: Avro is Spark's one "built-in but external module" format — the
+# spark-avro jar is not bundled in the pyspark wheel, so there is no
+# read_avro here; parquet/orc cover the columnar cases the reference's
+# sequence/object files map to.
+
+
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """saveAsTextFile (reference rdd/RDD.scala:1684): single string column."""
     df.write.mode(mode).text(path)

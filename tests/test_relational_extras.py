@@ -176,3 +176,25 @@ def test_functions_namespace(spark):
     assert abs(row.cos - 1.0) < 1e-12
     assert row.toks == ["a", "b", "c"]
     assert row.norm == "a b c"
+
+
+def test_xml_round_trip(spark, sf_smoke, tmp_path):
+    """XML source (Spark 4 built-in): write → read inverts with an
+    explicit schema; values survive typed."""
+    from pyspark.sql import types as T
+
+    from samba_spark.sources.readers import read_xml, write_xml
+
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+        ]
+    )
+    back = read_xml(spark, path, row_tag="nation", schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
