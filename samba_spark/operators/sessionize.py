@@ -155,6 +155,32 @@ def funnel_counts(
     return one.select(F.expr(stack)).orderBy("step")
 
 
+def trailing_window_count(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_seconds: int = 3600,
+    out_col: str = "n_trailing",
+) -> DataFrame:
+    """Per event: how many events the same user produced in the trailing
+    ``window_seconds`` (inclusive of the current event) — the rate-limit /
+    burst-detection primitive. A RANGE frame over exact epoch-micros, so
+    the frame boundary is engine-exact (no float time arithmetic) and ties
+    at the boundary are handled identically everywhere.
+
+    Scale shape: ONE user-keyed exchange + in-partition sort; state is the
+    frame's sliding buffer, bounded by the user's own event rate within
+    the window. COUNT over the frame is integer — deterministic under any
+    SQL engine."""
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return events.withColumn(out_col, F.count(F.lit(1)).over(w).cast("long"))
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

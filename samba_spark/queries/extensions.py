@@ -1504,6 +1504,27 @@ GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset
 """
 
 
+def x_trailing_window(spark, sf_dir):
+    """Trailing 1-hour per-user event counts (RANGE frame over epoch
+    micros) — the frame family q16's ROWS frame doesn't cover."""
+    from samba_spark.operators.sessionize import trailing_window_count
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return trailing_window_count(events).select(
+        "event_id", "user_id", "n_trailing"
+    ).orderBy("event_id")
+
+
+X_TRAILING_SQL = """
+SELECT event_id, user_id,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       )::BIGINT AS n_trailing
+FROM events ORDER BY event_id
+"""
+
+
 def x_wav_roundtrip(spark, sf_dir):
     """Audio metadata extraction — REAL codec path (RIFF/WAV struct
     parse, no stubs): synthesize deterministic PCM blobs from document
@@ -1613,5 +1634,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x46_retention_monthly": QuerySpec(
         x_retention_monthly, X_RETENTION_MONTHLY_SQL
     ),
+    "x47_trailing_window": QuerySpec(x_trailing_window, X_TRAILING_SQL),
     "x43_png_roundtrip": QuerySpec(x_png_roundtrip, X_PNG_SQL),
 }

@@ -807,3 +807,24 @@ def test_retention_cohorts_triangle(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_trailing_window_boundary_inclusive(spark):
+    """RANGE frame boundary: an event exactly window_seconds earlier is
+    INCLUDED (closed lower bound); one microsecond-older-than-window is
+    not. Epoch-micros arithmetic keeps this engine-exact."""
+    import datetime as dt
+
+    from samba_spark.operators.sessionize import trailing_window_count
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(seconds=3600)),       # exactly 1h later
+        (3, 1, t0 + dt.timedelta(seconds=7201)),       # 1h+1s after #2
+        (4, 2, t0),                                    # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.n_trailing
+           for r in trailing_window_count(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 4: 1}
