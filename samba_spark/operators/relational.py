@@ -124,26 +124,68 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` on the same key — the operator DuckDB spells
-    ASOF JOIN and the reference does not have at all.
+    """As-of join: for each left row, the matching right row on the same
+    key by time — the operator DuckDB spells ASOF JOIN and the reference
+    does not have at all. ``direction``:
 
-    Implementation is the union+window trick — one shuffle on the key,
-    no range explosion: tag both sides, sort by (key, ts, side) with right
-    rows first at equal ts (inclusive semantics), then last_value(...,
-    ignorenulls) carries the most recent right payload onto each left row.
-    Scales as a single window over (key, time) — the partition key is
-    ``on``, so skew follows key skew, not time range.
+    - ``backward`` (default): latest right with ``right_ts <= left_ts``
+    - ``forward``: earliest right with ``right_ts >= left_ts``
+    - ``nearest``: whichever of the two is closer in time (ties prefer
+      the backward match)
+
+    Implementation is the union+window trick — one shuffle on the key, no
+    range explosion: tag both sides, sort by (key, ts, side) so that at
+    equal timestamps the right row falls inside the left row's frame
+    (inclusive semantics), then last/first(..., ignorenulls) carries the
+    right payload onto each left row. Scales as a single window over
+    (key, time) — the partition key is ``on``, so skew follows key skew,
+    not time range. ``nearest`` composes one pass per direction (two
+    windows, same key exchange).
     """
-    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    if direction == "nearest":
+        carry = list(right_cols)
+        if right_ts not in carry:
+            carry.append(right_ts)
+        b = asof_join(
+            left, right, on=on, left_ts=left_ts, right_ts=right_ts,
+            right_cols=carry, suffix="_bwd", direction="backward",
+        )
+        bf = asof_join(
+            b, right, on=on, left_ts=left_ts, right_ts=right_ts,
+            right_cols=carry, suffix="_fwd", direction="forward",
+        )
+        lts = F.col(left_ts)
+        d_b = F.unix_micros(lts) - F.unix_micros(F.col(right_ts + "_bwd"))
+        d_f = F.unix_micros(F.col(right_ts + "_fwd")) - F.unix_micros(lts)
+        pick_b = F.col(right_ts + "_fwd").isNull() | (
+            F.col(right_ts + "_bwd").isNotNull() & (d_b <= d_f)
+        )
+        out = bf
+        for c in right_cols:
+            out = out.withColumn(
+                c + suffix,
+                F.when(pick_b, F.col(c + "_bwd")).otherwise(F.col(c + "_fwd")),
+            )
+        return out.drop(*[c + "_bwd" for c in carry], *[c + "_fwd" for c in carry])
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    backward = direction == "backward"
+    # at equal ts the right row must fall inside the left row's frame:
+    # backward frame looks left → right sorts first; forward frame looks
+    # right → right sorts last
+    left_side, right_side = (1, 0) if backward else (0, 1)
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_side", F.lit(left_side)
+    )
     rt = (
         right.select(
             F.col(on),
             F.col(right_ts).alias("_ts"),
             *[F.col(c).alias(c + suffix) for c in right_cols],
         )
-        .withColumn("_side", F.lit(0))
+        .withColumn("_side", F.lit(right_side))
     )
     for c in left.columns:
         if c not in rt.columns:
@@ -152,20 +194,26 @@ def asof_join(
         if c not in lt.columns:
             lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
     unioned = lt.unionByName(rt.select(*lt.columns))
+    if backward:
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        frame = (Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
     w = (
         Window.partitionBy(on)
         .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(*frame)
     )
     carried = unioned.select(
         *left.columns,
         "_side",
         *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+            pick(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
             for c in right_cols
         ],
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return carried.where(F.col("_side") == left_side).drop("_side")
 
 
 def range_join(

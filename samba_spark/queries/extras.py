@@ -102,6 +102,48 @@ ORDER BY e.event_id
 """
 
 
+# Q55 forward as-of join: the mirror direction (earliest right at-or-after
+# each left row) — DuckDB has no forward ASOF, so the oracle is the
+# correlated ORDER BY/LIMIT 1 subquery, which is the operator's definition.
+def q55_asof_forward(spark, sf_dir):
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = R.asof_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("click_id_asof").alias("next_click_id")
+    ).orderBy("event_id")
+
+
+Q55_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+SELECT e.event_id, e.user_id,
+       (SELECT c.click_id FROM clicks c
+        WHERE c.user_id = e.user_id AND c.ts >= e.ts
+        ORDER BY c.ts LIMIT 1) AS next_click_id
+FROM errors e ORDER BY e.event_id
+"""
+
+
 # Q26 range join: equi key + time band
 def q26_range_join(spark, sf_dir):
     events = load_tables(spark, sf_dir, ["events"])["events"]
@@ -993,4 +1035,5 @@ EXTRAS: dict[str, QuerySpec] = {
     "q49_tpch_q6": QuerySpec(q49_tpch_q6, Q49_SQL),
     "q50_tpch_q3": QuerySpec(q50_tpch_q3, Q50_SQL),
     "q51_stream_static_join": QuerySpec(q51_stream_static_join, Q51_SQL),
+    "q55_asof_forward": QuerySpec(q55_asof_forward, Q55_SQL),
 }

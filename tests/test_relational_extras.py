@@ -198,3 +198,48 @@ def test_xml_round_trip(spark, sf_smoke, tmp_path):
     )
     back = read_xml(spark, path, row_tag="nation", schema=schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_asof_join_directions(spark):
+    """backward picks the latest at-or-before, forward the earliest
+    at-or-after, nearest the closer of the two (ties -> backward)."""
+    import datetime as dt
+
+    from samba_spark.operators.relational import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, t(10)), (2, 1, t(30)), (3, 2, t(5))],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), "a"), (1, t(12), "b"), (1, t(29), "c"), (1, t(31), "d")],
+        "k long, ts timestamp, v string",
+    )
+
+    def run(direction):
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["v"], direction=direction,
+        )
+        return {r.lid: r.v_asof for r in out.collect()}
+
+    assert run("backward") == {1: "a", 2: "c", 3: None}
+    assert run("forward") == {1: "b", 2: "d", 3: None}
+    # lid=1: bwd delta 2s vs fwd delta 2s -> tie -> backward ("a")
+    # lid=2: bwd delta 1s beats fwd delta 1s -> tie -> backward ("c")
+    assert run("nearest") == {1: "a", 2: "c", 3: None}
+
+    # asymmetric case: bwd 5s vs fwd 1s -> forward wins
+    left2 = spark.createDataFrame([(9, 1, t(28))], "lid long, k long, ts timestamp")
+    out2 = asof_join(
+        left2, right, on="k", left_ts="ts", right_ts="ts",
+        right_cols=["v"], direction="nearest",
+    )
+    assert {r.lid: r.v_asof for r in out2.collect()} == {9: "c"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                  right_cols=["v"], direction="sideways")
