@@ -339,6 +339,70 @@ def dedup_incremental(
     )
 
 
+def dedup_incremental_bloom(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    key: str = "text",
+    normalize: bool = False,
+    m: int = 1 << 18,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered incremental dedup — bit-identical output to
+    :func:`dedup_incremental`, but the corpus anti-join only ever sees the
+    slice of the batch the bloom filter could not rule out.
+
+    The bloom filter is expressed relationally as a *position set*: every
+    distinct corpus digest sets ``k`` positions ``xxhash64(digest, seed_j)
+    pmod m``; the distinct position set has at most ``m`` rows (default
+    2^18 → ≤ 256Ki ints, a few MiB) and is broadcast. A batch document
+    missing ANY of its ``k`` positions cannot be in the corpus (no false
+    negatives) and skips the anti-join entirely; only all-positions-hit
+    maybe-dups reach the exact 16-byte-digest anti-join, whose verify step
+    removes the false positives — so the final result is exact and shares
+    :func:`dedup_incremental`'s oracle.
+
+    Scale shape: at 100 TB the accumulated corpus digest index is read
+    once (column-pruned to the digest) to build a broadcastable position
+    set; the wide anti-join shuffle then moves only the maybe-dup slice
+    (~batch_dup_rate + m-bounded false-positive rate) instead of the whole
+    batch. Size ``m`` ≈ 8–10 bits per corpus digest for a ~1-2%% FP rate;
+    beyond ~2^27 positions, partition the digest space and run one bloom
+    per partition (the position set stops being broadcastable).
+    """
+    keyc = _normalized(F.col(key)) if normalize else F.col(key)
+    inc = incoming.select("doc_id", F.md5(keyc).alias("_digest"))
+    seen = corpus.select(F.md5(keyc).alias("_digest")).distinct()
+
+    def _positions(digest: Column) -> Column:
+        return F.array(
+            *[F.pmod(F.xxhash64(digest, F.lit(j)), F.lit(m)) for j in range(k)]
+        )
+
+    pos_set = (
+        seen.select(F.explode(_positions(F.col("_digest"))).alias("_pos"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probed = (
+        inc.select("doc_id", "_digest", F.explode(_positions(F.col("_digest"))).alias("_pos"))
+        .join(F.broadcast(pos_set), "_pos", "left")
+        .groupBy("doc_id", "_digest")
+        .agg(F.min(F.coalesce(F.col("_hit"), F.lit(0))).alias("_all_hit"))
+    )
+    definitely_new = probed.where(F.col("_all_hit") == 0).select("doc_id", "_digest")
+    maybe_dup = probed.where(F.col("_all_hit") == 1).select("doc_id", "_digest")
+    verified_new = maybe_dup.join(seen, "_digest", "left_anti")
+    fresh = definitely_new.unionByName(verified_new)
+    return (
+        fresh.groupBy("_digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_batch_dups"),
+        )
+        .select("keep_doc_id", F.col("n_batch_dups").cast("long").alias("n_batch_dups"))
+    )
+
+
 def cross_source_overlap(
     documents: DataFrame,
     n: int = 2,

@@ -35,6 +35,69 @@ def merge_upsert(
     return updates.unionByName(kept)
 
 
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    order: Sequence[str],
+    attr,
+    attr_name: str = "attr",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build: collapse each run of
+    consecutive rows with the same ``attr`` value (per ``key``, in ``order``)
+    into one validity row — ``(key, version, attr, effective_from,
+    effective_to, n_rows)``. This is the other half of the warehouse MERGE
+    story (x30 is type-1 update-wins; this keeps history), and the standard
+    gaps-and-islands plan: change flags via LAG, island ids via a running
+    SUM of flags, then one aggregate per island.
+
+    ``order`` must be a total order within each key (pass a tiebreaker
+    column — the fixture's ``(o_orderdate, o_orderkey)`` pattern) or island
+    boundaries are engine-ambiguous. ``attr`` is a column name or Column
+    expression; NULL attr values island together (null-safe comparison).
+
+    Scale shape: the LAG window, the running-SUM window, and the final
+    groupBy all key on ``key`` — Catalyst plans ONE hash exchange + one
+    sort, reused by both windows and the partial aggregate. Output is
+    #islands rows (≤ input, typically ≪). No global window, no collect.
+    """
+    from pyspark.sql import Window, functions as F
+
+    keyc = F.col(key)
+    attrc = F.col(attr) if isinstance(attr, str) else attr
+    w = Window.partitionBy(keyc).orderBy(*[F.col(c) for c in order])
+    flagged = df.select(
+        keyc.alias(key),
+        *[F.col(c) for c in order],
+        attrc.alias(attr_name),
+    ).withColumn(
+        "_chg",
+        # row 1 always opens an island (a NULL first attr must not read as
+        # "unchanged since the non-existent previous row"); after that,
+        # null-safe comparison islands NULL runs together
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(
+            F.lag(F.col(attr_name)).over(w).eqNullSafe(F.col(attr_name)),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "version",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    first_order = F.col(order[0])
+    return (
+        islands.groupBy(key, "version")
+        .agg(
+            F.min(attr_name).alias(attr_name),
+            F.min(first_order).alias("effective_from"),
+            F.max(first_order).alias("effective_to"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(key, "version", attr_name, "effective_from", "effective_to", "n_rows")
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -218,3 +218,49 @@ def retention_cohorts(
         .agg(F.count_distinct(user_col).cast("long").alias("n_users"))
         .orderBy("cohort", "period_offset")
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: event counts and value
+    sums at minute, hour, and day granularity — plus the grand total — in
+    ONE pass. The hierarchy day ⊇ hour ⊇ minute makes this exactly SQL
+    ``ROLLUP(day, hour, minute)``: Catalyst expands each row into its four
+    grouping sets, partial-aggregates map-side, and shuffles once; the
+    naive alternative (three separate groupBys) scans a 100 TB events
+    table three times and shuffles three times.
+
+    Output: (grain ∈ minute|hour|day|all, bucket_ts = the grain's truncated
+    timestamp, NULL for 'all', n_events, sum_cents). Value sums are
+    integer-quantized (floor(value·scale)) so the multi-level reduction has
+    no float ordering exposure.
+    """
+    b = events.select(
+        F.date_trunc("day", F.col(ts)).alias("day"),
+        F.date_trunc("hour", F.col(ts)).alias("hour"),
+        F.date_trunc("minute", F.col(ts)).alias("minute"),
+        F.floor(F.col(value) * cents_scale).cast("long").alias("_cents"),
+    )
+    rolled = b.rollup("day", "hour", "minute").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("_cents").cast("long").alias("sum_cents"),
+        F.grouping("day").alias("_gd"),
+        F.grouping("hour").alias("_gh"),
+        F.grouping("minute").alias("_gm"),
+    )
+    grain = (
+        F.when(F.col("_gm") == 0, F.lit("minute"))
+        .when(F.col("_gh") == 0, F.lit("hour"))
+        .when(F.col("_gd") == 0, F.lit("day"))
+        .otherwise(F.lit("all"))
+    )
+    return rolled.select(
+        grain.alias("grain"),
+        F.coalesce("minute", "hour", "day").alias("bucket_ts"),
+        "n_events",
+        "sum_cents",
+    )

@@ -72,6 +72,40 @@ def cosine_topk(
     )
 
 
+def filtered_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label: str = "label",
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Metadata-filtered exact top-k — the "filtered ANN" shape every
+    production vector store needs: each query scores ONLY corpus vectors
+    sharing its ``label`` (tenant / language / shard key). The cross join
+    of :func:`cosine_topk` becomes a broadcast equi-join on the metadata
+    key, so candidate generation prunes to ~1/#labels of the corpus before
+    any dot product runs, and the label predicate rides the join into the
+    scan. ``queries``: (query_id, q_embedding, label).
+
+    Same determinism contract as cosine_topk: similarity rounded before
+    ranking, ties broken by vec_id; partition-local top-k via the window's
+    partial TakeOrderedAndProject before the final merge."""
+    scored = embeddings.join(F.broadcast(queries), on=label).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_embedding"), F.col("embedding")), round_to).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 def make_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (seeded PRNG, unit-free —
     sign-only use). Generated driver-side once; tiny (num_planes × dim)."""

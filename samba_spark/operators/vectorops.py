@@ -95,6 +95,61 @@ def normalize_vectors(
     )
 
 
+def quantization_stats(
+    df: DataFrame,
+    vec: str = "embedding",
+    group: str = "label",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-group int-N symmetric quantization audit — the pre-flight check
+    before shipping an embedding store as int8: for each vector, quantize
+    q_i = round(v_i · qmax / maxabs) (per-vector scale, qmax = 2^(bits-1)-1),
+    then aggregate per group the codebook usage (min/max/sum of q) and the
+    worst reconstruction error max|v_i − q_i·maxabs/qmax| (quantized to
+    integer nanounits so the reduction is order-free).
+
+    Scale shape: the per-vector math is pure Catalyst higher-order
+    functions (transform/aggregate/array_min/array_max) — explode-free and
+    zero-shuffle, in contrast to x21's posexplode path, so a 100 TB store
+    streams through the scan stage; the only exchange is the final
+    #groups-key partial aggregate. Engine-exact: q sums/extrema are
+    integers and the error max floors to integer before aggregation, so no
+    float reduction order is exposed. Zero vectors quantize to all-zero
+    codes with zero error (NULLIF/COALESCE guard).
+    """
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec).cast("array<double>")
+    maxabs = F.nullif(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(0.0)
+    )
+    q = F.transform(v, lambda x: F.round(x * qmax / maxabs).cast("long"))
+    err_e9 = F.transform(
+        v,
+        lambda x: F.floor(
+            F.abs(x - F.round(x * qmax / maxabs) * maxabs / qmax) * F.lit(1e9)
+        ).cast("long"),
+    )
+    per_row = df.select(
+        F.col(group),
+        F.coalesce(
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x), F.lit(0)
+        ).alias("_qs"),
+        F.coalesce(F.array_min(q), F.lit(0)).alias("_qmin"),
+        F.coalesce(F.array_max(q), F.lit(0)).alias("_qmax"),
+        F.coalesce(F.array_max(err_e9), F.lit(0)).alias("_err"),
+    )
+    return (
+        per_row.groupBy(group)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("_qs").cast("long").alias("sum_q"),
+            F.min("_qmin").cast("long").alias("min_q"),
+            F.max("_qmax").cast("long").alias("max_q"),
+            F.max("_err").cast("long").alias("max_err_e9"),
+        )
+    )
+
+
 def norm_stats(
     df: DataFrame, vec: str = "embedding", group: str = "label"
 ) -> DataFrame:

@@ -15,6 +15,11 @@ queries (q53 provenance-counts, q54 skew-window), so by end of round 3
 every query has had a hard driver row. Every AUX entry remains under the
 local DuckDB parity harness in tests/test_declared_queries.py, which runs
 ALL oracle-bearing queries regardless of window position.
+
+Round-4 rotation note: queries ADDED during round 3 after the window was
+pinned (x44–x52, q55, q56) have no driver row yet — they are the first
+candidates for the next rotation, swapping out whichever rotated-in block
+entries come back green in CORRECTNESS_r03.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec

@@ -804,6 +804,30 @@ FROM fresh GROUP BY d ORDER BY keep_doc_id
 """
 
 
+def x_bloom_dedup(spark, sf_dir):
+    """Bloom-prefiltered daily-ingest dedup: corpus = doc_id %% 3 == 0,
+    batch = the rest; a broadcastable position-set bloom rules most of the
+    batch out before the exact digest anti-join. Output is EXACT (bloom
+    false positives are removed by the verify anti-join), so the oracle is
+    the plain anti-join SQL — the bloom is a physical-plan optimization,
+    not a semantics change."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    incoming = docs.where(F.col("doc_id") % 3 != 0)
+    return D.dedup_incremental_bloom(incoming, corpus).orderBy("keep_doc_id")
+
+
+X_BLOOM_DEDUP_SQL = """
+WITH seen AS (
+  SELECT DISTINCT md5(text) AS d FROM documents WHERE doc_id % 3 = 0),
+fresh AS (
+  SELECT doc_id, md5(text) AS d FROM documents
+  WHERE doc_id % 3 <> 0 AND md5(text) NOT IN (SELECT d FROM seen))
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*)::BIGINT AS n_batch_dups
+FROM fresh GROUP BY d ORDER BY keep_doc_id
+"""
+
+
 def x_length_histogram(spark, sf_dir):
     """Per-source log2 length-bucket profile; bucket = length(bin(n)) —
     floor(log2 n)+1 in pure integer ops, engine-exact at the powers-of-two
@@ -1525,6 +1549,191 @@ FROM events ORDER BY event_id
 """
 
 
+def x_scd2_history(spark, sf_dir):
+    """Type-2 SCD history build: each customer's order-value tier
+    (floor(o_totalprice/50000)) over time, consecutive equal tiers
+    collapsed into validity ranges. Gaps-and-islands: LAG change flags +
+    running-SUM island ids + one aggregate, all on a single customer-keyed
+    exchange. (o_orderdate, o_orderkey) is the total order — the fixture
+    has same-day orders per customer."""
+    from samba_spark.operators.merge import scd2_history
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    tier = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return scd2_history(
+        orders, "o_custkey", ["o_orderdate", "o_orderkey"], tier, "tier"
+    ).orderBy("o_custkey", "version")
+
+
+X_SCD2_SQL = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS tier
+  FROM orders),
+flags AS (
+  SELECT *, CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                 WHEN LAG(tier) OVER w IS NOT DISTINCT FROM tier
+                 THEN 0 ELSE 1 END AS chg
+  FROM t
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+isl AS (
+  SELECT *, SUM(chg) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS UNBOUNDED PRECEDING) AS version
+  FROM flags)
+SELECT o_custkey, version::BIGINT AS version, MIN(tier) AS tier,
+       MIN(o_orderdate) AS effective_from, MAX(o_orderdate) AS effective_to,
+       COUNT(*)::BIGINT AS n_rows
+FROM isl GROUP BY o_custkey, version ORDER BY o_custkey, version
+"""
+
+
+def x_quantization_stats(spark, sf_dir):
+    """int8 quantization audit over the embedding store: per-label codebook
+    usage + worst reconstruction error. Explode-free per-vector math
+    (higher-order functions), one #labels-key partial aggregate."""
+    from samba_spark.operators.vectorops import quantization_stats
+
+    return quantization_stats(_embs(spark, sf_dir)).orderBy("label")
+
+
+X_QUANT_STATS_SQL = """
+WITH m AS (
+  SELECT label, embedding,
+         NULLIF(list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))), 0.0) AS maxabs
+  FROM embeddings),
+p AS (
+  SELECT label,
+    COALESCE(CAST(list_sum(list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE)*127/maxabs) AS BIGINT))) AS BIGINT), 0) AS qs,
+    COALESCE(CAST(list_min(list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE)*127/maxabs) AS BIGINT))) AS BIGINT), 0) AS qmin,
+    COALESCE(CAST(list_max(list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE)*127/maxabs) AS BIGINT))) AS BIGINT), 0) AS qmx,
+    COALESCE(CAST(list_max(list_transform(embedding,
+      x -> CAST(floor(abs(CAST(x AS DOUBLE)
+             - round(CAST(x AS DOUBLE)*127/maxabs)*maxabs/127)*1e9) AS BIGINT)))
+      AS BIGINT), 0) AS err
+  FROM m)
+SELECT label, COUNT(*)::BIGINT AS n_vecs, SUM(qs)::BIGINT AS sum_q,
+       MIN(qmin)::BIGINT AS min_q, MAX(qmx)::BIGINT AS max_q,
+       MAX(err)::BIGINT AS max_err_e9
+FROM p GROUP BY label ORDER BY label
+"""
+
+
+def x_filtered_topk(spark, sf_dir):
+    """Metadata-filtered exact top-k: each query vector searches only its
+    own label's partition of the corpus — broadcast equi-join candidate
+    generation instead of a cross join."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        "label",
+    )
+    return S.filtered_topk(embs, queries, k=10).orderBy("query_id", "rank")
+
+
+X_FILTERED_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+  FROM embeddings WHERE vec_id < 5),
+c AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_dot_product(q.q_emb, c.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+  FROM c JOIN q USING (label)),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, sim, rank FROM ranked
+WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def x_time_rollup(spark, sf_dir):
+    """Minute/hour/day/total continuous aggregate in one ROLLUP pass —
+    one shuffle with map-side partial aggs instead of three scans."""
+    from samba_spark.operators.sessionize import time_rollup
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return time_rollup(events).orderBy("grain", "bucket_ts")
+
+
+X_TIME_ROLLUP_SQL = """
+WITH b AS (
+  SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+         date_trunc('minute', ts) AS minute,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT CASE WHEN GROUPING(minute) = 0 THEN 'minute'
+            WHEN GROUPING(hour) = 0 THEN 'hour'
+            WHEN GROUPING(day) = 0 THEN 'day'
+            ELSE 'all' END AS grain,
+       COALESCE(minute, hour, day) AS bucket_ts,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(cents)::BIGINT AS sum_cents
+FROM b GROUP BY ROLLUP(day, hour, minute)
+ORDER BY grain, bucket_ts
+"""
+
+
+def x_parquet_manifest(spark, sf_dir):
+    """Distributed footer-only manifest of every fixture parquet file
+    (rows-only: oracle SQL strings cannot embed the fixture path, but
+    tests/test_extensions.py replays the same manifest through DuckDB's
+    parquet_file_metadata for full value parity)."""
+    from samba_spark.sources.manifest import table_manifest
+
+    return table_manifest(spark, sf_dir, stats_column="o_orderkey").orderBy(
+        "file_name"
+    )
+
+
+def x_binned_quantiles(spark, sf_dir):
+    """Histogram-sketch quantile estimates (p50/p95/p99 per event type):
+    shuffle bounded by #groups × #buckets regardless of row count — the
+    bounded-state substitute for q37's exact per-group percentile sort."""
+    from samba_spark.operators.sketch import binned_quantiles
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return binned_quantiles(events, "value", "event_type").orderBy(
+        "event_type", "p_pct"
+    )
+
+
+X_BINNED_QUANTILES_SQL = """
+WITH hist AS (
+  SELECT event_type, CAST(FLOOR(value * 100 / 25) AS BIGINT) AS bucket,
+         COUNT(*)::BIGINT AS n
+  FROM events GROUP BY event_type, bucket),
+cum AS (
+  SELECT event_type, bucket,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM hist),
+hits AS (
+  SELECT event_type, bucket, p.p_pct
+  FROM cum CROSS JOIN (VALUES (50), (95), (99)) AS p(p_pct)
+  WHERE cum * 100 >= p.p_pct * total)
+SELECT event_type, CAST(p_pct AS BIGINT) AS p_pct,
+       CAST((MIN(bucket) + 1) * 25 AS BIGINT) AS est_cents
+FROM hits GROUP BY event_type, p_pct
+ORDER BY event_type, p_pct
+"""
+
+
 def x_wav_roundtrip(spark, sf_dir):
     """Audio metadata extraction — REAL codec path (RIFF/WAV struct
     parse, no stubs): synthesize deterministic PCM blobs from document
@@ -1635,5 +1844,12 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_retention_monthly, X_RETENTION_MONTHLY_SQL
     ),
     "x47_trailing_window": QuerySpec(x_trailing_window, X_TRAILING_SQL),
+    "x48_bloom_dedup": QuerySpec(x_bloom_dedup, X_BLOOM_DEDUP_SQL),
+    "x49_scd2_history": QuerySpec(x_scd2_history, X_SCD2_SQL),
+    "x50_quantization_stats": QuerySpec(x_quantization_stats, X_QUANT_STATS_SQL),
+    "x51_time_rollup": QuerySpec(x_time_rollup, X_TIME_ROLLUP_SQL),
+    "x52_filtered_topk": QuerySpec(x_filtered_topk, X_FILTERED_TOPK_SQL),
+    "x53_parquet_manifest": QuerySpec(x_parquet_manifest, None),
+    "x54_binned_quantiles": QuerySpec(x_binned_quantiles, X_BINNED_QUANTILES_SQL),
     "x43_png_roundtrip": QuerySpec(x_png_roundtrip, X_PNG_SQL),
 }

@@ -1006,6 +1006,53 @@ LIMIT 10
 """
 
 
+def q56_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): HAVING subquery reduces
+    lineitem to the big-order keys FIRST (partial-agg shuffle on
+    l_orderkey, output ≪ input), then orders semi-join that small set and
+    the customer dim broadcasts. Integer-quantized qty/price sums; top-100
+    via TakeOrderedAndProject. Completes the TPC-H showcase trio
+    (q48–q50) with the HAVING-subquery join shape."""
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        t["orders"]
+        .join(big, t["orders"].o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(t["customer"]),
+            t["orders"].o_custkey == t["customer"].c_custkey,
+        )
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_c"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice_c"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q56_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_quantity) AS BIGINT))::BIGINT AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 250)
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_c, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_c DESC, o_orderkey LIMIT 100
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -1036,4 +1083,5 @@ EXTRAS: dict[str, QuerySpec] = {
     "q50_tpch_q3": QuerySpec(q50_tpch_q3, Q50_SQL),
     "q51_stream_static_join": QuerySpec(q51_stream_static_join, Q51_SQL),
     "q55_asof_forward": QuerySpec(q55_asof_forward, Q55_SQL),
+    "q56_tpch_q18": QuerySpec(q56_tpch_q18, Q56_SQL),
 }

@@ -437,6 +437,198 @@ def test_dedup_incremental_drops_seen_content(spark):
     assert out == {11: 2, 13: 1}
 
 
+def test_bloom_dedup_matches_plain_anti_join(spark):
+    """The bloom prefilter is a physical optimization only: output is
+    bit-identical to dedup_incremental, even with a tiny m that forces
+    false positives through the verify anti-join."""
+    from samba_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i % 7}") for i in range(30)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(100 + i, f"doc {i % 11}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    plain = sorted(
+        (r.keep_doc_id, r.n_batch_dups)
+        for r in dedup_incremental(incoming, corpus).collect()
+    )
+    # m=16 → heavy false-positive pressure: everything funnels into the
+    # verify anti-join, result must not change
+    for m in (16, 1 << 18):
+        bloom = sorted(
+            (r.keep_doc_id, r.n_batch_dups)
+            for r in dedup_incremental_bloom(incoming, corpus, m=m).collect()
+        )
+        assert bloom == plain, (m, bloom, plain)
+
+
+def test_bloom_dedup_broadcasts_position_set(spark):
+    """The position set reaches the probe as a broadcast (no shuffle of
+    the batch on bloom positions), and the corpus side of the probe join
+    is the ≤m-row position relation, not the digest table."""
+    from samba_spark.operators.dedup import dedup_incremental_bloom
+
+    corpus = spark.createDataFrame(
+        [(i, f"c {i}") for i in range(50)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(100 + i, f"b {i}") for i in range(50)], "doc_id long, text string"
+    )
+    from samba_spark.plans.inspect import plan_string
+
+    plan = plan_string(dedup_incremental_bloom(incoming, corpus))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_parquet_manifest_matches_duckdb_metadata(spark, sf_smoke):
+    """Footer-only manifest equals DuckDB's parquet_file_metadata /
+    parquet_metadata over the same files — full value parity, done here
+    because the declared query is rows-only (oracle SQL cannot embed the
+    fixture path portably)."""
+    import duckdb
+    from samba_spark.sources.manifest import table_manifest
+
+    got = {
+        r.file_name: (r.n_rows, r.n_row_groups, r.n_columns, r.min_key, r.max_key)
+        for r in table_manifest(spark, sf_smoke, stats_column="o_orderkey").collect()
+    }
+    con = duckdb.connect()
+    meta = con.execute(
+        "SELECT regexp_extract(file_name, '([^/]+)$', 1), num_rows, "
+        "num_row_groups FROM parquet_file_metadata(?)",
+        [f"{sf_smoke}/*.parquet"],
+    ).fetchall()
+    assert len(got) == len(meta) > 0
+    for fname, n_rows, n_rg in meta:
+        assert got[fname][0] == n_rows, fname
+        assert got[fname][1] == n_rg, fname
+    ncols = dict(
+        con.execute(
+            "SELECT regexp_extract(file_name, '([^/]+)$', 1), "
+            "COUNT(DISTINCT path_in_schema) FROM parquet_metadata(?) GROUP BY 1",
+            [f"{sf_smoke}/*.parquet"],
+        ).fetchall()
+    )
+    for fname, (r, g, c, mn, mx) in got.items():
+        assert c == ncols[fname], fname
+    stats = con.execute(
+        "SELECT regexp_extract(file_name, '([^/]+)$', 1), "
+        "MIN(CAST(stats_min_value AS BIGINT)), MAX(CAST(stats_max_value AS BIGINT)) "
+        "FROM parquet_metadata(?) WHERE path_in_schema = 'o_orderkey' GROUP BY 1",
+        [f"{sf_smoke}/*.parquet"],
+    ).fetchall()
+    assert len(stats) == 1  # only orders has o_orderkey
+    fname, mn, mx = stats[0]
+    assert (got[fname][3], got[fname][4]) == (mn, mx)
+    # files without the stats column report NULL min/max
+    assert all(
+        v[3] is None and v[4] is None for k, v in got.items() if k != fname
+    )
+
+
+def test_binned_quantiles_bracket_exact(spark):
+    """Histogram estimate is the upper bucket edge: it is ≥ the true
+    quantile and within one bucket width of it."""
+    from samba_spark.operators.sketch import binned_quantiles
+
+    rows = [("t", float(v) / 100) for v in range(1, 1001)]  # 0.01..10.00
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r.p_pct: r.est_cents
+        for r in binned_quantiles(df, "v", "g", quantiles=(50, 95, 99)).collect()
+    }
+    # true p-quantile of 1..1000 cents is p*10 cents; bucket width 25
+    for p in (50, 95, 99):
+        true_cents = p * 10
+        assert true_cents <= got[p] <= true_cents + 25, (p, got[p])
+
+
+def test_time_rollup_conservation_and_plan(spark, sf_smoke):
+    """Every grain partitions the same events: counts at each level sum to
+    the grand total; one Expand + one aggregate exchange (not three scans)."""
+    from samba_spark.operators.sessionize import time_rollup
+    from samba_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    out = time_rollup(events).collect()
+    agg = {}
+    for r in out:
+        n, c = agg.get(r.grain, (0, 0))
+        agg[r.grain] = (n + r.n_events, c + r.sum_cents)
+    assert agg["minute"] == agg["hour"] == agg["day"] == agg["all"]
+
+    from samba_spark.plans.inspect import plan_summary
+
+    s = plan_summary(time_rollup(events))
+    assert "Expand" in s["plan"], s["plan"][:800]
+    # rollup aggregate = exactly one exchange; a three-groupBy rewrite
+    # would show three
+    assert s["n_exchanges"] == 1, s["plan"][:1200]
+    assert s["n_hash_aggregates"] >= 2  # partial + final (map-side combine)
+
+
+def test_quantization_stats_vs_numpy(spark):
+    """int8 audit agrees with a numpy reference; zero vectors produce
+    all-zero codes and zero error instead of NULL/NaN."""
+    import numpy as np
+    from samba_spark.operators.vectorops import quantization_stats
+
+    vecs = [
+        ("a", [0.5, -1.0, 0.25]),
+        ("a", [2.0, 0.0, -2.0]),
+        ("b", [0.0, 0.0, 0.0]),  # zero vector: guard path
+    ]
+    df = spark.createDataFrame(vecs, "label string, embedding array<double>")
+    got = {r.label: r for r in quantization_stats(df).collect()}
+
+    def ref(v):
+        v = np.asarray(v, dtype=np.float64)
+        m = np.abs(v).max()
+        if m == 0:
+            return 0, 0, 0, 0
+        q = np.floor(v * 127 / m + 0.5)  # HALF_UP, matches both engines
+        q = np.where(v < 0, np.ceil(v * 127 / m - 0.5), q)
+        err = np.abs(v - q * m / 127).max()
+        return int(q.sum()), int(q.min()), int(q.max()), int(np.floor(err * 1e9))
+
+    a1 = ref(vecs[0][1]); a2 = ref(vecs[1][1])
+    assert (got["a"].sum_q, got["a"].min_q, got["a"].max_q) == (
+        a1[0] + a2[0], min(a1[1], a2[1]), max(a1[2], a2[2])
+    )
+    assert got["a"].max_err_e9 == max(a1[3], a2[3])
+    assert (got["b"].sum_q, got["b"].min_q, got["b"].max_q, got["b"].max_err_e9) == (0, 0, 0, 0)
+
+
+def test_scd2_history_islands(spark):
+    """Consecutive equal attr values collapse into one validity row;
+    versions restart per key; a value that recurs after a change opens a
+    NEW island (type-2, not distinct-values)."""
+    from samba_spark.operators.merge import scd2_history
+
+    rows = [
+        # key, seq, attr  — A: a,a,b,a  → 3 islands; B: NULL,NULL,c → 2
+        ("A", 1, "a"), ("A", 2, "a"), ("A", 3, "b"), ("A", 4, "a"),
+        ("B", 1, None), ("B", 2, None), ("B", 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, v string")
+    got = [
+        (r.k, r.version, r.attr, r.effective_from, r.effective_to, r.n_rows)
+        for r in scd2_history(df, "k", ["seq"], "v").orderBy("k", "version").collect()
+    ]
+    assert got == [
+        ("A", 1, "a", 1, 2, 2),
+        ("A", 2, "b", 3, 3, 1),
+        ("A", 3, "a", 4, 4, 1),
+        ("B", 1, None, 1, 2, 2),
+        ("B", 2, "c", 3, 3, 1),
+    ]
+
+
 def test_length_histogram_bucket_boundaries(spark):
     """Bucket = floor(log2 n)+1 via length(bin(n)): 1→1, 2→2, 3→2, 4→3,
     1023→10, 1024→11 — the power-of-two boundaries land exactly."""
