@@ -274,6 +274,35 @@ def run_with_batch_provenance(
     return query
 
 
+def idempotent_batch_sink(sink_path: str):
+    """Exactly-once-per-batch foreachBatch writer: Spark's foreachBatch is
+    at-least-once (a batch re-runs after a failure between the write and
+    the checkpoint commit), so the sink must be idempotent. This is the
+    standard remedy: write each micro-batch to a ``batch_id=<n>``
+    partition directory with ``overwrite`` + dynamic partition overwrite —
+    a replayed batch atomically replaces its own partition instead of
+    appending duplicates, and the (epoch_id, partition) pair becomes the
+    transactional unit. Works unchanged against any partition-overwrite
+    sink (parquet dirs here; Delta/Iceberg MERGE by batch_id in
+    production).
+
+    Returns the function to pass to ``writeStream.foreachBatch``. Safe to
+    invoke twice with the same batch_id — the second write replaces the
+    first bit-for-bit (the test does exactly that).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sink_path)
+        )
+
+    return _sink
+
+
 def enrich_with_dimension(
     stream: DataFrame, dim: DataFrame, on, how: str = "inner"
 ) -> DataFrame:
