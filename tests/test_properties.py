@@ -219,3 +219,110 @@ def test_snapshot_diff_self_is_empty(spark, texts):
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
     assert snapshot_diff(docs, docs).count() == 0
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_bloom_dedup_equals_plain_on_random_corpora(spark, texts):
+    """dedup_incremental_bloom is output-identical to dedup_incremental on
+    arbitrary corpora, including under a tiny m that forces every doc
+    through the false-positive verify path."""
+    from samba_spark.operators.dedup import (
+        dedup_incremental,
+        dedup_incremental_bloom,
+    )
+
+    half = max(1, len(texts) // 2)
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts[:half])], ["doc_id", "text"]
+    )
+    incoming = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts[half:] or ["x"])],
+        ["doc_id", "text"],
+    )
+    plain = sorted(
+        (r.keep_doc_id, r.n_batch_dups)
+        for r in dedup_incremental(incoming, corpus).collect()
+    )
+    bloom = sorted(
+        (r.keep_doc_id, r.n_batch_dups)
+        for r in dedup_incremental_bloom(incoming, corpus, m=8).collect()
+    )
+    assert bloom == plain
+
+
+_runs = st.lists(
+    st.tuples(st.sampled_from(["k1", "k2"]), st.sampled_from(["a", "b", None])),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(**_SETTINGS)
+@given(_runs)
+def test_scd2_history_invariants(spark, rows):
+    """SCD2 islands partition each key's rows: n_rows sums to the key's
+    row count, versions are contiguous 1..k, consecutive islands differ in
+    attr, and ranges don't overlap in the sequence order."""
+    from samba_spark.operators.merge import scd2_history
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, seq long, v string")
+    out = sorted(
+        (
+            (r.k, r.version, r.attr, r.effective_from, r.effective_to, r.n_rows)
+            for r in scd2_history(df, "k", ["seq"], "v").collect()
+        )
+    )
+    per_key = {}
+    for k, i, v in data:
+        per_key.setdefault(k, []).append((i, v))
+    for k, seq in per_key.items():
+        islands = [r for r in out if r[0] == k]
+        assert [r[1] for r in islands] == list(range(1, len(islands) + 1))
+        assert sum(r[5] for r in islands) == len(seq)
+        for a, b in zip(islands, islands[1:]):
+            assert a[2] != b[2]  # consecutive islands differ
+            assert a[4] < b[3]  # ranges ordered, non-overlapping
+        # replay the reference islanding
+        ref = []
+        for i, v in sorted(seq):
+            if not ref or ref[-1][0] != v:
+                ref.append([v, 1])
+            else:
+                ref[-1][1] += 1
+        assert [(r[2], r[5]) for r in islands] == [tuple(x) for x in ref]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=50.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_binned_quantiles_bracket_property(spark, values):
+    """Histogram quantile estimate is ≥ the true quantile and within one
+    bucket width above the bucket containing it."""
+    from samba_spark.operators.sketch import binned_quantiles
+
+    df = spark.createDataFrame([("g", float(v)) for v in values], "g string, v double")
+    got = {
+        r.p_pct: r.est_cents
+        for r in binned_quantiles(df, "v", "g", quantiles=(50, 99)).collect()
+    }
+    n = len(values)
+    s = sorted(values)
+    for p in (50, 99):
+        # true quantile = smallest x with rank(x) >= ceil(p*n/100)
+        import math as m
+
+        true_v = s[m.ceil(p * n / 100) - 1]
+        true_cents = true_v * 100
+        assert got[p] >= true_cents - 1e-6, (p, got[p], true_cents)
+        assert got[p] <= (m.floor(true_cents / 25) + 1) * 25 + 1e-6, (
+            p,
+            got[p],
+            true_cents,
+        )
