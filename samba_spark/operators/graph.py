@@ -126,3 +126,71 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("vertex", F.round("rank", round_to).alias("rank"))
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(vertex, n_triangles) for every vertex of the undirected graph.
+
+    Degree-ordered wedge closure — the standard distributed triangle
+    algorithm (node-iterator++): canonicalize the edge set, then direct
+    each edge from its lower-(degree, id) endpoint to the higher. Every
+    triangle is then counted exactly once, as a wedge at its
+    lowest-ranked vertex closed by one directed edge. Directing by
+    degree bounds every out-neighborhood by O(sqrt(m)) — the wedge
+    self-join that would explode on a hub vertex in a naive id-ordered
+    variant stays bounded on power-law graphs, which is what makes this
+    shape survive 100 TB edge tables. Three shuffles total (degree agg,
+    wedge join, closure join); no iteration.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # u -> w directed edge, keeping w's (deg, id) rank for wedge ordering
+    d = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        F.when(
+            a_first,
+            F.struct(F.col("db").alias("deg"), F.col("b").alias("id")),
+        )
+        .otherwise(F.struct(F.col("da").alias("deg"), F.col("a").alias("id")))
+        .alias("w_rank"),
+    )
+    x, y = d.alias("x"), d.alias("y")
+    wedges = x.join(
+        y,
+        (F.col("x.u") == F.col("y.u")) & (F.col("x.w_rank") < F.col("y.w_rank")),
+    ).select(
+        F.col("x.u").alias("v1"), F.col("x.w").alias("v2"), F.col("y.w").alias("v3")
+    )
+    closer = d.select(F.col("u").alias("v2"), F.col("w").alias("v3"))
+    tri = wedges.join(closer, ["v2", "v3"], "left_semi")
+    return (
+        tri.select(
+            F.explode(F.array("v1", "v2", "v3")).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

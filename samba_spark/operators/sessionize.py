@@ -264,3 +264,54 @@ def time_rollup(
         "n_events",
         "sum_cents",
     )
+
+
+def attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, the first and the most recent PRIOR non-conversion
+    event of the same user are the credited touches; output is the
+    (first_touch, last_touch) credit matrix with conversion counts and
+    integer-cents value sums.
+
+    One user-keyed exchange carries everything: both touch lookups are
+    ``first``/``last(…, ignorenulls=True)`` window aggregates over the
+    same ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`` frame, so Catalyst
+    plans a single sort + WindowExec; the final small groupBy (≤ #type²
+    groups) partial-aggregates map-side. Conversions with no prior touch
+    (first event of a user) are excluded, mirroring the standard
+    attribution contract. Value is quantized to cents pre-sum so the sum
+    is order-independent — exact at any parallelism.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion_type, F.col(type_col))
+    enriched = events.select(
+        F.col(type_col),
+        F.col(value_col),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        enriched.where(
+            (F.col(type_col) == conversion_type)
+            & F.col("first_touch").isNotNull()
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

@@ -466,3 +466,42 @@ def search_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def inverted_index(
+    documents: DataFrame,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term → sorted posting list (array of doc ids) + document frequency —
+    the search-index build step as a dataflow: whitespace-tokenize, dedupe
+    terms within a document (``array_distinct`` BEFORE the explode, so the
+    shuffle carries each (term, doc) pair once, not once per occurrence),
+    then one groupBy(term) assembling the postings.
+
+    Scale shape: one shuffle keyed by term. Posting lists of stop-word-like
+    terms are the skew risk at 100 TB — ``min_df`` prunes the long tail
+    cheaply, and a production build would cap or shard hot terms'
+    lists (the same cap discipline as dedup's AGG_DEPS_CAP); df itself is
+    computed from the same aggregation, no second pass.
+    """
+    toks = documents.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+        .where(F.col("df") >= min_df)
+    )

@@ -1688,16 +1688,55 @@ ORDER BY grain, bucket_ts
 """
 
 
-def x_parquet_manifest(spark, sf_dir):
-    """Distributed footer-only manifest of every fixture parquet file
-    (rows-only: oracle SQL strings cannot embed the fixture path, but
-    tests/test_extensions.py replays the same manifest through DuckDB's
-    parquet_file_metadata for full value parity)."""
-    from samba_spark.sources.manifest import table_manifest
+X53_DIR = "/tmp/samba_spark_x53_files"
 
-    return table_manifest(spark, sf_dir, stats_column="o_orderkey").orderBy(
+
+def x_parquet_manifest(spark, sf_dir):
+    """Distributed footer-only manifest, fully oracle-checked: the query
+    first lays down a deterministic 4-file parquet dataset (nation sorted
+    by key, sliced, fixed 3-row row groups — identical at every SF since
+    nation is fixed-size), then manifests the files with the distributed
+    footer reader; DuckDB replays the identical manifest via
+    parquet_file_metadata()/parquet_metadata(), the dataset path embedded
+    in the SQL the same way q53 embeds its prov-store path."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from samba_spark.sources.manifest import parquet_manifest
+
+    shutil.rmtree(X53_DIR, ignore_errors=True)
+    os.makedirs(X53_DIR)
+    tbl = pq.read_table(f"{sf_dir}/nation.parquet").sort_by("n_nationkey")
+    n = tbl.num_rows
+    paths = []
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        p = os.path.join(X53_DIR, f"file_{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p, row_group_size=3)
+        paths.append(p)
+    return parquet_manifest(spark, paths, stats_column="n_nationkey").orderBy(
         "file_name"
     )
+
+
+X53_SQL = f"""
+WITH f AS (
+  SELECT parse_filename(file_name) AS file_name,
+         num_rows::BIGINT AS n_rows, num_row_groups::BIGINT AS n_row_groups
+  FROM parquet_file_metadata('{X53_DIR}/*.parquet')),
+c AS (
+  SELECT parse_filename(file_name) AS file_name,
+         COUNT(DISTINCT path_in_schema)::BIGINT AS n_columns,
+         MIN(CASE WHEN path_in_schema = 'n_nationkey'
+                  THEN CAST(stats_min_value AS BIGINT) END) AS min_key,
+         MAX(CASE WHEN path_in_schema = 'n_nationkey'
+                  THEN CAST(stats_max_value AS BIGINT) END) AS max_key
+  FROM parquet_metadata('{X53_DIR}/*.parquet') GROUP BY 1)
+SELECT f.file_name, n_rows, n_row_groups, n_columns, min_key, max_key
+FROM f JOIN c USING (file_name) ORDER BY file_name
+"""
 
 
 def x_binned_quantiles(spark, sf_dir):
@@ -1788,6 +1827,104 @@ FROM documents ORDER BY media_id
 """
 
 
+# -- graph / attribution / search-index (round 3, post-rotation) ----------
+def x_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts via degree-ordered wedge closure on a
+    deterministic mod-499 order/customer graph; oracle replays the same
+    count with id-ordered 3-way joins (count per triangle is
+    ordering-invariant)."""
+    from samba_spark.operators.graph import triangle_count
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    edges = (
+        orders.select(
+            (F.col("o_orderkey") % 499).alias("src"),
+            (F.col("o_custkey") % 499).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return triangle_count(edges).orderBy("vertex")
+
+
+X_TRIANGLE_SQL = """
+WITH raw AS (
+  SELECT DISTINCT o_orderkey % 499 AS s, o_custkey % 499 AS d
+  FROM orders WHERE o_orderkey % 499 <> o_custkey % 499),
+e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM raw),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+v AS (
+  SELECT x AS vertex FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT vertex::BIGINT AS vertex, COUNT(*)::BIGINT AS n_triangles
+FROM v GROUP BY vertex ORDER BY vertex
+"""
+
+
+def x_attribution(spark, sf_dir):
+    """First/last-touch purchase attribution over the event log — both
+    touch lookups share one user-keyed sort via ignorenulls window
+    aggregates over the same preceding-rows frame."""
+    from samba_spark.operators.sessionize import attribution
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return attribution(events).orderBy("first_touch", "last_touch")
+
+
+X_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+  FROM events),
+a AS (
+  SELECT event_type, value,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                IGNORE NULLS) OVER w AS first_touch,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS last_touch
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT first_touch, last_touch, COUNT(*)::BIGINT AS n_conversions,
+       SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM a WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+GROUP BY first_touch, last_touch ORDER BY first_touch, last_touch
+"""
+
+
+def x_inverted_index(spark, sf_dir):
+    """Posting-list build: term → sorted doc-id array + df, min_df-pruned,
+    top-50 by df. array_distinct happens before the explode so the term
+    shuffle carries each (term, doc) once."""
+    from samba_spark.operators.textual import inverted_index
+
+    return (
+        inverted_index(_docs(spark, sf_dir), min_df=5)
+        .orderBy(F.desc("df"), "term")
+        .limit(50)
+    )
+
+
+X_INVERTED_INDEX_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                       x -> x <> '')) AS toks
+  FROM documents),
+t AS (SELECT doc_id, u.term FROM toked, UNNEST(toks) AS u(term)),
+p AS (SELECT term, list_sort(list(doc_id)) AS postings,
+             COUNT(*)::BIGINT AS df
+      FROM t GROUP BY term)
+SELECT term, postings, df FROM p WHERE df >= 5
+ORDER BY df DESC, term LIMIT 50
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1849,7 +1986,10 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x50_quantization_stats": QuerySpec(x_quantization_stats, X_QUANT_STATS_SQL),
     "x51_time_rollup": QuerySpec(x_time_rollup, X_TIME_ROLLUP_SQL),
     "x52_filtered_topk": QuerySpec(x_filtered_topk, X_FILTERED_TOPK_SQL),
-    "x53_parquet_manifest": QuerySpec(x_parquet_manifest, None),
+    "x53_parquet_manifest": QuerySpec(x_parquet_manifest, X53_SQL),
     "x54_binned_quantiles": QuerySpec(x_binned_quantiles, X_BINNED_QUANTILES_SQL),
     "x43_png_roundtrip": QuerySpec(x_png_roundtrip, X_PNG_SQL),
+    "x55_triangle_count": QuerySpec(x_triangle_count, X_TRIANGLE_SQL),
+    "x56_attribution": QuerySpec(x_attribution, X_ATTRIBUTION_SQL),
+    "x57_inverted_index": QuerySpec(x_inverted_index, X_INVERTED_INDEX_SQL),
 }

@@ -1053,6 +1053,112 @@ ORDER BY o_totalprice_c DESC, o_orderkey LIMIT 100
 """
 
 
+def q57_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo revenue share): lineitem ⋈ part with a one-month
+    shipdate slice. part is the broadcast side; revenue quantized to
+    integer e-4 units per row before the sum so both engines aggregate
+    order-independently, the promo share then a deterministic division of
+    two BIGINTs."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    joined = li.join(F.broadcast(t["part"]), li.l_partkey == t["part"].p_partkey)
+    return joined.agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("promo_revenue_e4"),
+        F.sum(rev).cast("long").alias("total_revenue_e4"),
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum(rev),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
+Q57_SQL = """
+SELECT
+  SUM(CASE WHEN p_type LIKE 'PROMO%'
+           THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           ELSE 0 END)::BIGINT AS promo_revenue_e4,
+  SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
+    AS total_revenue_e4,
+  ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                         ELSE 0 END)
+        / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)),
+        6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q58_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): six-table star — lineitem fans
+    out to orders/customer on one side and supplier on the other, with
+    the c_nationkey = s_nationkey locality constraint; nation/region
+    broadcast. Revenue summed as integer e-4 units."""
+    t = load_tables(
+        spark,
+        sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    nr = t["nation"].join(
+        F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+        t["nation"].n_regionkey == t["region"].r_regionkey,
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
+    )
+
+
+Q58_SQL = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
+         AS revenue_e4
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name ORDER BY revenue_e4 DESC, n_name
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -1084,4 +1190,6 @@ EXTRAS: dict[str, QuerySpec] = {
     "q51_stream_static_join": QuerySpec(q51_stream_static_join, Q51_SQL),
     "q55_asof_forward": QuerySpec(q55_asof_forward, Q55_SQL),
     "q56_tpch_q18": QuerySpec(q56_tpch_q18, Q56_SQL),
+    "q57_tpch_q14": QuerySpec(q57_tpch_q14, Q57_SQL),
+    "q58_tpch_q5": QuerySpec(q58_tpch_q5, Q58_SQL),
 }

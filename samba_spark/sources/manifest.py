@@ -11,8 +11,8 @@ input to compact_dataset's small-file decisions (plans/layout.py).
 Footer reads are ~KB each regardless of file size, so the operator's cost
 is O(#files) seeks, fanned out across the cluster instead of a driver
 loop. Verified against DuckDB's parquet_file_metadata()/parquet_metadata()
-in tests (dedicated parity test; the declared query is rows-only because
-oracle SQL strings cannot embed the fixture path portably).
+both in a dedicated parity test and by the declared x53 query, whose
+oracle manifests a deterministic fixed-path dataset the query lays down.
 """
 
 from __future__ import annotations

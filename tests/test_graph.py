@@ -41,3 +41,27 @@ def test_pagerank_dangling_mass_redistributed(spark):
     ranks = {r.vertex: r.rank for r in pagerank(edges, iterations=20).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-4, ranks
     assert ranks[2] > ranks[1]  # sink accumulates more rank
+
+
+def test_triangle_count_clique_plus_tail(spark):
+    # K4 on {1..4}: each vertex in C(3,2)=3 triangles; pendant edge 4-9
+    # and isolated edge 20-21 contribute none. Edges given in mixed
+    # direction + one duplicate to exercise canonicalization.
+    from samba_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (4, 2), (3, 4), (4, 9), (20, 21)],
+        ["src", "dst"],
+    )
+    got = {r.vertex: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_self_loops_ignored(spark):
+    from samba_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 3), (3, 1)], ["src", "dst"]
+    )
+    got = {r.vertex: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
