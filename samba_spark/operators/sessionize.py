@@ -315,3 +315,119 @@ def attribution(
             .alias("value_cents"),
         )
     )
+
+
+def sliding_zscore_anomalies(
+    events: DataFrame,
+    k: int = 3,
+    window: int = 20,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-window z-score outliers, in EXACT integer arithmetic: an
+    event is anomalous when its value deviates from the trailing
+    ``window``-event mean by more than ``k`` sample standard deviations.
+
+    The textbook float pipeline (avg/stddev window then a float compare)
+    is engine-ambiguous at the flag boundary; instead the test
+    ``|x - μ| > k·σ`` is squared and cleared of denominators into
+    ``(n·x − S)² · (n−1) > k² · n · (n·Q − S²)`` with S=Σv, Q=Σv² over
+    the frame in integer cents — every engine that sums the same 64-bit
+    integers flags the identical rows. (Bounds: with cents ≤ 5·10⁴ and
+    n ≤ 20 every term stays ≤ ~10¹⁴, far inside int64.)
+
+    Scale shape: one exchange keyed by ``type_col``; the three frame
+    aggregates share a single sort/WindowExec. Same posture as the other
+    per-key windows here — a single hot key bounds a task, cap upstream
+    if the key histogram demands it.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        F.col(type_col), F.col(ts_col), F.col(id_col), cents.alias("_c")
+    )
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(-window, -1)
+    )
+    n = F.count("_c").over(w)
+    s = F.sum("_c").over(w)
+    q = F.sum(F.col("_c") * F.col("_c")).over(w)
+    dev = n * F.col("_c") - s
+    framed = base.select(
+        type_col,
+        id_col,
+        F.col("_c").alias("value_cents"),
+        n.alias("_n"),
+        (dev * dev * (n - F.lit(1))).alias("_lhs"),
+        (F.lit(k * k) * n * (n * q - s * s)).alias("_rhs"),
+    )
+    return framed.where(
+        (F.col("_n") == window) & (F.col("_lhs") > F.col("_rhs"))
+    ).select(type_col, id_col, "value_cents")
+
+
+def concurrency_profile(
+    events: DataFrame,
+    duration_seconds: int = 300,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-day maximum concurrency of the intervals
+    ``[ts, ts + duration)`` — the sweep-line counting pattern (+1 at each
+    start, −1 at each end, running sum, max), WITHOUT the global
+    ``Window.orderBy`` a naive translation needs.
+
+    Distributed shape: boundary points are bucketed by calendar day, the
+    running sum runs per-day (one exchange keyed by day), and the
+    carry-in — intervals still open when a day begins — is the prefix
+    sum of per-day delta totals, a #days-row aggregate whose window cost
+    is negligible (the same #partitions-row exception as
+    relational.zip_with_index). End before start at the same instant
+    (delta −1 < +1 in the sort) makes the interval end exclusive and the
+    tiebreak ``(t, delta, id)`` total, so every engine replays the exact
+    same prefix sequence. At a finer skew profile swap day for hour —
+    the carry ladder is grain-agnostic.
+    """
+    starts = events.select(
+        F.col(ts_col).alias("t"), F.lit(1).alias("delta"), F.col(id_col)
+    )
+    ends = events.select(
+        (F.col(ts_col) + F.expr(f"INTERVAL {duration_seconds} SECONDS")).alias(
+            "t"
+        ),
+        F.lit(-1).alias("delta"),
+        F.col(id_col),
+    )
+    pts = starts.unionByName(ends).withColumn(
+        "day", F.date_trunc("DAY", F.col("t"))
+    )
+    local_w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = pts.select(
+        "day", F.sum("delta").over(local_w).alias("_run")
+    )
+    day_tot = pts.groupBy("day").agg(F.sum("delta").alias("_tot"))
+    carry_w = (
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = day_tot.select(
+        "day",
+        F.coalesce(F.sum("_tot").over(carry_w), F.lit(0)).alias("_carry"),
+    )
+    return (
+        local.groupBy("day")
+        .agg(F.max("_run").alias("_local_max"))
+        .join(F.broadcast(carry), "day")
+        .select(
+            "day",
+            (F.col("_carry") + F.col("_local_max"))
+            .cast("long")
+            .alias("max_concurrency"),
+        )
+    )

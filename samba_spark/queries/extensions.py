@@ -1925,6 +1925,63 @@ ORDER BY df DESC, term LIMIT 50
 """
 
 
+def x_anomaly(spark, sf_dir):
+    """Exact-integer trailing z-score outlier flags (k=3, 20-event frame
+    per event type) — the float-free formulation makes the flag boundary
+    engine-exact."""
+    from samba_spark.operators.sessionize import sliding_zscore_anomalies
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return sliding_zscore_anomalies(events).orderBy("event_type", "event_id")
+
+
+X_ANOMALY_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+s AS (
+  SELECT event_type, event_id, c,
+         COUNT(c) OVER w AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS q
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+SELECT event_type, event_id, c AS value_cents
+FROM s
+WHERE n = 20
+  AND (n*c - s) * (n*c - s) * (n - 1) > 9 * n * (n*q - s*s)
+ORDER BY event_type, event_id
+"""
+
+
+def x_concurrency(spark, sf_dir):
+    """Per-day max concurrency of [ts, ts+300s) event intervals — the
+    sweep-line pattern distributed as day-bucketed running sums plus a
+    #days-row carry ladder; the oracle replays it with one naive global
+    running sum."""
+    from samba_spark.operators.sessionize import concurrency_profile
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return concurrency_profile(events).orderBy("day")
+
+
+X_CONCURRENCY_SQL = """
+WITH pts AS (
+  SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT CAST(ts AS TIMESTAMP) + INTERVAL 300 SECOND, -1, event_id
+  FROM events),
+r AS (
+  SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+         SUM(delta) OVER (ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM pts)
+SELECT day, MAX(run)::BIGINT AS max_concurrency
+FROM r GROUP BY day ORDER BY day
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -1992,4 +2049,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x55_triangle_count": QuerySpec(x_triangle_count, X_TRIANGLE_SQL),
     "x56_attribution": QuerySpec(x_attribution, X_ATTRIBUTION_SQL),
     "x57_inverted_index": QuerySpec(x_inverted_index, X_INVERTED_INDEX_SQL),
+    "x58_anomaly": QuerySpec(x_anomaly, X_ANOMALY_SQL),
+    "x59_concurrency": QuerySpec(x_concurrency, X_CONCURRENCY_SQL),
 }

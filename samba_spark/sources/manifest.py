@@ -85,7 +85,13 @@ def parquet_manifest(
                 ],
             )
 
-    paths_df = spark.createDataFrame([(p,) for p in sorted(paths)], "path string")
+    # one task per slice of files, capped at the session's parallelism —
+    # 4 files should not launch 32 Python workers, and 100k files should
+    # not launch 100k tasks
+    n_slices = max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    paths_df = spark.createDataFrame(
+        [(p,) for p in sorted(paths)], "path string"
+    ).repartition(n_slices)
     return paths_df.mapInPandas(_read_footers, _SCHEMA)
 
 
