@@ -535,3 +535,87 @@ def repeated_spans(
             F.col("n_docs").cast("long").alias("n_docs"),
         )
     )
+
+
+def rare_token_blocking_pairs(
+    documents: DataFrame,
+    k: int = 2,
+    min_jaccard_pct: int = 90,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via rare-token blocking with exact-Jaccard
+    verification — the prefix-filtering idea of PPJoin-family set-
+    similarity joins, as a dataflow. Complements MinHash-LSH
+    (minhash_lsh_dedup): no hash family, exact recall for pairs sharing
+    any of each other's ``k`` globally-rarest tokens.
+
+    Stages: (1) distinct (doc, token) pairs — one explode, deduped
+    pre-shuffle; (2) global token document-frequencies (partial-agged);
+    (3) each doc keeps its ``k`` rarest tokens (ties broken by token
+    text — total order, engine-exact) as blocking keys; (4) candidate
+    pairs = docs sharing a blocking key, a self-join ON THE RARE TOKEN
+    ONLY — by construction these buckets are the smallest in the df
+    histogram, the opposite of the stop-word hot keys that kill naive
+    token joins; (5) exact Jaccard on candidates via one intersection
+    count join, kept when ``inter * 100 >= pct * union`` in integers.
+
+    100 TB posture: no all-pairs stage anywhere; the candidate join is
+    bounded by the df of each doc's rarest tokens. Boilerplate-heavy
+    corpora where even the rarest token is common should pre-prune with
+    a df cap (WHERE df <= limit) — same cap discipline as LSH's
+    max_bucket.
+    """
+    toks = documents.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), _NORM),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("term"),
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy("df", "term")
+    rare = (
+        toks.join(dfreq, "term")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .select("doc", "term")
+    )
+    cand = (
+        rare.alias("ra")
+        .join(rare.alias("rb"), "term")
+        .where(F.col("ra.doc") < F.col("rb.doc"))
+        .select(F.col("ra.doc").alias("doc_a"), F.col("rb.doc").alias("doc_b"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(toks.alias("ta"), F.col("ta.doc") == F.col("doc_a"))
+        .join(
+            toks.alias("tb"),
+            (F.col("tb.doc") == F.col("doc_b"))
+            & (F.col("ta.term") == F.col("tb.term")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "n_union", (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .where(
+            F.col("n_common") * 100 >= F.lit(min_jaccard_pct) * F.col("n_union")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_union").cast("long").alias("n_union"),
+        )
+    )

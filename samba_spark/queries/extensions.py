@@ -1982,6 +1982,50 @@ FROM r GROUP BY day ORDER BY day
 """
 
 
+def x_rare_token_pairs(spark, sf_dir):
+    """Near-dup pairs via rare-token blocking (prefix-filtering family) +
+    exact integer-Jaccard verify — the hash-free complement to the
+    MinHash-LSH path."""
+    return D.rare_token_blocking_pairs(_docs(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+X_RARE_TOKEN_SQL = r"""
+WITH toked AS (
+  SELECT doc_id AS doc,
+         list_distinct(list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                       x -> x <> '')) AS toks
+  FROM documents),
+t AS (SELECT doc, u.term FROM toked, UNNEST(toks) AS u(term)),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM t GROUP BY term),
+rare AS (
+  SELECT doc, term FROM (
+    SELECT t.doc, t.term,
+           row_number() OVER (PARTITION BY t.doc ORDER BY df, t.term) AS rk
+    FROM t JOIN dfreq USING (term))
+  WHERE rk <= 2),
+cand AS (
+  SELECT DISTINCT ra.doc AS doc_a, rb.doc AS doc_b
+  FROM rare ra JOIN rare rb USING (term) WHERE ra.doc < rb.doc),
+sizes AS (SELECT doc, COUNT(*)::BIGINT AS n FROM t GROUP BY doc),
+inter AS (
+  SELECT doc_a, doc_b, COUNT(*)::BIGINT AS n_common
+  FROM cand
+  JOIN t ta ON ta.doc = cand.doc_a
+  JOIN t tb ON tb.doc = cand.doc_b AND tb.term = ta.term
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, n_common,
+       (sa.n + sb.n - n_common)::BIGINT AS n_union
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+WHERE n_common * 100 >= 90 * (sa.n + sb.n - n_common)
+ORDER BY doc_a, doc_b
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -2051,4 +2095,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x57_inverted_index": QuerySpec(x_inverted_index, X_INVERTED_INDEX_SQL),
     "x58_anomaly": QuerySpec(x_anomaly, X_ANOMALY_SQL),
     "x59_concurrency": QuerySpec(x_concurrency, X_CONCURRENCY_SQL),
+    "x60_rare_token_pairs": QuerySpec(x_rare_token_pairs, X_RARE_TOKEN_SQL),
 }

@@ -1020,3 +1020,33 @@ def test_trailing_window_boundary_inclusive(spark):
     got = {r.event_id: r.n_trailing
            for r in trailing_window_count(df).collect()}
     assert got == {1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_rare_token_blocking_finds_planted_neardup(spark):
+    """Two docs differing by one token out of ten (Jaccard 9/11 ≈ 82%)
+    pair up at pct=80 via a shared rare token; the unrelated doc never
+    appears. Exact counts asserted."""
+    from samba_spark.operators.dedup import rare_token_blocking_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india "
+    rows = [
+        (1, base + "juliet"),
+        (2, base + "kilo"),
+        (3, "zulu yankee xray whiskey victor uniform tango sierra"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_common, r.n_union)
+        for r in rare_token_blocking_pairs(df, min_jaccard_pct=80).collect()
+    }
+    assert got == {(1, 2): (9, 11)}
+
+
+def test_rare_token_blocking_exact_dup_and_threshold(spark):
+    from samba_spark.operators.dedup import rare_token_blocking_pairs
+
+    rows = [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "aa bb ee ff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # exact dup: jaccard 100 ≥ 90; (1,3)/(2,3) at 2/6 = 33% excluded
+    got = {(r.doc_a, r.doc_b) for r in rare_token_blocking_pairs(df).collect()}
+    assert got == {(1, 2)}
