@@ -7,6 +7,9 @@ composed the way a product-analytics run chains them:
     → ordered funnel            (x40: signup → click → purchase)
     → retention cohorts         (x41: weekly first-seen triangle)
     → join-key skew profile     (x39: decide-before-you-shuffle diagnostic)
+    → touch attribution         (x56: first/last-touch credit matrix)
+    → anomaly flags             (x58: exact-integer trailing z-score)
+    → concurrency profile       (x59: sweep-line, day-bucketed)
 
 Run:  python examples/events_analytics.py [sf_dir]
 """
@@ -17,9 +20,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from samba_spark.operators.sessionize import (
+    attribution,
+    concurrency_profile,
     funnel_counts,
     retention_cohorts,
     session_stats,
+    sliding_zscore_anomalies,
 )
 from samba_spark.plans.layout import skew_profile
 from samba_spark.session import get_spark
@@ -46,6 +52,17 @@ def main() -> None:
     print("user_id skew profile (top 5):")
     for r in skew_profile(events, "user_id", top=5).collect():
         print(f"  user {r.user_id}: {r.n_rows} rows ({r.share_ppm} ppm)")
+
+    print("purchase attribution (first_touch, last_touch, n, cents):")
+    for r in attribution(events).orderBy("first_touch", "last_touch").collect()[:6]:
+        print(f"  {r.first_touch:8s} {r.last_touch:8s} {r.n_conversions:5d} {r.value_cents}")
+
+    anomalies = sliding_zscore_anomalies(events)
+    print(f"trailing z-score anomalies (k=3, n=20): {anomalies.count()}")
+
+    print("max concurrency per day (first 5):")
+    for r in concurrency_profile(events).orderBy("day").collect()[:5]:
+        print(f"  {r.day}  {r.max_concurrency}")
 
     spark.stop()
 

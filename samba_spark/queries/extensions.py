@@ -1982,6 +1982,197 @@ FROM r GROUP BY day ORDER BY day
 """
 
 
+Q59_PROV_DIR = "/tmp/samba_spark_q59_prov"
+
+
+def q59_transitive_lineage(spark, sf_dir):
+    """Transitive element lineage as a hop histogram: capture a
+    source→join→agg pipeline with element provenance, then BFS upward
+    from the aggregate's output elements with the distributed
+    transitive_lineage operator (prov/queries.py, reference
+    DataElementAPICtrl.kt:140-179 walks the same closure in server
+    memory). Element ids are uuids, so the comparable surface is
+    (hop, count): agg outputs at hop 0, join rows at 1, source rows at
+    2 — nation/region are fixed-size at every SF, making the histogram
+    deterministic. The oracle replays the BFS as a DuckDB recursive CTE
+    over the same parquet store (min-hop per element = first BFS visit).
+    """
+    import shutil
+
+    from samba_spark.prov.queries import transitive_lineage
+    from samba_spark.prov.store import ProvStore
+    from samba_spark.session import ProvSession
+
+    shutil.rmtree(Q59_PROV_DIR, ignore_errors=True)
+    ps = ProvSession(spark, name="q59", prov_dir=Q59_PROV_DIR)
+    nation = ps.read_parquet(f"{sf_dir}/nation.parquet", "nation").with_elements()
+    region = ps.read_parquet(f"{sf_dir}/region.parquet", "region").with_elements()
+    nation.persist_elements()
+    region.persist_elements()
+    joined = nation.join(
+        region, on=nation.raw.n_regionkey == region.raw.r_regionkey, how="inner"
+    )
+    joined.persist_elements()
+    agged = joined.group_by("r_name").agg(F.count(F.lit(1)).alias("cnt"))
+    agged.persist_elements()
+    agged.collect()
+    ps.stop()
+
+    store = ProvStore(spark, Q59_PROV_DIR)
+    run_id = store.table("executions").select("run_id").collect()[0].run_id
+    agg_task = (
+        store.table("tasks")
+        .where(F.col("transformation_type") == "reduceByKey")
+        .select("task_id")
+        .collect()[0]
+        .task_id
+    )
+    seeds = [
+        r.element_id
+        for r in store.table("elements")
+        .where(F.col("task_id") == agg_task)
+        .select("element_id")
+        .collect()
+    ]
+    lineage = transitive_lineage(store, run_id, seeds, direction="up")
+    return (
+        lineage.groupBy("hop")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_elements"))
+        .select(F.col("hop").cast("long").alias("hop"), "n_elements")
+        .orderBy("hop")
+    )
+
+
+Q59_SQL = f"""
+WITH RECURSIVE seeds AS (
+  SELECT el.element_id
+  FROM read_parquet('{Q59_PROV_DIR}/elements/*.parquet') el
+  JOIN read_parquet('{Q59_PROV_DIR}/tasks/*.parquet') t
+    ON t.task_id = el.task_id
+  WHERE t.transformation_type = 'reduceByKey'),
+walk AS (
+  SELECT element_id, 0 AS hop FROM seeds
+  UNION
+  SELECT d.dep_element_id, w.hop + 1
+  FROM walk w
+  JOIN read_parquet('{Q59_PROV_DIR}/element_deps/*.parquet') d
+    ON d.element_id = w.element_id),
+m AS (SELECT element_id, MIN(hop) AS hop FROM walk GROUP BY element_id)
+SELECT hop::BIGINT AS hop, COUNT(*)::BIGINT AS n_elements
+FROM m GROUP BY hop ORDER BY hop
+"""
+
+
+def x_transition_matrix(spark, sf_dir):
+    """Per-user event-type bigram transitions (Markov chain estimate):
+    one user-keyed sort feeds LAG, then a tiny (#types²) count matrix
+    with row-normalized probabilities — integer counts, one final
+    deterministic division."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    row_w = Window.partitionBy("from_type")
+    return bigrams.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.lit(100.0) * F.col("n") / F.sum("n").over(row_w), 6
+        ).alias("pct"),
+    ).orderBy("from_type", "to_type")
+
+
+X_TRANSITION_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events),
+b AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM e),
+c AS (
+  SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+  FROM b WHERE from_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n,
+       ROUND(100.0 * n / CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT),
+             6) AS pct
+FROM c ORDER BY from_type, to_type
+"""
+
+
+def x_trend_slope(spark, sf_dir):
+    """Per-type OLS trend of event value over time WITHOUT MLlib: the
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact integer
+    partial aggregates — x rebased to seconds since the corpus epoch so
+    Σx² stays inside int64 — and the closed-form slope/intercept are one
+    deterministic double expression per group."""
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    # epoch-micros → integer seconds since the corpus epoch: tz-proof on
+    # both engines (the x47 discipline) and small enough that sum(x*x)
+    # stays inside int64
+    x = (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long") - F.lit(
+        1_704_067_200
+    )
+    y = F.round(F.col("value") * 100).cast("long")
+    stats = (
+        events.select(F.col("event_type"), x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(F.lit(86400.0) * slope, 6).alias("slope_cents_per_day"),
+        F.round((syd - slope * sxd) / nd, 2).alias("intercept_cents"),
+    ).orderBy("event_type")
+
+
+X_TREND_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 1000000 - 1704067200 AS BIGINT) AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type,
+         COUNT(*)::BIGINT AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM e GROUP BY event_type)
+SELECT event_type, n,
+       ROUND(86400.0 * ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)), 6)
+         AS slope_cents_per_day,
+       ROUND((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+             / n::DOUBLE, 2) AS intercept_cents
+FROM s ORDER BY event_type
+"""
+
+
 def x_rare_token_pairs(spark, sf_dir):
     """Near-dup pairs via rare-token blocking (prefix-filtering family) +
     exact integer-Jaccard verify — the hash-free complement to the
@@ -2096,4 +2287,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x58_anomaly": QuerySpec(x_anomaly, X_ANOMALY_SQL),
     "x59_concurrency": QuerySpec(x_concurrency, X_CONCURRENCY_SQL),
     "x60_rare_token_pairs": QuerySpec(x_rare_token_pairs, X_RARE_TOKEN_SQL),
+    "q59_transitive_lineage": QuerySpec(q59_transitive_lineage, Q59_SQL),
+    "x61_transition_matrix": QuerySpec(x_transition_matrix, X_TRANSITION_SQL),
+    "x62_trend_slope": QuerySpec(x_trend_slope, X_TREND_SQL),
 }
