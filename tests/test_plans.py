@@ -259,3 +259,63 @@ def test_cap_tokens_no_global_window(spark, sf_smoke):
     # no partition list between the function list and the sort order
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), f"global window found:\n{plan[:900]}"
+
+
+def test_triangle_count_no_cartesian(spark, sf_smoke):
+    """x55: wedge formation and closure must both be equi-joins (hash /
+    sort-merge) — never a nested-loop; the rank comparison rides the
+    join condition of an equi-join on the shared vertex."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.graph import triangle_count
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    orders = load_tables(spark, sf_smoke, ["orders"])["orders"]
+    edges = (
+        orders.select(
+            (F.col("o_orderkey") % 499).alias("src"),
+            (F.col("o_custkey") % 499).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    plan = plan_summary(triangle_count(edges))["plan"]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, (
+        plan[:900]
+    )
+
+
+def test_concurrency_no_data_rows_through_single_task(spark, sf_smoke):
+    """x59: the running sum over boundary points must be day-partitioned;
+    the only single-partition stage allowed is the #days-row carry
+    ladder. Assert the point-bearing window carries a partition spec."""
+    import re
+
+    from samba_spark.operators.sessionize import concurrency_profile
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    plan = plan_summary(concurrency_profile(events))["plan"]
+    # the data-path window (running sum over delta points) must carry
+    # 'day' as the first windowspecdefinition argument (its partition
+    # spec); windows without one exist only on the carry ladder, whose
+    # input is the per-day aggregate (tiny)
+    assert re.search(
+        r"sum\(delta#\d+\) windowspecdefinition\(day#\d+,", plan
+    ), plan[:900]
+
+
+def test_rare_token_blocking_no_cartesian(spark, sf_smoke):
+    """x60: the candidate self-join keys on the rare token, the verify
+    join on (doc, term) — all equi-joins."""
+    from samba_spark.operators.dedup import rare_token_blocking_pairs
+    from samba_spark.plans.inspect import plan_summary
+    from samba_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    plan = plan_summary(rare_token_blocking_pairs(docs))["plan"]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, (
+        plan[:900]
+    )
