@@ -326,3 +326,114 @@ def test_binned_quantiles_bracket_property(spark, values):
             got[p],
             true_cents,
         )
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(**_SETTINGS)
+@given(_edges)
+def test_triangle_count_matches_brute_force(spark, edge_list):
+    """Degree-ordered wedge closure equals the O(n³) reference count on
+    random multigraphs (self-loops, duplicates, both directions)."""
+    from itertools import combinations
+
+    from samba_spark.operators.graph import triangle_count
+
+    canon = {(min(a, b), max(a, b)) for a, b in edge_list if a != b}
+    verts = sorted({v for e in canon for v in e})
+    expected = {}
+    for x, y, z in combinations(verts, 3):
+        if {(x, y), (x, z), (y, z)} <= canon:
+            for v in (x, y, z):
+                expected[v] = expected.get(v, 0) + 1
+    if not edge_list:
+        return
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.vertex: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == expected
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # user
+        st.integers(0, 2000),                   # seconds offset
+        st.sampled_from(["view", "click", "purchase"]),
+        st.floats(0.0, 99.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(_events)
+def test_attribution_matches_python_reference(spark, rows):
+    """First/last-touch credit matrix equals a per-user sequential replay:
+    same touches, same conversion counts, same cents."""
+    import datetime as dt
+
+    from samba_spark.operators.sessionize import attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (i, u, t0 + dt.timedelta(seconds=s), et, v)
+        for i, (u, s, et, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    expected = {}
+    by_user = {}
+    for i, u, ts, et, v in data:
+        by_user.setdefault(u, []).append((ts, i, et, v))
+    for u, evs in by_user.items():
+        first = last = None
+        for ts, i, et, v in sorted(evs):
+            if et == "purchase" and first is not None:
+                key = (first, last)
+                c, cents = expected.get(key, (0, 0))
+                expected[key] = (c + 1, cents + round(v * 100))
+            if et != "purchase":
+                last = et
+                if first is None:
+                    first = et
+    got = {
+        (r.first_touch, r.last_touch): (r.n_conversions, r.value_cents)
+        for r in attribution(df).collect()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(_events)
+def test_concurrency_profile_matches_global_sweep(spark, rows):
+    """Day-bucketed carry-ladder sweep equals the naive single-pass
+    global sweep, including intervals crossing day boundaries."""
+    import datetime as dt
+
+    from samba_spark.operators.sessionize import concurrency_profile
+
+    t0 = dt.datetime(2024, 1, 1, 23, 50)  # near midnight: force crossings
+    data = [
+        (i, u, t0 + dt.timedelta(seconds=s * 60), et, v)
+        for i, (u, s, et, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    pts = []
+    for i, _, ts, _, _ in data:
+        pts.append((ts, 1, i))
+        pts.append((ts + dt.timedelta(seconds=300), -1, i))
+    run, best = 0, {}
+    for t, d, i in sorted(pts):
+        run += d
+        day = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        best[day] = max(best.get(day, -(10 ** 9)), run)
+    got = {r.day: r.max_concurrency for r in concurrency_profile(df).collect()}
+    assert got == best
