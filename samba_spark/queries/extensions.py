@@ -2063,6 +2063,50 @@ FROM m GROUP BY hop ORDER BY hop
 """
 
 
+X63_DIR = "/tmp/samba_spark_x63_avro"
+
+
+def x_avro_roundtrip(spark, sf_dir):
+    """Clean-room Avro container codec, oracle-checked end-to-end: a
+    deterministic orders slice goes out through write_avro (deflate) and
+    back through read_avro, then aggregates per order status; the oracle
+    computes the identical aggregate straight from the parquet — any
+    codec bug (value corruption, dropped rows, schema drift) breaks the
+    hash."""
+    import shutil
+
+    from samba_spark.sources.avro import read_avro, write_avro
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    subset = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    shutil.rmtree(X63_DIR, ignore_errors=True)
+    write_avro(subset, X63_DIR, codec="deflate")
+    back = read_avro(spark, X63_DIR)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+X63_SQL = """
+SELECT o_orderstatus,
+       COUNT(*)::BIGINT AS n,
+       CAST(SUM(o_orderkey) AS BIGINT)::BIGINT AS sum_key,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM orders WHERE o_orderkey % 7 = 0
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def x_transition_matrix(spark, sf_dir):
     """Per-user event-type bigram transitions (Markov chain estimate):
     one user-keyed sort feeds LAG, then a tiny (#types²) count matrix
@@ -2290,4 +2334,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "q59_transitive_lineage": QuerySpec(q59_transitive_lineage, Q59_SQL),
     "x61_transition_matrix": QuerySpec(x_transition_matrix, X_TRANSITION_SQL),
     "x62_trend_slope": QuerySpec(x_trend_slope, X_TREND_SQL),
+    "x63_avro_roundtrip": QuerySpec(x_avro_roundtrip, X63_SQL),
 }

@@ -70,9 +70,10 @@ def write_xml(
 
 
 # NOTE: Avro is Spark's one "built-in but external module" format — the
-# spark-avro jar is not bundled in the pyspark wheel, so there is no
-# read_avro here; parquet/orc cover the columnar cases the reference's
-# sequence/object files map to.
+# spark-avro jar is not bundled in the pyspark wheel, so the JVM
+# datasource is unavailable here. sources/avro.py provides a clean-room
+# pure-stdlib Object Container File codec (read_avro/write_avro, null +
+# deflate codecs) implemented from the public Avro spec instead.
 
 
 def write_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
