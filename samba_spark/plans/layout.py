@@ -242,3 +242,69 @@ def skew_profile(df: DataFrame, key: str, top: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(key))
         .limit(top)
     )
+
+
+def zorder_value(col_a, col_b, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of the low ``bits`` of two non-negative
+    integer columns — one pure-Catalyst expression (2·bits shift/mask/or
+    terms, whole-stage-codegen'd). Sorting or range-partitioning by this
+    value clusters rows that are close in BOTH dimensions, so per-file
+    min/max footer stats stay tight on each column and a filter on either
+    one prunes files — the multi-dimensional cousin of partitionBy that
+    needs no directory explosion. Columns are masked to ``bits`` first;
+    pick bits to cover each column's cardinality."""
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-curve of
+    (``col_a``, ``col_b``): each dimension is first min/max-scaled to the
+    full ``bits`` width (one tiny agg job — without equalizing bit
+    widths the wider column dominates the curve's high bits and the
+    narrow one never clusters), then range-partitioned on the Morton
+    value so each output file covers a compact curve segment. Verify the
+    effect with sources/manifest.parquet_manifest: per-file min/max of
+    BOTH columns narrow vs. a round-robin layout, which is what makes
+    scan pruning fire on either predicate at 100 TB."""
+    mm = df.agg(
+        F.min(col_a).alias("a0"),
+        F.max(col_a).alias("a1"),
+        F.min(col_b).alias("b0"),
+        F.max(col_b).alias("b1"),
+    ).collect()[0]
+    top = (1 << bits) - 1
+    span_a = max(1, int(mm.a1) - int(mm.a0))
+    span_b = max(1, int(mm.b1) - int(mm.b0))
+    a = F.floor(
+        (F.col(col_a).cast("long") - F.lit(int(mm.a0))) * top / span_a
+    )
+    b = F.floor(
+        (F.col(col_b).cast("long") - F.lit(int(mm.b0))) * top / span_b
+    )
+    z = zorder_value(a, b, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2063,6 +2063,50 @@ FROM m GROUP BY hop ORDER BY hop
 """
 
 
+def x_zorder_stats(spark, sf_dir):
+    """Z-order (Morton) clustering audit: interleave the low 16 bits of
+    (o_custkey, o_orderkey) into the curve value — one codegen'd 32-term
+    bit expression — and report per-curve-segment counts and dimension
+    ranges; tight per-segment min/max on BOTH columns is exactly what
+    makes footer-stats pruning fire on either predicate after
+    plans/layout.write_zordered lays files out along the curve."""
+    from samba_spark.plans.layout import zorder_value
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    z = zorder_value("o_custkey", "o_orderkey", bits=16)
+    return (
+        orders.select(
+            z.alias("z"), F.col("o_custkey"), F.col("o_orderkey")
+        )
+        .groupBy(F.shiftright(F.col("z"), 26).cast("long").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("z").cast("long").alias("min_z"),
+            F.max("z").cast("long").alias("max_z"),
+            F.min("o_custkey").cast("long").alias("min_cust"),
+            F.max("o_custkey").cast("long").alias("max_cust"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _x64_sql() -> str:
+    terms = []
+    for i in range(16):
+        terms.append(f"((((o_custkey & 65535) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((o_orderkey & 65535) >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+WITH zed AS (
+  SELECT ({z})::BIGINT AS z, o_custkey, o_orderkey FROM orders)
+SELECT (z >> 26)::BIGINT AS segment,
+       COUNT(*)::BIGINT AS n,
+       MIN(z)::BIGINT AS min_z, MAX(z)::BIGINT AS max_z,
+       MIN(o_custkey)::BIGINT AS min_cust, MAX(o_custkey)::BIGINT AS max_cust
+FROM zed GROUP BY segment ORDER BY segment
+"""
+
+
 X63_DIR = "/tmp/samba_spark_x63_avro"
 
 
@@ -2335,4 +2379,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x61_transition_matrix": QuerySpec(x_transition_matrix, X_TRANSITION_SQL),
     "x62_trend_slope": QuerySpec(x_trend_slope, X_TREND_SQL),
     "x63_avro_roundtrip": QuerySpec(x_avro_roundtrip, X63_SQL),
+    "x64_zorder_stats": QuerySpec(x_zorder_stats, _x64_sql()),
 }

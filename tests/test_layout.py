@@ -207,3 +207,32 @@ def test_bucketed_rank_null_order_values_not_dropped(spark):
     assert got.count() == 4
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_write_zordered_narrows_per_file_ranges(spark, sf_smoke, tmp_path):
+    """Z-curve layout must make per-file min/max footer stats materially
+    tighter than a round-robin layout on the same data — that tightness
+    IS the pruning win. Compared via the distributed footer manifest."""
+    from samba_spark.plans.layout import write_zordered
+    from samba_spark.sources.manifest import table_manifest
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zdir = str(tmp_path / "zord")
+    rdir = str(tmp_path / "rrob")
+    write_zordered(orders, zdir, "o_custkey", "o_orderkey", n_files=8)
+    orders.repartition(8).write.mode("overwrite").parquet(rdir)
+
+    def avg_range(path):
+        rows = [
+            r
+            for r in table_manifest(spark, path, "o_custkey").collect()
+            if r.n_rows > 0
+        ]
+        return sum(r.max_key - r.min_key for r in rows) / len(rows)
+
+    z_spread, r_spread = avg_range(zdir), avg_range(rdir)
+    # round-robin files each span ~the whole key range; curve segments
+    # cover a fraction of it
+    assert z_spread < 0.6 * r_spread, (z_spread, r_spread)
