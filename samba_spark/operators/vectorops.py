@@ -192,3 +192,66 @@ def norm_stats(
             ),
         )
     )
+
+
+def covariance_matrix(
+    embs: DataFrame,
+    dims: int = 8,
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Upper-triangular covariance matrix of the first ``dims`` embedding
+    components — the PCA/whitening input, computed WITHOUT MLlib as one
+    single-pass aggregation: every Σxᵢ and Σxᵢxⱼ is an exact integer sum
+    of scale-quantized components (float sums are order-dependent;
+    integer sums make the matrix identical at any parallelism), and the
+    covariance is one deterministic double expression per cell.
+
+    Plan shape: zero shuffles except the final 1-row global aggregate —
+    dims(dims+3)/2 partial aggregates ride the scan. That is the right
+    trade up to a few hundred cells; for full wide-d covariance
+    (d² ≫ 10³ cells) switch to the posexplode-pair form (shuffle keyed
+    by (i,j), same quantized sums) — same numbers, different budget.
+    Int64 bounds: |q| ≤ scale, so Σxᵢxⱼ stays exact while
+    rows × scale² < 2⁶³ (~9·10⁶ rows at scale 10⁶ worst-case; unit-norm
+    embeddings give ~100× more headroom).
+    """
+    q = [
+        F.round(F.col(vec_col)[i].cast("double") * scale).cast("long")
+        for i in range(dims)
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(dims):
+        aggs.append(F.sum(q[i]).cast("long").alias(f"s_{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(q[i] * q[j]).cast("long").alias(f"p_{i}_{j}"))
+    row = embs.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("i"),
+                F.lit(j).cast("long").alias("j"),
+                F.col(f"p_{i}_{j}").alias("pij"),
+                F.col(f"s_{i}").alias("si"),
+                F.col(f"s_{j}").alias("sj"),
+            )
+            for i in range(dims)
+            for j in range(i, dims)
+        ]
+    )
+    nd = F.col("n").cast("double")
+    cov = (
+        (nd * F.col("c.pij").cast("double") - F.col("c.si").cast("double") * F.col("c.sj").cast("double"))
+        / (nd * (nd - 1))
+        / float(scale) ** 2
+    )
+    return (
+        row.select("n", F.explode(cells).alias("c"))
+        .select(
+            F.col("c.i").alias("i"),
+            F.col("c.j").alias("j"),
+            F.col("n"),
+            F.round(cov, 9).alias("cov"),
+        )
+    )

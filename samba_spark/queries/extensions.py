@@ -2107,6 +2107,84 @@ FROM zed GROUP BY segment ORDER BY segment
 """
 
 
+def x_covariance(spark, sf_dir):
+    """8-dim covariance matrix of the embeddings in ONE pass of exact
+    integer partial aggregates — distributed PCA prep without MLlib."""
+    from samba_spark.operators.vectorops import covariance_matrix
+
+    return covariance_matrix(_embs(spark, sf_dir), dims=8).orderBy("i", "j")
+
+
+def _x65_sql() -> str:
+    dims, scale = 8, 10**6
+    qs = ", ".join(
+        f"CAST(ROUND(embedding[{i + 1}] * {scale}) AS BIGINT) AS x{i}"
+        for i in range(dims)
+    )
+    sums = ", ".join(
+        f"CAST(SUM(x{i}) AS BIGINT) AS s_{i}" for i in range(dims)
+    )
+    pairs = ", ".join(
+        f"CAST(SUM(x{i} * x{j}) AS BIGINT) AS p_{i}_{j}"
+        for i in range(dims)
+        for j in range(i, dims)
+    )
+    cells = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS i, {j}::BIGINT AS j, n, "
+        f"ROUND((n::DOUBLE * p_{i}_{j}::DOUBLE - s_{i}::DOUBLE * s_{j}::DOUBLE)"
+        f" / (n::DOUBLE * (n::DOUBLE - 1)) / {float(scale) ** 2}, 9) AS cov "
+        f"FROM s"
+        for i in range(dims)
+        for j in range(i, dims)
+    )
+    return f"""
+WITH q AS (SELECT {qs} FROM embeddings),
+s AS (SELECT COUNT(*)::BIGINT AS n, {sums}, {pairs} FROM q)
+SELECT i, j, n, cov FROM ({cells}) ORDER BY i, j
+"""
+
+
+def x_quality_audit(spark, sf_dir):
+    """Five expectation checks over orders in ONE scan (conditional
+    partial aggregates) — the ingest gate pattern; integer counts only."""
+    from samba_spark.operators.quality import quality_audit
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    checks = {
+        "orderkey_not_null": F.col("o_orderkey").isNull(),
+        "totalprice_positive": ~(F.col("o_totalprice") > 0),
+        "status_in_domain": ~F.col("o_orderstatus").isin("F", "O", "P"),
+        "date_in_range": ~F.col("o_orderdate").between(
+            F.lit("1990-01-01").cast("timestamp"),
+            F.lit("2010-01-01").cast("timestamp"),
+        ),
+        "priority_not_blank": F.trim(F.col("o_orderpriority")) == "",
+    }
+    return quality_audit(orders, checks).orderBy("check_name")
+
+
+X_QUALITY_SQL = """
+WITH s AS (
+  SELECT COUNT(*)::BIGINT AS n,
+    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v1,
+    SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END)::BIGINT AS v2,
+    SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)::BIGINT AS v3,
+    SUM(CASE WHEN o_orderdate NOT BETWEEN TIMESTAMP '1990-01-01'
+                                      AND TIMESTAMP '2010-01-01'
+             THEN 1 ELSE 0 END)::BIGINT AS v4,
+    SUM(CASE WHEN TRIM(o_orderpriority) = '' THEN 1 ELSE 0 END)::BIGINT AS v5
+  FROM orders)
+SELECT check_name, n_violations, n AS n_rows, n_violations = 0 AS passed
+FROM (
+  SELECT 'orderkey_not_null' AS check_name, v1 AS n_violations, n FROM s
+  UNION ALL SELECT 'totalprice_positive', v2, n FROM s
+  UNION ALL SELECT 'status_in_domain', v3, n FROM s
+  UNION ALL SELECT 'date_in_range', v4, n FROM s
+  UNION ALL SELECT 'priority_not_blank', v5, n FROM s)
+ORDER BY check_name
+"""
+
+
 X63_DIR = "/tmp/samba_spark_x63_avro"
 
 
@@ -2380,4 +2458,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x62_trend_slope": QuerySpec(x_trend_slope, X_TREND_SQL),
     "x63_avro_roundtrip": QuerySpec(x_avro_roundtrip, X63_SQL),
     "x64_zorder_stats": QuerySpec(x_zorder_stats, _x64_sql()),
+    "x65_covariance_matrix": QuerySpec(x_covariance, _x65_sql()),
+    "x66_quality_audit": QuerySpec(x_quality_audit, X_QUALITY_SQL),
 }

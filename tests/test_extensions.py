@@ -1050,3 +1050,28 @@ def test_rare_token_blocking_exact_dup_and_threshold(spark):
     # exact dup: jaccard 100 ≥ 90; (1,3)/(2,3) at 2/6 = 33% excluded
     got = {(r.doc_a, r.doc_b) for r in rare_token_blocking_pairs(df).collect()}
     assert got == {(1, 2)}
+
+
+def test_quality_audit_counts_and_uniqueness(spark):
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.quality import key_uniqueness, quality_audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 0.0), (None, 3.0)],
+        "k long, v double",
+    )
+    out = {
+        r.check_name: (r.n_violations, r.n_rows, r.passed)
+        for r in quality_audit(
+            df,
+            {
+                "k_not_null": F.col("k").isNull(),
+                "v_positive": ~(F.col("v") > 0),
+            },
+        ).collect()
+    }
+    assert out == {"k_not_null": (1, 4, False), "v_positive": (2, 4, False)}
+    u = key_uniqueness(df, "k").collect()[0]
+    # count_distinct ignores the NULL key: 4 rows, 2 distinct non-null, 2 "dups"
+    assert (u.n_rows, u.n_distinct, u.n_duplicates) == (4, 2, 2)
