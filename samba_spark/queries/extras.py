@@ -1159,6 +1159,84 @@ GROUP BY n_name ORDER BY revenue_e4 DESC, n_name
 """
 
 
+def q60_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): one-quarter order slice joins
+    returned lineitems, customer dim enriched with broadcast nation;
+    top-20 by integer e-4 revenue via TakeOrderedAndProject."""
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"]
+    )
+    orders = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q60_SQL = """
+SELECT c_custkey, c_name, n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))::BIGINT
+         AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_e4 DESC, c_custkey LIMIT 20
+"""
+
+
+def q61_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape adapted to the fixture (no partsupp table — the
+    distinct (partkey, suppkey) pairs come from lineitem): supplier
+    variety per (brand, type-prefix, size), excluding one brand and a
+    type family; DISTINCT-inside-COUNT + anti-predicates."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    part = t["part"].where(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").startswith("PROMO")
+        & (F.col("p_size") <= 25)
+    )
+    return (
+        pairs.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+        .limit(100)
+    )
+
+
+Q61_SQL = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM pairs JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%' AND p_size <= 25
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 100
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -1192,4 +1270,6 @@ EXTRAS: dict[str, QuerySpec] = {
     "q56_tpch_q18": QuerySpec(q56_tpch_q18, Q56_SQL),
     "q57_tpch_q14": QuerySpec(q57_tpch_q14, Q57_SQL),
     "q58_tpch_q5": QuerySpec(q58_tpch_q5, Q58_SQL),
+    "q60_tpch_q10": QuerySpec(q60_tpch_q10, Q60_SQL),
+    "q61_tpch_q16": QuerySpec(q61_tpch_q16, Q61_SQL),
 }
