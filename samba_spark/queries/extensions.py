@@ -2185,6 +2185,42 @@ ORDER BY check_name
 """
 
 
+def q62_column_lineage(spark, sf_dir):
+    """Column-level lineage read off the analyzed Catalyst plan (the
+    third provenance axis beyond the reference's element/task grain):
+    join + derived column + aggregate with a multi-source expression,
+    resolved transitively to (source_table, source_column) edges. The
+    mapping is a function of the PLAN, not the data, so the oracle is
+    the literal expected edge set."""
+    from samba_spark.prov.column_lineage import column_lineage
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .withColumn("key2", F.col("n_nationkey") * 2)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("key2").alias("max_key2"),
+            F.max(F.concat("n_name", F.lit("-"), "r_name")).alias("tag"),
+        )
+    )
+    return column_lineage(df, spark).orderBy("out_col", "src_table", "src_col")
+
+
+Q62_SQL = """
+SELECT * FROM (VALUES
+  ('cnt', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+  ('max_key2', 'nation', 'n_nationkey'),
+  ('r_name', 'region', 'r_name'),
+  ('tag', 'nation', 'n_name'),
+  ('tag', 'region', 'r_name')
+) AS v(out_col, src_table, src_col)
+ORDER BY out_col, src_table, src_col
+"""
+
+
 X63_DIR = "/tmp/samba_spark_x63_avro"
 
 
@@ -2460,4 +2496,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x64_zorder_stats": QuerySpec(x_zorder_stats, _x64_sql()),
     "x65_covariance_matrix": QuerySpec(x_covariance, _x65_sql()),
     "x66_quality_audit": QuerySpec(x_quality_audit, X_QUALITY_SQL),
+    "q62_column_lineage": QuerySpec(q62_column_lineage, Q62_SQL),
 }

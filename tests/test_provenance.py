@@ -233,3 +233,35 @@ def test_dedup_pipeline_with_element_lineage(engine, spark):
     # n-1 capture: total fan-in equals the source row count (each doc row
     # lands in exactly one digest group)
     assert len(deps) == len(rows)
+
+
+def test_column_lineage_join_agg_window_explode(spark, sf_smoke):
+    """Column lineage off the analyzed plan: pass-through, derived,
+    multi-source, literal-only, window, and explode columns all resolve
+    to the right (table, column) edge sets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from samba_spark.prov.column_lineage import column_lineage_map
+
+    n = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    r = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    w = Window.partitionBy("r_name").orderBy("n_nationkey")
+    df = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            (F.col("n_nationkey") + F.col("r_regionkey")).alias("mix"),
+            F.lit(1).alias("one"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    got = column_lineage_map(df)
+    assert got["r_name"] == {("region", "r_name")}
+    assert got["mix"] == {("nation", "n_nationkey"), ("region", "r_regionkey")}
+    assert got["one"] == set()
+    # window function refs: partition + order keys
+    assert got["rn"] == {("region", "r_name"), ("nation", "n_nationkey")}
+
+    d2 = n.select(F.explode(F.split("n_name", " ")).alias("tok"))
+    assert column_lineage_map(d2)["tok"] == {("nation", "n_name")}
