@@ -2221,6 +2221,107 @@ ORDER BY out_col, src_table, src_col
 """
 
 
+def x_edit_distance(spark, sf_dir):
+    """Edit-distance verification stage: Levenshtein over normalized
+    80-char prefixes of within-source adjacent doc pairs. The cap is the
+    scale contract — levenshtein is O(L²) per pair, so a verify stage
+    always bounds L (and pair count upstream via blocking); both engines
+    ship the same classic DP, oracle-exact."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    norm = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 80
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    base = docs.select(
+        "source", norm.alias("p"), F.row_number().over(w).alias("rn")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(
+        F.col("a.source").alias("source"),
+        F.levenshtein(F.col("a.p"), F.col("b.p")).cast("long").alias("d"),
+    )
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("d").cast("long").alias("sum_dist"),
+            F.min("d").cast("long").alias("min_dist"),
+            F.max("d").cast("long").alias("max_dist"),
+        )
+        .orderBy("source")
+    )
+
+
+X_EDIT_DISTANCE_SQL = r"""
+WITH base AS (
+  SELECT source,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 80) AS p,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents),
+pairs AS (
+  SELECT a.source, levenshtein(a.p, b.p)::BIGINT AS d
+  FROM base a JOIN base b
+    ON a.source = b.source AND b.rn = a.rn + 1)
+SELECT source, COUNT(*)::BIGINT AS n_pairs,
+       CAST(SUM(d) AS BIGINT)::BIGINT AS sum_dist,
+       MIN(d)::BIGINT AS min_dist, MAX(d)::BIGINT AS max_dist
+FROM pairs GROUP BY source ORDER BY source
+"""
+
+
+def x_cooccurrence(spark, sf_dir):
+    """Market-basket pair mining: part brands co-ordered within one order
+    — distinct (order, brand) first so the per-order self-join is bounded
+    by brands-per-order (≤ #brands, not #lineitems), then pair counts and
+    top-25. The within-group pair explosion is the same bounded-bucket
+    discipline as LSH: quadratic only inside a small, capped group."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    ob = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"]),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p_brand") < F.col("b.p_brand")),
+    ).select(
+        F.col("a.p_brand").alias("brand_a"),
+        F.col("b.p_brand").alias("brand_b"),
+    )
+    return (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(25)
+    )
+
+
+X_COOCCURRENCE_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand)
+SELECT brand_a, brand_b, COUNT(*)::BIGINT AS n_orders
+FROM pairs GROUP BY brand_a, brand_b
+ORDER BY n_orders DESC, brand_a, brand_b LIMIT 25
+"""
+
+
 X63_DIR = "/tmp/samba_spark_x63_avro"
 
 
@@ -2497,4 +2598,6 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x65_covariance_matrix": QuerySpec(x_covariance, _x65_sql()),
     "x66_quality_audit": QuerySpec(x_quality_audit, X_QUALITY_SQL),
     "q62_column_lineage": QuerySpec(q62_column_lineage, Q62_SQL),
+    "x67_edit_distance": QuerySpec(x_edit_distance, X_EDIT_DISTANCE_SQL),
+    "x68_brand_cooccurrence": QuerySpec(x_cooccurrence, X_COOCCURRENCE_SQL),
 }
