@@ -1506,19 +1506,30 @@ WHERE rnk <= 3 ORDER BY skew_key, rnk
 def x_retention_monthly(spark, sf_dir):
     """Monthly retention-cohort triangle — exercises the calendar-month
     offset path (fixed this round: datediff div 30 misbucketed Jan→Mar
-    as offset 1; now (year*12+month) deltas)."""
+    as offset 1; now (year*12+month) deltas). The fixture spans ONE
+    calendar month, which would make the triangle a single vacuous cell,
+    so activity is deterministically spread across three months first
+    (event_id % 3 month shift, so every user spans months; both engines clamp end-of-month the same
+    way — Jan 30/31 + 1 month = Feb 29, verified)."""
     from samba_spark.operators.sessionize import retention_cohorts
 
     events = load_tables(spark, sf_dir, ["events"])["events"]
-    return retention_cohorts(events, granularity="month")
+    spread = events.withColumn(
+        "ts", F.expr("timestampadd(MONTH, CAST(event_id % 3 AS INT), ts)")
+    )
+    return retention_cohorts(spread, granularity="month")
 
 
 X_RETENTION_MONTHLY_SQL = """
-WITH c AS (
+WITH e AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) + to_months(CAST(event_id % 3 AS INT)) AS ts
+  FROM events),
+c AS (
   SELECT user_id, date_trunc('month', MIN(ts))::DATE AS cohort
-  FROM events GROUP BY user_id),
+  FROM e GROUP BY user_id),
 a AS (
-  SELECT DISTINCT user_id, date_trunc('month', ts)::DATE AS p FROM events)
+  SELECT DISTINCT user_id, date_trunc('month', ts)::DATE AS p FROM e)
 SELECT c.cohort,
        ((year(a.p) * 12 + month(a.p))
         - (year(c.cohort) * 12 + month(c.cohort)))::BIGINT AS period_offset,
