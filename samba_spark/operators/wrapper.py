@@ -151,6 +151,15 @@ class ProvDataFrame:
     def schema(self):
         return self.df.schema
 
+    def column_lineage(self) -> DataFrame:
+        """Column-level lineage of this pipeline: (out_col, src_table,
+        src_col) edges resolved from the analyzed Catalyst plan — the
+        third provenance axis beyond element/task grain (prov/
+        column_lineage.py). Plan-sized; costs no Spark job."""
+        from samba_spark.prov.column_lineage import column_lineage
+
+        return column_lineage(self.df, self.session.spark)
+
     @staticmethod
     def _mint_ids(df: DataFrame) -> DataFrame:
         """Fresh element ids: random prefix + partition-local counter —

@@ -265,3 +265,24 @@ def test_column_lineage_join_agg_window_explode(spark, sf_smoke):
 
     d2 = n.select(F.explode(F.split("n_name", " ")).alias("tok"))
     assert column_lineage_map(d2)["tok"] == {("nation", "n_name")}
+
+
+def test_provdataframe_column_lineage_method(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F
+
+    from samba_spark.session import ProvSession
+
+    ps = ProvSession(spark, name="cl_m", prov_dir=str(tmp_path / "prov"))
+    try:
+        n = ps.read_parquet(f"{sf_smoke}/nation.parquet", "nation")
+        out = n.select(
+            F.col("n_nationkey").alias("k"),
+            F.upper(F.col("n_name")).alias("U"),
+        )
+        rows = sorted(map(tuple, out.column_lineage().collect()))
+        assert rows == [
+            ("U", "nation", "n_name"),
+            ("k", "nation", "n_nationkey"),
+        ]
+    finally:
+        ps.stop()
