@@ -3,6 +3,7 @@
 operators (x1-x32) composed the way a real data-prep run chains them:
 
   raw documents
+    → ingest quality gate         (x66: expectation checks, one scan)
     → exact dedup                 (x1: digest groupBy, keep lowest doc_id)
     → fuzzy dedup                 (x3: MinHash-LSH clusters, keep one per cluster)
     → quality gate                (x6: stats; keep score above threshold)
@@ -11,6 +12,7 @@ operators (x1-x32) composed the way a real data-prep run chains them:
     → train/val/test split        (x19: md5-bucket hash split)
     → chunking                    (x29: token windows for fixed-context examples)
     → sequence packing            (x15: token-budget packing stats)
+    → search-index build          (x57: inverted posting lists over the split)
 
 Every stage is a lazy DataFrame transform — Catalyst sees the whole chain
 and fuses the zero-shuffle stages (quality gate, sampling, split,
@@ -31,7 +33,8 @@ from samba_spark.operators.chunking import chunk_documents
 from samba_spark.operators.dedup import dedup_exact, minhash_lsh_dedup
 from samba_spark.operators.mixing import assign_split, weighted_sample
 from samba_spark.operators.packing import pack_sequences
-from samba_spark.operators.textual import decontaminate, text_stats
+from samba_spark.operators.quality import quality_audit
+from samba_spark.operators.textual import decontaminate, inverted_index, text_stats
 from samba_spark.session import get_spark
 from samba_spark.sources.tables import load_tables
 
@@ -43,6 +46,17 @@ def main() -> None:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     n_raw = docs.count()
+
+    # 0. ingest gate: fail fast if the drop is malformed (one scan)
+    gate = quality_audit(
+        docs,
+        {
+            "doc_id_not_null": F.col("doc_id").isNull(),
+            "text_not_empty": F.length(F.trim("text")) == 0,
+            "lang_known": F.col("lang").isNull(),
+        },
+    ).collect()
+    assert all(r.passed for r in gate), gate
 
     # 1. exact dedup — survivors only
     exact_keep = dedup_exact(docs).select(
@@ -108,6 +122,7 @@ def main() -> None:
     n_train = train.count()
     n_chunks = chunks.count()
     n_seqs = packs.count()
+    n_terms = inverted_index(train, min_df=2).count()
     print(f"raw documents         : {n_raw}")
     print(f"after exact dedup     : {n1}")
     print(f"after fuzzy dedup     : {n2}")
@@ -118,6 +133,7 @@ def main() -> None:
     print(f"train split           : {n_train}")
     print(f"chunks (64/32)        : {n_chunks}")
     print(f"packed 256-tok seqs   : {n_seqs}")
+    print(f"index terms (df>=2)   : {n_terms}")
     assert n_raw >= n1 >= n2 >= n3 >= n4 >= n5 >= n_train
     assert n_chunks >= n_train  # every surviving doc yields ≥1 chunk
     spark.stop()
