@@ -431,3 +431,55 @@ def concurrency_profile(
             .alias("max_concurrency"),
         )
     )
+
+
+def gap_filled_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Dense per-user daily series with cumulative totals — the
+    time-spine pattern: generate every day between each user's first and
+    last event (``sequence`` + ``explode``, fan-out bounded by the
+    user's own active span), left-join the sparse daily sums, zero-fill
+    the gaps, and run a per-user cumulative sum so downstream consumers
+    (charts, features) see no holes.
+
+    One user-keyed exchange serves the daily aggregate, the spine join,
+    and the cumulative window (all partitioned by user). The spine
+    explode is the only row amplification and it is bounded by
+    days-in-span per user, not data volume — at 100 TB of events the
+    spine is still #users × span, metadata-small next to the event
+    table. Cents quantization keeps every output exact."""
+    day = F.date_trunc("DAY", F.col(ts_col))
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    daily = (
+        events.select(F.col(user_col), day.alias("day"), cents.alias("_c"))
+        .groupBy(user_col, "day")
+        .agg(F.sum("_c").alias("_day_cents"))
+    )
+    bounds = events.groupBy(user_col).agg(
+        F.date_trunc("DAY", F.min(ts_col)).alias("_d0"),
+        F.date_trunc("DAY", F.max(ts_col)).alias("_d1"),
+    )
+    spine = bounds.select(
+        user_col,
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, [user_col, "day"], "left")
+        .select(
+            user_col,
+            "day",
+            F.coalesce("_day_cents", F.lit(0)).cast("long").alias("day_cents"),
+        )
+        .withColumn("cum_cents", F.sum("day_cents").over(w).cast("long"))
+    )

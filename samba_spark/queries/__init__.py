@@ -17,7 +17,7 @@ local DuckDB parity harness in tests/test_declared_queries.py, which runs
 ALL oracle-bearing queries regardless of window position.
 
 Round-4 rotation note: queries ADDED during round 3 after the window was
-pinned (x44–x68, q55–q62) have no driver row yet — they are the first
+pinned (x44–x69, q55–q62) have no driver row yet — they are the first
 candidates for the next rotation, swapping out whichever rotated-in block
 entries come back green in CORRECTNESS_r03.
 """

@@ -2333,6 +2333,44 @@ ORDER BY n_orders DESC, brand_a, brand_b LIMIT 25
 """
 
 
+def x_gap_fill(spark, sf_dir):
+    """Dense per-user daily cumulative series via the time-spine pattern
+    (sequence+explode bounded by each user's active span, zero-filled
+    gaps, one user-keyed exchange end to end)."""
+    from samba_spark.operators.sessionize import gap_filled_daily
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return gap_filled_daily(events).orderBy("user_id", "day")
+
+
+X_GAP_FILL_SQL = """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(c) AS BIGINT) AS day_cents
+  FROM e GROUP BY user_id, date_trunc('day', ts)),
+bounds AS (
+  SELECT user_id, date_trunc('day', MIN(ts)) AS d0,
+         date_trunc('day', MAX(ts)) AS d1
+  FROM e GROUP BY user_id),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds)
+SELECT s.user_id, s.day,
+       COALESCE(d.day_cents, 0)::BIGINT AS day_cents,
+       CAST(SUM(COALESCE(d.day_cents, 0)) OVER (
+            PARTITION BY s.user_id ORDER BY s.day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM spine s LEFT JOIN daily d
+  ON d.user_id = s.user_id AND d.day = s.day
+ORDER BY s.user_id, s.day
+"""
+
+
 X63_DIR = "/tmp/samba_spark_x63_avro"
 
 
@@ -2611,4 +2649,5 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "q62_column_lineage": QuerySpec(q62_column_lineage, Q62_SQL),
     "x67_edit_distance": QuerySpec(x_edit_distance, X_EDIT_DISTANCE_SQL),
     "x68_brand_cooccurrence": QuerySpec(x_cooccurrence, X_COOCCURRENCE_SQL),
+    "x69_gap_fill": QuerySpec(x_gap_fill, X_GAP_FILL_SQL),
 }
