@@ -2526,9 +2526,11 @@ FROM s ORDER BY event_type
 
 
 def x_rare_token_pairs(spark, sf_dir):
-    """Near-dup pairs via rare-token blocking (prefix-filtering family) +
-    exact integer-Jaccard verify — the hash-free complement to the
-    MinHash-LSH path."""
+    """Near-dup pairs via rare-shingle blocking (prefix-filtering family)
+    + exact shingle-Jaccard verify — the hash-free complement to the
+    MinHash-LSH path. Shingle keys, not token keys: on this
+    template-heavy fixture the max token bucket is corpus-sized while
+    the max 3-shingle bucket is single digits."""
     return D.rare_token_blocking_pairs(_docs(spark, sf_dir)).orderBy(
         "doc_a", "doc_b"
     )
@@ -2537,18 +2539,21 @@ def x_rare_token_pairs(spark, sf_dir):
 X_RARE_TOKEN_SQL = r"""
 WITH toked AS (
   SELECT doc_id AS doc,
-         list_distinct(list_filter(string_split_regex(lower(trim(text)),
-                                                      '\s+'),
-                       x -> x <> '')) AS toks
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
   FROM documents),
-t AS (SELECT doc, u.term FROM toked, UNNEST(toks) AS u(term)),
+t AS (
+  SELECT DISTINCT doc,
+         ('0x' || substr(md5(array_to_string(toks[i+1 : i+3], ' ')), 1, 15))::BIGINT AS term
+  FROM toked, UNNEST(range(0, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3),
 dfreq AS (SELECT term, COUNT(*)::BIGINT AS df FROM t GROUP BY term),
 rare AS (
   SELECT doc, term FROM (
-    SELECT t.doc, t.term,
+    SELECT t.doc, t.term, df,
            row_number() OVER (PARTITION BY t.doc ORDER BY df, t.term) AS rk
     FROM t JOIN dfreq USING (term))
-  WHERE rk <= 2),
+  WHERE rk <= 2 AND df <= 100),
 cand AS (
   SELECT DISTINCT ra.doc AS doc_a, rb.doc AS doc_b
   FROM rare ra JOIN rare rb USING (term) WHERE ra.doc < rb.doc),
@@ -2564,7 +2569,7 @@ SELECT doc_a, doc_b, n_common,
 FROM inter
 JOIN sizes sa ON sa.doc = doc_a
 JOIN sizes sb ON sb.doc = doc_b
-WHERE n_common * 100 >= 90 * (sa.n + sb.n - n_common)
+WHERE n_common * 100 >= 50 * (sa.n + sb.n - n_common)
 ORDER BY doc_a, doc_b
 """
 

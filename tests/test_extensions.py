@@ -1035,11 +1035,12 @@ def test_rare_token_blocking_finds_planted_neardup(spark):
         (3, "zulu yankee xray whiskey victor uniform tango sierra"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 10 tokens -> 8 3-shingles; only the last shingle differs: 7/9 = 78%
     got = {
         (r.doc_a, r.doc_b): (r.n_common, r.n_union)
-        for r in rare_token_blocking_pairs(df, min_jaccard_pct=80).collect()
+        for r in rare_token_blocking_pairs(df, min_jaccard_pct=70).collect()
     }
-    assert got == {(1, 2): (9, 11)}
+    assert got == {(1, 2): (7, 9)}
 
 
 def test_rare_token_blocking_exact_dup_and_threshold(spark):
@@ -1047,7 +1048,7 @@ def test_rare_token_blocking_exact_dup_and_threshold(spark):
 
     rows = [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "aa bb ee ff")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    # exact dup: jaccard 100 ≥ 90; (1,3)/(2,3) at 2/6 = 33% excluded
+    # exact dup: shingle jaccard 100 ≥ 50; doc 3 shares no 3-shingle
     got = {(r.doc_a, r.doc_b) for r in rare_token_blocking_pairs(df).collect()}
     assert got == {(1, 2)}
 
