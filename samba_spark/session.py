@@ -129,6 +129,21 @@ class ProvSession:
         df = self.spark.read.parquet(path)
         return ProvDataFrame._source(self, df, op="read_parquet", desc=name or path)
 
+    def sql(self, query: str, name: Optional[str] = None):
+        """Spark SQL entry point with task-grain provenance: the query
+        text is the task description, the result is a wrapped
+        ProvDataFrame so downstream operators keep recording lineage
+        (and column_lineage() resolves THROUGH the SQL — the analyzed
+        plan doesn't care how the plan was authored). The reference has
+        no SQL surface at all (SURVEY §0: Catalyst is in-tree but
+        uninstrumented); here it is a first-class provenance source."""
+        from samba_spark.operators.wrapper import ProvDataFrame
+
+        df = self.spark.sql(query)
+        return ProvDataFrame._source(
+            self, df, op="sql", desc=name or query.strip()[:200]
+        )
+
     def read_text(self, path: str, wholetext: bool = False):
         from samba_spark.operators.wrapper import ProvDataFrame
         from samba_spark.sources import readers

@@ -61,3 +61,35 @@ def test_all_queries_run_in_plain_session(tmp_path, sf_smoke):
             l for l in proc.stdout.splitlines() if "PLAIN-SESSION" in l or l.startswith("RESULT")
         )
     )
+
+
+def test_prov_session_sql_entry_point(spark, sf_smoke, tmp_path):
+    """ProvSession.sql: a SQL-authored pipeline is a first-class
+    provenance source — task row recorded with the query text, wrapped
+    result chains into instrumented operators, and column lineage
+    resolves through the SQL."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.session import ProvSession
+
+    spark.read.parquet(f"{sf_smoke}/nation.parquet").createOrReplaceTempView(
+        "v_nation"
+    )
+    ps = ProvSession(spark, name="sql_entry", prov_dir=str(tmp_path / "p"))
+    try:
+        df = ps.sql(
+            "SELECT n_regionkey, COUNT(*) AS n FROM v_nation GROUP BY n_regionkey"
+        )
+        out = df.where(F.col("n") > 0)
+        assert out.count() == 5
+        lineage = {
+            (r.out_col, r.src_col)
+            for r in out.column_lineage().collect()
+        }
+        assert ("n_regionkey", "n_regionkey") in lineage
+        tasks = ps.store.table("tasks")
+        assert (
+            tasks.where(F.col("transformation_type") == "sql").count() == 1
+        )
+    finally:
+        ps.stop()
