@@ -319,3 +319,38 @@ def test_rare_token_blocking_no_cartesian(spark, sf_smoke):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, (
         plan[:900]
     )
+
+
+def test_advisor_flags_known_antipatterns(spark, sf_smoke):
+    """advise() detects a planted cartesian, a planted global window, and
+    a planted row-UDF — and stays quiet on a clean declared query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from samba_spark.plans.advisor import advise
+    from samba_spark.queries import ALL_QUERIES
+
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+
+    cart = orders.crossJoin(nation.select("n_name"))
+    assert any(f.rule == "cartesian" for f in advise(cart))
+
+    w = Window.orderBy("o_orderkey")
+    glob = orders.withColumn("rn", F.row_number().over(w))
+    assert any(f.rule == "single_partition" for f in advise(glob))
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    udfed = orders.select(slow("o_orderkey").alias("k"))
+    assert any(f.rule == "python_row_udf" for f in advise(udfed))
+
+    clean = ALL_QUERIES["q23_star_join"].fn(spark, sf_smoke)
+    bad = [
+        f
+        for f in advise(clean)
+        if f.rule in ("cartesian", "single_partition", "python_row_udf")
+    ]
+    assert not bad, bad
