@@ -25,22 +25,17 @@ entries come back green in CORRECTNESS_r03.
 from samba_spark.queries.declared import DECLARED, QuerySpec
 from samba_spark.queries.extensions import EXTENSIONS
 from samba_spark.queries.extras import EXTRAS
+from samba_spark.queries.tpch import TPCH
 
-# Sentinel core: one driver-green representative per operator family, kept
-# in-window as regression canaries across rounds.
+# Sentinel core: kept in-window as regression canaries across rounds.
+# Trimmed to 5 this round (q7/q9/q14/q21/q23/q25/q31/q47 have been
+# driver-green twice; the local DuckDB parity harness still runs them every
+# round) so the freed slots go to queries that have NEVER had a driver row.
 _SENTINELS = [
-    "q7_rollup",               # grouping-sets family
-    "q9_outer_join",           # join family
-    "q14_rank_window",         # window family
-    "q21_cte",                 # subquery/CTE family
-    "q23_star_join",           # flagship star join
     "q24_provenance_lineage",  # provenance contract (rows-only by design)
-    "q25_asof_join",           # custom-operator family
-    "q31_stream_tumbling",     # streaming family
     "q39_training_pipeline",   # pipeline composition (oracle cast fixed r3)
     "q41_pagerank",            # graph family + perf canary
     "q43_stream_join",         # stream-stream join + perf canary
-    "q47_pipe",                # pipe operator
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
@@ -83,11 +78,19 @@ _ROTATED_IN = [
     "q52_integrity_audit",
     "q53_provenance_counts",
     "q54_skew_window",
+    "q55_asof_forward",
+    "q56_tpch_q18",
+    "q57_tpch_q14",
+    "q58_tpch_q5",
+    "q59_transitive_lineage",
+    "q60_tpch_q10",
+    "q61_tpch_q16",
+    "q62_column_lineage",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
 
-_FULL = {**DECLARED, **EXTRAS, **EXTENSIONS}
+_FULL = {**DECLARED, **EXTRAS, **EXTENSIONS, **TPCH}
 
 CONTRACT_QUERIES = {k: _FULL[k] for k in _WINDOW_NAMES}
 AUX_QUERIES = {k: v for k, v in _FULL.items() if k not in CONTRACT_QUERIES}
