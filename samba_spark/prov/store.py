@@ -82,6 +82,19 @@ class ProvStore:
             "transformation_groups": [],
             "filegroup_refs": [],
         }
+        # Deferred distributed appends: each persist_elements() contributes
+        # two lazy DataFrames (elements + deps); writing them eagerly costs
+        # one Spark write job each (~0.3-0.5 s of scheduling + parquet
+        # commit overhead PER STAGE). Instead the plans are buffered and
+        # union-written in ONE job per table at flush — the batch analogue
+        # of the reference's fire-and-forget async inserts
+        # (CassandraDBDao.scala:39-57): visibility is deferred, capture is
+        # not. Safe because persist_elements caches its source first, so
+        # the buffered plan re-reads the cache, not the input.
+        self._pending_dfs: dict[str, list[DataFrame]] = {
+            "elements": [],
+            "element_deps": [],
+        }
         if enabled:
             os.makedirs(prov_dir, exist_ok=True)
 
@@ -178,15 +191,37 @@ class ProvStore:
 
     # -- distributed element tables ---------------------------------------
     def append_elements(self, df: DataFrame) -> None:
-        """Append a DataFrame shaped like model.ELEMENTS (distributed write)."""
+        """Queue a DataFrame shaped like model.ELEMENTS for the next
+        distributed batch write (see ``_pending_dfs`` in __init__)."""
         if not self.enabled:
             return
-        df.write.mode("append").parquet(os.path.join(self.prov_dir, "elements"))
+        with self._lock:
+            self._pending_dfs["elements"].append(df)
 
     def append_element_deps(self, df: DataFrame) -> None:
         if not self.enabled:
             return
-        df.write.mode("append").parquet(os.path.join(self.prov_dir, "element_deps"))
+        with self._lock:
+            self._pending_dfs["element_deps"].append(df)
+
+    def _flush_pending_dfs(self) -> None:
+        """Write all queued element/dep plans — one unioned Spark write job
+        per table instead of one per persist_elements call."""
+        from functools import reduce
+
+        with self._lock:
+            batches = {
+                name: dfs[:] for name, dfs in self._pending_dfs.items() if dfs
+            }
+            for name in batches:
+                self._pending_dfs[name].clear()
+        for name, dfs in batches.items():
+            out = (
+                dfs[0]
+                if len(dfs) == 1
+                else reduce(lambda a, b: a.unionByName(b), dfs)
+            )
+            out.write.mode("append").parquet(os.path.join(self.prov_dir, name))
 
     def append_filegroup_refs(self, df: DataFrame) -> None:
         """Append a DataFrame shaped like model.FILEGROUP_REFS — the
@@ -278,11 +313,15 @@ class ProvStore:
                     os.path.join(self.prov_dir, name), rows, model.TABLES[name]
                 )
                 rows.clear()
+        self._flush_pending_dfs()
 
     def table(self, name: str) -> DataFrame:
-        """Read a provenance table (flushing pending driver-side rows)."""
+        """Read a provenance table (flushing pending driver-side rows and
+        queued element batches first, so reads always see every append)."""
         if name in self._buffers:
             self.flush()
+        if name in self._pending_dfs and self._pending_dfs[name]:
+            self._flush_pending_dfs()
         path = os.path.join(self.prov_dir, name)
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema=model.TABLES[name])

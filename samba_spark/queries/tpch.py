@@ -43,11 +43,11 @@ def _e4(c):
     return F.round(c * 10000).cast("long")
 
 
-# --- Q4: order priority checking. Fixture has no l_commitdate /
-# l_receiptdate, so "late" = shipped more than 60 days after the order
-# date; the operator under test (correlated EXISTS → left-semi join with a
-# non-equi conjunct, then count by priority) is unchanged.
 def q63_tpch_q4(spark, sf_dir):
+    """Q4: order priority checking. Fixture has no l_commitdate /
+    l_receiptdate, so "late" = shipped more than 60 days after the order
+    date; the operator under test (correlated EXISTS → left-semi join with
+    a non-equi conjunct, then count by priority) is unchanged."""
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
     orders = t["orders"].where(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
@@ -83,12 +83,12 @@ ORDER BY o_orderpriority
 """
 
 
-# --- Q7: volume shipping between two nations, by direction and ship year.
-# Full shape: lineitem joins supplier-nation on one side and
-# orders-customer-nation on the other, keeping only the two (supp, cust)
-# nation orderings. Both nation dims broadcast; the big join keys are
-# l_orderkey / l_suppkey as in the official plan.
 def q64_tpch_q7(spark, sf_dir):
+    """Q7: volume shipping between two nations, by direction and ship year.
+    Full shape: lineitem joins supplier-nation on one side and
+    orders-customer-nation on the other, keeping only the two (supp, cust)
+    nation orderings. Both nation dims broadcast; the big join keys are
+    l_orderkey / l_suppkey as in the official plan."""
     t = load_tables(
         spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
     )
@@ -151,12 +151,12 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
-# --- Q8: national market share. Share of NATION_6 in AMERICA-region
-# ECONOMY-part order volume per year. The official query divides the two
-# sums; we emit numerator and denominator as exact integer e-4 units (the
-# division is presentation, the joins+conditional aggregation are the
-# operator under test).
 def q65_tpch_q8(spark, sf_dir):
+    """Q8: national market share. Share of NATION_6 in AMERICA-region
+    ECONOMY-part order volume per year. The official query divides the two
+    sums; we emit numerator and denominator as exact integer e-4 units (the
+    division is presentation, the joins+conditional aggregation are the
+    operator under test)."""
     t = load_tables(
         spark,
         sf_dir,
@@ -233,11 +233,11 @@ ORDER BY o_year
 """
 
 
-# --- Q12: shipping modes and order priority. No l_shipmode /
-# l_receiptdate in the fixture: the "mode" becomes a ship-latency bucket
-# (days between order and ship date), keeping the CASE-sum-by-priority
-# core that Q12 exercises.
 def q66_tpch_q12(spark, sf_dir):
+    """Q12: shipping modes and order priority. No l_shipmode / l_receiptdate
+    in the fixture: the "mode" becomes a ship-latency bucket (days between
+    order and ship date), keeping the CASE-sum-by-priority core that Q12
+    exercises."""
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
     delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     bucket = (
@@ -280,11 +280,11 @@ ORDER BY ship_bucket
 """
 
 
-# --- Q13: customer order-count distribution. Left outer join that MUST
-# preserve zero-order customers, then a second aggregation over the
-# per-customer counts. The o_comment NOT LIKE filter becomes an
-# o_orderpriority exclusion (same join-side filter position).
 def q67_tpch_q13(spark, sf_dir):
+    """Q13: customer order-count distribution. Left outer join that MUST
+    preserve zero-order customers, then a second aggregation over the
+    per-customer counts. The o_comment NOT LIKE filter becomes an
+    o_orderpriority exclusion (same join-side filter position)."""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     orders = t["orders"].where(F.col("o_orderpriority") != "5-LOW")
     per_cust = (
@@ -311,10 +311,11 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
-# --- Q15: top supplier. Quarter revenue per supplier (CTE), then keep the
-# supplier(s) whose revenue equals the maximum — a scalar subquery over an
-# aggregate, decorrelated in Spark as a broadcast 1-row max joined back.
 def q68_tpch_q15(spark, sf_dir):
+    """Q15: top supplier. Quarter revenue per supplier (CTE), then keep the
+    supplier(s) whose revenue equals the maximum — a scalar subquery over
+    an aggregate, decorrelated in Spark as a broadcast 1-row max joined
+    back."""
     t = load_tables(spark, sf_dir, ["supplier", "lineitem"])
     rev = (
         t["lineitem"]
@@ -357,12 +358,12 @@ ORDER BY s_suppkey
 """
 
 
-# --- Q17: small-quantity-order revenue. Correlated per-part average
-# quantity threshold, decorrelated into a groupBy + join; the
-# "l_quantity < 0.2 * avg(l_quantity)" comparison is cross-multiplied into
-# exact integers (5·qty·n < Σqty, all in cents) so no division happens on
-# either engine. Brand/size stand in for the missing p_container.
 def q69_tpch_q17(spark, sf_dir):
+    """Q17: small-quantity-order revenue. Correlated per-part average quantity
+    threshold, decorrelated into a groupBy + join; the "l_quantity < 0.2 *
+    avg(l_quantity)" comparison is cross-multiplied into exact integers
+    (5·qty·n < Σqty, all in cents) so no division happens on either engine.
+    Brand/size stand in for the missing p_container."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     part = t["part"].where(
         (F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 15)
@@ -404,11 +405,11 @@ WHERE p_brand = 'Brand#4' AND p_size <= 15
 """
 
 
-# --- Q19: discounted revenue over three disjunctive brand/size/quantity
-# windows — the classic OR-of-conjunctions join predicate that tests the
-# optimizer's ability to keep the part join a single pass. p_container /
-# l_shipmode clauses become p_size bands.
 def q70_tpch_q19(spark, sf_dir):
+    """Q19: discounted revenue over three disjunctive brand/size/quantity
+    windows — the classic OR-of-conjunctions join predicate that tests the
+    optimizer's ability to keep the part join a single pass. p_container /
+    l_shipmode clauses become p_size bands."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     cond = (
         (
@@ -453,12 +454,12 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
-# --- Q21: suppliers who kept orders waiting. The fixture has no
-# commit/receipt dates, so "waiting" = this supplier shipped strictly
-# last in a multi-supplier order: EXISTS another supplier's line in the
-# same order (semi) AND NOT EXISTS any line shipped later (anti) — the
-# same double-correlated-subquery structure as the official query.
 def q71_tpch_q21(spark, sf_dir):
+    """Q21: suppliers who kept orders waiting. The fixture has no
+    commit/receipt dates, so "waiting" = this supplier shipped strictly
+    last in a multi-supplier order: EXISTS another supplier's line in the
+    same order (semi) AND NOT EXISTS any line shipped later (anti) — the
+    same double-correlated-subquery structure as the official query."""
     t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
     li = (
         t["lineitem"]
@@ -519,14 +520,14 @@ ORDER BY numwait DESC, s_name LIMIT 100
 """
 
 
-# --- Q22: global sales opportunity. "Country code" = c_custkey mod 7
-# (fixture has no c_phone); keeps the scalar-subquery average threshold
-# (cross-multiplied to integers), the NOT EXISTS anti-join against
-# orders, and the per-code aggregation of the official query. The
-# anti-join is scoped to orders since 1999 — every fixture customer has
-# *some* order (an unscoped NOT EXISTS would be vacuously empty), and
-# "no recent orders" is the same lapsed-customer semantics.
 def q72_tpch_q22(spark, sf_dir):
+    """Q22: global sales opportunity. "Country code" = c_custkey mod 7
+    (fixture has no c_phone); keeps the scalar-subquery average threshold
+    (cross-multiplied to integers), the NOT EXISTS anti-join against
+    orders, and the per-code aggregation of the official query. The
+    anti-join is scoped to orders since 1999 — every fixture customer has
+    *some* order (an unscoped NOT EXISTS would be vacuously empty), and "no
+    recent orders" is the same lapsed-customer semantics."""
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     cust = t["customer"].select(
         "c_custkey",

@@ -354,3 +354,75 @@ def test_advisor_flags_known_antipatterns(spark, sf_smoke):
         if f.rule in ("cartesian", "single_partition", "python_row_udf")
     ]
     assert not bad, bad
+
+
+def test_tpch_q4_semi_join_no_fanout(spark, sf_smoke):
+    """q63: the EXISTS must plan as a left-semi join (no row multiplication
+    from multi-line orders) with the order-date slice pushed to the scan."""
+    from samba_spark.queries.tpch import TPCH
+
+    df = TPCH["q63_tpch_q4"].fn(spark, sf_smoke)
+    s = plan_summary(df)
+    assert "LeftSemi" in s["plan"]
+    assert_pushdown(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_tpch_q7_broadcast_nations_and_pushdown(spark, sf_smoke):
+    """q64: both nation dims broadcast; the two-year shipdate slice reaches
+    the lineitem scan so the big fact never over-reads."""
+    from samba_spark.queries.tpch import TPCH
+
+    df = TPCH["q64_tpch_q7"].fn(spark, sf_smoke)
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 2
+    assert_pushdown(df, "GreaterThanOrEqual(l_shipdate")
+
+
+def test_tpch_q17_single_lineitem_join_tree(spark, sf_smoke):
+    """q69: the decorrelated per-part average must NOT trigger a cartesian
+    or nested-loop plan; part (filtered, tiny) broadcasts, and the
+    threshold compare is a plain join condition."""
+    from samba_spark.queries.tpch import TPCH
+
+    df = TPCH["q69_tpch_q17"].fn(spark, sf_smoke)
+    s = plan_summary(df)
+    assert "CartesianProduct" not in s["plan"]
+    assert s["broadcast_joins"] >= 1
+
+
+def test_tpch_q19_one_pass_disjunction(spark, sf_smoke):
+    """q70: the OR-of-conjunctions must stay ONE broadcast join pass over
+    lineitem — not a union of three scans."""
+    from samba_spark.queries.tpch import TPCH
+
+    df = TPCH["q70_tpch_q19"].fn(spark, sf_smoke)
+    s = plan_summary(df)
+    assert s["broadcast_joins"] >= 1
+    n_lineitem_scans = len(
+        [sc for sc in s["read_schemas"] if "l_partkey" in sc]
+    )
+    assert n_lineitem_scans == 1, f"lineitem scanned {n_lineitem_scans}x"
+
+
+def test_tpch_q21_semi_anti_no_cartesian(spark, sf_smoke):
+    """q71: the waiting-supplier double correlation must plan as semi+anti
+    equi-joins on l_orderkey, never a cartesian/nested-loop."""
+    from samba_spark.queries.tpch import TPCH
+
+    df = TPCH["q71_tpch_q21"].fn(spark, sf_smoke)
+    s = plan_summary(df)
+    assert "CartesianProduct" not in s["plan"]
+    assert "LeftSemi" in s["plan"] and "LeftAnti" in s["plan"]
+    assert s["has_take_ordered"]
+
+
+def test_tpch_q22_broadcast_threshold(spark, sf_smoke):
+    """q72: the 1-row average threshold joins as a broadcast nested loop
+    (that is the right plan for a single-row side) and the no-recent-orders
+    check is a left-anti equi-join."""
+    from samba_spark.queries.tpch import TPCH
+
+    df = TPCH["q72_tpch_q22"].fn(spark, sf_smoke)
+    s = plan_summary(df)
+    assert "CartesianProduct" not in s["plan"]
+    assert "LeftAnti" in s["plan"]
