@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from samba_spark.prov.model import PROV_ID
+from samba_spark.sources.filegroup import resolve_file_content
 
 MANIFEST_SCHEMA = T.StructType(
     [
@@ -78,7 +79,7 @@ class ArtifactStore:
                 out = []
                 for _, row in batch.iterrows():
                     f = row["f"]
-                    content = bytes(f["content"] or b"")
+                    content = resolve_file_content(f)
                     sha = hashlib.sha256(content).hexdigest()
                     sub = os.path.join(blob_dir, sha[:2])
                     os.makedirs(sub, exist_ok=True)

@@ -13,10 +13,10 @@ the output group's element depends on the input group's element
 (AdvancedPipeRDD.scala:65 — 1-1).
 
 Scale note (100 TB): group content is Arrow-batched through the Python
-worker. Past ``spill_threshold`` bytes a file's content should be a
-content-addressed artifact ref instead of inline bytes; the artifact store
-(samba_spark/artifacts.py) provides the blob side. The execution protocol
-is unchanged either way.
+worker. Past a size threshold a file's content is a content-addressed blob
+ref instead of inline bytes (sources/filegroup.spill_contents); the
+materialize step here resolves refs transparently, so the execution
+protocol is unchanged either way.
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from samba_spark.prov.model import PROV_DEPS, PROV_ID
-from samba_spark.sources.filegroup import FILE_GROUP_SCHEMA
+from samba_spark.sources.filegroup import FILE_GROUP_SCHEMA, resolve_file_content
 
 
 @dataclass
@@ -84,7 +84,7 @@ def _execute_group(plan: ExecutionPlanning, extra_info: dict, files: list) -> di
         for f in files:
             rel = f["name"] if not f.get("path") else os.path.basename(f["path"])
             target = os.path.join(td, rel)
-            content = bytes(f["content"] or b"")
+            content = resolve_file_content(f)
             with open(target, "wb") as fh:
                 fh.write(content)
             originals[rel] = content
@@ -131,6 +131,7 @@ def _execute_group(plan: ExecutionPlanning, extra_info: dict, files: list) -> di
                         "size": len(content),
                         "modified": modified,
                         "content": content,
+                        "content_ref": None,
                     }
                 )
         new_extra = dict(extra_info or {})
@@ -277,7 +278,7 @@ def save_files_at(pdf, directory: str, *, by: str = "group") -> None:
             os.makedirs(sub, exist_ok=True)
             for f in row[1] or []:
                 with open(os.path.join(sub, f["name"]), "wb") as fh:
-                    fh.write(bytes(f["content"] or b""))
+                    fh.write(resolve_file_content(f))
 
     rows.foreachPartition(_write)
 

@@ -11,12 +11,14 @@ Ours is one DataFrame row per group::
     group_name string,
     extra_info map<string,string>,
     files array<struct<path string, name string, size bigint,
-                       modified boolean, content binary>>
+                       modified boolean, content binary, content_ref string>>
 
 built on ``spark.read.format("binaryFile")`` — distributed read, no
 in-driver file materialization. At 100 TB file content past a size
-threshold should live in the artifact store as a content ref instead of
-inline bytes (SURVEY.md §4.2 hard spot (c)); see blackbox.spill notes.
+threshold lives in a content-addressed blob store as a ``content_ref``
+instead of inline bytes (SURVEY.md §4.2 hard spot (c)): see
+:func:`spill_contents` / :func:`hydrate_contents`; every consumer resolves
+refs via :func:`resolve_file_content`.
 """
 
 from __future__ import annotations
@@ -36,6 +38,10 @@ FILE_STRUCT = T.StructType(
         T.StructField("size", T.LongType()),
         T.StructField("modified", T.BooleanType()),
         T.StructField("content", T.BinaryType()),
+        # SURVEY.md §4.2 hard spot (c): past a size threshold the bytes
+        # live in a content-addressed blob store and ``content`` is NULL;
+        # ``content_ref`` holds the blob path. See spill_contents().
+        T.StructField("content_ref", T.StringType()),
     ]
 )
 
@@ -116,6 +122,7 @@ def read_file_groups(session, templates, name: Optional[str] = None):
                 F.col("length").alias("size"),
                 F.lit(False).alias("modified"),
                 F.col("content").alias("content"),
+                F.lit(None).cast("string").alias("content_ref"),
             ).alias("file"),
         )
         grouped = per_file.groupBy("group_name").agg(
@@ -130,3 +137,135 @@ def read_file_groups(session, templates, name: Optional[str] = None):
         session, df, op="fileGroup", desc=name or f"fileGroup[{len(list(templates))}]"
     )
     return pdf
+
+
+def resolve_file_content(f) -> bytes:
+    """Bytes of one file struct, following ``content_ref`` when the bytes
+    were spilled to the blob store. Works on Row, dict, or pandas struct."""
+    content = f["content"]
+    if content is not None:
+        return bytes(content)
+    try:
+        ref = f["content_ref"]
+    except (KeyError, ValueError, IndexError):
+        ref = None
+    if ref:
+        with open(ref, "rb") as fh:
+            return fh.read()
+    return b""
+
+
+def _file_as_dict(f) -> dict:
+    keys = ("path", "name", "size", "modified", "content", "content_ref")
+    out = {}
+    for k in keys:
+        try:
+            out[k] = f[k]
+        except (KeyError, ValueError, IndexError):
+            out[k] = None
+    return out
+
+
+def spill_contents(pdf, blob_root: str, threshold: int = 1 << 20):
+    """Move file contents ≥ ``threshold`` bytes out of the DataFrame into a
+    content-addressed blob directory (sha256, two-level fan-out — the same
+    layout as the ArtifactStore), leaving ``content = NULL`` and
+    ``content_ref = <blob path>`` in the row.
+
+    This is the 100 TB contract for FileGroups (SURVEY.md §4.2 hard spot
+    (c)): a shuffle or Arrow batch must never carry multi-GB payloads
+    inline. After spilling, a FileGroup row costs O(#files × ref) bytes on
+    the wire regardless of content size; every consumer (run_command,
+    save_files_at, ArtifactStore.commit) resolves refs transparently via
+    :func:`resolve_file_content`. ``blob_root`` must be storage every
+    executor can reach — a shared filesystem locally, an object-store
+    mount at cluster scale (same requirement the artifact store already
+    has). Writes are executor-side, content-addressed and atomic
+    (tmp + rename), so duplicate content across groups stores once and
+    concurrent writers of equal blobs are safe. Lineage: a value-preserving
+    physical rewrite — provenance ids/deps pass through unchanged."""
+    import pandas as pd
+
+    from samba_spark.operators.wrapper import ProvDataFrame
+
+    src = pdf.raw
+    schema = src.schema
+    blob_dir = os.path.join(blob_root, "blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+
+    def _spill(batches):
+        import hashlib
+        import uuid
+
+        for batch in batches:
+            new_files_col = []
+            for files in batch["files"]:
+                out = []
+                for f in list(files):
+                    d = _file_as_dict(f)
+                    content = d["content"]
+                    if content is not None and len(content) >= threshold:
+                        content = bytes(content)
+                        sha = hashlib.sha256(content).hexdigest()
+                        sub = os.path.join(blob_dir, sha[:2])
+                        os.makedirs(sub, exist_ok=True)
+                        path = os.path.join(sub, sha)
+                        if not os.path.exists(path):
+                            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+                            with open(tmp, "wb") as fh:
+                                fh.write(content)
+                            os.replace(tmp, path)
+                        d["content"] = None
+                        d["content_ref"] = path
+                    out.append(d)
+                new_files_col.append(out)
+            batch = batch.copy()
+            batch["files"] = new_files_col
+            yield batch
+
+    out = src.mapInPandas(_spill, schema)
+    return ProvDataFrame(
+        pdf.session,
+        out,
+        op="map",
+        desc=f"spillContents(>={threshold}B)",
+        parents=[pdf],
+        elements_enabled=pdf.elements_enabled,
+    )
+
+
+def hydrate_contents(pdf):
+    """Inverse of :func:`spill_contents`: read every ``content_ref`` back
+    into inline ``content`` bytes (e.g. before handing groups to a consumer
+    outside the engine). Executor-side reads; refs must be reachable from
+    every executor."""
+    from samba_spark.operators.wrapper import ProvDataFrame
+
+    src = pdf.raw
+    schema = src.schema
+
+    def _hydrate(batches):
+        for batch in batches:
+            new_files_col = []
+            for files in batch["files"]:
+                out = []
+                for f in list(files):
+                    d = _file_as_dict(f)
+                    if d["content"] is None and d["content_ref"]:
+                        d["content"] = resolve_file_content(d)
+                        d["content_ref"] = None
+                    out.append(d)
+                new_files_col.append(out)
+            batch = batch.copy()
+            batch["files"] = new_files_col
+            yield batch
+
+    out = src.mapInPandas(_hydrate, schema)
+    return ProvDataFrame(
+        pdf.session,
+        out,
+        op="map",
+        desc="hydrateContents",
+        parents=[pdf],
+        elements_enabled=pdf.elements_enabled,
+    )

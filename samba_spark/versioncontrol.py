@@ -80,8 +80,10 @@ class GitArtifactBackend:
                 )
                 os.makedirs(gdir, exist_ok=True)
                 for f in row.files or []:
+                    from samba_spark.sources.filegroup import resolve_file_content
+
                     with open(os.path.join(gdir, f.name), "wb") as fh:
-                        fh.write(bytes(f.content or b""))
+                        fh.write(resolve_file_content(f))
             _git(["add", "-A"], cwd=wt)
             _git(
                 ["commit", "--allow-empty", "-m",
