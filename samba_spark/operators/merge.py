@@ -129,3 +129,29 @@ def snapshot_diff(
         .where(F.col("status").isNotNull())
         .select(key, "status")
     )
+
+
+def merge_partial_aggs(
+    snapshot: DataFrame, delta: DataFrame, keys: Sequence[str], sums: Sequence[str]
+) -> DataFrame:
+    """Incremental aggregate maintenance: combine a maintained per-key
+    aggregate ``snapshot`` with the same aggregation computed over only a
+    new ``delta`` batch, producing the aggregate over the union of their
+    inputs WITHOUT rescanning history.
+
+    Only valid for additive measures (counts, sums — anything where
+    agg(A ∪ B) = agg(agg(A), agg(B))); min/max also qualify if re-reduced
+    with the matching function, but count-distinct does not (keep a sketch
+    for that). This is the maintenance step of a 100 TB rollup: the daily
+    job aggregates one day of data and folds it in, cost O(delta + groups)
+    instead of O(history). Plan: union + one hash-shuffled partial/final
+    aggregation on the keys — the same map-side-combine shape as a fresh
+    aggregate, but over #groups + #delta rows.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        snapshot.unionByName(delta)
+        .groupBy(*keys)
+        .agg(*[F.sum(c).alias(c) for c in sums])
+    )

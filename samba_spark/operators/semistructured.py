@@ -51,3 +51,22 @@ def with_json_fields(
             for name, (path, cast) in fields.items()
         ],
     )
+
+
+def to_variant(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """Parse a JSON string column into a VARIANT column (Spark 4 binary
+    semi-structured encoding). The 100 TB contract: parse each payload
+    ONCE at ingest; every later field access is a binary offset read
+    (``variant_field``), not a JSON re-parse — the reason VARIANT exists.
+    Malformed JSON raises at parse; use try_parse_json upstream for dirty
+    feeds."""
+    return df.withColumn(out or f"{col}_v", F.parse_json(F.col(col)))
+
+
+def variant_field(col: Column | str, path: str, cast: str = "string") -> Column:
+    """Extract one field from a VARIANT column as ``cast`` type; NULL on
+    missing field or failed cast (``try_variant_get`` semantics — the only
+    sane behavior over a dirty payload column)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = path if path.startswith("$") else f"$.{path}"
+    return F.try_variant_get(c, p, cast)

@@ -25,6 +25,7 @@ entries come back green in CORRECTNESS_r03.
 from samba_spark.queries.declared import DECLARED, QuerySpec
 from samba_spark.queries.extensions import EXTENSIONS
 from samba_spark.queries.extras import EXTRAS
+from samba_spark.queries.modern import MODERN
 from samba_spark.queries.tpch import TPCH
 
 # Sentinel core: kept in-window as regression canaries across rounds.
@@ -90,7 +91,7 @@ _ROTATED_IN = [
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
 
-_FULL = {**DECLARED, **EXTRAS, **EXTENSIONS, **TPCH}
+_FULL = {**DECLARED, **EXTRAS, **EXTENSIONS, **TPCH, **MODERN}
 
 CONTRACT_QUERIES = {k: _FULL[k] for k in _WINDOW_NAMES}
 AUX_QUERIES = {k: v for k, v in _FULL.items() if k not in CONTRACT_QUERIES}

@@ -1,0 +1,127 @@
+"""Round-3 Spark-4 surface block (x70–x72): VARIANT semi-structured
+columns, incremental aggregate maintenance, and the Python UDTF leg of the
+UDF/UDAF/UDTF triad — each DuckDB-oracle-checked like every other declared
+query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from samba_spark.queries.declared import QuerySpec
+from samba_spark.sources.tables import load_tables
+
+
+def x70_variant_extract(spark, sf_dir):
+    """VARIANT payload analytics (Spark 4): parse the events JSON payload
+    ONCE into the binary VARIANT encoding, then read fields as offset
+    lookups — at 100 TB this replaces per-access JSON re-parsing (the
+    get_json_object path of x23) with a single parse at the scan. Buckets
+    the extracted integer into deciles per event type; integer-only
+    output."""
+    from samba_spark.operators import semistructured as J
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    v = J.to_variant(events, "props")
+    k = J.variant_field("props_v", "k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type", (F.col("k") / 10).cast("long").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_decile")
+    )
+
+
+X70_SQL = """
+WITH p AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type, CAST(k // 10 AS BIGINT) AS k_decile,
+       COUNT(*)::BIGINT AS n, SUM(k)::BIGINT AS sum_k
+FROM p WHERE k IS NOT NULL
+GROUP BY event_type, k_decile
+ORDER BY event_type, k_decile
+"""
+
+
+def x71_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance: a maintained per-priority order
+    rollup (history before 1999) is folded together with the aggregate of
+    only the new batch (1999+) via merge_partial_aggs — O(delta + groups)
+    instead of a full history rescan. The oracle recomputes the rollup
+    from ALL orders, so a hash match proves agg(old) ⊕ agg(delta) ==
+    agg(all) exactly."""
+    from samba_spark.operators.merge import merge_partial_aggs
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    snapshot = part(orders.where(F.col("o_orderdate") < cutoff))
+    delta = part(orders.where(F.col("o_orderdate") >= cutoff))
+    merged = merge_partial_aggs(
+        snapshot, delta, ["o_orderpriority"], ["n_orders", "total_cents"]
+    )
+    return merged.orderBy("o_orderpriority")
+
+
+X71_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def x72_udtf_leading_tokens(spark, sf_dir):
+    """Python UDTF surface: LATERAL table-function call expanding each
+    document into its first-10 tokens with positions, then a corpus-level
+    head-token frequency table. The UDTF is the deliberate slow path (one
+    Python call per row) kept off hot paths — this query pins its
+    semantics and the SQL-lateral integration; the JVM-side equivalent for
+    scale is posexplode(slice(split(...))) (operators/chunking.py)."""
+    from samba_spark.functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    docs.createOrReplaceTempView("x72_documents")
+    return spark.sql(
+        """
+        SELECT t.token, COUNT(*) AS n, MIN(t.pos) AS min_pos
+        FROM x72_documents d, LATERAL leading_tokens(d.text, 10) t
+        GROUP BY t.token
+        ORDER BY n DESC, t.token
+        LIMIT 25
+        """
+    ).select(
+        "token",
+        F.col("n").cast("long").alias("n"),
+        F.col("min_pos").cast("long").alias("min_pos"),
+    )
+
+
+X72_SQL = """
+WITH s AS (SELECT string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT unnest(generate_series(1, LEAST(10, len(l)))) AS i, l FROM s),
+tok AS (SELECT l[i] AS token, i FROM pos WHERE l[i] <> '')
+SELECT token, COUNT(*)::BIGINT AS n, CAST(MIN(i) AS BIGINT) AS min_pos
+FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 25
+"""
+
+
+MODERN: dict[str, QuerySpec] = {
+    "x70_variant_extract": QuerySpec(x70_variant_extract, X70_SQL),
+    "x71_incremental_agg": QuerySpec(x71_incremental_agg, X71_SQL),
+    "x72_udtf_leading_tokens": QuerySpec(x72_udtf_leading_tokens, X72_SQL),
+}

@@ -1,0 +1,69 @@
+"""Spark-4 surface operators: VARIANT columns, incremental aggregate
+maintenance, Python UDTF."""
+
+from pyspark.sql import functions as F
+
+from samba_spark.operators.merge import merge_partial_aggs
+from samba_spark.operators.semistructured import to_variant, variant_field
+
+
+def test_variant_field_missing_and_malformed(spark):
+    """try_variant_get semantics: missing field → NULL, failed cast →
+    NULL; present field extracts typed."""
+    df = spark.createDataFrame(
+        [('{"k": 7, "s": "x"}',), ('{"other": 1}',), ('{"k": "notanint"}',)],
+        ["props"],
+    )
+    v = to_variant(df, "props")
+    out = v.select(
+        variant_field("props_v", "k", "long").alias("k"),
+        variant_field("props_v", "s").alias("s"),
+    ).collect()
+    assert [r.k for r in out] == [7, None, None]
+    assert [r.s for r in out] == ["x", None, None]
+
+
+def test_merge_partial_aggs_equals_full_rescan(spark, sf_smoke):
+    """Folding per-batch partial aggregates must equal the full aggregate,
+    regardless of how the input is split (3-way split here, folded
+    incrementally like daily batches)."""
+    orders = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+
+    parts = [agg(orders.where(F.col("o_orderkey") % 3 == i)) for i in range(3)]
+    maintained = parts[0]
+    for p in parts[1:]:
+        maintained = merge_partial_aggs(
+            maintained, p, ["o_orderpriority"], ["n", "cents"]
+        )
+    full = agg(orders)
+    got = {r.o_orderpriority: (r.n, r.cents) for r in maintained.collect()}
+    want = {r.o_orderpriority: (r.n, r.cents) for r in full.collect()}
+    assert got == want
+
+
+def test_udtf_leading_tokens_contract(spark):
+    """Empty tokens consume positions but are not emitted; limit caps the
+    scan; NULL text yields no rows."""
+    from samba_spark.functions.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a  b c"), (2, None), (3, " ")], ["id", "text"]
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        "SELECT d.id, t.token, t.pos FROM udtf_docs d, "
+        "LATERAL leading_tokens(d.text, 10) t ORDER BY d.id, t.pos"
+    ).collect()
+    assert [(r.id, r.token, r.pos) for r in rows] == [
+        (1, "a", 1),
+        (1, "b", 3),  # position 2 was the empty token between two spaces
+        (1, "c", 4),
+    ]
