@@ -775,3 +775,110 @@ def synth_pngs(
     return df.select(
         F.col(id_col), F.col(width_col), F.col(height_col)
     ).mapInPandas(_synth, schema)
+
+
+def synth_pcm_wavs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    sample_rate: int = 8000,
+    n_samples: int = 800,
+) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV synthesis with a REAL waveform:
+    sample i of blob ``id`` is ``((id*31 + i*17) % 4096) - 2048`` — pure
+    integer math both engines can replay exactly, unlike the zero-payload
+    fixture of :func:`synth_wavs`. The audio-feature fixture generator."""
+    import struct
+
+    def _synth(batches):
+        for batch in batches:
+            out = []
+            for mid in batch[id_col]:
+                mid = int(mid)
+                pcm = struct.pack(
+                    f"<{n_samples}h",
+                    *[((mid * 31 + i * 17) % 4096) - 2048 for i in range(n_samples)],
+                )
+                blob = wav_bytes(sample_rate, 1, 16, 0)
+                # wav_bytes emits a zero-length payload for n=0; splice the
+                # real PCM in by rebuilding the two RIFF size fields
+                blob = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(pcm))
+                    + blob[8:40]
+                    + struct.pack("<I", len(pcm))
+                    + pcm
+                )
+                out.append({"media_id": mid, "content": blob})
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def frame_features(
+    media: DataFrame,
+    *,
+    frame_len: int = 160,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Audio frame sampling + feature extraction over a binary WAV column:
+    decode 16-bit PCM (real RIFF walk via parse_wav_header), split into
+    ``frame_len``-sample frames, emit per-frame integer energy features
+    (sum of |sample|, peak |sample|, n). The audio leg of the multimodal
+    north star: at 100 TB this is the Arrow-batched fan-out stage before
+    any model-based featurizer — payload bytes never leave the executor
+    batch, output rows carry only O(1) integers per frame. Trailing
+    partial frames are dropped (the standard framing contract)."""
+    import struct
+
+    def _frames(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                blob = bytes(content)
+                rate, ch, bits, n, _ms = parse_wav_header(blob)
+                if bits != 16 or ch != 1:
+                    raise ValueError("frame_features expects mono 16-bit PCM")
+                # locate the data chunk payload (same RIFF walk as the parser)
+                pos = 12
+                data = b""
+                while pos + 8 <= len(blob):
+                    cid = blob[pos : pos + 4]
+                    (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = blob[pos + 8 : pos + 8 + size]
+                        break
+                    pos += 8 + size + (size % 2)
+                samples = struct.unpack(f"<{len(data)//2}h", data)
+                for fi in range(len(samples) // frame_len):
+                    fr = samples[fi * frame_len : (fi + 1) * frame_len]
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "sum_abs": sum(abs(s) for s in fr),
+                            "peak": max(abs(s) for s in fr),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+    return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        _frames, schema
+    )

@@ -120,8 +120,42 @@ FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 25
 """
 
 
+def x73_audio_frames(spark, sf_dir):
+    """Audio frame features end-to-end through the REAL WAV codec:
+    deterministic 16-bit PCM synthesis (sample i of doc d =
+    ((d*31 + i*17) % 4096) - 2048) → RIFF/WAVE encode → decode + 20 ms
+    framing → per-frame integer energy (sum|s|, peak). The oracle replays
+    the waveform formula in pure SQL, so a hash match proves the binary
+    encode/decode round-trip AND the framing math, not just the
+    plumbing. 50 blobs × 5 frames; payload bytes never leave the
+    executor batch."""
+    from samba_spark.operators.multimodal import frame_features, synth_pcm_wavs
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id")
+        .where(F.col("doc_id") < 50)
+    )
+    wavs = synth_pcm_wavs(docs, sample_rate=8000, n_samples=800)
+    return frame_features(wavs, frame_len=160).orderBy("media_id", "frame_idx")
+
+
+X73_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+s AS (SELECT doc_id, unnest(generate_series(0, 799)) AS i FROM d),
+v AS (SELECT doc_id, i // 160 AS frame_idx,
+             ((doc_id * 31 + i * 17) % 4096) - 2048 AS smp
+      FROM s)
+SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       SUM(ABS(smp))::BIGINT AS sum_abs, MAX(ABS(smp))::BIGINT AS peak
+FROM v GROUP BY media_id, frame_idx
+ORDER BY media_id, frame_idx
+"""
+
+
 MODERN: dict[str, QuerySpec] = {
     "x70_variant_extract": QuerySpec(x70_variant_extract, X70_SQL),
     "x71_incremental_agg": QuerySpec(x71_incremental_agg, X71_SQL),
     "x72_udtf_leading_tokens": QuerySpec(x72_udtf_leading_tokens, X72_SQL),
+    "x73_audio_frames": QuerySpec(x73_audio_frames, X73_SQL),
 }

@@ -67,3 +67,17 @@ def test_udtf_leading_tokens_contract(spark):
         (1, "b", 3),  # position 2 was the empty token between two spaces
         (1, "c", 4),
     ]
+
+
+def test_frame_features_drops_trailing_partial_frame(spark):
+    """401 samples at frame_len=160 → 2 full frames, trailing 81 samples
+    dropped; features are exact integers of the synthesized waveform."""
+    from samba_spark.operators.multimodal import frame_features, synth_pcm_wavs
+
+    df = spark.createDataFrame([(7,)], ["doc_id"])
+    wavs = synth_pcm_wavs(df, n_samples=401)
+    rows = frame_features(wavs, frame_len=160).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 1]
+    want0 = [((7 * 31 + i * 17) % 4096) - 2048 for i in range(160)]
+    assert rows[0].sum_abs == sum(abs(s) for s in want0)
+    assert rows[0].peak == max(abs(s) for s in want0)
