@@ -882,3 +882,116 @@ def frame_features(
     return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
         _frames, schema
     )
+
+
+# Video sibling of the WAV/PNG codecs: ISO-BMFF (MP4) containers are a
+# flat tree of [size:u32be][type:4cc] boxes, so container metadata parses
+# with the same struct arithmetic — no codec library. Actual frame
+# DECODING stays out of scope in this container (no video libs here, per
+# the multimodal stub policy); the box walk, sizes, and offsets are real.
+def _make_bmff_codec():
+    import struct
+
+    def mp4_bytes(free_size: int, mdat_size: int):
+        """Minimal well-formed ISO-BMFF blob: ftyp + free(+payload) +
+        mdat(+payload). Sizes include the 8-byte box header."""
+        ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+        free = struct.pack(">I", free_size) + b"free" + b"\x00" * (free_size - 8)
+        mdat = struct.pack(">I", mdat_size) + b"mdat" + b"\x00" * (mdat_size - 8)
+        return ftyp + free + mdat
+
+    def parse_boxes(content: bytes):
+        """Top-level box walk: [(type, size, offset)] in file order.
+        Handles the 64-bit largesize escape (size==1) and
+        size==0 (box extends to EOF). Raises ValueError on a truncated
+        or non-BMFF blob."""
+        if len(content) < 8 or content[4:8] != b"ftyp":
+            raise ValueError("not an ISO-BMFF blob (no leading ftyp)")
+        out, pos = [], 0
+        while pos + 8 <= len(content):
+            (size,) = struct.unpack(">I", content[pos : pos + 4])
+            btype = content[pos + 4 : pos + 8].decode("latin-1")
+            if size == 1:
+                (size,) = struct.unpack(">Q", content[pos + 8 : pos + 16])
+            elif size == 0:
+                size = len(content) - pos
+            if size < 8 or pos + size > len(content):
+                raise ValueError(f"truncated box {btype!r} at {pos}")
+            out.append((btype, size, pos))
+            pos += size
+        if pos != len(content):
+            raise ValueError("trailing bytes after last box")
+        return out
+
+    return mp4_bytes, parse_boxes
+
+
+mp4_bytes, parse_boxes = _make_bmff_codec()
+
+
+def parse_mp4_boxes(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Distributed MP4/ISO-BMFF container metadata over a binary column:
+    one output row per top-level box (type, size, offset). Same scale
+    contract as the WAV/PNG paths — Arrow-batched, header arithmetic only,
+    payload bytes never leave the executor batch."""
+
+    def _parse(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                for btype, size, offset in parse_boxes(bytes(content)):
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "box_type": btype,
+                            "box_size": size,
+                            "offset": offset,
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("box_type", T.StringType()),
+            T.StructField("box_size", T.LongType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        _parse, schema
+    )
+
+
+def synth_mp4s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ISO-BMFF synthesis: blob of doc d is
+    ftyp(16) + free(16 + d % 64) + mdat(16 + (d * 7) % 128) — box sizes
+    from integer formulas both engines replay exactly (the fixture
+    generator for the container-metadata path)."""
+
+    def _synth(batches):
+        for batch in batches:
+            out = []
+            for mid in batch[id_col]:
+                mid = int(mid)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "content": mp4_bytes(
+                            16 + (mid % 64), 16 + ((mid * 7) % 128)
+                        ),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)

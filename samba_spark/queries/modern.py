@@ -1,6 +1,7 @@
-"""Round-3 Spark-4 surface block (x70–x72): VARIANT semi-structured
-columns, incremental aggregate maintenance, and the Python UDTF leg of the
-UDF/UDAF/UDTF triad — each DuckDB-oracle-checked like every other declared
+"""Round-3 Spark-4 + multimodal surface block (x70–x74): VARIANT
+semi-structured columns, incremental aggregate maintenance, the Python
+UDTF leg of the UDF/UDAF/UDTF triad, audio frame features, and MP4
+container metadata — each DuckDB-oracle-checked like every other declared
 query."""
 
 from __future__ import annotations
@@ -153,9 +154,49 @@ ORDER BY media_id, frame_idx
 """
 
 
+def x74_mp4_boxes(spark, sf_dir):
+    """Video-container metadata through the REAL ISO-BMFF codec (the video
+    leg of the multimodal trio — frame DECODE stays stubbed per the
+    no-codec-libs container policy, the box walk is real): deterministic
+    MP4 synthesis (ftyp + free(16 + d%64) + mdat(16 + (d*7)%128)) →
+    big-endian box walk → one row per top-level box with size and byte
+    offset. Oracle replays the size formulas and the running-offset
+    arithmetic in SQL, proving the binary round-trip."""
+    from samba_spark.operators.multimodal import parse_mp4_boxes, synth_mp4s
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id")
+        .where(F.col("doc_id") < 50)
+    )
+    return (
+        parse_mp4_boxes(synth_mp4s(docs))
+        .withColumnRenamed("offset", "box_offset")
+        .orderBy("media_id", "box_offset")
+    )
+
+
+X74_SQL = """
+WITH d AS (SELECT doc_id, 16 + doc_id % 64 AS free_sz,
+                  16 + (doc_id * 7) % 128 AS mdat_sz
+           FROM documents WHERE doc_id < 50)
+SELECT doc_id AS media_id, box_type,
+       CAST(box_size AS BIGINT) AS box_size,
+       CAST(box_offset AS BIGINT) AS box_offset
+FROM (
+  SELECT doc_id, 'ftyp' AS box_type, 16 AS box_size, 0 AS box_offset FROM d
+  UNION ALL
+  SELECT doc_id, 'free', free_sz, 16 FROM d
+  UNION ALL
+  SELECT doc_id, 'mdat', mdat_sz, 16 + free_sz FROM d)
+ORDER BY media_id, box_offset
+"""
+
+
 MODERN: dict[str, QuerySpec] = {
     "x70_variant_extract": QuerySpec(x70_variant_extract, X70_SQL),
     "x71_incremental_agg": QuerySpec(x71_incremental_agg, X71_SQL),
     "x72_udtf_leading_tokens": QuerySpec(x72_udtf_leading_tokens, X72_SQL),
     "x73_audio_frames": QuerySpec(x73_audio_frames, X73_SQL),
+    "x74_mp4_boxes": QuerySpec(x74_mp4_boxes, X74_SQL),
 }

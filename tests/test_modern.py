@@ -81,3 +81,22 @@ def test_frame_features_drops_trailing_partial_frame(spark):
     want0 = [((7 * 31 + i * 17) % 4096) - 2048 for i in range(160)]
     assert rows[0].sum_abs == sum(abs(s) for s in want0)
     assert rows[0].peak == max(abs(s) for s in want0)
+
+
+def test_mp4_box_walk_largesize_and_errors():
+    """The box walker handles the 64-bit largesize escape and rejects
+    truncated/non-BMFF blobs."""
+    import struct
+
+    import pytest
+
+    from samba_spark.operators.multimodal import mp4_bytes, parse_boxes
+
+    blob = mp4_bytes(24, 40)
+    assert parse_boxes(blob) == [("ftyp", 16, 0), ("free", 24, 16), ("mdat", 40, 40)]
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 24) + b"\x00" * 8
+    assert parse_boxes(blob + big)[-1] == ("mdat", 24, 80)
+    with pytest.raises(ValueError):
+        parse_boxes(b"\x00\x00\x00\x10junk" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        parse_boxes(blob[:-4])  # truncated mdat
