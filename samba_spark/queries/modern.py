@@ -193,7 +193,42 @@ ORDER BY media_id, box_offset
 """
 
 
+def q73_stream_cdc(spark, sf_dir):
+    """Streaming CDC into a maintained snapshot: the events table is split
+    into 4 parquet files, streamed one micro-batch per file, and each
+    batch folds into a parquet-backed latest-row-per-user snapshot via
+    merge_latest (max_by on (ts, event_id) — batch-order independent, so
+    retries/backfills can't clobber newer rows). The oracle computes
+    latest-per-user over ALL events in one window, so a hash match proves
+    4 incremental folds == the full recompute."""
+    import tempfile
+    import uuid
+
+    from samba_spark.sources.tables import load_tables as _lt
+    from samba_spark.streaming.ops import run_cdc_snapshot
+
+    events = _lt(spark, sf_dir, ["events"])["events"]
+    work = tempfile.mkdtemp(prefix=f"q73_{uuid.uuid4().hex[:8]}_")
+    src = f"{work}/events_in"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    snap = run_cdc_snapshot(spark, src, work)
+    return snap.select("user_id", "event_id", "ts", "event_type").orderBy(
+        "user_id"
+    )
+
+
+Q73_SQL = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 MODERN: dict[str, QuerySpec] = {
+    "q73_stream_cdc": QuerySpec(q73_stream_cdc, Q73_SQL),
     "x70_variant_extract": QuerySpec(x70_variant_extract, X70_SQL),
     "x71_incremental_agg": QuerySpec(x71_incremental_agg, X71_SQL),
     "x72_udtf_leading_tokens": QuerySpec(x72_udtf_leading_tokens, X72_SQL),

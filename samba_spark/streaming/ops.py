@@ -312,3 +312,72 @@ def enrich_with_dimension(
     lookup-table pattern; dim updates are picked up on re-read for file
     sources). Contrast with stream-stream joins, which buffer state."""
     return stream.join(dim, on=on, how=how)
+
+
+def merge_latest(base, updates, keys, order_cols):
+    """CDC snapshot fold: next snapshot keeps, per key, the row that is
+    greatest by ``order_cols`` (lexicographic) across base ∪ updates.
+    Unlike plain update-wins merge (operators/merge.merge_upsert), the
+    result is independent of batch arrival order — a late-replayed batch
+    can never clobber a newer row, which is the invariant an incremental
+    CDC pipeline needs under retries/backfill. Plan: union + one
+    hash-shuffled max_by aggregation on the keys."""
+    from pyspark.sql import functions as F
+
+    both = base.unionByName(updates)
+    payload = F.struct(*[F.col(c) for c in both.columns])
+    order = F.struct(*[F.col(c) for c in order_cols])
+    agged = both.groupBy(*keys).agg(F.max_by(payload, order).alias("_row"))
+    return agged.select("_row.*")
+
+
+def run_cdc_snapshot(
+    spark,
+    events_dir: str,
+    work_dir: str,
+    *,
+    keys=("user_id",),
+    order_cols=("ts", "event_id"),
+    max_files_per_trigger: int = 1,
+):
+    """Incremental CDC pipeline end to end: stream the parquet files under
+    ``events_dir`` one micro-batch per file, fold each batch into a
+    parquet-backed snapshot with :func:`merge_latest`, return the final
+    snapshot DataFrame. Each batch costs O(batch + snapshot-groups), not
+    O(history) — the maintenance loop a 100 TB mutable table runs per
+    ingest (what a lakehouse MERGE INTO does, built from engine
+    primitives). Snapshots are versioned per batch id under ``work_dir``
+    (write-new-then-read, never overwrite-in-place) so a crashed batch
+    leaves the previous snapshot intact and re-running batch N is
+    idempotent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sample = spark.read.parquet(events_dir)
+    schema = sample.schema
+    state = {"path": None}
+
+    def _sink(batch_df, batch_id):
+        reduced = merge_latest(
+            batch_df.limit(0), batch_df, list(keys), list(order_cols)
+        )
+        if state["path"] is None:
+            merged = reduced
+        else:
+            prev = batch_df.sparkSession.read.parquet(state["path"])
+            merged = merge_latest(prev, reduced, list(keys), list(order_cols))
+        out = os.path.join(work_dir, f"snapshot_{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        state["path"] = out
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"])

@@ -100,3 +100,36 @@ def test_mp4_box_walk_largesize_and_errors():
         parse_boxes(b"\x00\x00\x00\x10junk" + b"\x00" * 8)
     with pytest.raises(ValueError):
         parse_boxes(blob[:-4])  # truncated mdat
+
+
+def test_merge_latest_batch_order_independent(spark):
+    """Folding CDC batches in any arrival order yields the same snapshot —
+    the invariant that makes retries/backfills safe (plain update-wins
+    merges do NOT have it)."""
+    from functools import reduce
+
+    from samba_spark.streaming.ops import merge_latest
+
+    rows = [
+        (1, 10, "a"), (1, 30, "c"), (1, 20, "b"),
+        (2, 5, "x"), (2, 7, "y"),
+    ]
+    batches = [
+        spark.createDataFrame([r], ["user_id", "ts", "val"]) for r in rows
+    ]
+    empty = batches[0].limit(0)
+
+    def fold(order):
+        return {
+            (r.user_id, r.ts, r.val)
+            for r in reduce(
+                lambda acc, b: merge_latest(acc, b, ["user_id"], ["ts"]),
+                [batches[i] for i in order],
+                empty,
+            ).collect()
+        }
+
+    want = {(1, 30, "c"), (2, 7, "y")}
+    assert fold([0, 1, 2, 3, 4]) == want
+    assert fold([4, 3, 2, 1, 0]) == want
+    assert fold([2, 0, 4, 1, 3]) == want
