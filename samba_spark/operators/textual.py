@@ -505,3 +505,83 @@ def inverted_index(
         )
         .where(F.col("df") >= min_df)
     )
+
+
+def bpe_merge_round(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One vocabulary-induction (BPE/WordPiece) merge-selection round,
+    distributed: count all adjacent token pairs across the corpus, pick
+    the most frequent pair (count desc, then lexicographic — fully
+    deterministic), and account its corpus-wide effect: total tokens
+    before/after applying the merge and how many documents it touches.
+    Returns one row: (pair_left, pair_right, pair_count, tokens_before,
+    tokens_after, docs_affected).
+
+    Restricted to pairs whose halves differ (x ≠ y): distinct-token
+    merges can never overlap themselves, so merge applications == pair
+    occurrences exactly — both engines count them identically with no
+    greedy left-to-right tie-breaking. (Equal-token runs need
+    floor(run/2) greedy semantics; a production tokenizer trainer adds
+    the gaps-and-islands run-length pass from sessionize.py for those.)
+
+    Scale shape: pair extraction is a transform+explode in the scan stage
+    (zero joins); the count shuffles on the pair key once; everything
+    after the top-1 is broadcast 1-row arithmetic. The full BPE trainer
+    is this round iterated with the merge applied via an array rewrite —
+    the same driver-side iteration discipline graph.py uses."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")).alias(
+            "l"
+        ),
+    )
+    pairs = (
+        toks.where(F.size("l") >= 2)
+        .select(
+            "_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(l)-1), i -> "
+                       "struct(l[i-1] AS a, l[i] AS b))")
+            ).alias("p"),
+        )
+        .select("_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    top = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(1)
+        .select(
+            F.col("a").alias("pair_left"),
+            F.col("b").alias("pair_right"),
+            "pair_count",
+        )
+    )
+    totals = toks.agg(
+        F.sum(F.size("l")).cast("long").alias("tokens_before")
+    )
+    affected = (
+        pairs.join(
+            F.broadcast(top),
+            (F.col("a") == F.col("pair_left"))
+            & (F.col("b") == F.col("pair_right")),
+            "left_semi",
+        )
+        .agg(F.countDistinct("_id").cast("long").alias("docs_affected"))
+    )
+    return (
+        top.join(F.broadcast(totals))
+        .join(F.broadcast(affected))
+        .select(
+            "pair_left",
+            "pair_right",
+            "pair_count",
+            "tokens_before",
+            (F.col("tokens_before") - F.col("pair_count"))
+            .cast("long")
+            .alias("tokens_after"),
+            "docs_affected",
+        )
+    )

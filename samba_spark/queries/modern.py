@@ -1,8 +1,9 @@
-"""Round-3 Spark-4 + multimodal surface block (x70–x74): VARIANT
-semi-structured columns, incremental aggregate maintenance, the Python
-UDTF leg of the UDF/UDAF/UDTF triad, audio frame features, and MP4
-container metadata — each DuckDB-oracle-checked like every other declared
-query."""
+"""Round-3 Spark-4 + multimodal + pipeline surface block (x70–x75, q73):
+VARIANT semi-structured columns, incremental aggregate maintenance, the
+Python UDTF leg of the UDF/UDAF/UDTF triad, audio frame features, MP4
+container metadata, streaming CDC snapshot maintenance, and the BPE
+merge-selection round — each DuckDB-oracle-checked like every other
+declared query."""
 
 from __future__ import annotations
 
@@ -227,6 +228,44 @@ ORDER BY user_id
 """
 
 
+def x75_bpe_merge_round(spark, sf_dir):
+    """Distributed tokenizer-induction primitive: one BPE merge-selection
+    round over the documents corpus (see textual.bpe_merge_round — pair
+    extraction in the scan stage, one pair-keyed shuffle, broadcast top-1
+    accounting). Restricted to distinct-token pairs so merge count ==
+    adjacency count exactly on both engines."""
+    from samba_spark.operators.textual import bpe_merge_round
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return bpe_merge_round(docs)
+
+
+X75_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+  FROM documents),
+pos AS (
+  SELECT doc_id, unnest(generate_series(1, len(l) - 1)) AS i, l
+  FROM toks WHERE len(l) >= 2),
+pairs AS (
+  SELECT doc_id, l[i] AS a, l[i + 1] AS b FROM pos WHERE l[i] <> l[i + 1]),
+top AS (
+  SELECT a, b, COUNT(*)::BIGINT AS pair_count
+  FROM pairs GROUP BY a, b
+  ORDER BY pair_count DESC, a, b LIMIT 1),
+tot AS (SELECT SUM(len(l))::BIGINT AS tokens_before FROM toks),
+aff AS (
+  SELECT COUNT(DISTINCT p.doc_id)::BIGINT AS docs_affected
+  FROM pairs p JOIN top t ON p.a = t.a AND p.b = t.b)
+SELECT t.a AS pair_left, t.b AS pair_right, t.pair_count,
+       tot.tokens_before,
+       (tot.tokens_before - t.pair_count)::BIGINT AS tokens_after,
+       aff.docs_affected
+FROM top t, tot, aff
+"""
+
+
 MODERN: dict[str, QuerySpec] = {
     "q73_stream_cdc": QuerySpec(q73_stream_cdc, Q73_SQL),
     "x70_variant_extract": QuerySpec(x70_variant_extract, X70_SQL),
@@ -234,4 +273,5 @@ MODERN: dict[str, QuerySpec] = {
     "x72_udtf_leading_tokens": QuerySpec(x72_udtf_leading_tokens, X72_SQL),
     "x73_audio_frames": QuerySpec(x73_audio_frames, X73_SQL),
     "x74_mp4_boxes": QuerySpec(x74_mp4_boxes, X74_SQL),
+    "x75_bpe_merge_round": QuerySpec(x75_bpe_merge_round, X75_SQL),
 }

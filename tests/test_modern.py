@@ -133,3 +133,25 @@ def test_merge_latest_batch_order_independent(spark):
     assert fold([0, 1, 2, 3, 4]) == want
     assert fold([4, 3, 2, 1, 0]) == want
     assert fold([2, 0, 4, 1, 3]) == want
+
+
+def test_bpe_merge_round_counts_exactly(spark):
+    """Distinct-token pairs never self-overlap, so pair_count equals
+    adjacency occurrences; equal-token adjacencies are excluded; token
+    accounting is exact."""
+    from samba_spark.operators.textual import bpe_merge_round
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b x"),   # (a,b) twice
+            (2, "a b c c c"),   # (a,b) once; (c,c) run excluded
+            (3, "z"),           # too short for pairs, still 1 token
+        ],
+        ["doc_id", "text"],
+    )
+    r = bpe_merge_round(df).collect()[0]
+    assert (r.pair_left, r.pair_right) == ("a", "b")
+    assert r.pair_count == 3
+    assert r.tokens_before == 11
+    assert r.tokens_after == 8
+    assert r.docs_affected == 2
