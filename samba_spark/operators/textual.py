@@ -585,3 +585,101 @@ def bpe_merge_round(
             "docs_affected",
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    joiner: str = "_",
+):
+    """Iterated BPE trainer: ``n_merges`` rounds of merge-selection
+    (:func:`bpe_merge_round` semantics, distinct-token pairs) each
+    followed by a corpus rewrite that fuses the chosen pair
+    left-to-right non-overlapping. Returns (merges, tokenized):
+    ``merges`` is a driver-side list of dicts (round, pair_left,
+    pair_right, pair_count) — O(n_merges), the "vocabulary"; ``tokenized``
+    is the final token-array DataFrame (doc_id, tokens).
+
+    The rewrite is a pure-Catalyst ``F.aggregate`` fold over each token
+    array (accumulator = (output-so-far, pending token)): no Python in
+    the loop, no shuffle — the only exchanges are the per-round pair
+    counts. Per-round lineage is truncated with localCheckpoint (the
+    graph.py iteration discipline) so round k's plan doesn't embed k-1
+    folds. Per-doc cost of the fold is O(len²) array copying — fine for
+    document tokens (hundreds), the documented bound; a production
+    trainer shards giant docs with chunking.py first. Each selection
+    collects ONE row to the driver, which is what makes this iterative
+    algorithm cluster-shaped."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit("")).alias(
+            "tokens"
+        ),
+    ).localCheckpoint()
+    merges: list[dict] = []
+    for rnd in range(n_merges):
+        pairs = (
+            toks.where(F.size("tokens") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tokens)-1), i -> "
+                        "struct(tokens[i-1] AS a, tokens[i] AS b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+            .where(F.col("a") != F.col("b"))
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, c = top[0].a, top[0].b, top[0].c
+        merges.append(
+            {"round": rnd, "pair_left": a, "pair_right": b, "pair_count": c}
+        )
+        fused = a + joiner + b
+        la, lb, lf = F.lit(a), F.lit(b), F.lit(fused)
+        acc0 = F.struct(
+            F.expr("CAST(array() AS array<string>)").alias("out"),
+            F.lit(None).cast("string").alias("p"),
+        )
+
+        def step(acc, x):
+            return (
+                F.when(
+                    acc["p"].isNull(),
+                    F.struct(acc["out"].alias("out"), x.alias("p")),
+                )
+                .when(
+                    (acc["p"] == la) & (x == lb),
+                    F.struct(
+                        F.concat(acc["out"], F.array(lf)).alias("out"),
+                        F.lit(None).cast("string").alias("p"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(acc["out"], F.array(acc["p"])).alias("out"),
+                        x.alias("p"),
+                    )
+                )
+            )
+
+        def fin(acc):
+            return F.when(acc["p"].isNull(), acc["out"]).otherwise(
+                F.concat(acc["out"], F.array(acc["p"]))
+            )
+
+        toks = toks.withColumn(
+            "tokens", F.aggregate("tokens", acc0, step, fin)
+        ).localCheckpoint()
+    return merges, toks

@@ -155,3 +155,55 @@ def test_bpe_merge_round_counts_exactly(spark):
     assert r.tokens_before == 11
     assert r.tokens_after == 8
     assert r.docs_affected == 2
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """3 trainer rounds equal a pure-Python greedy reference on a crafted
+    corpus: same chosen pairs, same counts, same final tokenization."""
+    from samba_spark.operators.textual import bpe_train
+
+    corpus = {
+        1: "the quick fox the quick dog",
+        2: "the quick the quick the quick",
+        3: "dog fox dog",
+    }
+
+    def ref_round(toks):
+        from collections import Counter
+
+        c = Counter()
+        for l in toks.values():
+            for x, y in zip(l, l[1:]):
+                if x != y:
+                    c[(x, y)] += 1
+        if not c:
+            return None
+        (a, b), n = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        out = {}
+        for k, l in toks.items():
+            res, i = [], 0
+            while i < len(l):
+                if i + 1 < len(l) and l[i] == a and l[i + 1] == b:
+                    res.append(a + "_" + b)
+                    i += 2
+                else:
+                    res.append(l[i])
+                    i += 1
+            out[k] = res
+        return (a, b, n), out
+
+    toks = {k: v.split(" ") for k, v in corpus.items()}
+    want_merges = []
+    for _ in range(3):
+        r = ref_round(toks)
+        if r is None:
+            break
+        m, toks = r
+        want_merges.append(m)
+
+    df = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    merges, final = bpe_train(df, n_merges=3)
+    got = [(m["pair_left"], m["pair_right"], m["pair_count"]) for m in merges]
+    assert got == want_merges
+    got_toks = {r.doc_id: list(r.tokens) for r in final.collect()}
+    assert got_toks == toks
