@@ -40,6 +40,33 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_json_tracked(
+    spark: SparkSession,
+    path: str,
+    schema,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON read with corrupt-record TRACKING instead of silent null-out:
+    PERMISSIVE mode keeps every input line — malformed lines land with
+    their raw text in ``corrupt_col`` and NULL data columns, so a 100 TB
+    ingest can quarantine rejects (``WHERE corrupt_col IS NOT NULL``) and
+    ledger counts reconcile (clean + quarantined = input lines). The
+    explicit schema is required: inference would silently drop the
+    corrupt column. Note Spark requires the corrupt column to be part of
+    the supplied schema; this helper appends it."""
+    from pyspark.sql import types as T
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def read_jdbc(
     spark: SparkSession, url: str, table: str, *, properties: Optional[dict] = None
 ) -> DataFrame:

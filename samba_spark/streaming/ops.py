@@ -381,3 +381,29 @@ def run_cdc_snapshot(
     )
     q.awaitTermination()
     return spark.read.parquet(state["path"])
+
+
+def read_cdc_snapshot(spark, work_dir: str, version: int | None = None):
+    """Time-travel read over the versioned snapshots
+    :func:`run_cdc_snapshot` leaves behind: ``version=None`` reads the
+    latest snapshot, an integer reads ``snapshot_<version>`` (one per
+    micro-batch id). Because each fold only ever adds or refreshes keys,
+    older versions are consistent prefixes of the ingest — the
+    mini-lakehouse time-travel contract, with retention managed by
+    deleting old snapshot dirs."""
+    import os
+    import re
+
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(work_dir)
+        if (m := re.match(r"snapshot_(\d+)$", d))
+    )
+    if not versions:
+        raise FileNotFoundError(f"no snapshot_<n> dirs under {work_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise FileNotFoundError(
+            f"snapshot_{v} not present (have {versions})"
+        )
+    return spark.read.parquet(os.path.join(work_dir, f"snapshot_{v}"))

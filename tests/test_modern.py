@@ -207,3 +207,61 @@ def test_bpe_train_matches_python_reference(spark):
     assert got == want_merges
     got_toks = {r.doc_id: list(r.tokens) for r in final.collect()}
     assert got_toks == toks
+
+
+def test_read_json_tracked_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE + corrupt-record column: clean + quarantined = input
+    lines; malformed lines keep their raw text."""
+    from pyspark.sql import types as T
+
+    from samba_spark.sources.readers import read_json_tracked
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{broken json\n"
+        '{"id": 2, "v": "b"}\n'
+        '{"id": "notanint", "v": "c"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    df = read_json_tracked(spark, str(p), schema).cache()
+    clean = df.where("_corrupt_record IS NULL")
+    bad = df.where("_corrupt_record IS NOT NULL")
+    assert df.count() == 4
+    assert clean.count() == 2
+    assert bad.count() == 2
+    raws = {r._corrupt_record for r in bad.collect()}
+    assert "{broken json" in raws
+
+
+def test_cdc_snapshot_time_travel(spark, tmp_path):
+    """Versioned snapshots are readable per batch id; key coverage grows
+    monotonically toward the final snapshot."""
+    import os
+
+    from samba_spark.streaming.ops import read_cdc_snapshot, run_cdc_snapshot
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, 10, "a")], ["user_id", "ts", "event_id"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(1, 20, "b"), (2, 5, "c")], ["user_id", "ts", "event_id"]
+    ).coalesce(1).write.mode("append").parquet(src)
+    work = str(tmp_path / "work")
+    final = run_cdc_snapshot(
+        spark, src, work, keys=("user_id",), order_cols=("ts", "event_id")
+    )
+    latest = read_cdc_snapshot(spark, work)
+    assert {(r.user_id, r.ts) for r in latest.collect()} == {
+        (r.user_id, r.ts) for r in final.collect()
+    }
+    keysets = []
+    for v in (0, 1):
+        snap = read_cdc_snapshot(spark, work, version=v)
+        keysets.append({r.user_id for r in snap.collect()})
+    assert keysets[0] <= keysets[1]
+    assert keysets[1] == {1, 2}
