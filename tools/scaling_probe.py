@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: time representative heavy queries at
+sf0.001 / sf0.01 / sf0.1 (100× data span) and report the growth ratio per
+10× data step. A plan that would melt at 100 TB shows superlinear growth
+already at these sizes (the x60 bucket-degeneration regression showed
+17× per 10× step before its rebuild); healthy plans show ≤10× (linear in
+data) and usually much less while fixed job-scheduling overhead
+dominates. Writes SCALING_r{N}.md. Run from the repo root:
+
+    python tools/scaling_probe.py [round_number]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# One representative per heavy family: dedup, verify, ANN, sessionize,
+# star join, windowed agg, graph iteration, blocking join, CDC, BPE.
+PROBES = [
+    "x3_minhash_lsh_dedup",
+    "x5_ngram_jaccard",
+    "x14_ivf_topk",
+    "x22_sessionize",
+    "q23_star_join",
+    "q48_tpch_q1",
+    "q16_running_sum",
+    "q41_pagerank",
+    "x60_rare_token_pairs",
+    "q73_stream_cdc",
+    "x75_bpe_merge_round",
+]
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> None:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
+    from samba_spark.queries import ALL_QUERIES
+    from samba_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    times: dict[str, list[float]] = {}
+    for sf_dir in SFS:
+        # warm the page cache + codegen per SF so ratios compare plans,
+        # not cold-start noise
+        from samba_spark.sources.tables import load_tables
+
+        for df in load_tables(spark, sf_dir).values():
+            df.count()
+        for name in PROBES:
+            force(ALL_QUERIES[name].fn(spark, sf_dir))  # untimed warm run
+            t0 = time.perf_counter()
+            force(ALL_QUERIES[name].fn(spark, sf_dir))
+            times.setdefault(name, []).append(time.perf_counter() - t0)
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(here, f"SCALING_r{rnd}.md")
+    with open(out, "w") as fh:
+        fh.write(
+            "# SCALING — growth per 10x data step (warm, local[32])\n\n"
+            "Ratio t(next_sf)/t(sf) for each 10x data increase; 10 = "
+            "linear in data, <10 = fixed-overhead-dominated (expected at "
+            "these sizes), >10 sustained = superlinear red flag.\n\n"
+            "| query | t(sf0.001) s | t(sf0.01) s | t(sf0.1) s | "
+            "x0.001->0.01 | x0.01->0.1 |\n|---|---|---|---|---|---|\n"
+        )
+        for name in PROBES:
+            a, b, c = times[name]
+            fh.write(
+                f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} "
+                f"| {b / a:.1f}x | {c / b:.1f}x |\n"
+            )
+        worst = max(times, key=lambda n: times[n][2] / times[n][1])
+        w = times[worst][2] / times[worst][1]
+        fh.write(
+            f"\nWorst 10x-step ratio: {worst} at {w:.1f}x"
+            + (" — superlinear, investigate.\n" if w > 12 else
+               " — within the linear envelope.\n")
+        )
+    print(f"wrote {out}")
+    for name in PROBES:
+        a, b, c = times[name]
+        print(f"{name}: {a:.2f} / {b:.2f} / {c:.2f}  (x{b/a:.1f}, x{c/b:.1f})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
