@@ -275,3 +275,88 @@ MODERN: dict[str, QuerySpec] = {
     "x74_mp4_boxes": QuerySpec(x74_mp4_boxes, X74_SQL),
     "x75_bpe_merge_round": QuerySpec(x75_bpe_merge_round, X75_SQL),
 }
+
+
+def q74_point_in_time(spark, sf_dir):
+    """Point-in-time feature assembly (the feature-store correctness
+    pattern): for each purchase label event, attach (a) the user's most
+    recent click value at-or-before the label time — an as-of join, and
+    (b) the user's view count in the trailing hour before the label — a
+    range-join aggregate. Both features are leakage-free by construction:
+    nothing after the label timestamp can influence its features. Plan:
+    one user-keyed exchange for the as-of window; the range join shuffles
+    on user and aggregates per label key; at 100 TB both follow key skew,
+    not time span. Tie contract: clicks deduped to unique (user, ts) by
+    max value (cents-quantized)."""
+    from samba_spark.operators import relational as R
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    labels = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long")).alias(
+                "click_cents"
+            )
+        )
+    )
+    with_click = R.asof_join(
+        labels,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_cents"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_cents_asof").alias("last_click_cents"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    view_counts = (
+        with_click.join(
+            views,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") < F.col("ts")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("v_ts").cast("long").alias("views_1h"))
+    )
+    return (
+        with_click.join(view_counts, "event_id")
+        .select("event_id", "user_id", "last_click_cents", "views_1h")
+        .orderBy("event_id")
+    )
+
+
+Q74_SQL = """
+WITH labels AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS click_cents
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+SELECT l.event_id, l.user_id,
+       (SELECT c.click_cents FROM clicks c
+        WHERE c.user_id = l.user_id AND c.ts <= l.ts
+        ORDER BY c.ts DESC LIMIT 1) AS last_click_cents,
+       (SELECT COUNT(*) FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = l.user_id
+          AND CAST(v.ts AS TIMESTAMP) >= l.ts - INTERVAL 1 HOUR
+          AND CAST(v.ts AS TIMESTAMP) < l.ts)::BIGINT AS views_1h
+FROM labels l
+ORDER BY l.event_id
+"""
+
+
+MODERN["q74_point_in_time"] = QuerySpec(q74_point_in_time, Q74_SQL)
