@@ -360,3 +360,85 @@ ORDER BY l.event_id
 
 
 MODERN["q74_point_in_time"] = QuerySpec(q74_point_in_time, Q74_SQL)
+
+
+import os as _os
+import tempfile as _tempfile
+
+Q75_PROV_DIR = _os.path.join(_tempfile.gettempdir(), "samba_q75_prov")
+
+
+def q75_run_diff(spark, sf_dir):
+    """Provenance run diff — the A/B pipeline-evolution query the
+    reference's web UI answers by eyeballing two executions side by side
+    (DataflowProvenance executions list): run pipeline v1 (scan → filter →
+    agg) and v2 (scan → filter → join → agg) as two instrumented
+    executions into one prov store, then diff their operator-type counts
+    straight off the tasks ⋈ executions tables. The oracle reads the same
+    parquet store, so the hash match proves the store's written content,
+    not just the Spark-side arithmetic."""
+    import shutil
+
+    from samba_spark.session import ProvSession
+
+    shutil.rmtree(Q75_PROV_DIR, ignore_errors=True)
+
+    v1 = ProvSession(spark, name="v1", prov_dir=Q75_PROV_DIR)
+    n1 = v1.read_parquet(f"{sf_dir}/nation.parquet", "nation")
+    a1 = n1.where(F.col("n_nationkey") >= 5).group_by("n_regionkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a1.collect()
+    v1.stop()
+
+    v2 = ProvSession(spark, name="v2", prov_dir=Q75_PROV_DIR)
+    n2 = v2.read_parquet(f"{sf_dir}/nation.parquet", "nation")
+    r2 = v2.read_parquet(f"{sf_dir}/region.parquet", "region")
+    f2 = n2.where(F.col("n_nationkey") >= 5)
+    j2 = f2.join(r2, on=f2.raw.n_regionkey == r2.raw.r_regionkey, how="inner")
+    a2 = j2.group_by("r_name").agg(F.count(F.lit(1)).alias("cnt"))
+    a2.collect()
+    v2.stop()
+
+    tasks = spark.read.parquet(f"{Q75_PROV_DIR}/tasks")
+    execs = spark.read.parquet(f"{Q75_PROV_DIR}/executions").select(
+        "run_id", F.col("name").alias("run_name")
+    )
+    per = (
+        tasks.join(execs, "run_id")
+        .groupBy("transformation_type")
+        .agg(
+            F.sum(F.when(F.col("run_name") == "v1", 1).otherwise(0))
+            .cast("long")
+            .alias("n_v1"),
+            F.sum(F.when(F.col("run_name") == "v2", 1).otherwise(0))
+            .cast("long")
+            .alias("n_v2"),
+        )
+    )
+    return per.select(
+        "transformation_type",
+        "n_v1",
+        "n_v2",
+        (F.col("n_v2") - F.col("n_v1")).cast("long").alias("delta"),
+    ).orderBy("transformation_type")
+
+
+Q75_SQL = f"""
+WITH t AS (
+  SELECT run_id, transformation_type
+  FROM read_parquet('{Q75_PROV_DIR}/tasks/*.parquet')),
+e AS (
+  SELECT run_id, name FROM read_parquet('{Q75_PROV_DIR}/executions/*.parquet'))
+SELECT transformation_type,
+       SUM(CASE WHEN name = 'v1' THEN 1 ELSE 0 END)::BIGINT AS n_v1,
+       SUM(CASE WHEN name = 'v2' THEN 1 ELSE 0 END)::BIGINT AS n_v2,
+       (SUM(CASE WHEN name = 'v2' THEN 1 ELSE 0 END)
+        - SUM(CASE WHEN name = 'v1' THEN 1 ELSE 0 END))::BIGINT AS delta
+FROM t JOIN e USING (run_id)
+GROUP BY transformation_type
+ORDER BY transformation_type
+"""
+
+
+MODERN["q75_run_diff"] = QuerySpec(q75_run_diff, Q75_SQL)

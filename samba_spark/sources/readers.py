@@ -126,3 +126,14 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet directories written at
+    different schema versions (columns added over time) into one frame
+    with the merged schema — missing columns come back NULL, no rewrite
+    of old data. This is how a 100 TB append-only dataset survives adding
+    a column: ``mergeSchema`` pays one footer read per file (no data
+    scan), so keep it off for stable-schema hot paths and on for
+    evolved multi-era reads like this one."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)

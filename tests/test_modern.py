@@ -265,3 +265,20 @@ def test_cdc_snapshot_time_travel(spark, tmp_path):
         keysets.append({r.user_id for r in snap.collect()})
     assert keysets[0] <= keysets[1]
     assert keysets[1] == {1, 2}
+
+
+def test_read_parquet_evolved_merges_added_column(spark, tmp_path):
+    """Era-1 files lack the column era-2 added; the evolved read exposes
+    the merged schema with NULLs for old rows and no rewrite."""
+    from samba_spark.sources.readers import read_parquet_evolved
+
+    era1 = str(tmp_path / "era1")
+    era2 = str(tmp_path / "era2")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(era1)
+    spark.createDataFrame(
+        [(2, "b", 9)], ["id", "v", "added"]
+    ).write.parquet(era2)
+    df = read_parquet_evolved(spark, era1, era2)
+    assert set(df.columns) == {"id", "v", "added"}
+    rows = {r.id: r.added for r in df.collect()}
+    assert rows == {1: None, 2: 9}
