@@ -442,3 +442,74 @@ ORDER BY transformation_type
 
 
 MODERN["q75_run_diff"] = QuerySpec(q75_run_diff, Q75_SQL)
+
+
+def x76_corpus_report(spark, sf_dir):
+    """Dataset-card report: everything a training-mix decision needs about
+    each source in one query — doc count, whitespace-token volume,
+    language diversity, exact-duplicate pressure (docs whose normalized
+    md5 repeats within the source), and character volume. Two partial-agg
+    shuffles total: one keyed on (source, digest) for the dup pressure,
+    one on source for the rest; both map-side combined. The composition
+    sibling of q39 — individual signals are x1/x6/x7/x8, this is the
+    one-stop roll-up a 100 TB corpus publishes as its card."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).cast("long").alias("toks"),
+        F.md5("text").alias("h"),
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+    )
+    dups = (
+        d.groupBy("source", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    return (
+        base.join(dups, "source")
+        .select(
+            "source", "n_docs", "total_tokens", "n_langs", "total_chars",
+            "n_dup_docs",
+        )
+        .orderBy("source")
+    )
+
+
+X76_SQL = """
+WITH d AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS chars,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS toks,
+         md5(text) AS h
+  FROM documents),
+base AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(toks)::BIGINT AS total_tokens,
+         COUNT(DISTINCT lang)::BIGINT AS n_langs,
+         SUM(chars)::BIGINT AS total_chars
+  FROM d GROUP BY source),
+dups AS (
+  SELECT source,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_docs
+  FROM (SELECT source, h, COUNT(*)::BIGINT AS c FROM d GROUP BY source, h)
+  GROUP BY source)
+SELECT base.source, n_docs, total_tokens, n_langs, total_chars, n_dup_docs
+FROM base JOIN dups ON base.source = dups.source
+ORDER BY base.source
+"""
+
+
+MODERN["x76_corpus_report"] = QuerySpec(x76_corpus_report, X76_SQL)
