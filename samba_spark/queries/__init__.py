@@ -7,19 +7,19 @@ correctness gate.
 
 Ordering contract: the driver's correctness artifact records the FIRST 50
 entries of ``ALL_QUERIES``. Round-3 rotation (VERDICT r2 item 2): queries
-that were driver-green in rounds 1–2 move to ``AUX_QUERIES`` and a ~13-query
-sentinel core stays in-window (one representative per operator family, plus
-q39 whose oracle was fixed this round); the freed ~35 slots go to the
-never-driver-checked block (x14–x43, q48–q52) plus the two new round-3
-queries (q53 provenance-counts, q54 skew-window), so by end of round 3
-every query has had a hard driver row. Every AUX entry remains under the
-local DuckDB parity harness in tests/test_declared_queries.py, which runs
-ALL oracle-bearing queries regardless of window position.
+that were driver-green in rounds 1–2 move to ``AUX_QUERIES``; a 5-query
+sentinel core stays in-window (prov contract q24, fixed-oracle q39, perf
+canaries q41/q43/x3 — the twice-green family representatives
+q7/q9/q14/q21/q23/q25/q31/q47 rotated out to maximize first-time rows);
+the freed 45 slots hold every previously never-driver-checked query
+(x14–x43, q48–q62). Every AUX entry remains under the local DuckDB parity
+harness in tests/test_declared_queries.py, which runs ALL oracle-bearing
+queries regardless of window position.
 
-Round-4 rotation note: queries ADDED during round 3 after the window was
-pinned (x44–x69, q55–q62) have no driver row yet — they are the first
-candidates for the next rotation, swapping out whichever rotated-in block
-entries come back green in CORRECTNESS_r03.
+Round-4 rotation backlog: queries ADDED after the window was pinned
+(x44–x76, q63–q75) have no driver row yet — they are the candidates for
+the next rotation, swapping out whichever rotated-in entries come back
+green in CORRECTNESS_r03.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
