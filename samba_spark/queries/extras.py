@@ -280,7 +280,10 @@ def q31_stream_tumbling(spark, sf_dir):
         spark, sf_dir, nanos=True, path_glob="events.parquet"
     )
     name = "q31_" + uuid.uuid4().hex[:8]
-    out = S.run_to_memory(S.tumbling_counts(stream, "10 minutes"), name, "complete")
+    out = S.run_to_memory(
+        S.tumbling_counts(stream, "10 minutes"), name, "complete",
+        state_partitions=8,
+    )
     return out.orderBy("w_start", "event_type")
 
 
@@ -308,7 +311,10 @@ def q32_stream_sessions(spark, sf_dir):
         spark, sf_dir, nanos=True, path_glob="events.parquet"
     )
     name = "q32_" + uuid.uuid4().hex[:8]
-    out = S.run_to_memory(S.session_counts(stream, "5 minutes"), name, "complete")
+    out = S.run_to_memory(
+        S.session_counts(stream, "5 minutes"), name, "complete",
+        state_partitions=8,
+    )
     return out.orderBy("user_id", "s_start")
 
 
@@ -409,7 +415,7 @@ def q35_stream_sliding(spark, sf_dir):
         )
     )
     name = "q35_" + uuid.uuid4().hex[:8]
-    out = S.run_to_memory(windowed, name, "complete")
+    out = S.run_to_memory(windowed, name, "complete", state_partitions=8)
     return out.orderBy("w_start")
 
 
@@ -717,7 +723,7 @@ def q43_stream_join(spark, sf_dir):
     clicks = stream.where(F.col("event_type") == "click")
     joined = S.interval_join_errors_clicks(errors, clicks, lookback="2 hours")
     name = "q43_" + uuid.uuid4().hex[:8]
-    out = S.run_to_memory(joined, name, "append")
+    out = S.run_to_memory(joined, name, "append", state_partitions=8)
     return out.orderBy("err_id", "click_id")
 
 
@@ -746,7 +752,7 @@ def q44_stream_dedup(spark, sf_dir):
     )
     distinct = S.streaming_distinct(stream, "user_id", "event_type")
     name = "q44_" + uuid.uuid4().hex[:8]
-    out = S.run_to_memory(distinct, name, "append")
+    out = S.run_to_memory(distinct, name, "append", state_partitions=8)
     return out.orderBy("user_id", "event_type")
 
 

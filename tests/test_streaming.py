@@ -162,3 +162,34 @@ def test_idempotent_batch_sink_replay_safe(spark, events_dir, tmp_path):
     assert sorted(
         r.batch_id for r in again.select("batch_id").distinct().collect()
     ) == sorted(batch_ids)
+
+
+def test_state_partitioning_restores_conf_and_results_invariant(spark, sf_smoke):
+    """state_partitioning pins the count only inside the block, and a
+    stateful query returns identical results under different state
+    partitionings (results are partition-count independent; only replay
+    cost differs)."""
+    from samba_spark.streaming import ops as S
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with S.state_partitioning(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before
+
+    import uuid
+
+    stream = S.read_events_stream(
+        spark, sf_smoke, nanos=True, path_glob="events.parquet"
+    )
+    outs = []
+    for n in (2, 7):
+        name = "sp_" + uuid.uuid4().hex[:8]
+        out = S.run_to_memory(
+            S.tumbling_counts(stream, "10 minutes"),
+            name,
+            "complete",
+            state_partitions=n,
+        )
+        outs.append({tuple(r) for r in out.collect()})
+    assert outs[0] == outs[1]
