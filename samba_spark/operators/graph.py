@@ -97,21 +97,33 @@ def pagerank(
         .localCheckpoint()
     )
     n = vertices.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-degree pre-joined into the edge list ONCE — the loop used to pay
+    # this join every round (5 exchanges/round; now 3: ranks⋈edges,
+    # groupBy(dst), vertices⋈inflow). Arithmetic is unchanged
+    # (rank / out_deg), so results are bit-identical to the 3-join form.
+    e2 = (
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")), "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint()
+    )
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e.src == ranks.vertex)
-            .join(out_deg, "src")
-            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
+        # one left join fans each rank over its out-edges; a dangling
+        # vertex (no out-edges) surfaces as a NULL-dst row carrying its
+        # whole rank — so ONE aggregation produces both the per-vertex
+        # inflow (dst groups) and the dangling mass (the NULL-dst group),
+        # replacing the separate per-round anti-join pass.
+        flow = ranks.join(e2, ranks.vertex == e2.src, "left").select(
+            e2.dst.alias("dst"),
+            F.when(
+                e2.dst.isNull(), F.col("rank")
+            ).otherwise(F.col("rank") / F.col("out_deg")).alias("c"),
         )
-        # dangling mass: rank held by vertices with no out-edges
-        dangling = (
-            ranks.join(out_deg, ranks.vertex == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+        agg = flow.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        dangling = agg.where(F.col("dst").isNull()).agg(
+            F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("m")
         )
+        contribs = agg.where(F.col("dst").isNotNull())
         ranks = (
             vertices.join(contribs, vertices.vertex == contribs.dst, "left")
             .crossJoin(F.broadcast(dangling))
