@@ -513,3 +513,97 @@ ORDER BY base.source
 
 
 MODERN["x76_corpus_report"] = QuerySpec(x76_corpus_report, X76_SQL)
+
+
+def x77_scd2_lookup(spark, sf_dir):
+    """SCD2 point-in-time dimension lookup — the classic warehouse
+    temporal join: build the type-2 customer-tier history from pre-1999
+    orders (scd2_history, gaps-and-islands on one customer-keyed
+    exchange), derive half-open validity intervals [valid_from,
+    next valid_from) with LEAD, then join each purchase event to the
+    tier version in effect at its timestamp. Left join keeps facts with
+    no valid version (user inactive before the event, or event before
+    the first version) with NULL tier — the audit-friendly contract.
+    Scale shape: the interval join shuffles on the user key, so cost
+    follows key skew; version count per key is tiny by construction
+    (islands ≪ rows)."""
+    from pyspark.sql import Window
+
+    from samba_spark.operators.merge import scd2_history
+
+    t = load_tables(spark, sf_dir, ["orders", "events"])
+    hist_src = t["orders"].where(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    tier = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    dim = scd2_history(
+        hist_src, "o_custkey", ["o_orderdate", "o_orderkey"], tier, "tier"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("version")
+    versions = dim.select(
+        "o_custkey",
+        "version",
+        "tier",
+        F.col("effective_from").alias("valid_from"),
+        F.lead("effective_from").over(w).alias("valid_to"),
+    )
+    facts = t["events"].where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        facts.join(
+            versions,
+            (F.col("user_id") == F.col("o_custkey"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("tier").cast("long").alias("tier"),
+            F.col("version").cast("long").alias("version"),
+        )
+        .orderBy("event_id")
+    )
+
+
+X77_SQL = """
+WITH t AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS tier
+  FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+flags AS (
+  SELECT *, CASE WHEN ROW_NUMBER() OVER w = 1 THEN 1
+                 WHEN LAG(tier) OVER w IS NOT DISTINCT FROM tier
+                 THEN 0 ELSE 1 END AS chg
+  FROM t
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+isl AS (
+  SELECT *, SUM(chg) OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS UNBOUNDED PRECEDING) AS version
+  FROM flags),
+hist AS (
+  SELECT o_custkey, version::BIGINT AS version, MIN(tier) AS tier,
+         MIN(o_orderdate) AS effective_from
+  FROM isl GROUP BY o_custkey, version),
+versions AS (
+  SELECT o_custkey, version, tier,
+         effective_from AS valid_from,
+         LEAD(effective_from) OVER (
+           PARTITION BY o_custkey ORDER BY version) AS valid_to
+  FROM hist),
+facts AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id,
+       CAST(v.tier AS BIGINT) AS tier, CAST(v.version AS BIGINT) AS version
+FROM facts f LEFT JOIN versions v
+  ON f.user_id = v.o_custkey AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+ORDER BY f.event_id
+"""
+
+
+MODERN["x77_scd2_lookup"] = QuerySpec(x77_scd2_lookup, X77_SQL)
