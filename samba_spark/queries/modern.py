@@ -607,3 +607,50 @@ ORDER BY f.event_id
 
 
 MODERN["x77_scd2_lookup"] = QuerySpec(x77_scd2_lookup, X77_SQL)
+
+
+def q76_unpivot(spark, sf_dir):
+    """Wide-to-long UNPIVOT (melt) — the missing inverse of q36's pivot:
+    conditional per-status counts per priority form the wide frame, then
+    DataFrame.unpivot turns the three measure columns into
+    (status, n_orders) rows. Zero extra shuffle: unpivot is a projection
+    (each input row fans to #measures rows in place), so the only
+    exchange is the one aggregation."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_filled"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .cast("long")
+        .alias("n_partial"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_open", "n_filled", "n_partial"],
+        "status",
+        "n_orders",
+    ).orderBy("o_orderpriority", "status")
+
+
+Q76_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+         SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_partial
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, status, n_orders FROM (
+  SELECT o_orderpriority, 'n_open' AS status, n_open AS n_orders FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'n_filled', n_filled FROM wide
+  UNION ALL
+  SELECT o_orderpriority, 'n_partial', n_partial FROM wide)
+ORDER BY o_orderpriority, status
+"""
+
+
+MODERN["q76_unpivot"] = QuerySpec(q76_unpivot, Q76_SQL)
