@@ -995,3 +995,99 @@ def synth_mp4s(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         ]
     )
     return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def spill_binary_column(
+    df: DataFrame,
+    col: str = "content",
+    *,
+    blob_root: str,
+    threshold: int = 1 << 20,
+) -> DataFrame:
+    """Generic media-column spill — the FileGroup ``spill_contents``
+    policy for ANY BinaryType column: payloads ≥ ``threshold`` move to a
+    sha256-addressed blob dir and the column is replaced by a
+    ``struct(content binary, content_ref string)`` (exactly one side
+    set). Downstream shuffles/Arrow batches then carry O(ref) bytes for
+    big media while small blobs stay inline — the mixed-size reality of
+    a 100 TB image/audio table. ``hydrate_binary_column`` is the
+    inverse. ``blob_root`` must be reachable from every executor (shared
+    FS locally, object store at cluster scale); writes are
+    content-addressed and atomic, so duplicates store once."""
+    import os as _os
+
+    blob_dir = _os.path.join(blob_root, "blobs")
+    _os.makedirs(blob_dir, exist_ok=True)
+    out_field = T.StructType(
+        [
+            T.StructField("content", T.BinaryType()),
+            T.StructField("content_ref", T.StringType()),
+        ]
+    )
+    schema = T.StructType(
+        [
+            f if f.name != col else T.StructField(col, out_field)
+            for f in df.schema.fields
+        ]
+    )
+
+    def _spill(batches):
+        import hashlib
+        import os
+        import uuid
+
+        for batch in batches:
+            recs = []
+            for content in batch[col]:
+                if content is None:
+                    recs.append({"content": None, "content_ref": None})
+                    continue
+                content = bytes(content)
+                if len(content) < threshold:
+                    recs.append({"content": content, "content_ref": None})
+                    continue
+                sha = hashlib.sha256(content).hexdigest()
+                sub = os.path.join(blob_dir, sha[:2])
+                os.makedirs(sub, exist_ok=True)
+                path = os.path.join(sub, sha)
+                if not os.path.exists(path):
+                    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+                    with open(tmp, "wb") as fh:
+                        fh.write(content)
+                    os.replace(tmp, path)
+                recs.append({"content": None, "content_ref": path})
+            batch = batch.copy()
+            batch[col] = recs
+            yield batch
+
+    return df.mapInPandas(_spill, schema)
+
+
+def hydrate_binary_column(df: DataFrame, col: str = "content") -> DataFrame:
+    """Inverse of :func:`spill_binary_column`: resolve refs back to an
+    inline BinaryType column (executor-side reads)."""
+    flat = T.StructType(
+        [
+            f if f.name != col else T.StructField(col, T.BinaryType())
+            for f in df.schema.fields
+        ]
+    )
+
+    def _hydrate(batches):
+        for batch in batches:
+            out = []
+            for rec in batch[col]:
+                if rec is None:
+                    out.append(None)
+                elif rec["content"] is not None:
+                    out.append(bytes(rec["content"]))
+                elif rec["content_ref"]:
+                    with open(rec["content_ref"], "rb") as fh:
+                        out.append(fh.read())
+                else:
+                    out.append(None)
+            batch = batch.copy()
+            batch[col] = out
+            yield batch
+
+    return df.mapInPandas(_hydrate, flat)

@@ -343,3 +343,36 @@ def test_decode_resize_images_distributed_real_png(spark):
     for i in range(1, 4):
         w, h, ch, _ = decode_png_pixels(bytes(resized[i].content))
         assert (w, h, ch) == (4, 4, 3)
+
+
+def test_spill_binary_column_round_trip(spark, tmp_path):
+    """Mixed-size media column: big payloads spill to content-addressed
+    blobs (one blob for duplicate content), small stay inline; hydration
+    restores bytes exactly."""
+    import os
+
+    from samba_spark.operators.multimodal import (
+        hydrate_binary_column,
+        spill_binary_column,
+    )
+
+    big = b"B" * 4096
+    rows = [(1, b"small"), (2, big), (3, big), (4, None)]
+    df = spark.createDataFrame(rows, ["media_id", "content"])
+    blob_root = str(tmp_path / "media")
+    spilled = spill_binary_column(
+        df, "content", blob_root=blob_root, threshold=1024
+    )
+    got = {r.media_id: r.content for r in spilled.collect()}
+    assert bytes(got[1]["content"]) == b"small" and got[1]["content_ref"] is None
+    assert got[2]["content"] is None and got[2]["content_ref"]
+    assert got[2]["content_ref"] == got[3]["content_ref"]  # dedup by sha
+    blob_files = [
+        f for _, _, fs in os.walk(blob_root) for f in fs
+    ]
+    assert len(blob_files) == 1
+    back = {r.media_id: r.content for r in
+            hydrate_binary_column(spilled, "content").collect()}
+    assert bytes(back[1]) == b"small"
+    assert bytes(back[2]) == big and bytes(back[3]) == big
+    assert back[4] is None
