@@ -183,3 +183,44 @@ def cap_tokens_per_group(
     return tot.where(F.col("_tok_before") < budget).drop(
         "_b", "_tok_before", "_n_tokens"
     )
+
+
+def stratified_exact_split(
+    df: DataFrame,
+    key: str,
+    strata: Sequence[str],
+    train_pct: int = 80,
+    split_col: str = "split",
+) -> DataFrame:
+    """EXACT-proportion stratified train/test split.
+
+    :func:`assign_split` hits its ratios only in expectation (hash
+    buckets); evaluation protocols often need them exact *per stratum* —
+    every language/source contributes precisely ⌊pct·n⌋ training rows.
+    Rows are ranked within each stratum by (md5(key), key) — a
+    deterministic content-independent order — and the first
+    ⌊train_pct·n/100⌋ become ``train``. Integer comparison
+    ``100·rank ≤ train_pct·n`` keeps the boundary rounding-mode-free, so
+    Spark and any SQL oracle agree bit-for-bit.
+
+    One stratum-keyed shuffle shared by the rank and count windows (same
+    partitioning ⇒ one exchange). Stratum cardinality is the skew axis: a
+    stratum with billions of rows makes one window partition — for
+    unbounded strata prefer the hash split; for bounded evaluation strata
+    (languages, sources, label classes) this is the right tool.
+    """
+    order = [_md5_base32(F.col(key).cast("string")), F.col(key)]
+    w = Window.partitionBy(*strata).orderBy(*order)
+    cnt = Window.partitionBy(*strata)
+    return (
+        df.withColumn("_rk", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(cnt).cast("long"))
+        .withColumn(
+            split_col,
+            F.when(
+                F.lit(100) * F.col("_rk") <= F.lit(int(train_pct)) * F.col("_n"),
+                F.lit("train"),
+            ).otherwise(F.lit("test")),
+        )
+        .drop("_rk", "_n")
+    )

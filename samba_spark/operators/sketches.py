@@ -1,0 +1,167 @@
+"""Sketch-based distributed aggregation operators.
+
+The 100 TB pattern these encode: distinct-count and heavy-hitter questions
+over petabyte fact tables are answered by *mergeable summaries* computed
+once per partition (or per day/partition in a rollup table) and combined
+at query time — never by re-scanning raw data. Spark 4 ships the two
+canonical summaries as native aggregates, both JVM-side and codegen-friendly:
+
+- **HLL sketches** (``hll_sketch_agg`` / ``hll_union_agg`` /
+  ``hll_sketch_estimate``, Apache DataSketches HllSketch): approximate
+  distinct counts with ~1.6% relative error at the default lgConfigK=12
+  and a fixed ~2.5 KiB state per group — a billion-user day compresses to
+  kilobytes, and yesterday's sketches union with today's without touching
+  yesterday's rows.
+- **Bitmap aggregates** (``bitmap_bucket_number`` / ``bitmap_bit_position``
+  / ``bitmap_construct_agg`` / ``bitmap_or_agg`` / ``bitmap_count``):
+  EXACT distinct counts for dense integer keys. Keys are bucketed 32768
+  bits per bitmap, so state is bounded per (group, bucket) regardless of
+  row count; partial bitmaps OR together associatively (map-side combine
+  applies), and the final count is a popcount — the Spark-native
+  equivalent of a roaring-bitmap index.
+- **approx_top_k** (count-min-sketch-backed heavy hitters): top-k items
+  with bounded memory ``maxItemsTracked``; exact whenever the true
+  cardinality fits the tracker, graceful under-count otherwise.
+
+No counterpart exists in the reference engine (its aggregates are exact
+hash aggregation only, br/uff/spark RDD surface); these are north-star
+scale operators beyond parity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_rollup(
+    df: DataFrame,
+    fine_keys: Sequence[str],
+    coarse_keys: Sequence[str],
+    col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Two-level HLL distinct-count rollup: sketch per ``fine_keys`` group,
+    then *union the sketches* (not the rows) up to ``coarse_keys``.
+
+    Returns one row per coarse group with ``estimate`` (long). At scale the
+    fine level is a maintained daily rollup table; the coarse query reads
+    O(groups) sketch bytes instead of O(rows) raw data. Both levels are
+    partial-aggregatable, so each is one shuffle of sketch state only.
+    """
+    fine = df.groupBy(*fine_keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_config_k)).alias("_sketch")
+    )
+    return fine.groupBy(*coarse_keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sketch")).alias("estimate")
+    )
+
+
+def bitmap_distinct(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    fine_keys: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT distinct count of an integer column via bucketed bitmaps.
+
+    ``col`` values land in 32768-bit buckets (``bitmap_bucket_number``);
+    each (fine_keys, keys, bucket) group builds a position bitmap with
+    map-side combine; when ``fine_keys`` are given (e.g. a day column for
+    a maintained rollup), the per-fine bitmaps OR together per (keys,
+    bucket) — the mergeable-summary step — and the distinct count is the
+    sum of popcounts per keys. Every shuffled row is a fixed-width 4 KiB
+    bitmap, not raw values: shuffle volume is bounded by key-space
+    density, not row count.
+
+    Exactness (unlike HLL) makes this the right tool when the distinct
+    count feeds billing/audit logic; density makes it the wrong tool for
+    sparse 64-bit hash keys (use :func:`hll_rollup` there).
+    """
+    c = F.col(col)
+    per_bucket = df.groupBy(
+        *fine_keys, *keys, F.bitmap_bucket_number(c).alias("_bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(c)).alias("_bm"))
+    if fine_keys:
+        per_bucket = per_bucket.groupBy(*keys, "_bucket").agg(
+            F.bitmap_or_agg("_bm").alias("_bm")
+        )
+    return per_bucket.groupBy(*keys).agg(
+        F.sum(F.bitmap_count("_bm")).cast("long").alias("n_distinct")
+    )
+
+
+def topk_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    k: int,
+    max_items_tracked: int = 65536,
+) -> DataFrame:
+    """Heavy-hitter counts per group via the ``approx_top_k`` sketch.
+
+    Returns (keys..., rank, n) with rank 1..k by descending count. Only
+    the *counts* are exposed, not the items: the count multiset is
+    deterministic even when equal-count items tie for a boundary rank,
+    which keeps the operator oracle-checkable. ``max_items_tracked`` is
+    the memory/exactness knob — set it well above the expected distinct
+    count for exact results, or accept CMS-style under-counting of
+    non-hitters beyond it. One aggregation shuffle; sketch state is
+    O(max_items_tracked) per group independent of row count.
+    """
+    agg = df.groupBy(*keys).agg(
+        F.expr(
+            f"approx_top_k({col}, {int(k)}, {int(max_items_tracked)})"
+        ).alias("_top")
+    )
+    return agg.select(
+        *keys,
+        (F.posexplode(F.col("_top"))).alias("_pos", "_item"),
+    ).select(
+        *keys,
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+        F.col("_item.count").cast("long").alias("n"),
+    )
+
+
+def journey_string(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered journey string (MATCH_RECOGNIZE-lite substrate).
+
+    Each user's events collapse to one string of event-type initials in
+    (ts, tiebreak) order — ``array_sort`` over collected structs, so the
+    single user-keyed shuffle carries the events and the sort is
+    partition-local per group (no global window). Sequence questions
+    ("view then purchase with no error between") then become regex
+    matches over the string — the classic funnel/path-analysis encoding
+    that pushes pattern logic into one codegen'd projection.
+
+    Skew note: a pathological user with millions of events makes one long
+    string; cap upstream with ``cap_per_group`` if the event-per-user
+    distribution is unbounded.
+    """
+    ch = F.substring(F.col(type_col), 1, 1)
+    return (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.struct(F.col(ts_col), F.col(tiebreak_col), ch.alias("_c")).alias("_e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("_e")), lambda s: s["_c"])
+            ).alias("journey")
+        )
+    )
+
+
+def pattern_match_counts(journeys: DataFrame, pattern: str) -> Column:
+    """Count of non-overlapping regex matches of ``pattern`` in ``journey``."""
+    return F.size(F.regexp_extract_all("journey", F.lit(pattern), F.lit(0)))

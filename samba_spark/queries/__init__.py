@@ -17,7 +17,7 @@ harness in tests/test_declared_queries.py, which runs ALL oracle-bearing
 queries regardless of window position.
 
 Round-4 rotation backlog: queries ADDED after the window was pinned
-(x44–x76, q63–q75) have no driver row yet — they are the candidates for
+(x44–x82, q63–q77) have no driver row yet — they are the candidates for
 the next rotation, swapping out whichever rotated-in entries come back
 green in CORRECTNESS_r03.
 """
@@ -26,6 +26,7 @@ from samba_spark.queries.declared import DECLARED, QuerySpec
 from samba_spark.queries.extensions import EXTENSIONS
 from samba_spark.queries.extras import EXTRAS
 from samba_spark.queries.modern import MODERN
+from samba_spark.queries.patterns import PATTERNS
 from samba_spark.queries.tpch import TPCH
 
 # Sentinel core: kept in-window as regression canaries across rounds.
@@ -91,7 +92,7 @@ _ROTATED_IN = [
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
 
-_FULL = {**DECLARED, **EXTRAS, **EXTENSIONS, **TPCH, **MODERN}
+_FULL = {**DECLARED, **EXTRAS, **EXTENSIONS, **TPCH, **MODERN, **PATTERNS}
 
 CONTRACT_QUERIES = {k: _FULL[k] for k in _WINDOW_NAMES}
 AUX_QUERIES = {k: v for k, v in _FULL.items() if k not in CONTRACT_QUERIES}

@@ -1,0 +1,245 @@
+"""Round-3 session-3 block: declarative recursion, sketch aggregates, and
+sequence/stratification patterns (q77, x78–x82).
+
+Each query pairs idiomatic Spark-4 DataFrame/SQL code with a DuckDB oracle
+per the repo-wide contract. The theme is *mergeable state*: recursive CTEs
+(iteration inside Catalyst), HLL/bitmap/top-k sketches (distinct counts and
+heavy hitters as partial-aggregatable summaries), journey strings (sequence
+patterns as one codegen'd regex), and exact-proportion stratified splits.
+None of these exist in the reference engine (exact hash aggregation and
+``sample`` only — SURVEY.md §2.3); they are north-star scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from samba_spark.queries.declared import QuerySpec
+from samba_spark.sources.tables import load_tables
+
+
+def q77_recursive_cte(spark, sf_dir):
+    """Declarative transitive closure via Spark 4's WITH RECURSIVE — the
+    Catalyst-native sibling of the hand-rolled BFS in operators/graph.py
+    (q40/q59). The walk follows each region's nation chain (the q40 edge
+    set) from its minimum nationkey, emitting (region, vertex, hop).
+
+    Spark executes the recursion as a UnionLoop of self-joins with the
+    per-step frontier as the loop-carried relation — the same
+    frontier-join-per-round shape graph.bfs builds by hand, but planned
+    and re-optimized by Catalyst each step (broadcastable frontier,
+    pushed-down edge filters). Depth is bounded by the longest chain
+    (#nations per region), the same bound the manual BFS has."""
+    nation = load_tables(spark, sf_dir, ["nation"])["nation"]
+    nation.createOrReplaceTempView("q77_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT n_regionkey AS rk, n_nationkey AS src,
+                 LEAD(n_nationkey) OVER (
+                   PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+          FROM q77_nation
+        ),
+        walk(rk, vertex, hop) AS (
+          SELECT rk, MIN(src), CAST(0 AS BIGINT) FROM edges GROUP BY rk
+          UNION ALL
+          SELECT e.rk, e.dst, w.hop + CAST(1 AS BIGINT)
+          FROM walk w JOIN edges e ON e.rk = w.rk AND e.src = w.vertex
+          WHERE e.dst IS NOT NULL
+        )
+        SELECT CAST(rk AS BIGINT) AS rk, CAST(vertex AS BIGINT) AS vertex,
+               hop
+        FROM walk ORDER BY rk, hop
+        """
+    )
+
+
+Q77_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT n_regionkey AS rk, n_nationkey AS src,
+         LEAD(n_nationkey) OVER (
+           PARTITION BY n_regionkey ORDER BY n_nationkey) AS dst
+  FROM nation
+),
+walk(rk, vertex, hop) AS (
+  SELECT rk, MIN(src), CAST(0 AS BIGINT) FROM edges GROUP BY rk
+  UNION ALL
+  SELECT e.rk, e.dst, w.hop + CAST(1 AS BIGINT)
+  FROM walk w JOIN edges e ON e.rk = w.rk AND e.src = w.vertex
+  WHERE e.dst IS NOT NULL
+)
+SELECT CAST(rk AS BIGINT) AS rk, CAST(vertex AS BIGINT) AS vertex, hop
+FROM walk ORDER BY rk, hop
+"""
+
+
+def x78_sequence_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence analysis: each user's events collapse
+    to one string of event-type initials in (ts, event_id) order, then
+    conversion paths are counted as non-overlapping regex matches of
+    view→clicks*→purchase (``vc*p``) — sequence logic as one codegen'd
+    projection over one user-keyed shuffle (see
+    operators/sketches.journey_string for the skew note)."""
+    from samba_spark.operators.sketches import journey_string, pattern_match_counts
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    j = journey_string(events)
+    return (
+        j.select(
+            "user_id",
+            F.length("journey").cast("long").alias("n_events"),
+            pattern_match_counts(j, "vc*p").cast("long").alias("n_conversions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+X78_SQL = """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT)
+         AS n_conversions
+FROM j ORDER BY user_id
+"""
+
+
+def x79_stratified_split(spark, sf_dir):
+    """Exact-proportion stratified train/test split of the corpus by
+    language: within each lang stratum rows rank by (md5(doc_id), doc_id)
+    and exactly ⌊0.8·n⌋ become train (integer boundary — no float
+    rounding). Output audits the split: per (lang, split) row counts and
+    a doc_id checksum proving both engines selected the *same rows*, not
+    just the same counts."""
+    from samba_spark.operators.mixing import stratified_exact_split
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    s = stratified_exact_split(docs, "doc_id", ["lang"], train_pct=80)
+    return (
+        s.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+X79_SQL = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang,
+       CASE WHEN 100 * rk <= 80 * n THEN 'train' ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_docs, SUM(doc_id)::BIGINT AS sum_ids
+FROM ranked GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+def x80_hll_rollup(spark, sf_dir):
+    """Sketch-rollup distinct counts: per-(day, event_type) HLL sketches of
+    user_id union up to per-event_type estimates — the maintained-rollup
+    pattern that answers distinct-count questions from O(groups) sketch
+    bytes instead of re-scanning raw events. The oracle carries the exact
+    distinct count plus ``est_ok = TRUE``; Spark computes the same exact
+    count AND asserts its HLL estimate lands within ±5% (well above the
+    ~1.6% expected error at lgConfigK=12), so a hash match *verifies the
+    estimator*, not just the exact path."""
+    from samba_spark.operators.sketches import hll_rollup
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = events.withColumn("day", F.to_date("ts"))
+    est = hll_rollup(daily, ["day", "event_type"], ["event_type"], "user_id")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("estimate") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X80_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def x81_approx_topk(spark, sf_dir):
+    """Heavy-hitter counts via the approx_top_k sketch: the 10 busiest
+    users' event counts per event type, exposed as (rank, count) only —
+    the count multiset is deterministic even when equal-count users tie
+    at the boundary, so the sketch output is exactly oracle-checkable
+    whenever the tracker (65536 here) exceeds the true user cardinality.
+    At 100 TB the tracker bound is the memory knob: O(tracked) state per
+    group, one aggregation shuffle, no second pass over raw events."""
+    from samba_spark.operators.sketches import topk_counts
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return topk_counts(events, ["event_type"], "user_id", k=10).orderBy(
+        "event_type", "rank"
+    )
+
+
+X81_SQL = """
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*)::BIGINT AS n
+  FROM events GROUP BY event_type, user_id),
+r AS (
+  SELECT event_type, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY n DESC, user_id) AS rank
+  FROM c)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, n
+FROM r WHERE rank <= 10 ORDER BY event_type, rank
+"""
+
+
+def x82_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counts via bucketed bitmap aggregation (Spark 4
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count): distinct
+    users per event type, built as per-(day, type, bucket) bitmaps that
+    OR together above the day level — shuffling fixed-width 4 KiB bitmaps
+    instead of raw user ids. The exact sibling of x80's HLL rollup — same
+    two-level merge shape, zero approximation, right tool for dense
+    integer key spaces."""
+    from samba_spark.operators.sketches import bitmap_distinct
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = events.withColumn("day", F.to_date("ts"))
+    return bitmap_distinct(
+        daily, ["event_type"], "user_id", fine_keys=["day"]
+    ).orderBy("event_type")
+
+
+X82_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+PATTERNS: dict[str, QuerySpec] = {
+    "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
+    "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
+    "x79_stratified_split": QuerySpec(x79_stratified_split, X79_SQL),
+    "x80_hll_rollup": QuerySpec(x80_hll_rollup, X80_SQL),
+    "x81_approx_topk": QuerySpec(x81_approx_topk, X81_SQL),
+    "x82_bitmap_distinct": QuerySpec(x82_bitmap_distinct, X82_SQL),
+}

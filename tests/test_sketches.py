@@ -1,0 +1,188 @@
+"""Sketch/recursion/stratification operator tests (sketches.py, the
+stratified split, and the q77/x78-x82 query block): exactness properties,
+estimator error bounds, determinism under repartitioning, and the plan
+shapes that make them 100 TB-safe."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from samba_spark.plans.inspect import plan_summary
+from samba_spark.sources.tables import load_tables
+
+
+def test_bitmap_distinct_matches_exact(spark, sf_smoke):
+    from samba_spark.operators.sketches import bitmap_distinct
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in bitmap_distinct(events, ["event_type"], "user_id").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bitmap_distinct_rollup_path_matches_flat(spark, sf_smoke):
+    """The per-day OR-merge level must not change the answer: bitmaps are
+    a mergeable summary, so rollup(day) == flat."""
+    from samba_spark.operators.sketches import bitmap_distinct
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"].withColumn(
+        "day", F.to_date("ts")
+    )
+    flat = bitmap_distinct(events, ["event_type"], "user_id").collect()
+    rolled = bitmap_distinct(
+        events, ["event_type"], "user_id", fine_keys=["day"]
+    ).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, rolled))
+
+
+def test_hll_rollup_error_bound(spark, sf_smoke):
+    """HLL estimate within ±5% of exact (expected ~1.6% at lgConfigK=12),
+    and the union of fine sketches must see every fine group's members."""
+    from samba_spark.operators.sketches import hll_rollup
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"].withColumn(
+        "day", F.to_date("ts")
+    )
+    est = {
+        r["event_type"]: r["estimate"]
+        for r in hll_rollup(
+            events, ["day", "event_type"], ["event_type"], "user_id"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) * 20 <= e, (k, est[k], e)
+
+
+def test_topk_counts_exact_when_tracked(spark, sf_smoke):
+    from samba_spark.operators.sketches import topk_counts
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    got = [
+        (r["event_type"], r["rank"], r["n"])
+        for r in topk_counts(events, ["event_type"], "user_id", k=5)
+        .orderBy("event_type", "rank")
+        .collect()
+    ]
+    exact = (
+        events.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+            ).cast("long"),
+        )
+        .where(F.col("rank") <= 5)
+        .select("event_type", "rank", "n")
+        .orderBy("event_type", "rank")
+        .collect()
+    )
+    assert got == [(r["event_type"], r["rank"], r["n"]) for r in exact]
+
+
+def test_journey_string_orders_by_ts_then_tiebreak(spark):
+    from samba_spark.operators.sketches import journey_string
+
+    rows = [
+        # same timestamp → event_id breaks the tie deterministically
+        (1, "2024-01-01 00:00:00", 2, "purchase"),
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (1, "2024-01-02 00:00:00", 3, "click"),
+        (2, "2024-01-01 00:00:00", 4, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r["journey"] for r in journey_string(df).collect()}
+    assert got == {1: "vpc", 2: "e"}
+
+
+def test_stratified_split_exact_proportions_and_stability(spark, sf_smoke):
+    """Per stratum exactly ⌊0.8·n⌋ train rows; assignment is identical
+    under a different input partitioning (content-keyed, not layout-keyed)."""
+    from samba_spark.operators.mixing import stratified_exact_split
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    s = stratified_exact_split(docs, "doc_id", ["lang"], train_pct=80)
+    counts = {
+        (r["lang"], r["split"]): r["n"]
+        for r in s.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in totals.items():
+        assert counts.get((lang, "train"), 0) == (80 * n) // 100
+        assert counts.get((lang, "train"), 0) + counts.get((lang, "test"), 0) == n
+
+    a = {
+        (r["doc_id"], r["split"])
+        for r in s.select("doc_id", "split").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in stratified_exact_split(
+            docs.repartition(13), "doc_id", ["lang"], train_pct=80
+        )
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_stratified_split_single_exchange(spark, sf_smoke):
+    """Rank window, count window, and label projection must share ONE
+    stratum-keyed exchange."""
+    from samba_spark.operators.mixing import stratified_exact_split
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    s = plan_summary(stratified_exact_split(docs, "doc_id", ["lang"]))
+    assert s["n_exchanges"] == 1, s["plan"]
+    assert "Exchange SinglePartition" not in s["plan"]
+
+
+def test_journey_single_exchange_no_global_sort(spark, sf_smoke):
+    """The journey build is one user-keyed aggregation; the per-user sort
+    happens inside array_sort (partition-local), never as a global Sort."""
+    from samba_spark.operators.sketches import journey_string
+
+    events = load_tables(spark, sf_smoke, ["events"])["events"]
+    s = plan_summary(journey_string(events))
+    assert s["n_exchanges"] == 1, s["plan"]
+    assert "Exchange SinglePartition" not in s["plan"]
+
+
+def test_recursive_cte_depth_matches_chain(spark, sf_smoke):
+    """The walk must reach every nation exactly once: recursion depth per
+    region equals chain length, total rows == #nations."""
+    from samba_spark.queries.patterns import q77_recursive_cte
+
+    out = q77_recursive_cte(spark, sf_smoke)
+    nation = load_tables(spark, sf_smoke, ["nation"])["nation"]
+    assert out.count() == nation.count()
+    per_region = {
+        r["rk"]: r["n"]
+        for r in out.groupBy("rk").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        r["n_regionkey"]: r["n"]
+        for r in nation.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_region == want
