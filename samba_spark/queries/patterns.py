@@ -235,6 +235,110 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q78_stateful_processor(spark, sf_dir):
+    """Arbitrary stateful streaming with composite per-user state: the
+    events table replays as 4 micro-batches (one file each) through an
+    applyInPandasWithState fold holding (event count, value-cents sum,
+    error count) per user (streaming/ops.user_totals_stateful; the
+    equivalent Spark-4 transformWithStateInPandas processor is
+    implemented alongside it, container-gated on protobuf). Every batch
+    emits the cumulative totals (update mode); counters are monotone, so
+    max_by(n_events) per user is the completed fold, and the oracle
+    recomputes the same totals from all events in one SQL pass — a hash
+    match proves 4 incremental state updates == the batch group-by."""
+    import tempfile
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    work = tempfile.mkdtemp(prefix=f"q78_{uuid.uuid4().hex[:8]}_")
+    events.repartition(4).write.mode("overwrite").parquet(work)
+    stream = (
+        spark.readStream.schema(S.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(work)
+    )
+    totals = S.user_totals_stateful(stream)
+    name = "q78_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(totals, name, "update", state_partitions=8)
+    final = out.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_events", "sum_cents", "n_errors"), "n_events"
+        ).alias("_s")
+    )
+    return final.select(
+        "user_id", "_s.n_events", "_s.sum_cents", "_s.n_errors"
+    ).orderBy("user_id")
+
+
+Q78_SQL = """
+SELECT user_id, COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_cents,
+       (COUNT(*) FILTER (WHERE event_type = 'error'))::BIGINT AS n_errors
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+X83_ROOT = "/tmp/samba_x83_filegroups"
+
+
+def x83_python_datasource(spark, sf_dir):
+    """User-defined Python Data Source (Spark 4 pyspark.sql.datasource):
+    the file-group layout read through ``format("filegroup")`` with one
+    InputPartition per group — scan planning, schema, and partitioning
+    all flow through the normal DataFrame reader path (see
+    sources/pydatasource.py). The query lays down a deterministic
+    4-group/10-file fixture at a fixed path (q53's embedded-path oracle
+    pattern), reads it back through the source, and audits per group:
+    file count, byte volume, and an md5-based content checksum proving
+    the executors read the exact bytes. The DuckDB oracle reads the same
+    tree via read_text()."""
+    import os
+    import shutil
+
+    from samba_spark.sources import pydatasource
+
+    shutil.rmtree(X83_ROOT, ignore_errors=True)
+    for g in range(4):
+        gdir = f"{X83_ROOT}/g{g}"
+        os.makedirs(gdir)
+        for i in range(g + 1):
+            body = f"group g{g} file {i} " * (i + 1)
+            with open(f"{gdir}/f{i}.txt", "w") as f:
+                f.write(body)
+
+    pydatasource.register(spark)
+    rows = (
+        spark.read.format("filegroup")
+        .option("path", X83_ROOT)
+        .option("suffix", ".txt")
+        .load()
+    )
+    return (
+        rows.groupBy(F.col("group").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.sum(
+                F.conv(F.substring(F.md5("content"), 1, 8), 16, 10).cast("long")
+            ).alias("checksum"),
+        )
+        .orderBy("grp")
+    )
+
+
+X83_SQL = f"""
+WITH t AS (
+  SELECT regexp_extract(filename, '([^/]+)/[^/]+$', 1) AS grp, content
+  FROM read_text('{X83_ROOT}/*/*.txt'))
+SELECT grp, COUNT(*)::BIGINT AS n_files,
+       SUM(length(content))::BIGINT AS total_bytes,
+       SUM(('0x' || substr(md5(content), 1, 8))::BIGINT)::BIGINT AS checksum
+FROM t GROUP BY grp ORDER BY grp
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
@@ -242,4 +346,6 @@ PATTERNS: dict[str, QuerySpec] = {
     "x80_hll_rollup": QuerySpec(x80_hll_rollup, X80_SQL),
     "x81_approx_topk": QuerySpec(x81_approx_topk, X81_SQL),
     "x82_bitmap_distinct": QuerySpec(x82_bitmap_distinct, X82_SQL),
+    "q78_stateful_processor": QuerySpec(q78_stateful_processor, Q78_SQL),
+    "x83_python_datasource": QuerySpec(x83_python_datasource, X83_SQL),
 }

@@ -1,0 +1,135 @@
+"""FileGroup as a Spark 4 Python Data Source (``format("filegroup")``).
+
+The reference exposes file groups only through an RDD entry point
+(``sc.fileGroup``, SparkContext.scala:1339-1358); sources/filegroup.py is
+our DataFrame equivalent. This module additionally surfaces the concept
+through Spark's user-defined data source API (pyspark.sql.datasource,
+Spark 4): the source participates in normal reader/writer planning —
+``spark.read.format("filegroup").option("path", root).load()`` — with
+
+- **partition planning**: one InputPartition per group directory, so a
+  root with 10k groups scans as 10k independent tasks, scheduled like any
+  other scan (the executor reads only its group's files; nothing is
+  materialized on the driver);
+- **a writer half**: ``df.write.format("filegroup").mode(...).save()``
+  (with ``.option("path", root)``) lays each (group, name, content) row
+  down as ``<root>/<group>/<name>`` from the executors — the
+  save_files_at contract as a declarative sink, with per-task commit
+  messages aggregated into a file count in ``_SUCCESS``.
+
+Rows are flat (one per file) — the per-file grain composes with ordinary
+relational operators; sources/filegroup.py keeps the nested one-row-per-
+group shape for blackbox pipelines.
+
+Scale note: ``partitions()`` lists only group DIRECTORIES on the driver
+(one listdir), never file contents; per-group file listing and reads
+happen in ``read()`` on executors. Groups are the parallelism unit — a
+single giant group serializes into one task, so shard such layouts into
+more groups (same guidance as the reference's per-template grouping).
+
+Plain-session rule: Spark pickles the DataSource class itself to the
+create-data-source worker, so the class hierarchy is built inside
+:func:`_build_source_class` — dynamic qualnames make cloudpickle ship
+every class BY VALUE, and workers never need samba_spark on PYTHONPATH
+(the same rule every pandas/stateful body in this repo follows).
+"""
+
+from __future__ import annotations
+
+FILEGROUP_ROWS_SCHEMA = "group string, name string, size bigint, content binary"
+
+
+def _build_source_class():
+    import os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    class FileGroupRowsReader(DataSourceReader):
+        def __init__(self, options):
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError(
+                    "filegroup source requires .option('path', <root>)"
+                )
+            self.suffix = options.get("suffix", "")
+
+        def partitions(self):
+            groups = sorted(
+                d
+                for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d))
+            )
+            return [InputPartition(g) for g in groups]
+
+        def read(self, partition):
+            gdir = os.path.join(self.root, partition.value)
+            for name in sorted(os.listdir(gdir)):
+                p = os.path.join(gdir, name)
+                if not os.path.isfile(p) or not name.endswith(self.suffix):
+                    continue
+                with open(p, "rb") as f:
+                    content = f.read()
+                yield (partition.value, name, len(content), content)
+
+    class WroteFiles(WriterCommitMessage):
+        def __init__(self, n):
+            self.n = n
+
+    class FileGroupRowsWriter(DataSourceWriter):
+        def __init__(self, options, overwrite):
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError(
+                    "filegroup sink requires .option('path', <root>)"
+                )
+            self.overwrite = overwrite
+
+        def write(self, iterator):
+            n = 0
+            for row in iterator:
+                gdir = os.path.join(self.root, row.group)
+                os.makedirs(gdir, exist_ok=True)
+                mode = "wb" if self.overwrite else "xb"
+                with open(os.path.join(gdir, row.name), mode) as f:
+                    f.write(
+                        bytes(row.content) if row.content is not None else b""
+                    )
+                n += 1
+            return WroteFiles(n)
+
+        def commit(self, messages):
+            total = sum(m.n for m in messages if m is not None)
+            with open(os.path.join(self.root, "_SUCCESS"), "w") as f:
+                f.write(str(total))
+
+        def abort(self, messages):
+            pass
+
+    class FileGroupDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "filegroup"
+
+        def schema(self):
+            # inlined (not the module constant): the class ships by value
+            # and must not capture a samba_spark module global
+            return "group string, name string, size bigint, content binary"
+
+        def reader(self, schema):
+            return FileGroupRowsReader(self.options)
+
+        def writer(self, schema, overwrite):
+            return FileGroupRowsWriter(self.options, overwrite)
+
+    return FileGroupDataSource
+
+
+def register(spark) -> None:
+    """Idempotently register the source with a session."""
+    spark.dataSource.register(_build_source_class())

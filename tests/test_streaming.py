@@ -193,3 +193,70 @@ def test_state_partitioning_restores_conf_and_results_invariant(spark, sf_smoke)
         )
         outs.append({tuple(r) for r in out.collect()})
     assert outs[0] == outs[1]
+
+
+def test_composite_stateful_totals_match_batch(spark, events_dir):
+    """user_totals_stateful (q78's operator): composite (count, cents,
+    errors) state folds across batches to exactly the batch aggregate."""
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = S.run_to_memory(
+        S.user_totals_stateful(stream), "t_state_cents", "update"
+    )
+    final = {
+        r.user_id: (r.n_events, r.sum_cents, r.n_errors)
+        for r in result.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("n_events", "sum_cents", "n_errors"), "n_events").alias(
+                "s"
+            )
+        )
+        .select("user_id", "s.n_events", "s.sum_cents", "s.n_errors")
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n, r.cents, r.errs)
+        for r in spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+        )
+        .collect()
+    }
+    assert final == expected
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas worker needs the protobuf package "
+    "(absent in this container; see user_totals_tws docstring)",
+)
+def test_transform_with_state_totals_match_batch(spark, events_dir):
+    """Spark-4 transformWithStateInPandas path: same contract as the
+    applyInPandasWithState fold above. Runs wherever protobuf exists."""
+    stream = S.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    result = S.run_to_memory(S.user_totals_tws(stream), "t_tws", "update")
+    final = {
+        r.user_id: r.n
+        for r in result.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    }
+    expected = {
+        r.user_id: r.n
+        for r in spark.read.schema(S.EVENTS_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == expected
