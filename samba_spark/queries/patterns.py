@@ -339,6 +339,116 @@ FROM t GROUP BY grp ORDER BY grp
 """
 
 
+def q79_pipe_sql(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (``|>``): the linear dataflow style —
+    FROM |> WHERE |> AGGREGATE |> ORDER BY — parsed by Catalyst into the
+    identical logical plan as the nested-SELECT equivalent (the oracle
+    IS that equivalent), so filters still push down and aggregates still
+    partial-combine. Money stays in integer cents per the repo-wide
+    quantized-parity rule."""
+    load_tables(spark, sf_dir, ["orders"])["orders"].createOrReplaceTempView(
+        "q79_orders"
+    )
+    return spark.sql(
+        """
+        FROM q79_orders
+        |> WHERE o_orderdate >= DATE'1997-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )
+
+
+Q79_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q80_collation(spark, sf_dir):
+    """String collations (Spark 4): grouping under UTF8_LCASE merges case
+    variants inside the aggregate itself — no lower() projection, the
+    collation is a property of the comparison, which is how
+    locale/case-insensitive semantics compose with joins and sorts too.
+    The fixture's lang codes are case-mangled deterministically (even
+    doc_ids upper-cased) so the merge is observable; output keys are
+    lower()-normalized because the surviving representative within a
+    collated group is engine-specific."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    mangled = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("k")
+    )
+    mangled.createOrReplaceTempView("q80_docs")
+    return spark.sql(
+        """
+        SELECT lower(k) AS lang_ci, COUNT(*) AS n_docs
+        FROM (SELECT k COLLATE UTF8_LCASE AS k FROM q80_docs)
+        GROUP BY k ORDER BY lang_ci
+        """
+    ).select("lang_ci", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+Q80_SQL = """
+WITH m AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS k
+  FROM documents)
+SELECT lower(k) AS lang_ci, COUNT(*)::BIGINT AS n_docs
+FROM m GROUP BY lower(k) ORDER BY lang_ci
+"""
+
+
+def q81_try_functions(spark, sf_dir):
+    """Error-safe expression evaluation (ANSI-mode companions): try_divide
+    / try_cast / try_to_number return NULL where strict evaluation would
+    raise — the 100 TB posture for dirty data, where one malformed row
+    must not kill a 6-hour job. Counts NULL-producing rows per order
+    priority and sums the surviving quotients in integer basis points."""
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    orders.createOrReplaceTempView("q81_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN q IS NULL THEN 1 END) AS n_div_null,
+               COUNT(CASE WHEN s IS NULL THEN 1 END) AS n_cast_null,
+               SUM(CAST(ROUND(q * 10000) AS BIGINT)) AS sum_q_bp
+        FROM (
+          SELECT o_orderpriority,
+                 try_divide(o_totalprice, o_custkey % 5) AS q,
+                 try_cast(o_orderstatus AS INT) AS s
+          FROM q81_orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    ).select(
+        "o_orderpriority",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_div_null").cast("long").alias("n_div_null"),
+        F.col("n_cast_null").cast("long").alias("n_cast_null"),
+        F.col("sum_q_bp").cast("long").alias("sum_q_bp"),
+    )
+
+
+Q81_SQL = """
+WITH t AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_custkey % 5 = 0 THEN NULL
+              ELSE o_totalprice / (o_custkey % 5) END AS q,
+         TRY_CAST(o_orderstatus AS INT) AS s
+  FROM orders)
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_rows,
+       COUNT(CASE WHEN q IS NULL THEN 1 END)::BIGINT AS n_div_null,
+       COUNT(CASE WHEN s IS NULL THEN 1 END)::BIGINT AS n_cast_null,
+       SUM(CAST(ROUND(q * 10000) AS BIGINT))::BIGINT AS sum_q_bp
+FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
@@ -348,4 +458,7 @@ PATTERNS: dict[str, QuerySpec] = {
     "x82_bitmap_distinct": QuerySpec(x82_bitmap_distinct, X82_SQL),
     "q78_stateful_processor": QuerySpec(q78_stateful_processor, Q78_SQL),
     "x83_python_datasource": QuerySpec(x83_python_datasource, X83_SQL),
+    "q79_pipe_sql": QuerySpec(q79_pipe_sql, Q79_SQL),
+    "q80_collation": QuerySpec(q80_collation, Q80_SQL),
+    "q81_try_functions": QuerySpec(q81_try_functions, Q81_SQL),
 }

@@ -186,3 +186,31 @@ def test_recursive_cte_depth_matches_chain(spark, sf_smoke):
         .collect()
     }
     assert per_region == want
+
+
+def test_pipe_sql_pushes_filter_to_scan(spark, sf_smoke):
+    """|> WHERE must reach the parquet scan exactly like nested-SELECT SQL
+    — pipe syntax is parse-level sugar, not a plan change."""
+    from samba_spark.plans.inspect import assert_pushdown
+    from samba_spark.queries.patterns import q79_pipe_sql
+
+    df = q79_pipe_sql(spark, sf_smoke)
+    assert_pushdown(df, "GreaterThanOrEqual(o_orderdate")
+
+
+def test_collated_grouping_merges_case_variants(spark, sf_smoke):
+    """UTF8_LCASE grouping must produce the same histogram as lower()."""
+    from samba_spark.queries.patterns import q80_collation
+
+    got = {
+        (r["lang_ci"], r["n_docs"])
+        for r in q80_collation(spark, sf_smoke).collect()
+    }
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    want = {
+        (r["l"], r["n"])
+        for r in docs.groupBy(F.lower("lang").alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
