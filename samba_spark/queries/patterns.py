@@ -449,6 +449,97 @@ FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def x84_observed_metrics(spark, sf_dir):
+    """Single-pass audit metrics (Observation API): row count, late-order
+    count, and a cents total are observed ON the scan that feeds an
+    unrelated per-priority aggregation — one job, one read, both outputs
+    (plans/audit.py). The returned row is the metrics dict; the oracle
+    recomputes the same aggregates directly, so a hash match proves the
+    observe node saw every row exactly once."""
+    from samba_spark.plans.audit import run_audited
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    _, audit = run_audited(
+        orders,
+        {
+            "n_rows": F.count(F.lit(1)).cast("long"),
+            "n_late": F.sum(
+                (F.col("o_orderdate") >= F.lit("1998-01-01")).cast("long")
+            ),
+            "cents": F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ),
+        },
+        # the "real" work this pass is doing — metrics ride along free
+        lambda d: d.groupBy("o_orderpriority").count().collect(),
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(audit["n_rows"]),
+                int(audit["n_late"]),
+                int(audit["cents"]),
+            )
+        ],
+        "n_rows long, n_late long, cents long",
+    )
+
+
+X84_SQL = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0
+           END)::BIGINT AS n_late,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+FROM orders
+"""
+
+
+def q82_sql_scripting(spark, sf_dir):
+    """SQL session variables + EXECUTE IMMEDIATE (Spark 4 scripting
+    surface): a data-dependent threshold lands in a DECLAREd variable via
+    ``SET VAR = (scalar subquery)``, an EXECUTE IMMEDIATE template is
+    parameterized with USING, and the final query references the variable
+    directly — the orchestration idioms migration scripts use, all inside
+    Catalyst (the variable is constant-folded into the plan, so the
+    filter still pushes down). Threshold is MAX/2: exactly representable
+    in binary floating point, so the comparison is engine-exact (an AVG
+    threshold could flip a boundary row by one ulp)."""
+    load_tables(spark, sf_dir, ["orders"])["orders"].createOrReplaceTempView(
+        "q82_orders"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE q82_thr DOUBLE")
+    spark.sql(
+        "SET VAR q82_thr = (SELECT MAX(o_totalprice) / 2 FROM q82_orders)"
+    )
+    # parameterized statement: the status filter arrives as a bind, the
+    # threshold as a session variable
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority, COUNT(*) AS n_above,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM q82_orders
+           WHERE o_totalprice > q82_thr AND o_orderstatus <> ?
+           GROUP BY o_orderpriority ORDER BY o_orderpriority'
+          USING 'X'
+        """
+    ).select(
+        "o_orderpriority",
+        F.col("n_above").cast("long").alias("n_above"),
+        F.col("cents").cast("long").alias("cents"),
+    )
+
+
+Q82_SQL = """
+WITH thr AS (SELECT MAX(o_totalprice) / 2 AS t FROM orders)
+SELECT o_orderpriority, COUNT(*)::BIGINT AS n_above,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+FROM orders, thr
+WHERE o_totalprice > t AND o_orderstatus <> 'X'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
@@ -461,4 +552,6 @@ PATTERNS: dict[str, QuerySpec] = {
     "q79_pipe_sql": QuerySpec(q79_pipe_sql, Q79_SQL),
     "q80_collation": QuerySpec(q80_collation, Q80_SQL),
     "q81_try_functions": QuerySpec(q81_try_functions, Q81_SQL),
+    "x84_observed_metrics": QuerySpec(x84_observed_metrics, X84_SQL),
+    "q82_sql_scripting": QuerySpec(q82_sql_scripting, Q82_SQL),
 }

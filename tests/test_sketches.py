@@ -214,3 +214,26 @@ def test_collated_grouping_merges_case_variants(spark, sf_smoke):
         .collect()
     }
     assert got == want
+
+
+def test_run_audited_single_pass_metrics(spark, sf_smoke):
+    """Observation metrics captured during an unrelated action equal a
+    direct aggregation — the observe node saw every row exactly once."""
+    from samba_spark.plans.audit import run_audited
+
+    orders = load_tables(spark, sf_smoke, ["orders"])["orders"]
+    result, audit = run_audited(
+        orders,
+        {
+            "n_rows": F.count(F.lit(1)).cast("long"),
+            "null_keys": F.sum(F.col("o_custkey").isNull().cast("long")),
+        },
+        lambda d: d.groupBy("o_orderstatus").count().collect(),
+    )
+    assert len(result) > 0
+    direct = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nk"),
+    ).collect()[0]
+    assert audit["n_rows"] == direct["n"]
+    assert audit["null_keys"] == direct["nk"]
