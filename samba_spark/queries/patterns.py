@@ -540,6 +540,134 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q83_watermark_dedup(spark, sf_dir):
+    """Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
+    a key only until the watermark passes its event time + delay —
+    O(horizon keys) state instead of plain dropDuplicates' all-time
+    distinct set (q44), the difference that matters at 100 TB/day. First
+    arrivals emit immediately, so a single-batch availableNow replay
+    yields exactly the distinct (user_id, event_type) set and the plain
+    DISTINCT oracle applies."""
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    dd = S.dedup_within_watermark(stream, "user_id", "event_type")
+    name = "q83_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(
+        dd.select("user_id", "event_type"), name, "append", state_partitions=8
+    )
+    return out.orderBy("user_id", "event_type")
+
+
+Q83_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+"""
+
+
+def q84_chained_stateful(spark, sf_dir):
+    """CHAINED stateful streaming operators (Spark 3.5+): hourly tumbling
+    counts feed a daily windowed rollup over window_time — two levels of
+    watermark-bounded state in ONE incremental query
+    (streaming/ops.two_level_window_rollup). Append mode emits a day once
+    the final watermark (max ts − 1 h, advanced by availableNow's closing
+    flush) passes its end, so both engines restrict to closed days: the
+    oracle recomputes hourly→daily from scratch and applies the same
+    closure predicate — a hash match proves the two-level incremental
+    fold equals the batch recompute on every emitted window."""
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    roll = S.two_level_window_rollup(stream)
+    name = "q84_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(roll, name, "append", state_partitions=8)
+    return out.orderBy("d_start", "event_type")
+
+
+Q84_SQL = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY h, event_type),
+daily AS (
+  SELECT time_bucket(INTERVAL '1 day', h) AS d_start, event_type,
+         SUM(n)::BIGINT AS n_events, COUNT(*)::BIGINT AS n_fine_windows
+  FROM hourly GROUP BY d_start, event_type),
+wm AS (SELECT MAX(ts) - INTERVAL '1 hour' AS w FROM events)
+SELECT CAST(d_start AS TIMESTAMP) AS d_start, event_type, n_events,
+       n_fine_windows
+FROM daily, wm
+WHERE d_start + INTERVAL '1 day' <= w
+ORDER BY d_start, event_type
+"""
+
+
+def x85_arrow_stats(spark, sf_dir):
+    """Arrow-native Python boundary (Spark 4 mapInArrow): per-document
+    char/space counts via pyarrow.compute kernels over zero-copy
+    RecordBatches — no pandas object exists anywhere on the path, the
+    cheapest Python boundary Spark offers (operators/arrowops.py). Rolled
+    up per language so the output stays small; all-integer parity."""
+    from samba_spark.operators.arrowops import arrow_text_stats
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    stats = arrow_text_stats(docs)
+    return (
+        stats.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.sum("n_spaces").cast("long").alias("spaces"),
+        )
+        .orderBy("lang")
+    )
+
+
+X85_SQL = """
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(length(text))::BIGINT AS chars,
+       SUM(length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def x86_arrow_cogroup(spark, sf_dir):
+    """Cogrouped applyInArrow (Spark 4): per user, event count vs order
+    count and integer-cents order volume — both cogroup sides arrive as
+    raw pyarrow.Tables per key with full-outer semantics (either side may
+    be empty). The oracle is the FULL OUTER JOIN of the two group-bys, so
+    a hash match proves the cogroup delivered every key exactly once with
+    complete sides (operators/arrowops.py)."""
+    from samba_spark.operators.arrowops import arrow_cogroup_counts
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    return arrow_cogroup_counts(t["events"], t["orders"]).orderBy("user_id")
+
+
+X86_SQL = """
+WITH e AS (SELECT user_id, COUNT(*)::BIGINT AS n_events
+           FROM events GROUP BY user_id),
+o AS (SELECT o_custkey AS user_id, COUNT(*)::BIGINT AS n_orders,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      FROM orders GROUP BY o_custkey)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       COALESCE(e.n_events, 0)::BIGINT AS n_events,
+       COALESCE(o.n_orders, 0)::BIGINT AS n_orders,
+       COALESCE(o.cents, 0)::BIGINT AS order_cents
+FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+ORDER BY user_id
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
@@ -554,4 +682,8 @@ PATTERNS: dict[str, QuerySpec] = {
     "q81_try_functions": QuerySpec(q81_try_functions, Q81_SQL),
     "x84_observed_metrics": QuerySpec(x84_observed_metrics, X84_SQL),
     "q82_sql_scripting": QuerySpec(q82_sql_scripting, Q82_SQL),
+    "q83_watermark_dedup": QuerySpec(q83_watermark_dedup, Q83_SQL),
+    "q84_chained_stateful": QuerySpec(q84_chained_stateful, Q84_SQL),
+    "x85_arrow_stats": QuerySpec(x85_arrow_stats, X85_SQL),
+    "x86_arrow_cogroup": QuerySpec(x86_arrow_cogroup, X86_SQL),
 }

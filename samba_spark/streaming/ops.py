@@ -217,6 +217,64 @@ def interval_join_errors_clicks(
     ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
 
 
+def dedup_within_watermark(
+    events: DataFrame, *cols: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    keeps a key in the dedup state only until the watermark passes its
+    event time + delay, then expires it — unlike plain dropDuplicates
+    (streaming_distinct below), whose state grows with the all-time
+    distinct count. At 100 TB/day this is the difference between O(keys
+    within the watermark horizon) and an unbounded state store. The
+    trade: a duplicate arriving after its original's state expired is
+    re-emitted — the contract is "exactly-once within the lateness
+    bound", which is what dedup-at-ingest actually needs."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(cols)
+    )
+
+
+def two_level_window_rollup(
+    events: DataFrame,
+    fine: str = "1 hour",
+    coarse: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.5+):
+    a fine-grain tumbling aggregation feeds a second windowed aggregation
+    over ``window_time`` of the first — the streaming form of the
+    maintained-rollup pattern (hourly counts folding into daily, both
+    incrementally, one query). Each level keeps its own watermark-bounded
+    state; the coarse level sees one row per closed fine window, so its
+    input volume is O(fine windows), not O(events).
+
+    Append-mode emission: a window row is emitted when the watermark
+    passes its end, so under availableNow replay the LAST partial coarse
+    window (and fine windows inside the final watermark delay) are not
+    emitted — callers comparing against batch recomputation must filter
+    both sides to windows closed by max(ts) - delay (q84 does)."""
+    fine_agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", fine).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        fine_agg.groupBy(
+            F.window(F.window_time("w"), coarse).alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_fine_windows"),
+        )
+        .select(
+            F.col("d.start").alias("d_start"),
+            "event_type",
+            "n_events",
+            "n_fine_windows",
+        )
+    )
+
+
 def streaming_distinct(events: DataFrame, *cols: str) -> DataFrame:
     """Streaming deduplication: emit each distinct combination of ``cols``
     once (dropDuplicates keeps state per key; project first so the kept
