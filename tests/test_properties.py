@@ -437,3 +437,88 @@ def test_concurrency_profile_matches_global_sweep(spark, rows):
         best[day] = max(best.get(day, -(10 ** 9)), run)
     got = {r.day: r.max_concurrency for r in concurrency_profile(df).collect()}
     assert got == best
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200_000),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bitmap_distinct_matches_python_reference(spark, pairs):
+    """Bucketed bitmap distinct == Python set cardinality per group, for
+    ids spanning multiple 32768-bit buckets."""
+    from samba_spark.operators.sketches import bitmap_distinct
+
+    df = spark.createDataFrame(pairs, ["uid", "grp"])
+    got = {
+        r["grp"]: r["n_distinct"]
+        for r in bitmap_distinct(df, ["grp"], "uid").collect()
+    }
+    want = {}
+    for uid, grp in pairs:
+        want.setdefault(grp, set()).add(uid)
+    assert got == {g: len(s) for g, s in want.items()}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=50),
+    st.integers(min_value=0, max_value=100),
+)
+def test_stratified_split_proportion_property(spark, labels, pct):
+    """For every stratum: train == floor(pct·n/100) exactly, at any pct."""
+    from samba_spark.operators.mixing import stratified_exact_split
+
+    df = spark.createDataFrame(
+        [(i, l) for i, l in enumerate(labels)], ["id", "label"]
+    )
+    out = stratified_exact_split(df, "id", ["label"], train_pct=pct).collect()
+    per = {}
+    for r in out:
+        a, b = per.setdefault(r["label"], [0, 0])
+        per[r["label"]] = [a + (r["split"] == "train"), b + 1]
+    from collections import Counter
+
+    totals = Counter(labels)
+    for label, (n_train, n_all) in per.items():
+        assert n_all == totals[label]
+        assert n_train == (pct * totals[label]) // 100
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.sampled_from(["view", "click", "purchase", "error"]),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_journey_pattern_matches_python_re(spark, etypes):
+    """Regex conversion count over the journey string == Python re on the
+    same sequence (single user, ts ordered by event_id)."""
+    import datetime as dt
+    import re
+
+    from samba_spark.operators.sketches import (
+        journey_string,
+        pattern_match_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, et)
+        for i, et in enumerate(etypes)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    j = journey_string(df)
+    got = j.select(pattern_match_counts(j, "vc*p").alias("n")).collect()[0]["n"]
+    want = len(re.findall("vc*p", "".join(e[0] for e in etypes)))
+    assert got == want
