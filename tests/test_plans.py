@@ -426,3 +426,49 @@ def test_tpch_q22_broadcast_threshold(spark, sf_smoke):
     s = plan_summary(df)
     assert "CartesianProduct" not in s["plan"]
     assert "LeftAnti" in s["plan"]
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The AQE skew-join path SCALE.md leans on must actually fire: a
+    200k-row hot key against a uniform tail, sort-merge joined with
+    thresholds scaled to fixture size, re-plans at runtime into
+    SortMergeJoin(skew=true) — the hot partition is split across tasks
+    without any salting in user code. (Salting, plans/layout.salted_join,
+    remains the static fallback when AQE is off or the skew is in an
+    aggregation.)"""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(5_000).select(
+                (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        dim = spark.range(51).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k").select("k")
+        assert len(j.collect()) == 205_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -32,6 +32,14 @@ PROBES = [
     "x60_rare_token_pairs",
     "q73_stream_cdc",
     "x75_bpe_merge_round",
+    # session-3 families: sketch rollups, sequence patterns, stratified
+    # split, chained stateful streaming, arrow boundary
+    "x80_hll_rollup",
+    "x82_bitmap_distinct",
+    "x78_sequence_pattern",
+    "x79_stratified_split",
+    "q84_chained_stateful",
+    "x85_arrow_stats",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
