@@ -472,3 +472,61 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A join filter on the dimension must prune fact PARTITIONS at
+    runtime (DPP): the fact scan carries a dynamicpruning subquery
+    instead of reading all 20 partition directories. This is the
+    partition-layout payoff plans/layout.write_partitioned sets up — at
+    100 TB it is the difference between scanning 1/20th and all of it."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "fact")
+    spark.range(20_000).select(
+        (F.col("id") % 20).alias("pk"), F.col("id").alias("v")
+    ).write.partitionBy("pk").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.range(20).select(
+        F.col("id").alias("pk"), (F.col("id") % 4).alias("seg")
+    )
+    j = fact.join(dim, "pk").where(F.col("seg") == 1).groupBy("pk").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """With a selective dimension filter, Catalyst injects a runtime
+    bloom filter (might_contain) on the fact side of the shuffle join —
+    fact rows that cannot match are dropped at the scan, before the
+    shuffle. The second runtime-filtering lever next to DPP; thresholds
+    are scaled down to fixture size."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big_p, small_p = str(tmp_path / "big"), str(tmp_path / "small")
+        spark.range(100_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+        ).write.parquet(big_p)
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+        ).write.parquet(small_p)
+        big, small = spark.read.parquet(big_p), spark.read.parquet(small_p)
+        j = big.join(small.where(F.col("w") == 3), "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
