@@ -20,6 +20,7 @@ import time
 from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from samba_spark.prov import model
@@ -314,6 +315,65 @@ class ProvStore:
                 )
                 rows.clear()
         self._flush_pending_dfs()
+
+    def vacuum(
+        self,
+        keep_latest: "int | None" = None,
+        keep_run_ids=None,
+    ) -> dict:
+        """Run-level retention: rewrite every provenance table keeping only
+        rows of the retained runs, and drop the rest. Retain either the
+        ``keep_latest`` most recent executions (by start_time, run_id
+        tiebreak) or an explicit ``keep_run_ids`` iterable.
+
+        The store is append-only parquet with runs interleaved across
+        files, so retention is a rewrite, not a file delete: each table is
+        filtered and written to ``<table>.vacuum.tmp``, then swapped in
+        (same two-rename discipline and stale-dir cleanup as
+        plans/layout.compact_dataset — not atomic on a plain filesystem;
+        the old data survives at ``.vacuum.old`` until the swap
+        completes). At 100 TB the rewrite is a distributed filter-scan per
+        table, O(surviving rows); run it from maintenance windows like any
+        compaction. The reference has no retention story at all (Cassandra
+        rows accumulate forever); this is north-star ops tooling.
+
+        Returns ``{"kept_runs": [...], "dropped_runs": [...]}``.
+        """
+        import shutil
+
+        self.flush()
+        ex = self.table("executions")
+        all_runs = [
+            r["run_id"]
+            for r in ex.select("run_id", "start_time")
+            .orderBy(F.desc("start_time"), F.desc("run_id"))
+            .collect()
+        ]
+        if keep_run_ids is not None:
+            keep = [r for r in all_runs if r in set(keep_run_ids)]
+        elif keep_latest is not None:
+            keep = all_runs[: max(0, keep_latest)]
+        else:
+            raise ValueError("vacuum needs keep_latest or keep_run_ids")
+        dropped = [r for r in all_runs if r not in set(keep)]
+        if not dropped:
+            return {"kept_runs": keep, "dropped_runs": []}
+
+        table_names = list(model.TABLES) + ["element_overrides"]
+        for name in table_names:
+            path = os.path.join(self.prov_dir, name)
+            if not os.path.isdir(path):
+                continue
+            for stale in (path + ".vacuum.tmp", path + ".vacuum.old"):
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            df = self.spark.read.parquet(path)
+            kept_df = df.where(F.col("run_id").isin(keep))
+            kept_df.write.mode("overwrite").parquet(path + ".vacuum.tmp")
+            os.rename(path, path + ".vacuum.old")
+            os.rename(path + ".vacuum.tmp", path)
+            shutil.rmtree(path + ".vacuum.old")
+        return {"kept_runs": keep, "dropped_runs": dropped}
 
     def table(self, name: str) -> DataFrame:
         """Read a provenance table (flushing pending driver-side rows and

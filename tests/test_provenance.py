@@ -286,3 +286,31 @@ def test_provdataframe_column_lineage_method(spark, sf_smoke, tmp_path):
         ]
     finally:
         ps.stop()
+
+
+def test_vacuum_run_retention(spark, sf_smoke, tmp_path):
+    """vacuum(keep_latest=1) keeps only the newest run's rows in every
+    table (driver-side and element-level), and reports the drop."""
+    from samba_spark.session import ProvSession
+
+    prov_dir = str(tmp_path / "prov_vac")
+    run_ids = []
+    for name in ("vac_old", "vac_new"):
+        ps = ProvSession(spark, name=name, prov_dir=prov_dir)
+        df = ps.read_parquet(f"{sf_smoke}/nation.parquet").with_elements()
+        df.where("n_nationkey >= 10").select("n_nationkey").persist_elements()
+        run_ids.append(ps.run_id)
+        ps.stop()
+
+    store = ps.store
+    assert store.table("executions").count() == 2
+    res = store.vacuum(keep_latest=1)
+    assert res["kept_runs"] == [run_ids[1]]
+    assert res["dropped_runs"] == [run_ids[0]]
+    for t in ("executions", "tasks", "elements", "element_deps"):
+        runs = {r["run_id"] for r in store.table(t).select("run_id").collect()}
+        assert runs <= {run_ids[1]}, (t, runs)
+    assert store.table("executions").count() == 1
+    # idempotent when nothing to drop
+    res2 = store.vacuum(keep_latest=1)
+    assert res2["dropped_runs"] == []
