@@ -84,7 +84,9 @@ def _make_cogroup_counts_fn():
     return cogroup_counts
 
 
-def arrow_cogroup_counts(events: DataFrame, orders: DataFrame) -> DataFrame:
+def arrow_cogroup_counts(
+    events: DataFrame, orders: DataFrame, restrict_to_left_keys: bool = False
+) -> DataFrame:
     """Cogrouped applyInArrow: per user, event count vs order count and
     integer-cents order volume — both sides of the cogroup arrive as raw
     ``pyarrow.Table``s per key (either may be empty: full-outer
@@ -92,11 +94,25 @@ def arrow_cogroup_counts(events: DataFrame, orders: DataFrame) -> DataFrame:
     touches only that key's rows — the arbitrary-logic escape hatch when
     a join + aggregate cannot express the pairing (here it could; the
     operator exists to cover and test the API surface at exact-integer
-    parity)."""
+    parity).
+
+    Cost model: one Python invocation PER KEY — the key cardinality, not
+    the row count, dominates when groups are small. Feed it a bounded,
+    relevant key space: ``restrict_to_left_keys=True`` broadcast-semi-
+    joins the right side down to keys present on the left (10× fewer
+    calls on the fixture, where most order custkeys never appear in
+    events). Unbounded sparse key spaces belong in a join + aggregate,
+    not a Python cogroup."""
+    from pyspark.sql import functions as F
+
     ev = events.select(events["user_id"], events["event_id"])
     od = orders.select(
         orders["o_custkey"].alias("user_id"), orders["o_totalprice"]
     )
+    if restrict_to_left_keys:
+        od = od.join(
+            F.broadcast(ev.select("user_id").distinct()), "user_id", "left_semi"
+        )
     return (
         ev.groupBy("user_id")
         .cogroup(od.groupBy("user_id"))

@@ -641,16 +641,20 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 def x86_arrow_cogroup(spark, sf_dir):
-    """Cogrouped applyInArrow (Spark 4): per user, event count vs order
-    count and integer-cents order volume — both cogroup sides arrive as
-    raw pyarrow.Tables per key with full-outer semantics (either side may
-    be empty). The oracle is the FULL OUTER JOIN of the two group-bys, so
-    a hash match proves the cogroup delivered every key exactly once with
-    complete sides (operators/arrowops.py)."""
+    """Cogrouped applyInArrow (Spark 4): per ACTIVE user (events-side
+    keys), event count vs order count and integer-cents order volume —
+    both cogroup sides arrive as raw pyarrow.Tables per key (the order
+    side may be empty: one-sided semantics covered here and in the unit
+    test). The right side is semi-joined down to left keys first because
+    a Python cogroup pays one interpreter call PER KEY — bounding the key
+    space is the operator's documented cost rule. Oracle = LEFT JOIN of
+    the two group-bys (operators/arrowops.py)."""
     from samba_spark.operators.arrowops import arrow_cogroup_counts
 
     t = load_tables(spark, sf_dir, ["events", "orders"])
-    return arrow_cogroup_counts(t["events"], t["orders"]).orderBy("user_id")
+    return arrow_cogroup_counts(
+        t["events"], t["orders"], restrict_to_left_keys=True
+    ).orderBy("user_id")
 
 
 X86_SQL = """
@@ -659,11 +663,11 @@ WITH e AS (SELECT user_id, COUNT(*)::BIGINT AS n_events
 o AS (SELECT o_custkey AS user_id, COUNT(*)::BIGINT AS n_orders,
              SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
       FROM orders GROUP BY o_custkey)
-SELECT COALESCE(e.user_id, o.user_id) AS user_id,
-       COALESCE(e.n_events, 0)::BIGINT AS n_events,
+SELECT e.user_id AS user_id,
+       e.n_events,
        COALESCE(o.n_orders, 0)::BIGINT AS n_orders,
        COALESCE(o.cents, 0)::BIGINT AS order_cents
-FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+FROM e LEFT JOIN o ON e.user_id = o.user_id
 ORDER BY user_id
 """
 
