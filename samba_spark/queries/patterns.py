@@ -672,6 +672,59 @@ ORDER BY user_id
 """
 
 
+X87_ROOT = "/tmp/samba_x87_sketch_rollup"
+
+
+def x87_sketch_persistence(spark, sf_dir):
+    """Sketches as STORED columns — the maintained-rollup-table pattern
+    x80 computes in-flight: per-(day, event_type) HLL sketches are
+    written to parquet as binary columns (2.5 KiB each), the raw events
+    are forgotten, and the per-type distinct estimate is answered later
+    by hll_union_agg over the STORED bytes alone. At 100 TB the daily
+    sketch table is kilobytes where events are terabytes; yesterday's
+    sketches never get recomputed when today's partition lands (append
+    one day, union at read). Same est_ok oracle contract as x80: exact
+    count rides along, and the hash match verifies the stored-and-merged
+    estimator within ±5%."""
+    import shutil
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        events.withColumn("day", F.to_date("ts"))
+        .groupBy("day", "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    shutil.rmtree(X87_ROOT, ignore_errors=True)
+    daily.write.parquet(X87_ROOT)
+
+    stored = spark.read.parquet(X87_ROOT)
+    est = stored.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("estimate") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X87_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
@@ -690,4 +743,5 @@ PATTERNS: dict[str, QuerySpec] = {
     "q84_chained_stateful": QuerySpec(q84_chained_stateful, Q84_SQL),
     "x85_arrow_stats": QuerySpec(x85_arrow_stats, X85_SQL),
     "x86_arrow_cogroup": QuerySpec(x86_arrow_cogroup, X86_SQL),
+    "x87_sketch_persistence": QuerySpec(x87_sketch_persistence, X87_SQL),
 }

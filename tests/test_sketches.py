@@ -237,3 +237,38 @@ def test_run_audited_single_pass_metrics(spark, sf_smoke):
     ).collect()[0]
     assert audit["n_rows"] == direct["n"]
     assert audit["null_keys"] == direct["nk"]
+
+
+def test_stored_sketches_append_incrementally(spark, sf_smoke, tmp_path):
+    """The sketch-table contract (x87): write sketches for all days but
+    one, append the last day's sketches separately, and the union over
+    the STORED bytes must estimate the same as sketching all raw events
+    at once — proving day-partitioned append-only maintenance works
+    without revisiting history."""
+    d = str(tmp_path / "sk")
+    events = load_tables(spark, sf_smoke, ["events"])["events"].withColumn(
+        "day", F.to_date("ts")
+    )
+    last_day = events.agg(F.max("day").alias("m")).collect()[0]["m"]
+    head = events.where(F.col("day") != F.lit(last_day))
+    tail = events.where(F.col("day") == F.lit(last_day))
+    head.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    ).write.parquet(d)
+    tail.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    ).write.mode("append").parquet(d)
+    merged = {
+        r["event_type"]: r["e"]
+        for r in spark.read.parquet(d)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("e"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["e"]
+        for r in events.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    }
+    assert merged == direct
