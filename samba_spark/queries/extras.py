@@ -242,12 +242,35 @@ SELECT r_name, n_name FROM r JOIN n USING (i) ORDER BY r_name, n_name
 # rdd/RDD.scala:1449, HLL++) — excluded from the duckdb oracle per
 # BASELINE.md (estimator-specific); deterministic per engine
 def q29_approx_count_distinct(spark, sf_dir):
+    """HLL++ approximate distinct with an in-query error gate (the x80
+    est_ok contract, retrofitted round-3 to upgrade this from rows-only
+    to a full oracle row): the exact count rides along and the output
+    asserts the rsd=0.05 estimate landed within ±15% (3σ), so the DuckDB
+    hash match verifies the estimator, not just the exact path."""
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
     return (
         orders.groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_custs"))
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.05).alias("_approx"),
+            F.count_distinct("o_custkey").cast("long").alias("exact_custs"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            (
+                F.abs(F.col("_approx") - F.col("exact_custs")) * 100
+                <= F.col("exact_custs") * 15
+            ).alias("est_ok"),
+        )
         .orderBy("o_orderstatus")
     )
+
+
+Q29_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey)::BIGINT AS exact_custs,
+       TRUE AS est_ok
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
 
 
 # Q30 stratified sample (reference sampleByKey) — seeded, deterministic per
@@ -1249,7 +1272,7 @@ EXTRAS: dict[str, QuerySpec] = {
     "q26_range_join": QuerySpec(q26_range_join, Q26_SQL),
     "q27_cogroup": QuerySpec(q27_cogroup, Q27_SQL),
     "q28_zip": QuerySpec(q28_zip, Q28_SQL),
-    "q29_approx_count_distinct": QuerySpec(q29_approx_count_distinct, None),
+    "q29_approx_count_distinct": QuerySpec(q29_approx_count_distinct, Q29_SQL),
     "q30_sample_by": QuerySpec(q30_sample_by, None),
     "q31_stream_tumbling": QuerySpec(q31_stream_tumbling, Q31_SQL),
     "q32_stream_sessions": QuerySpec(q32_stream_sessions, Q32_SQL),
