@@ -530,3 +530,27 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_respected(spark, sf_smoke):
+    """The three join-strategy hints must reach the physical plan: at
+    100 TB the strategy choice (broadcast vs shuffle-hash vs sort-merge)
+    is a primary cost lever, and hints are the declarative override when
+    statistics mislead the optimizer."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.plans.inspect import plan_string
+    from samba_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_smoke, ["orders", "customer"])
+    orders = t["orders"].withColumnRenamed("o_custkey", "c_custkey")
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+
+    broadcast = orders.join(cust.hint("broadcast"), "c_custkey")
+    assert "BroadcastHashJoin" in plan_string(broadcast, "simple")
+
+    merge = orders.join(cust.hint("merge"), "c_custkey")
+    assert "SortMergeJoin" in plan_string(merge, "simple")
+
+    shuffle_hash = orders.join(cust.hint("shuffle_hash"), "c_custkey")
+    assert "ShuffledHashJoin" in plan_string(shuffle_hash, "simple")
