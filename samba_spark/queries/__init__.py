@@ -17,7 +17,7 @@ harness in tests/test_declared_queries.py, which runs ALL oracle-bearing
 queries regardless of window position.
 
 Round-4 rotation backlog: queries ADDED after the window was pinned
-(x44–x87, q63–q84) have no driver row yet — they are the candidates for
+(x44–x87, q63–q85) have no driver row yet — they are the candidates for
 the next rotation, swapping out whichever rotated-in entries come back
 green in CORRECTNESS_r03.
 """

@@ -725,6 +725,53 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q85_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join (q43's inner sibling with
+    the semantics only watermarks make possible): matched error→click
+    pairs emit immediately; an unmatched error null-pads once the global
+    watermark proves no future click can reach it. The oracle replays the
+    batch left join and applies the same closure predicate — unmatched
+    errors count only below min(max error ts, max click ts) − 1 h, the
+    final global watermark (streaming/ops.interval_join_outer)."""
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    errors = stream.where(F.col("event_type") == "error")
+    clicks = stream.where(F.col("event_type") == "click")
+    joined = S.interval_join_outer(errors, clicks, lookback="10 minutes")
+    name = "q85_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(joined, name, "append", state_partitions=8)
+    return out.orderBy("err_id", "click_id")
+
+
+Q85_SQL = """
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT MAX(ts) FROM e), (SELECT MAX(ts) FROM c))
+              - INTERVAL '1 hour' AS w),
+matched AS (
+  SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+  FROM e JOIN c ON e.user_id = c.user_id
+                AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts),
+unmatched AS (
+  SELECT e.event_id AS err_id, CAST(NULL AS BIGINT) AS click_id, e.user_id
+  FROM e, wm
+  WHERE e.ts < wm.w AND NOT EXISTS (
+    SELECT 1 FROM c WHERE c.user_id = e.user_id
+      AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts))
+SELECT err_id, click_id, user_id FROM matched
+UNION ALL
+SELECT err_id, click_id, user_id FROM unmatched
+ORDER BY err_id, click_id
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
@@ -744,4 +791,5 @@ PATTERNS: dict[str, QuerySpec] = {
     "x85_arrow_stats": QuerySpec(x85_arrow_stats, X85_SQL),
     "x86_arrow_cogroup": QuerySpec(x86_arrow_cogroup, X86_SQL),
     "x87_sketch_persistence": QuerySpec(x87_sketch_persistence, X87_SQL),
+    "q85_stream_outer_join": QuerySpec(q85_stream_outer_join, Q85_SQL),
 }

@@ -217,6 +217,48 @@ def interval_join_errors_clicks(
     ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
 
 
+def interval_join_outer(
+    errors: DataFrame,
+    clicks: DataFrame,
+    *,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics inner joins
+    (interval_join_errors_clicks) cannot give: every error eventually
+    emits, matched pairs immediately, unmatched errors null-padded only
+    once the global watermark proves no future click can match (the join
+    upper bound is err_ts, so watermark > err_ts closes the row's
+    window). State on both sides stays watermark-bounded exactly as in
+    the inner case; the outer part adds the per-left-row "emit on
+    eviction" obligation, which is why outer stream-stream joins REQUIRE
+    the watermark while inner ones merely use it to bound state.
+
+    Emission contract under availableNow replay: matched pairs are
+    complete; null-padded rows appear for errors with
+    err_ts < min(max(err_ts), max(click_ts)) - watermark (the final
+    global watermark, min across both sides). q85's oracle applies the
+    same closure predicate."""
+    e = errors.select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    ).withWatermark("err_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return e.join(
+        c,
+        F.expr(
+            f"err_user = click_user AND "
+            f"click_ts BETWEEN err_ts - INTERVAL {lookback} AND err_ts"
+        ),
+        "left_outer",
+    ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
+
+
 def dedup_within_watermark(
     events: DataFrame, *cols: str, watermark: str = "1 hour"
 ) -> DataFrame:
