@@ -350,12 +350,19 @@ class ProvStore:
             .collect()
         ]
         if keep_run_ids is not None:
-            keep = [r for r in all_runs if r in set(keep_run_ids)]
+            # Materialize ONCE: keep_run_ids may be a one-shot iterable
+            # (generator) and rebuilding the set per element would both
+            # exhaust it after the first run id (silently dropping runs
+            # the caller asked to keep — a data-loss hazard in a
+            # destructive tool) and cost O(n²).
+            keep_set = set(keep_run_ids)
+            keep = [r for r in all_runs if r in keep_set]
         elif keep_latest is not None:
             keep = all_runs[: max(0, keep_latest)]
         else:
             raise ValueError("vacuum needs keep_latest or keep_run_ids")
-        dropped = [r for r in all_runs if r not in set(keep)]
+        keep_set = set(keep)
+        dropped = [r for r in all_runs if r not in keep_set]
         if not dropped:
             return {"kept_runs": keep, "dropped_runs": []}
 

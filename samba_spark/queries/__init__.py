@@ -16,10 +16,21 @@ the freed 45 slots hold every previously never-driver-checked query
 harness in tests/test_declared_queries.py, which runs ALL oracle-bearing
 queries regardless of window position.
 
-Round-4 rotation backlog: queries ADDED after the window was pinned
-(x44–x87, q63–q85) have no driver row yet — they are the candidates for
-the next rotation, swapping out whichever rotated-in entries come back
-green in CORRECTNESS_r03.
+Round-4 rotation (VERDICT r3 item 1): every round-3 rotated-in entry came
+back green in CORRECTNESS_r03 (45 green + q24/x14 rows-only by design), so
+all 45 moved to ``AUX_QUERIES``; the freed slots now hold 45 of the 67
+never-driver-checked round-3 additions, prioritized per the verdict:
+streaming state (q73/q78/q83/q84/q85), codecs (x44/x63/x73/x74), the
+Spark-4 surface (x70/x83–x86, q77/q79–q82), TPC-H completion (q63–q72),
+the r3 sketch family (x80–x82/x87), and the highest-risk remaining ops
+(x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75).
+
+Round-5 rotation backlog (the 22 residual never-driver-checked queries, to
+rotate in once the round-4 window comes back green): x45–x47, x50–x52,
+x54, x56–x59, x61, x62, x64, x66–x69, x76, x78, q74, q76. Two rotations
+(r4 + r5) fully retire the backlog; every query stays under the local
+DuckDB parity harness (tools/parity_sweep.py + tests) in every round
+regardless of window position.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -41,53 +52,62 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Never driver-checked before round 3: every one of these gets a hard row.
+# Round-4 rotation: 45 slots, every entry below has NEVER had a driver
+# row (added after the round-3 window was pinned). Priority order follows
+# VERDICT r3: streaming state, codecs, Spark-4 surface, TPC-H completion,
+# sketches, then the highest-risk remaining extensions.
 _ROTATED_IN = [
-    "x14_ivf_topk",
-    "x15_sequence_pack",
-    "x16_decontaminate",
-    "x17_top_terms",
-    "x18_repetition",
-    "x19_hash_split",
-    "x20_source_cap",
-    "x21_label_centroids",
-    "x22_sessionize",
-    "x23_json_extract",
-    "x24_redact",
-    "x25_salient_terms",
-    "x26_quantile_filter",
-    "x27_dedup_incremental",
-    "x28_length_histogram",
-    "x29_chunk_documents",
-    "x30_merge_upsert",
-    "x31_cross_source_overlap",
-    "x32_weighted_sample",
-    "x33_collocations",
-    "x34_corpus_diff",
-    "x35_repeated_spans",
-    "x36_token_budget_cap",
-    "x37_norm_stats",
-    "x38_search_topk",
-    "x39_skew_profile",
-    "x40_funnel",
-    "x41_retention_cohorts",
-    "x42_wav_roundtrip",
-    "x43_png_roundtrip",
-    "q48_tpch_q1",
-    "q49_tpch_q6",
-    "q50_tpch_q3",
-    "q51_stream_static_join",
-    "q52_integrity_audit",
-    "q53_provenance_counts",
-    "q54_skew_window",
-    "q55_asof_forward",
-    "q56_tpch_q18",
-    "q57_tpch_q14",
-    "q58_tpch_q5",
-    "q59_transitive_lineage",
-    "q60_tpch_q10",
-    "q61_tpch_q16",
-    "q62_column_lineage",
+    # streaming state
+    "q73_stream_cdc",
+    "q78_stateful_processor",
+    "q83_watermark_dedup",
+    "q84_chained_stateful",
+    "q85_stream_outer_join",
+    # codecs
+    "x44_png_pixel_pipeline",
+    "x63_avro_roundtrip",
+    "x73_audio_frames",
+    "x74_mp4_boxes",
+    # Spark-4 SQL/API surface
+    "x70_variant_extract",
+    "x83_python_datasource",
+    "x84_observed_metrics",
+    "x85_arrow_stats",
+    "x86_arrow_cogroup",
+    "q77_recursive_cte",
+    "q79_pipe_sql",
+    "q80_collation",
+    "q81_try_functions",
+    "q82_sql_scripting",
+    # TPC-H completion
+    "q63_tpch_q4",
+    "q64_tpch_q7",
+    "q65_tpch_q8",
+    "q66_tpch_q12",
+    "q67_tpch_q13",
+    "q68_tpch_q15",
+    "q69_tpch_q17",
+    "q70_tpch_q19",
+    "q71_tpch_q21",
+    "q72_tpch_q22",
+    # mergeable sketches
+    "x80_hll_rollup",
+    "x81_approx_topk",
+    "x82_bitmap_distinct",
+    "x87_sketch_persistence",
+    # highest-risk remaining extensions
+    "x48_bloom_dedup",
+    "x49_scd2_history",
+    "x53_parquet_manifest",
+    "x55_triangle_count",
+    "x60_rare_token_pairs",
+    "x65_covariance_matrix",
+    "x71_incremental_agg",
+    "x72_udtf_leading_tokens",
+    "x75_bpe_merge_round",
+    "x77_scd2_lookup",
+    "x79_stratified_split",
+    "q75_run_diff",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

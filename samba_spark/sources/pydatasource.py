@@ -41,6 +41,7 @@ FILEGROUP_ROWS_SCHEMA = "group string, name string, size bigint, content binary"
 
 def _build_source_class():
     import os
+    import shutil
 
     from pyspark.sql.datasource import (
         DataSource,
@@ -78,10 +79,16 @@ def _build_source_class():
                 yield (partition.value, name, len(content), content)
 
     class WroteFiles(WriterCommitMessage):
-        def __init__(self, n):
+        def __init__(self, n, paths):
             self.n = n
+            self.paths = paths
 
     class FileGroupRowsWriter(DataSourceWriter):
+        # Overwrite writes land in a staging root that commit() swaps in
+        # (the compact_dataset two-rename discipline), so a previous save's
+        # files can never survive an overwrite and a failed job leaves the
+        # old root intact. Append writes go direct ('xb'); abort() removes
+        # the files each failed task reported in its commit message.
         def __init__(self, options, overwrite):
             self.root = options.get("path")
             if not self.root:
@@ -89,27 +96,54 @@ def _build_source_class():
                     "filegroup sink requires .option('path', <root>)"
                 )
             self.overwrite = overwrite
+            self.staging = (
+                self.root.rstrip("/") + ".fgwrite.tmp"
+                if overwrite
+                else self.root
+            )
 
         def write(self, iterator):
             n = 0
+            paths = []
             for row in iterator:
-                gdir = os.path.join(self.root, row.group)
+                gdir = os.path.join(self.staging, row.group)
                 os.makedirs(gdir, exist_ok=True)
                 mode = "wb" if self.overwrite else "xb"
-                with open(os.path.join(gdir, row.name), mode) as f:
+                path = os.path.join(gdir, row.name)
+                with open(path, mode) as f:
                     f.write(
                         bytes(row.content) if row.content is not None else b""
                     )
+                paths.append(path)
                 n += 1
-            return WroteFiles(n)
+            return WroteFiles(n, paths)
 
         def commit(self, messages):
             total = sum(m.n for m in messages if m is not None)
+            if self.overwrite:
+                old = self.root.rstrip("/") + ".fgwrite.old"
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
+                os.makedirs(self.staging, exist_ok=True)
+                if os.path.isdir(self.root):
+                    os.rename(self.root, old)
+                os.rename(self.staging, self.root)
+                if os.path.isdir(old):
+                    shutil.rmtree(old)
             with open(os.path.join(self.root, "_SUCCESS"), "w") as f:
                 f.write(str(total))
 
         def abort(self, messages):
-            pass
+            if self.overwrite:
+                if os.path.isdir(self.staging):
+                    shutil.rmtree(self.staging)
+                return
+            for m in messages or []:
+                for path in getattr(m, "paths", None) or []:
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
 
     class FileGroupDataSource(DataSource):
         @classmethod

@@ -56,21 +56,29 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-3 rotation: every never-driver-checked query (x14–x43, q48–q54)
-    must be inside the window so each gets a hard row, plus the sentinel
-    core of family representatives."""
+    Round-4 rotation: the sentinel core plus 45 never-driver-checked
+    round-3 additions (streaming state, codecs, Spark-4 surface, TPC-H
+    q63–q72, sketches, highest-risk extensions) must all be in-window so
+    each gets its first hard driver row."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
     assert len(CONTRACT_QUERIES) == 50
     assert names[:50] == list(CONTRACT_QUERIES)
     in_window = set(names[:50])
-    for i in range(14, 44):
-        assert any(n.startswith(f"x{i}_") for n in in_window), f"x{i} outside window"
-    for q in range(48, 63):
-        assert any(n.startswith(f"q{q}_") for n in in_window), f"q{q} outside window"
     sentinels = {
         "q24_provenance_lineage", "q39_training_pipeline", "q41_pagerank",
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
+    # Priority families from VERDICT r3 item 1, each pinned in-window.
+    for q in ("q73", "q78", "q83", "q84", "q85"):  # streaming state
+        assert any(n.startswith(f"{q}_") for n in in_window), f"{q} outside window"
+    for x in ("x44", "x63", "x73", "x74"):  # codecs
+        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
+    for q in range(63, 73):  # TPC-H completion
+        assert any(n.startswith(f"q{q}_") for n in in_window), f"q{q} outside window"
+    for x in ("x70", "x83", "x84", "x85", "x86"):  # Spark-4 API surface
+        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
+    for x in ("x80", "x81", "x82", "x87"):  # sketches
+        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -314,3 +314,26 @@ def test_vacuum_run_retention(spark, sf_smoke, tmp_path):
     # idempotent when nothing to drop
     res2 = store.vacuum(keep_latest=1)
     assert res2["dropped_runs"] == []
+
+
+def test_vacuum_keep_run_ids_accepts_generator(spark, sf_smoke, tmp_path):
+    """keep_run_ids may be a one-shot iterable (ADVICE r3: the old code
+    rebuilt set(keep_run_ids) per element, exhausting a generator after
+    the first run and silently dropping runs the caller asked to KEEP)."""
+    from samba_spark.session import ProvSession
+
+    prov_dir = str(tmp_path / "prov_vac_gen")
+    run_ids = []
+    for name in ("gen_a", "gen_b", "gen_c"):
+        ps = ProvSession(spark, name=name, prov_dir=prov_dir)
+        ps.read_parquet(f"{sf_smoke}/region.parquet").count()
+        run_ids.append(ps.run_id)
+        ps.stop()
+
+    store = ps.store
+    keep_two = run_ids[1:]  # keep the two newest
+    res = store.vacuum(keep_run_ids=(r for r in keep_two))
+    assert sorted(res["kept_runs"]) == sorted(keep_two)
+    assert res["dropped_runs"] == [run_ids[0]]
+    runs = {r["run_id"] for r in store.table("executions").collect()}
+    assert runs == set(keep_two)

@@ -71,3 +71,28 @@ def test_reader_composes_with_relational_ops(spark, tmp_path):
         for r in df.groupBy("group").agg(F.sum("size").alias("total")).collect()
     }
     assert agg == {"alpha": 7, "beta": 4}
+
+def test_writer_overwrite_clears_stale_files(spark, tmp_path):
+    """Overwrite must replace the destination root wholesale: files from a
+    previous save that are not re-emitted must NOT survive (ADVICE r3 —
+    the old writer opened files individually and left stale siblings)."""
+    _register(spark)
+    out = str(tmp_path / "out_ovr")
+    full = spark.createDataFrame(
+        [("g1", "keep.txt", 4, b"new!"), ("g1", "stale.txt", 3, b"old"),
+         ("g2", "gone.txt", 3, b"old")],
+        "group string, name string, size bigint, content binary",
+    )
+    full.write.format("filegroup").option("path", out).mode("overwrite").save()
+    assert os.path.isfile(os.path.join(out, "g1", "stale.txt"))
+
+    # second overwrite emits a strict subset — everything else must vanish
+    sub = full.where("name = 'keep.txt'")
+    sub.write.format("filegroup").option("path", out).mode("overwrite").save()
+    assert os.path.isfile(os.path.join(out, "g1", "keep.txt"))
+    assert not os.path.exists(os.path.join(out, "g1", "stale.txt"))
+    assert not os.path.exists(os.path.join(out, "g2"))
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == 1
+    # staging root is gone after commit
+    assert not os.path.exists(out + ".fgwrite.tmp")

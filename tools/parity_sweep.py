@@ -8,7 +8,12 @@ oracle). Run from the repo root:
 
     python tools/parity_sweep.py [sf_dir] [out.json]
 
-Defaults: /root/testdata/sf0.01 → PARITY_r03.json
+Defaults: /root/testdata/sf0.01 → PARITY_r04.json
+
+Per-round CI invocation (VERDICT r3 item 8 — both SFs, committed):
+
+    python tools/parity_sweep.py /root/testdata/sf0.001 PARITY_r04_sf0.001.json
+    python tools/parity_sweep.py /root/testdata/sf0.01  PARITY_r04.json
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "PARITY_r03.json"
+    out = sys.argv[2] if len(sys.argv) > 2 else "PARITY_r04.json"
 
     from samba_spark.queries import ALL_QUERIES
     from samba_spark.session import get_spark
@@ -45,7 +50,14 @@ def main() -> None:
             entry["spark_rows"] = len(spark_rows)
             if spec.oracle is None:
                 entry["mode"] = "rows_only"
-                entry["ok"] = len(spark_rows) >= 0
+                # Rows-only queries still need a hard assertion, not just
+                # "did not raise": each must produce at least one row (all
+                # three by-design rows-only queries — q24 provenance
+                # contract, q30 seeded sample, x14 IVF top-k — are non-empty
+                # at every test SF).
+                entry["ok"] = len(spark_rows) >= 1
+                if not entry["ok"]:
+                    entry["err"] = "rows_only query returned 0 rows"
             else:
                 res = con.execute(spec.oracle)
                 duck_cols = [d[0] for d in res.description]
