@@ -47,16 +47,36 @@ def main() -> None:
         if warm_q in ALL_QUERIES:
             force(ALL_QUERIES[warm_q].fn(spark, sf_dir))
 
+    # Sub-2 s queries are re-run and reported as the MEDIAN of 3 samples:
+    # at that duration single-shot VM scheduling noise is ±0.3-0.5 s, which
+    # round-over-round reads as a fake >15% regression (VERDICT r3: x42
+    # 1.00→1.97 s and q29 0.35→0.62 s were indistinguishable from real
+    # ones). Queries ≥2 s keep the single timed run — their signal already
+    # dominates the noise and re-running them would triple suite cost
+    # exactly where it is most expensive.
+    # q41 is 10 fixed power iterations = ~11 scheduled jobs; its absolute
+    # jitter is the suite's largest (measured: 4.78-6.99 s across three
+    # identical isolated runs at sf0.1), so it always gets the median
+    # treatment even though it exceeds the 2 s cutoff.
+    always_median = {"q41_pagerank"}
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in ALL_QUERIES.items():
+        samples = []
         t0 = time.perf_counter()
         force(spec.fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
+        samples.append(time.perf_counter() - t0)
+        if samples[0] < 2.0 or name in always_median:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(spec.fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+        dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 4)
         total += dt
 
     prov_ratio = measure_prov_overhead(spark, sf_dir)
+    elem_ratio = measure_element_overhead(spark, sf_dir)
 
     payload = {
         "metric": "declared_query_suite_wall_clock",
@@ -66,6 +86,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
         "prov_overhead_ratio": prov_ratio,
+        "element_overhead_ratio": elem_ratio,
     }
     print(json.dumps(payload))
 
@@ -123,6 +144,46 @@ def measure_prov_overhead(spark, sf_dir: str) -> float:
     # min-of-3 after a warmup: the VM's scheduling noise is ±20% on a
     # single ~1 s pipeline run, and min() is the standard noise-floor
     # estimator for a deterministic workload.
+    pipeline(False)  # warm
+    off = min(pipeline(False) for _ in range(3))
+    on = min(pipeline(True) for _ in range(3))
+    return round(on / off, 3) if off > 0 else -1.0
+
+
+def measure_element_overhead(spark, sf_dir: str) -> float:
+    """SURVEY §6's ≤2× budget where it actually bites: ELEMENT-level
+    capture (``with_elements()`` + ``persist_elements()``) vs the same
+    pipeline with provenance fully off. Task-level overhead (above) is
+    ~1.0×; element capture adds per-row id columns, dep tracking, and the
+    parquet append of elements/element_deps — this pins that cost
+    explicitly instead of inferring it from the task-level number."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from samba_spark.session import ProvSession
+
+    def pipeline(elements: bool) -> float:
+        eng = ProvSession(
+            spark,
+            name="bench_elem",
+            provenance=elements,
+            prov_dir=tempfile.mkdtemp(),
+        )
+        t0 = time.perf_counter()
+        orders = eng.read_parquet(f"{sf_dir}/orders.parquet", "orders")
+        if elements:
+            orders = orders.with_elements()
+        big = orders.where(F.col("o_totalprice") > 150000)
+        proj = big.select("o_orderkey", "o_custkey", "o_totalprice")
+        if elements:
+            proj.persist_elements()
+        else:
+            proj.collect()
+        dt = time.perf_counter() - t0
+        eng.stop()
+        return dt
+
     pipeline(False)  # warm
     off = min(pipeline(False) for _ in range(3))
     on = min(pipeline(True) for _ in range(3))

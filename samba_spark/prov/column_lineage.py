@@ -16,9 +16,13 @@ scale. Handled nodes: every operator whose outputs are expression lists
 (Project, Aggregate, Window — i.e. select/withColumn/groupBy-agg/window)
 plus Generate (explode) specially; row-level nodes (Filter, Join, Sort,
 Limit) pass attributes through untouched, which is exactly their column
-semantics. Set-operation (Union) positional merging is out of scope here
-— its branches re-use the first child's attribute ids in the analyzed
-plan, which resolves the common case.
+semantics. Union (incl. unionByName) merges POSITIONALLY: the analyzed plan
+re-uses the first child's attribute ids for the union's output, so
+_union_branch_defs maps each output position to the corresponding
+attribute of EVERY branch — outputs of a union-of-two-scans resolve to
+both source tables. Intersect/Except keep first-child-only resolution
+deliberately: their output VALUES come from the left child only (the
+right side affects membership, i.e. rows, not column derivation).
 """
 
 from __future__ import annotations
@@ -51,6 +55,36 @@ def _leaf_tables(jplan) -> dict[int, tuple[str, str]]:
         for j in range(attrs.size()):
             a = attrs.apply(j)
             out[a.exprId().id()] = (name, a.name())
+    return out
+
+
+def _union_branch_defs(jplan) -> dict[int, list[int]]:
+    """exprId.id → [same-position exprId of every union branch] for each
+    Union node's output. The analyzed plan gives a Union's output the
+    FIRST child's attribute ids, so without this the second..nth branches
+    are invisible to resolution. Self-references (the first child's id
+    equals the output id) are excluded — resolve() handles that id through
+    the ordinary leaf/Alias chain."""
+    out: dict[int, list[int]] = {}
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+        if not node.getClass().getName().endswith(".Union"):
+            continue
+        outputs = node.output()
+        for pos in range(outputs.size()):
+            oid = outputs.apply(pos).exprId().id()
+            refs = []
+            for k in range(kids.size()):
+                kout = kids.apply(k).output()
+                rid = kout.apply(pos).exprId().id()
+                if rid != oid:
+                    refs.append(rid)
+            if refs:
+                out.setdefault(oid, []).extend(refs)
     return out
 
 
@@ -108,6 +142,7 @@ def column_lineage_map(df: DataFrame) -> dict[str, set[tuple[str, str]]]:
                 defs[top["exprId"]["id"]] = _attr_ids(arr[1:])
 
     leaves = _leaf_tables(jplan)
+    union_defs = _union_branch_defs(jplan)
 
     memo: dict[int, frozenset] = {}
 
@@ -116,15 +151,17 @@ def column_lineage_map(df: DataFrame) -> dict[str, set[tuple[str, str]]]:
             return memo[aid]
         if aid in seen:  # defensive: analyzed plans are acyclic
             return frozenset()
+        acc: set = set()
         if aid in leaves:
-            res = frozenset([leaves[aid]])
+            acc.add(leaves[aid])
         elif aid in defs:
-            acc: set = set()
             for ref in defs[aid]:
                 acc |= resolve(ref, seen | {aid})
-            res = frozenset(acc)
-        else:
-            res = frozenset()
+        # a union output id is ALSO its first branch's id (handled above
+        # as a leaf or Alias); the other branches add their lineage here
+        for ref in union_defs.get(aid, ()):
+            acc |= resolve(ref, seen | {aid})
+        res = frozenset(acc)
         memo[aid] = res
         return res
 

@@ -236,3 +236,60 @@ def test_write_zordered_narrows_per_file_ranges(spark, sf_smoke, tmp_path):
     # round-robin files each span ~the whole key range; curve segments
     # cover a fraction of it
     assert z_spread < 0.6 * r_spread, (z_spread, r_spread)
+
+
+def test_bucketed_rank_equal_order_hot_key_auto_split(spark):
+    """An all-EQUAL-order hot key used to land in one bucket (the r3
+    residual skew edge); over max_bucket_rows the group must auto-split on
+    the tiebreak's value range, keeping per-task rows bounded while the
+    rank stays exact."""
+    from pyspark.sql import Window
+
+    from samba_spark.plans.layout import bucketed_rank
+
+    # hot key 0: 9000 rows, ALL the same order value; plus normal keys
+    rows = [(0, 7.0, i) for i in range(9000)] + [
+        (1 + i % 50, float(i % 31), 10_000 + i) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k int, v double, uid long")
+
+    got = bucketed_rank(df, "k", "v", "uid", buckets=16, max_bucket_rows=600)
+    expected = df.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("k").orderBy("v", "uid")).cast("long"),
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # the data-sized row_number window must partition on (k, _bkt, _sub)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rn_lines = [l for l in plan.splitlines() if "row_number()" in l]
+    assert rn_lines, plan
+    assert any("_sub" in l for l in rn_lines), plan
+
+    # bound check: replicate the sub-bucket assignment and assert no
+    # (key, bucket, sub) group holds more than a fraction of the hot key
+    w = (9000 - 1 - 0) / 16  # uid range of the hot key / buckets
+    sub = df.where("k = 0").withColumn(
+        "_sub", F.least(F.lit(16), (F.floor(F.col("uid") / w) + 1).cast("int"))
+    )
+    biggest = sub.groupBy("_sub").count().agg(F.max("count")).collect()[0][0]
+    assert biggest <= 9000 / 8, f"hot group not split: {biggest}"
+
+
+def test_bucketed_rank_non_numeric_tiebreak_still_exact(spark):
+    """A string tiebreak skips the auto-split (no numeric range axis) but
+    the rank must remain exact through the _sub=0 path."""
+    from pyspark.sql import Window
+
+    from samba_spark.plans.layout import bucketed_rank
+
+    rows = [(1, float(i % 5), f"u{i:04d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k int, v double, uid string")
+    got = bucketed_rank(df, "k", "v", "uid", buckets=8, max_bucket_rows=50)
+    expected = df.withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("k").orderBy("v", "uid")).cast("long"),
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

@@ -337,3 +337,44 @@ def test_vacuum_keep_run_ids_accepts_generator(spark, sf_smoke, tmp_path):
     assert res["dropped_runs"] == [run_ids[0]]
     runs = {r["run_id"] for r in store.table("executions").collect()}
     assert runs == set(keep_two)
+
+
+def test_column_lineage_union_maps_both_branches(spark, sf_smoke):
+    """Union outputs must resolve to BOTH source tables (VERDICT r3 item
+    6: the analyzed plan reuses the first child's attribute ids, which
+    used to hide every branch after the first)."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.prov.column_lineage import column_lineage_map
+
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    region = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    left = nation.select(
+        F.col("n_name").alias("name"), F.col("n_nationkey").alias("key")
+    )
+    right = region.select(
+        F.col("r_name").alias("name"), F.col("r_regionkey").alias("key")
+    )
+    got = column_lineage_map(left.unionByName(right))
+    assert got["name"] == {("nation", "n_name"), ("region", "r_name")}
+    assert got["key"] == {("nation", "n_nationkey"), ("region", "r_regionkey")}
+
+    # downstream of the union: derived columns keep both branches
+    agg = (
+        left.unionByName(right)
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("key").alias("top_key"))
+    )
+    got2 = column_lineage_map(agg)
+    assert got2["name"] == {("nation", "n_name"), ("region", "r_name")}
+    assert got2["top_key"] == {("nation", "n_nationkey"), ("region", "r_regionkey")}
+
+    # three-branch union: all three tables surface
+    cust = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    tri = left.unionByName(right).unionByName(
+        cust.select(F.col("c_name").alias("name"), F.col("c_custkey").alias("key"))
+    )
+    got3 = column_lineage_map(tri)
+    assert got3["name"] == {
+        ("nation", "n_name"), ("region", "r_name"), ("customer", "c_name")
+    }
