@@ -287,3 +287,54 @@ def embedding_neardup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def semantic_prune(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    dim: int = 64,
+    num_planes: int = 6,
+    seed: int = 7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop all but ONE
+    representative of every embedding near-duplicate cluster, returning
+    the surviving rows with ``n_merged`` (how many originals each
+    survivor stands for; 1 for rows with no near-duplicate).
+
+    Pipeline: sign-LSH-bucketed cosine pairs (embedding_neardup_pairs —
+    never all-pairs), connected components over the pair graph
+    (operators.graph — near-dup clusters are near-cliques, so min-label
+    propagation converges in 2-3 rounds), min-id representative per
+    component, anti-join survivors back onto the corpus.
+
+    100 TB posture: candidate scoring is bucket-local (recall knob =
+    num_planes); the CC rounds shuffle only the PAIR graph (≪ corpus);
+    the final joins are id-keyed equi-joins. Deterministic end to end
+    (seeded planes, min-id representative) — DuckDB-oracle-able, unlike
+    centroid-trained SemDeDup variants.
+    """
+    from samba_spark.operators.graph import connected_components
+
+    pairs = embedding_neardup_pairs(
+        embeddings,
+        threshold=threshold,
+        dim=dim,
+        num_planes=num_planes,
+        seed=seed,
+    )
+    comps = connected_components(pairs, "vec_a", "vec_b")
+    clusters = comps.groupBy("component").agg(
+        F.min("vertex").alias(id_col),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    )
+    singletons = (
+        embeddings.join(
+            comps.select(F.col("vertex").alias(id_col)), id_col, "left_anti"
+        )
+        .select(id_col)
+        .withColumn("n_merged", F.lit(1).cast("long"))
+    )
+    survivors = clusters.select(id_col, "n_merged").unionByName(singletons)
+    return embeddings.join(survivors, id_col)

@@ -377,6 +377,51 @@ ORDER BY vec_a, vec_b
 """
 
 
+def x_semantic_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup: LSH-bucketed cosine pairs →
+    connected components → keep the min-id representative per cluster;
+    survivors carry n_merged. Threshold 0.4 for the same fixture reason
+    as x12 (random embeddings: max pairwise cosine ≈ 0.51)."""
+    return (
+        S.semantic_prune(_embs(spark, sf_dir), threshold=0.4)
+        .select("vec_id", "n_merged")
+        .orderBy("vec_id")
+    )
+
+
+def _x88_sql() -> str:
+    planes = S.make_planes(64, 6, 7)
+    bucket = _lsh_bucket_cte(planes, "emb")
+    return f"""
+WITH RECURSIVE
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+cb AS (SELECT vec_id, emb, {bucket} AS bucket FROM c),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.emb, b.emb) /
+              (sqrt(list_dot_product(a.emb, a.emb)) *
+               sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4),
+sym AS (SELECT va AS u, vb AS w FROM pairs UNION ALL SELECT vb AS u, va AS w FROM pairs),
+verts AS (SELECT DISTINCT u AS v FROM sym),
+reach(v, u) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.v, s.w FROM reach r JOIN sym s ON s.u = r.u),
+comp AS (SELECT v, MIN(u) AS component FROM reach GROUP BY v),
+agg AS (SELECT component, MIN(v) AS rep, COUNT(*) AS n_merged
+        FROM comp GROUP BY component)
+SELECT e.vec_id, COALESCE(a.n_merged, 1)::BIGINT AS n_merged
+FROM embeddings e
+LEFT JOIN comp cl ON cl.v = e.vec_id
+LEFT JOIN agg a ON a.rep = e.vec_id
+WHERE cl.v IS NULL OR a.rep IS NOT NULL
+ORDER BY vec_id
+"""
+
+
 def x_ivf_topk(spark, sf_dir):
     """IVF approximate NN (KMeans coarse quantizer; rows-only check —
     estimator-trained cells are engine-specific)."""
@@ -2588,6 +2633,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x11_ann_lsh_topk": QuerySpec(x_ann_lsh_topk, _x11_sql()),
     "x14_ivf_topk": QuerySpec(x_ivf_topk, None),
     "x12_embedding_neardup": QuerySpec(x_embedding_neardup, _x12_sql()),
+    "x88_semantic_prune": QuerySpec(x_semantic_prune, _x88_sql()),
     "x13_multimodal_byte_stats": QuerySpec(
         x_multimodal_byte_stats, X_MULTIMODAL_SQL
     ),

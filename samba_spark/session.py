@@ -47,6 +47,14 @@ _SESSION_CONF = {
     # distribution bugs; at 100 TB the default 128m is right.
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
+    # Local mode runs everything (scheduler, shuffle, broadcasts, all 32
+    # executor threads) inside the DRIVER JVM, whose stock heap is 1g —
+    # broadcast builds OOM at ~10× the bench SF and the 172-query bench
+    # session runs GC-bound. 16g is ~1/8 of the container's RAM; ignored
+    # when an existing session is reused (getOrCreate) and overridable via
+    # extra_conf. On a real cluster set executor/driver memory in submit
+    # conf as usual — this default only matters for the local JVM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 

@@ -1076,3 +1076,26 @@ def test_quality_audit_counts_and_uniqueness(spark):
     u = key_uniqueness(df, "k").collect()[0]
     # count_distinct ignores the NULL key: 4 rows, 2 distinct non-null, 2 "dups"
     assert (u.n_rows, u.n_distinct, u.n_duplicates) == (4, 2, 2)
+
+
+def test_semantic_prune_keeps_one_rep_per_cluster(spark):
+    """semantic_prune: exactly one survivor (the min id) per near-dup
+    cluster with the right n_merged; vectors with no near-duplicate
+    survive untouched with n_merged=1."""
+    from samba_spark.operators.simsearch import semantic_prune
+
+    base = [1.0] + [0.0] * 63
+    tilt = [0.99, 0.141] + [0.0] * 62  # cosine(base, tilt) ≈ 0.99
+    ortho = [0.0, 1.0] + [0.0] * 62
+    anti = [-1.0] + [0.0] * 63
+    rows = [
+        (10, base), (11, base), (12, tilt),   # cluster {10,11,12}
+        (20, ortho), (21, ortho),             # cluster {20,21}
+        (30, anti),                           # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.n_merged
+        for r in semantic_prune(df, threshold=0.9).collect()
+    }
+    assert got == {10: 3, 20: 2, 30: 1}
