@@ -102,7 +102,11 @@ def main() -> None:
         if m2:
             rounds.append(int(m2.group(1)))
     n = (max(rounds) + 1) if rounds else 0
-    with open(os.path.join(here, f"bench_full_r{n:02d}.json"), "w") as fh:
+    # The canonical per-round artifact is the sf0.1 run (what the driver
+    # executes). Ad-hoc runs at other SFs get an SF-qualified name so they
+    # can never clobber the round's comparison baseline.
+    suffix = "" if sf == 0.1 else f"_sf{sf}"
+    with open(os.path.join(here, f"bench_full_r{n:02d}{suffix}.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
 
 

@@ -18,7 +18,7 @@ metadata struct alongside. Decode / feature-extraction run as Arrow-batched
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable
+from typing import Iterable, Optional
 
 import pandas as pd
 
@@ -671,19 +671,26 @@ def synth_pixel_pngs(
     id_col: str = "doc_id",
     width_col: str = "_w",
     height_col: str = "_h",
+    pattern_col: Optional[str] = None,
 ) -> DataFrame:
     """Deterministic FULL PNGs (real IDAT pixel data, 8-bit RGB) from
     dimension columns; the scanline filter cycles with the id so decode
-    exercises all five reconstructions in distributed runs."""
+    exercises all five reconstructions in distributed runs. The pixel
+    pattern is keyed by ``pattern_col`` when given (distinct ids sharing a
+    pattern value get bit-identical pixels — the dedup-fixture knob),
+    else by the id itself."""
     _enc = encode_png_pixels
+    pat_col = pattern_col or id_col
 
     def _synth(batches):
         for batch in batches:
             out = []
-            for mid, w, h in zip(batch[id_col], batch[width_col], batch[height_col]):
-                mid, w, h = int(mid), int(w), int(h)
+            for mid, w, h, pat in zip(
+                batch[id_col], batch[width_col], batch[height_col], batch[pat_col]
+            ):
+                mid, w, h, pat = int(mid), int(w), int(h), int(pat)
                 raw = bytes(
-                    (x * 7 + y * 13 + c * 29 + mid * 31) % 256
+                    (x * 7 + y * 13 + c * 29 + pat * 31) % 256
                     for y in range(h)
                     for x in range(w)
                     for c in range(3)
@@ -703,9 +710,10 @@ def synth_pixel_pngs(
             T.StructField("content", T.BinaryType()),
         ]
     )
-    return df.select(
-        F.col(id_col), F.col(width_col), F.col(height_col)
-    ).mapInPandas(_synth, schema)
+    proj = [id_col, width_col, height_col]
+    if pat_col not in proj:
+        proj.append(pat_col)
+    return df.select(*[F.col(c) for c in proj]).mapInPandas(_synth, schema)
 
 PNG_META_SCHEMA = T.StructType(
     [
@@ -1091,3 +1099,147 @@ def hydrate_binary_column(df: DataFrame, col: str = "content") -> DataFrame:
             yield batch
 
     return df.mapInPandas(_hydrate, flat)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("phash_hex", T.StringType()),
+    ]
+)
+
+
+def image_perceptual_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit average perceptual hash per image → (media_id, phash,
+    phash_hex). The image-domain analogue of SimHash (dedup.py x4): decode
+    pixels (REAL pure-stdlib PNG path; PIL for other formats when
+    installed), integer luma (299R+587G+114B)//1000, nearest-neighbor
+    downsample to hash_size², bit k (row-major, MSB-first) = luma >
+    floor(mean). Scale-invariant by construction: nearest resampling
+    composes (floor(i·S/n) chains), so a resize_images copy hashes
+    identically — the classic near-dup-across-resolutions signal.
+
+    All arithmetic is integer and deterministic, so a SQL oracle can
+    recompute the hash from first principles (x89). ``phash`` is the
+    signed-64 view (for Catalyst band/XOR ops), ``phash_hex`` the unsigned
+    hex rendering. Arrow-batched; one pass over the binary column.
+
+    Reference parity: the reference has no image surface at all (its
+    nearest concept is opaque FileGroup bytes, FileGroup.java:20-29) —
+    this is north-star LLM-pipeline surface, not a port.
+    """
+    _dec = decode_png_pixels
+    n = hash_size
+
+    def _phash(batches: Iterable[pd.DataFrame]):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch["media_id"], batch["content"]):
+                content = bytes(content or b"")
+                w, h, ch, raw = _dec(content)
+                # luma plane, nearest-sampled straight at the n×n grid —
+                # no intermediate full-res luma buffer.
+                vals = []
+                for j in range(n):
+                    y = (j * h) // n
+                    for i in range(n):
+                        x = (i * w) // n
+                        o = (y * w + x) * ch
+                        if ch >= 3:
+                            v = (
+                                299 * raw[o] + 587 * raw[o + 1] + 114 * raw[o + 2]
+                            ) // 1000
+                        else:
+                            v = raw[o]
+                        vals.append(v)
+                mean = sum(vals) // (n * n)
+                bits = 0
+                for v in vals:
+                    bits = (bits << 1) | (1 if v > mean else 0)
+                signed = bits - (1 << 64) if bits >= (1 << 63) else bits
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "phash": signed,
+                        "phash_hex": format(bits, "016x"),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(_phash, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    hashed: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs at Hamming distance ≤ ``max_hamming``
+    over 64-bit perceptual hashes → (media_a, media_b, hamming).
+
+    Pure Catalyst, banded like SimHash: split the hash into ``bands``
+    contiguous 64/bands-bit bands; two hashes within max_hamming ≤
+    bands−1 differ in fewer bits than there are bands, so by pigeonhole
+    they agree on ≥1 band — the equi-join on (band_idx, band_value) is
+    exhaustive, never all-pairs. Verify = bit_count(XOR) on candidates.
+
+    100 TB posture: the shuffle key is (band_idx, 16-bit band), candidate
+    volume is bounded per bucket; no Python anywhere in this half (the
+    hash column arrives from image_perceptual_hash's single Arrow pass).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded join is exhaustive only for max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashed.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    banded = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("_h"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_h", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("media_a"),
+            F.col("b._id").alias("media_b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .drop("_ha", "_hb")
+    )

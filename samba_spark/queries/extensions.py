@@ -1385,6 +1385,68 @@ GROUP BY c.cohort, period_offset ORDER BY cohort, period_offset
 """
 
 
+def x_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup on the REAL pure-stdlib PNG codec:
+    synth 16×16 RGB PNGs whose pixel pattern is keyed by doc_id % 4 (4
+    dedup classes), add an 8×8 resized copy of every image (media_id +
+    1000), average-hash all of them (decode → luma → nearest 8×8 → bit =
+    luma > mean), then banded-Hamming near-dup pairs (4×16-bit bands,
+    hamming ≤ 3 — exhaustive by pigeonhole). Nearest resampling composes,
+    so each resized copy provably hashes identically to its original —
+    scale-invariant dedup, and the oracle recomputes every hash from the
+    pattern arithmetic (never touching a PNG), proving codec + hash end
+    to end."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where("doc_id <= 20")
+        .select(
+            "doc_id",
+            F.lit(16).cast("int").alias("_w"),
+            F.lit(16).cast("int").alias("_h"),
+            (F.col("doc_id") % 4).cast("int").alias("_seed"),
+        )
+    )
+    originals = M.synth_pixel_pngs(docs, pattern_col="_seed")
+    resized = M.resize_images(originals, width=8, height=8).select(
+        (F.col("media_id") + 1000).alias("media_id"), "content"
+    )
+    hashed = M.image_perceptual_hash(
+        originals.select("media_id", "content").unionByName(resized)
+    )
+    return M.phash_neardup_pairs(hashed, max_hamming=3, bands=4).orderBy(
+        "media_a", "media_b"
+    )
+
+
+X_PHASH_SQL = """
+WITH px AS (
+  SELECT s.s, j.j, i.i,
+         (299 * ((2*i.i*7 + 2*j.j*13 +  0 + s.s*31) % 256)
+        + 587 * ((2*i.i*7 + 2*j.j*13 + 29 + s.s*31) % 256)
+        + 114 * ((2*i.i*7 + 2*j.j*13 + 58 + s.s*31) % 256)) // 1000 AS luma
+  FROM range(4) s(s), range(8) j(j), range(8) i(i)),
+mean AS (SELECT s, SUM(luma) // 64 AS m FROM px GROUP BY s),
+hashes AS (
+  SELECT px.s,
+         SUM(CASE WHEN luma > m AND (j*8+i) < 32
+                  THEN (1::BIGINT << (31 - (j*8+i))) ELSE 0 END) AS hi,
+         SUM(CASE WHEN luma > m AND (j*8+i) >= 32
+                  THEN (1::BIGINT << (63 - (j*8+i))) ELSE 0 END) AS lo
+  FROM px JOIN mean USING (s) GROUP BY px.s),
+media AS (
+  SELECT doc_id + off.o AS media_id, (doc_id % 4)::INTEGER AS s
+  FROM documents, (VALUES (0), (1000)) off(o)
+  WHERE doc_id <= 20),
+hashed AS (SELECT media_id, hi, lo FROM media JOIN hashes USING (s))
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INTEGER
+         AS hamming
+FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY media_a, media_b
+"""
+
+
 def x_png_pixel_pipeline(spark, sf_dir):
     """Pixel-level image pipeline on the REAL pure-stdlib PNG codec (no
     PIL, no stubs): synth full PNGs (IDAT pixels, filter cycling over all
@@ -2671,6 +2733,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x41_retention_cohorts": QuerySpec(x_retention, X_RETENTION_SQL),
     "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),
     "x44_png_pixel_pipeline": QuerySpec(x_png_pixel_pipeline, X_PNG_PIXEL_SQL),
+    "x89_phash_dedup": QuerySpec(x_phash_dedup, X_PHASH_SQL),
     "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
     "x46_retention_monthly": QuerySpec(
         x_retention_monthly, X_RETENTION_MONTHLY_SQL

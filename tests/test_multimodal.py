@@ -376,3 +376,101 @@ def test_spill_binary_column_round_trip(spark, tmp_path):
     assert bytes(back[1]) == b"small"
     assert bytes(back[2]) == big and bytes(back[3]) == big
     assert back[4] is None
+
+
+def _phash_reference(raw, w, h, ch=3, n=8):
+    """Pure-Python mirror of image_perceptual_hash's bit spec."""
+    vals = []
+    for j in range(n):
+        y = (j * h) // n
+        for i in range(n):
+            x = (i * w) // n
+            o = (y * w + x) * ch
+            vals.append(
+                (299 * raw[o] + 587 * raw[o + 1] + 114 * raw[o + 2]) // 1000
+            )
+    mean = sum(vals) // (n * n)
+    bits = 0
+    for v in vals:
+        bits = (bits << 1) | (1 if v > mean else 0)
+    return bits
+
+
+def test_phash_scale_invariant(spark):
+    """Nearest resampling composes: an 8×8 resized copy of a 16×16 image
+    hashes bit-identically to the original (the x89 dedup signal)."""
+    from samba_spark.operators.multimodal import (
+        encode_png_pixels,
+        image_perceptual_hash,
+    )
+
+    raw = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(16)
+        for x in range(16)
+        for c in range(3)
+    )
+    png = encode_png_pixels(16, 16, 3, raw, filter_type=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(png))], "media_id long, content binary"
+    )
+    resized = resize_images(media, width=8, height=8)
+    h_orig = image_perceptual_hash(media).collect()[0]
+    h_small = image_perceptual_hash(resized).collect()[0]
+    assert h_orig.phash_hex == h_small.phash_hex
+    assert h_orig.phash_hex == format(_phash_reference(raw, 16, 16), "016x")
+
+
+def test_phash_neardup_pairs_hamming(spark):
+    """Banded join finds a genuinely-perturbed pair (hamming computed by
+    the pure-Python reference, > 0) and excludes the inverse image
+    (hamming ~64)."""
+    from samba_spark.operators.multimodal import (
+        encode_png_pixels,
+        image_perceptual_hash,
+        phash_neardup_pairs,
+    )
+
+    base = bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(8)
+        for x in range(8)
+        for c in range(3)
+    )
+    # flip ONE sampled pixel (0,0) to bright — small, nonzero hamming
+    near = bytearray(base)
+    near[0:3] = b"\xff\xff\xff"
+    near = bytes(near)
+    inverse = bytes(255 - b for b in base)
+    expected = bin(
+        _phash_reference(base, 8, 8) ^ _phash_reference(near, 8, 8)
+    ).count("1")
+    assert 0 < expected <= 3
+    far_hamming = bin(
+        _phash_reference(base, 8, 8) ^ _phash_reference(inverse, 8, 8)
+    ).count("1")
+    assert far_hamming > 3
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png_pixels(8, 8, 3, base))),
+            (2, bytearray(encode_png_pixels(8, 8, 3, near))),
+            (3, bytearray(encode_png_pixels(8, 8, 3, inverse))),
+        ],
+        "media_id long, content binary",
+    )
+    pairs = phash_neardup_pairs(
+        image_perceptual_hash(media), max_hamming=3, bands=4
+    ).collect()
+    assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [
+        (1, 2, expected)
+    ]
+
+
+def test_phash_band_guard(spark):
+    """max_hamming >= bands breaks the pigeonhole guarantee → refused."""
+    from samba_spark.operators.multimodal import phash_neardup_pairs
+
+    df = spark.createDataFrame([(1, 0)], "media_id long, phash long")
+    with pytest.raises(ValueError, match="banded join is exhaustive"):
+        phash_neardup_pairs(df, max_hamming=4, bands=4)

@@ -1,0 +1,153 @@
+"""A19 thin HTTP layer: the reference's web-query REST surface
+(ExecutionAPICtrl / TaskAPICtrl / DataElementAPICtrl) served stdlib-only
+over the distributed prov queries. Route dispatch is tested purely
+(ProvWebAPI.handle), plus one real socket round trip per endpoint family.
+"""
+
+import json
+import os
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.artifacts import ArtifactStore
+from samba_spark.sources.filegroup import FileGroupTemplate
+from samba_spark.prov.webapi import ProvWebAPI
+
+
+@pytest.fixture()
+def api(engine, sf_smoke, tmp_path):
+    """One provenanced pipeline (scan → filter, element capture on) plus a
+    committed FileGroup so every endpoint family has rows."""
+    nation = engine.read_parquet(
+        f"{sf_smoke}/nation.parquet", "nation"
+    ).with_elements()
+    nation.persist_elements()
+    kept = nation.where(F.col("n_regionkey") == 1).set_name("keep_r1")
+    kept.persist_elements()
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "input.txt").write_text("alpha\nbeta\n")
+    t = FileGroupTemplate.of_directory(str(d), name="g1")
+    groups = engine.file_groups(t)
+    store = ArtifactStore(str(tmp_path / "artifacts"))
+    store.commit(groups)
+
+    yield ProvWebAPI(engine.store, artifacts=store), engine, kept
+
+
+def _get(api_obj, path, **params):
+    status, ctype, payload = api_obj.handle(path, params)
+    return status, payload
+
+
+def test_execution_endpoints(api):
+    web, engine, _ = api
+    status, execs = _get(web, "/api/execution/list")
+    assert status == 200
+    assert [e["run_id"] for e in execs] == [engine.run_id]
+    status, found = _get(web, f"/api/execution/find/{engine.run_id}")
+    assert status == 200 and found["name"] == "test_run"
+    status, err = _get(web, "/api/execution/find/nope")
+    assert status == 404 and "error" in err
+
+
+def test_task_graph_and_info(api):
+    web, engine, kept = api
+    status, g = _get(web, f"/api/task/graph/{engine.run_id}")
+    assert status == 200
+    ids = {n["id"] for n in g["nodes"]}
+    assert kept.task_id in ids
+    # filter task's upstream is the scan task
+    status, info = _get(
+        web, f"/api/task/info/{engine.run_id}", taskID=kept.task_id
+    )
+    assert status == 200
+    assert info["task"]["description"] == "keep_r1"
+    up_types = {u["transformation_type"] for u in info["upstream"]}
+    assert up_types  # the parquet scan task
+
+
+def test_element_graph_and_table(api):
+    web, engine, kept = api
+    status, g = _get(web, f"/api/dataelement/graph/{engine.run_id}")
+    assert status == 200
+    # filter is 1-1 on survivors: 5 nation rows have n_regionkey=1
+    targets = {e["target"] for e in g["edges"] if e["task"] == kept.task_id}
+    assert len(targets) == 5
+    assert g["legend"]  # per-task color key present
+    # element detail carries the task schema header
+    one = next(iter(targets))
+    status, det = _get(
+        web, f"/api/dataelement/table/{one}", executionID=engine.run_id
+    )
+    assert status == 200
+    assert det["task_id"] == kept.task_id
+    assert "n_regionkey" in det["schema"]
+
+
+def test_graph_of_task_transitive(api):
+    web, engine, kept = api
+    status, g = _get(
+        web,
+        f"/api/dataelement/graphOfTask/{engine.run_id}",
+        taskID=kept.task_id,
+        transitive="true",
+        direction="up",
+    )
+    assert status == 200
+    assert len(g["produced"]) == 5 and len(g["consumed"]) == 5
+    # hop-0 roots are the consumed scan elements; no deeper ancestry exists
+    hops = {h for _, h in g["transitive"]}
+    assert hops == {0}
+
+
+def test_file_tree_and_download(api, tmp_path):
+    web, engine, _ = api
+    status, tree = _get(
+        web, f"/api/dataelement/repositoryFileTree/{engine.run_id}"
+    )
+    assert status == 200
+    groups = {g["name"]: g["files"] for g in tree["groups"]}
+    names = [f["name"] for f in groups["g1"]]
+    assert names == ["input.txt"]
+    status, body = _get(
+        web,
+        "/api/dataelement/download",
+        executionID=engine.run_id,
+        group="g1",
+        file="input.txt",
+    )
+    assert status == 200 and body == b"alpha\nbeta\n"
+    status, err = _get(
+        web,
+        "/api/dataelement/download",
+        executionID=engine.run_id,
+        group="g1",
+        file="missing.txt",
+    )
+    assert status == 404
+
+
+def test_http_server_round_trip(api):
+    """Real socket: list executions and download a blob over HTTP."""
+    web, engine, _ = api
+    srv = web.start()
+    try:
+        with urllib.request.urlopen(f"{srv.url}/api/execution/list") as r:
+            assert r.status == 200
+            execs = json.loads(r.read())
+            assert execs[0]["run_id"] == engine.run_id
+        url = (
+            f"{srv.url}/api/dataelement/download?executionID={engine.run_id}"
+            "&group=g1&file=input.txt"
+        )
+        with urllib.request.urlopen(url) as r:
+            assert r.read() == b"alpha\nbeta\n"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{srv.url}/api/nope")
+        assert ei.value.code == 404
+    finally:
+        srv.shutdown()
