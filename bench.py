@@ -141,6 +141,7 @@ def measure_prov_overhead(spark, sf_dir: str) -> float:
             F.count(F.lit(1)).alias("n"),
         )
         agged.order_by("c_mktsegment").collect()
+        eng.store.flush()  # task rows are driver-buffered; count their write
         dt = time.perf_counter() - t0
         eng.stop()
         return dt
@@ -182,8 +183,14 @@ def measure_element_overhead(spark, sf_dir: str) -> float:
         proj = big.select("o_orderkey", "o_custkey", "o_totalprice")
         if elements:
             proj.persist_elements()
-        else:
-            proj.collect()
+        # BOTH paths materialize the result, and the ON path flushes the
+        # store INSIDE the timed window: persist_elements only buffers
+        # lazy element/dep plans (ProvStore defers the parquet appends to
+        # one job per table), so without the flush the capture cost would
+        # escape the timer entirely — an earlier version of this function
+        # made exactly that mistake and reported ratios below 1.
+        proj.collect()
+        eng.store.flush()
         dt = time.perf_counter() - t0
         eng.stop()
         return dt

@@ -1243,3 +1243,130 @@ def phash_neardup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .drop("_ha", "_hb")
     )
+
+
+def synth_wave_wavs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pattern_col: Optional[str] = None,
+    *,
+    sample_rate: int = 8000,
+    n_samples: int = 2080,
+) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAVs with a REAL (non-silent)
+    integer waveform — the audio analogue of synth_pixel_pngs. Sample i
+    of pattern p is the sawtooth ``((i*(2p+3) + p*37) % 1000)*60 - 30000``
+    (int16 range, pure integer arithmetic, so a SQL oracle can recompute
+    every sample). Distinct ids sharing a ``pattern_col`` value get
+    bit-identical audio — the dedup-fixture knob."""
+    import struct
+
+    pat_col = pattern_col or id_col
+
+    def _synth(batches):
+        for batch in batches:
+            out = []
+            for mid, pat in zip(batch[id_col], batch[pat_col]):
+                mid, p = int(mid), int(pat)
+                f = 2 * p + 3
+                pcm = struct.pack(
+                    f"<{n_samples}h",
+                    *(((i * f + p * 37) % 1000) * 60 - 30000
+                      for i in range(n_samples)),
+                )
+                header = wav_bytes(sample_rate, 1, 16, 0)[:44]
+                # wav_bytes with a zero payload gives the canonical header;
+                # patch the RIFF and data sizes for the real payload.
+                riff_size = struct.pack("<I", 36 + len(pcm))
+                data_size = struct.pack("<I", len(pcm))
+                content = (
+                    header[:4] + riff_size + header[8:40] + data_size + pcm
+                )
+                out.append({"media_id": mid, "content": content})
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    proj = [id_col] if pat_col == id_col else [id_col, pat_col]
+    return df.select(*[F.col(c) for c in proj]).mapInPandas(_synth, schema)
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("afp_hex", T.StringType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    media: DataFrame, *, frame: int = 32, bits: int = 64
+) -> DataFrame:
+    """64-bit energy-delta audio fingerprint per clip → (media_id, afp,
+    afp_hex) — the audio sibling of image_perceptual_hash. Parse the PCM
+    payload (pure-stdlib RIFF walk, 16-bit mono path), frame channel 0
+    into ``frame``-sample windows, energy = Σ|sample| per frame, bit t
+    (MSB-first) = energy[t] > energy[t+1]. Needs bits+1 frames; shorter
+    clips zero-pad (silence), so the fingerprint is total.
+
+    Robust to volume scaling direction-wise (bits compare adjacent
+    energies) and fully integer — a SQL oracle recomputes every bit from
+    the synth waveform arithmetic (x90). Near-dup pairs: reuse
+    phash_neardup_pairs(hash_col="afp") — the banded-Hamming join is
+    representation-agnostic."""
+    import struct
+
+    _parse = parse_wav_header
+
+    def _fp(batches: Iterable[pd.DataFrame]):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch["media_id"], batch["content"]):
+                content = bytes(content or b"")
+                rate, channels, depth, n_samples, _ = _parse(content)
+                if depth != 16:
+                    raise ValueError(f"only 16-bit PCM supported, got {depth}")
+                # locate the data chunk (RIFF walk, same as the parser)
+                pos, data = 12, b""
+                while pos + 8 <= len(content):
+                    cid = content[pos : pos + 4]
+                    (size,) = struct.unpack(
+                        "<I", content[pos + 4 : pos + 8]
+                    )
+                    if cid == b"data":
+                        data = content[pos + 8 : pos + 8 + size]
+                        break
+                    pos += 8 + size + (size % 2)
+                n = len(data) // (2 * channels)
+                need = (bits + 1) * frame
+                energies = []
+                for t in range(bits + 1):
+                    e = 0
+                    for i in range(t * frame, (t + 1) * frame):
+                        if i < n:
+                            (s,) = struct.unpack_from(
+                                "<h", data, i * 2 * channels
+                            )
+                            e += abs(s)
+                    energies.append(e)
+                fp = 0
+                for t in range(bits):
+                    fp = (fp << 1) | (1 if energies[t] > energies[t + 1] else 0)
+                signed = fp - (1 << 64) if fp >= (1 << 63) else fp
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "afp": signed,
+                        "afp_hex": format(fp, "016x"),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(_fp, AUDIO_FP_SCHEMA)

@@ -207,7 +207,16 @@ class ProvStore:
 
     def _flush_pending_dfs(self) -> None:
         """Write all queued element/dep plans — one unioned Spark write job
-        per table instead of one per persist_elements call."""
+        per table instead of one per persist_elements call. The per-table
+        jobs target independent directories, so they are submitted
+        CONCURRENTLY (Spark schedules jobs from separate threads in
+        parallel): flush wall-clock is max(tables), not sum — at small
+        data the jobs are latency-bound, at scale they overlap I/O.
+        Provenance parquet uses snappy: capture sits on the query's
+        critical path, so cheap-CPU compression beats zstd's ratio here
+        (snappy, not lz4 — DuckDB reads snappy parquet, and the q53/q59
+        oracles read the prov store directly)."""
+        from concurrent.futures import ThreadPoolExecutor
         from functools import reduce
 
         with self._lock:
@@ -216,13 +225,25 @@ class ProvStore:
             }
             for name in batches:
                 self._pending_dfs[name].clear()
-        for name, dfs in batches.items():
+        if not batches:
+            return
+
+        def _write(item):
+            name, dfs = item
             out = (
                 dfs[0]
                 if len(dfs) == 1
                 else reduce(lambda a, b: a.unionByName(b), dfs)
             )
-            out.write.mode("append").parquet(os.path.join(self.prov_dir, name))
+            out.write.mode("append").option("compression", "snappy").parquet(
+                os.path.join(self.prov_dir, name)
+            )
+
+        if len(batches) == 1:
+            _write(next(iter(batches.items())))
+        else:
+            with ThreadPoolExecutor(max_workers=len(batches)) as pool:
+                list(pool.map(_write, batches.items()))
 
     def append_filegroup_refs(self, df: DataFrame) -> None:
         """Append a DataFrame shaped like model.FILEGROUP_REFS — the

@@ -1447,6 +1447,59 @@ ORDER BY media_a, media_b
 """
 
 
+def x_audio_fingerprint_dedup(spark, sf_dir):
+    """Audio fingerprint dedup on the REAL pure-stdlib WAV codec: synth
+    16-bit PCM sawtooth clips whose waveform is keyed by doc_id % 3 (3
+    dedup classes), fingerprint each (frame 32-sample windows → Σ|s|
+    energies → bit = E[t] > E[t+1], 64 bits), then the SAME banded-Hamming
+    near-dup join as x89 (phash_neardup_pairs is representation-agnostic).
+    The oracle recomputes every sample, energy, and bit from the sawtooth
+    arithmetic — never touching a WAV."""
+    docs = (
+        _docs(spark, sf_dir)
+        .where("doc_id <= 15")
+        .select("doc_id", (F.col("doc_id") % 3).cast("int").alias("_seed"))
+    )
+    wavs = M.synth_wave_wavs(docs, pattern_col="_seed")
+    hashed = M.audio_fingerprint(wavs, frame=32, bits=64)
+    return M.phash_neardup_pairs(
+        hashed, max_hamming=3, bands=4, hash_col="afp"
+    ).orderBy("media_a", "media_b")
+
+
+X_AUDIO_FP_SQL = """
+WITH pcm AS (
+  SELECT p.p, i.i,
+         abs(((i.i*(2*p.p+3) + p.p*37) % 1000)*60 - 30000) AS mag
+  FROM range(3) p(p), range(2080) i(i)),
+e AS (
+  SELECT p, i // 32 AS t, SUM(mag) AS energy
+  FROM pcm GROUP BY p, i // 32),
+b AS (
+  SELECT a.p, a.t,
+         CASE WHEN a.energy > n.energy THEN 1 ELSE 0 END AS bit
+  FROM e a JOIN e n ON n.p = a.p AND n.t = a.t + 1
+  WHERE a.t < 64),
+fp AS (
+  SELECT p,
+         SUM(CASE WHEN bit = 1 AND t < 32
+                  THEN (1::BIGINT << (31 - t)) ELSE 0 END) AS hi,
+         SUM(CASE WHEN bit = 1 AND t >= 32
+                  THEN (1::BIGINT << (63 - t)) ELSE 0 END) AS lo
+  FROM b GROUP BY p),
+media AS (
+  SELECT doc_id AS media_id, (doc_id % 3)::INTEGER AS p
+  FROM documents WHERE doc_id <= 15),
+hashed AS (SELECT media_id, hi, lo FROM media JOIN fp USING (p))
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::INTEGER
+         AS hamming
+FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+ORDER BY media_a, media_b
+"""
+
+
 def x_png_pixel_pipeline(spark, sf_dir):
     """Pixel-level image pipeline on the REAL pure-stdlib PNG codec (no
     PIL, no stubs): synth full PNGs (IDAT pixels, filter cycling over all
@@ -2734,6 +2787,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x42_wav_roundtrip": QuerySpec(x_wav_roundtrip, X_WAV_SQL),
     "x44_png_pixel_pipeline": QuerySpec(x_png_pixel_pipeline, X_PNG_PIXEL_SQL),
     "x89_phash_dedup": QuerySpec(x_phash_dedup, X_PHASH_SQL),
+    "x90_audio_fp_dedup": QuerySpec(x_audio_fingerprint_dedup, X_AUDIO_FP_SQL),
     "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
     "x46_retention_monthly": QuerySpec(
         x_retention_monthly, X_RETENTION_MONTHLY_SQL

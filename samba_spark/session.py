@@ -106,10 +106,15 @@ class ProvSession:
         version_control: bool = False,
         prov_dir: Optional[str] = None,
         script_dir: Optional[str] = None,
+        capture_value_json: bool = False,
     ):
         self.spark = spark or get_spark(app_name=name)
         self.name = name
         self.provenance_enabled = provenance
+        # Session-wide default for persist_elements(include_json=...);
+        # off: value_json lands NULL (half the element-write serialization
+        # for a column nothing reads by default).
+        self.capture_value_json = capture_value_json
         self.version_control_enabled = version_control
         self.script_dir = script_dir
         self.run_id = str(uuid.uuid4())

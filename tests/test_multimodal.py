@@ -474,3 +474,99 @@ def test_phash_band_guard(spark):
     df = spark.createDataFrame([(1, 0)], "media_id long, phash long")
     with pytest.raises(ValueError, match="banded join is exhaustive"):
         phash_neardup_pairs(df, max_hamming=4, bands=4)
+
+
+def _afp_reference(samples, frame=32, bits=64):
+    """Pure-Python mirror of audio_fingerprint's bit spec (mono s16)."""
+    energies = []
+    for t in range(bits + 1):
+        e = sum(
+            abs(samples[i])
+            for i in range(t * frame, (t + 1) * frame)
+            if i < len(samples)
+        )
+        energies.append(e)
+    fp = 0
+    for t in range(bits):
+        fp = (fp << 1) | (1 if energies[t] > energies[t + 1] else 0)
+    return fp
+
+
+def _wav_from_samples(samples, rate=8000):
+    import struct
+
+    from samba_spark.operators.multimodal import wav_bytes
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    header = wav_bytes(rate, 1, 16, 0)[:44]
+    return (
+        header[:4]
+        + struct.pack("<I", 36 + len(pcm))
+        + header[8:40]
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def test_audio_fingerprint_matches_reference(spark):
+    """Spark fingerprint == pure-Python reference on the synth sawtooth,
+    and identical waveforms fingerprint identically."""
+    from samba_spark.operators.multimodal import (
+        audio_fingerprint,
+        synth_wave_wavs,
+    )
+
+    df = spark.createDataFrame([(1, 0), (2, 0), (3, 1)], "doc_id long, s int")
+    wavs = synth_wave_wavs(df, pattern_col="s")
+    got = {
+        r.media_id: r.afp_hex
+        for r in audio_fingerprint(wavs, frame=32, bits=64).collect()
+    }
+    expected = {
+        p: format(
+            _afp_reference(
+                [((i * (2 * p + 3) + p * 37) % 1000) * 60 - 30000
+                 for i in range(2080)]
+            ),
+            "016x",
+        )
+        for p in (0, 1)
+    }
+    assert got[1] == got[2] == expected[0]
+    assert got[3] == expected[1]
+    assert got[1] != got[3]
+
+
+def test_audio_fingerprint_neardup_pairs(spark):
+    """A clip with ONE maxed-out frame (a click/transient) lands within
+    the Hamming threshold of its original (distance 2, flipping the two
+    bits adjacent to the loud frame — pure-Python-verified); an unrelated
+    waveform stays out."""
+    from samba_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_neardup_pairs,
+    )
+
+    base = [((i * 3) % 1000) * 60 - 30000 for i in range(2080)]
+    near = list(base)
+    for i in range(5 * 32, 6 * 32):  # frame 5 becomes a full-scale click
+        near[i] = 32767
+    other = [((i * 11 + 500) % 1000) * 60 - 30000 for i in range(2080)]
+    expected = bin(_afp_reference(base) ^ _afp_reference(near)).count("1")
+    assert 0 < expected <= 3
+    assert bin(_afp_reference(base) ^ _afp_reference(other)).count("1") > 3
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_from_samples(base))),
+            (2, bytearray(_wav_from_samples(near))),
+            (3, bytearray(_wav_from_samples(other))),
+        ],
+        "media_id long, content binary",
+    )
+    pairs = phash_neardup_pairs(
+        audio_fingerprint(media), max_hamming=3, bands=4, hash_col="afp"
+    ).collect()
+    assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [
+        (1, 2, expected)
+    ]

@@ -40,6 +40,12 @@ PROBES = [
     "x79_stratified_split",
     "q84_chained_stateful",
     "x85_arrow_stats",
+    # round-4 family: semantic prune (pair graph + CC over embeddings,
+    # which scale with SF). x89_phash_dedup is deliberately absent: its
+    # declared query runs on a fixed 21-image fixture at every SF, so the
+    # probe would measure nothing — its scale argument is analytic
+    # (SCALE.md round-4 section: band keys shuffle, image bytes don't).
+    "x88_semantic_prune",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
