@@ -611,10 +611,15 @@ def _make_image_ops():
 
     def decode_one(content, *, allow_stub=False):
         """Per-row decode contract: bytes → (width, height, channels),
-        same types and value ranges on every path. Path order: PIL when
-        installed (any format); else the REAL pure-stdlib PNG parse
-        (CRC-verified IHDR) for PNG payloads; else the deterministic stub
-        only when explicitly allowed — non-PNG without PIL fails loudly."""
+        same types and value ranges on every path. Path order: the REAL
+        pure-stdlib PNG parse (CRC-verified IHDR) for PNG payloads — the
+        environment-independent path, and a header read beats a full PIL
+        open; PIL for other formats when installed; else the
+        deterministic stub only when explicitly allowed — non-PNG without
+        PIL fails loudly."""
+        if bytes(content[:8]) == _sig:
+            w, h, _depth, color = _parse_hdr(content)
+            return int(w), int(h), _chmap[color]
         Image = _pil_image()
         if Image is not None:
             import io
@@ -622,9 +627,6 @@ def _make_image_ops():
             img = Image.open(io.BytesIO(content))
             w, h = img.size
             return int(w), int(h), len(img.getbands())
-        if bytes(content[:8]) == _sig:
-            w, h, _depth, color = _parse_hdr(content)
-            return int(w), int(h), _chmap[color]
         if not allow_stub:
             raise NotImplementedError(
                 "non-PNG image decode requires Pillow, which is not "
@@ -635,22 +637,36 @@ def _make_image_ops():
 
     def resize_one(content, width, height, *, allow_stub=False):
         """Per-row resize contract: bytes → bytes (a valid PNG on the real
-        paths). Path order: PIL when installed; else the REAL pure-stdlib
-        PNG pixel path — full IDAT decode, filter reconstruction,
-        nearest-neighbor resample, re-encode; else the opt-in stub."""
-        Image = _pil_image()
-        if Image is not None:
-            import io
+        paths). Path order: the REAL pure-stdlib PNG pixel path for PNG
+        payloads — full IDAT decode, filter reconstruction,
+        nearest-neighbor resample, re-encode; PIL for other formats when
+        installed; else the opt-in stub.
 
-            img = Image.open(io.BytesIO(content)).resize((width, height))
-            buf = io.BytesIO()
-            img.save(buf, format="PNG")
-            return buf.getvalue()
+        PNG payloads take the stdlib path even when PIL is installed: the
+        output must be bit-identical across environments (the x89
+        perceptual-hash scale-invariance and its SQL oracle encode OUR
+        nearest rule, src = (i*src_dim)//dst_dim; PIL's default resample
+        is bicubic and even its NEAREST center-samples differently). PIL
+        handles only non-PNG formats, with NEAREST for the same
+        semantics."""
         if bytes(content[:8]) == _sig:
             w, h, ch, raw = _dec_px(content)
             return _enc_px(
                 width, height, ch, _rsz(raw, w, h, ch, width, height)
             )
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            nearest = getattr(
+                getattr(Image, "Resampling", Image), "NEAREST", 0
+            )  # 0 == PIL's historical NEAREST constant
+            img = Image.open(io.BytesIO(content)).resize(
+                (width, height), nearest
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            return buf.getvalue()
         if not allow_stub:
             raise NotImplementedError(
                 "non-PNG image resize requires Pillow, which is not "
@@ -1113,12 +1129,14 @@ PHASH_SCHEMA = T.StructType(
 def image_perceptual_hash(media: DataFrame, hash_size: int = 8) -> DataFrame:
     """64-bit average perceptual hash per image → (media_id, phash,
     phash_hex). The image-domain analogue of SimHash (dedup.py x4): decode
-    pixels (REAL pure-stdlib PNG path; PIL for other formats when
-    installed), integer luma (299R+587G+114B)//1000, nearest-neighbor
-    downsample to hash_size², bit k (row-major, MSB-first) = luma >
-    floor(mean). Scale-invariant by construction: nearest resampling
-    composes (floor(i·S/n) chains), so a resize_images copy hashes
-    identically — the classic near-dup-across-resolutions signal.
+    pixels (PNG ONLY — the pure-stdlib codec; non-PNG payloads fail
+    loudly with ValueError, they do NOT fall back to PIL, because the
+    hash must be bit-identical across environments), integer luma
+    (299R+587G+114B)//1000, nearest-neighbor downsample to hash_size²,
+    bit k (row-major, MSB-first) = luma > floor(mean). Scale-invariant by
+    construction: nearest resampling composes (floor(i·S/n) chains), so a
+    resize_images copy hashes identically — the classic
+    near-dup-across-resolutions signal.
 
     All arithmetic is integer and deterministic, so a SQL oracle can
     recompute the hash from first principles (x89). ``phash`` is the
@@ -1197,6 +1215,13 @@ def phash_neardup_pairs(
             f"banded join is exhaustive only for max_hamming < bands "
             f"(got {max_hamming} >= {bands})"
         )
+    if bands not in (2, 4, 8, 16, 32, 64):
+        # bands=1 needs an unrepresentable 2^64-1 long mask (use a plain
+        # equality join for exact duplicates); bands > 64 gives width 0 /
+        # mask 0 — every row lands in ONE bucket, the all-pairs explosion
+        # banding exists to prevent; non-divisors of 64 leave top bits
+        # unbanded (still exhaustive, but silently weaker buckets).
+        raise ValueError(f"bands must divide 64 and be >= 2, got {bands}")
     width = 64 // bands
     mask = (1 << width) - 1
     h = hashed.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
@@ -1322,29 +1347,38 @@ def audio_fingerprint(
     representation-agnostic."""
     import struct
 
-    _parse = parse_wav_header
-
     def _fp(batches: Iterable[pd.DataFrame]):
         for batch in batches:
             out = []
             for mid, content in zip(batch["media_id"], batch["content"]):
                 content = bytes(content or b"")
-                rate, channels, depth, n_samples, _ = _parse(content)
-                if depth != 16:
-                    raise ValueError(f"only 16-bit PCM supported, got {depth}")
-                # locate the data chunk (RIFF walk, same as the parser)
-                pos, data = 12, b""
+                if (
+                    len(content) < 12
+                    or content[:4] != b"RIFF"
+                    or content[8:12] != b"WAVE"
+                ):
+                    raise ValueError("not a RIFF/WAVE blob")
+                # one RIFF walk for both fmt and data (parse_wav_header
+                # walks the same chunks but does not expose the data
+                # offset, and walking twice per row doubles the pass)
+                pos, channels, depth, data = 12, None, None, b""
                 while pos + 8 <= len(content):
                     cid = content[pos : pos + 4]
                     (size,) = struct.unpack(
                         "<I", content[pos + 4 : pos + 8]
                     )
-                    if cid == b"data":
+                    if cid == b"fmt ":
+                        _, channels, _, _, _, depth = struct.unpack(
+                            "<HHIIHH", content[pos + 8 : pos + 24]
+                        )
+                    elif cid == b"data":
                         data = content[pos + 8 : pos + 8 + size]
-                        break
-                    pos += 8 + size + (size % 2)
+                    pos += 8 + size + (size % 2)  # chunks are word-aligned
+                if channels is None:
+                    raise ValueError("missing fmt chunk")
+                if depth != 16:
+                    raise ValueError(f"only 16-bit PCM supported, got {depth}")
                 n = len(data) // (2 * channels)
-                need = (bits + 1) * frame
                 energies = []
                 for t in range(bits + 1):
                     e = 0

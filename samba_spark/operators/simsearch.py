@@ -317,8 +317,16 @@ def semantic_prune(
     """
     from samba_spark.operators.graph import connected_components
 
+    # embedding_neardup_pairs addresses rows as vec_id; normalize the
+    # caller's id column through the pair/CC stages and restore it at the
+    # final join (id_col="vec_id" is a no-op rename).
+    normalized = (
+        embeddings
+        if id_col == "vec_id"
+        else embeddings.withColumnRenamed(id_col, "vec_id")
+    )
     pairs = embedding_neardup_pairs(
-        embeddings,
+        normalized,
         threshold=threshold,
         dim=dim,
         num_planes=num_planes,

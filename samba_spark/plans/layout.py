@@ -242,14 +242,25 @@ def bucketed_rank(
             & (F.col("_thi") > F.col("_tlo"))
         )
         g = g.select(key, "_bkt", need.alias("_need"), "_tlo", "_thi")
-        sub_width = (F.col("_thi") - F.col("_tlo")) / buckets
+        # Range arithmetic in DOUBLE: a tiebreak spanning the signed-64
+        # range (xxhash64 salts — the exact workload this fallback is for)
+        # overflows `_thi - _tlo` in long math (ANSI: crash; non-ANSI:
+        # wrapped negative width → non-monotonic sub-buckets). double→
+        # double subtraction/division is monotone non-decreasing, which is
+        # all the exactness argument needs — equal values still share a
+        # sub-bucket, larger values never map lower.
+        tlo_d, thi_d = F.col("_tlo").cast("double"), F.col("_thi").cast("double")
+        sub_width = (thi_d - tlo_d) / buckets
         sub = (
             F.when(~F.col("_need") | F.col(tiebreak).isNull(), F.lit(0))
             .otherwise(
                 F.least(
                     F.lit(buckets),
                     (
-                        F.floor((F.col(tiebreak) - F.col("_tlo")) / sub_width)
+                        F.floor(
+                            (F.col(tiebreak).cast("double") - tlo_d)
+                            / sub_width
+                        )
                         + 1
                     ).cast("int"),
                 )

@@ -128,6 +128,15 @@ class ProvWebAPI:
                     )
         except HTTPError as e:
             return e.status, "application/json", {"error": str(e)}
+        except Exception as e:  # noqa: BLE001 — HTTP boundary: any query/
+            # Spark error must become a 500 response, not a dropped
+            # connection out of do_GET (e.g. AnalysisException from a
+            # file-tree read of an unknown run).
+            return (
+                500,
+                "application/json",
+                {"error": f"{type(e).__name__}: {e}"},
+            )
         return 404, "application/json", {"error": f"no route for {path}"}
 
     # -- executions --------------------------------------------------------
@@ -251,7 +260,10 @@ class ProvWebAPI:
         walks the JGit tree; ours lists the ArtifactStore manifest)."""
         if self.artifacts is None:
             raise HTTPError(503, "no ArtifactStore attached")
-        rows = _rows(self.artifacts.file_tree(self.store.spark, run_id))
+        try:
+            rows = _rows(self.artifacts.file_tree(self.store.spark, run_id))
+        except Exception as e:  # unknown run → empty glob → AnalysisException
+            raise HTTPError(404, f"no artifacts for run {run_id}: {e}")
         groups: dict[str, list[dict]] = {}
         for r in sorted(rows, key=lambda r: (r["group_name"], r["file_name"])):
             groups.setdefault(r["group_name"], []).append(
@@ -283,14 +295,17 @@ class ProvWebAPI:
         if sha256 is None:
             if group is None or file_name is None:
                 raise HTTPError(400, "need sha256 or group+file")
-            rows = _rows(
-                self.artifacts.file_tree(self.store.spark, run_id)
-                .where(
-                    (F.col("group_name") == group)
-                    & (F.col("file_name") == file_name)
+            try:
+                rows = _rows(
+                    self.artifacts.file_tree(self.store.spark, run_id)
+                    .where(
+                        (F.col("group_name") == group)
+                        & (F.col("file_name") == file_name)
+                    )
+                    .limit(1)
                 )
-                .limit(1)
-            )
+            except Exception as e:  # unknown run → AnalysisException
+                raise HTTPError(404, f"no artifacts for run {run_id}: {e}")
             if not rows:
                 raise HTTPError(404, f"{group}/{file_name} not in run {run_id}")
             sha256 = rows[0]["sha256"]

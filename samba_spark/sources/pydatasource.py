@@ -90,14 +90,23 @@ def _build_source_class():
         # old root intact. Append writes go direct ('xb'); abort() removes
         # the files each failed task reported in its commit message.
         def __init__(self, options, overwrite):
+            import uuid
+
             self.root = options.get("path")
             if not self.root:
                 raise ValueError(
                     "filegroup sink requires .option('path', <root>)"
                 )
             self.overwrite = overwrite
+            # Unique staging per job (the writer instance is built on the
+            # driver and shipped to every task, so the uuid is shared
+            # within a job and distinct across jobs): a fixed staging name
+            # would let two concurrent overwrites of the same root write
+            # into each other's staging and the loser swap in an empty or
+            # mixed directory. Crashed jobs leave their .fgwrite-*.tmp
+            # behind; abort() removes this job's own.
             self.staging = (
-                self.root.rstrip("/") + ".fgwrite.tmp"
+                self.root.rstrip("/") + f".fgwrite-{uuid.uuid4().hex}.tmp"
                 if overwrite
                 else self.root
             )
@@ -121,6 +130,10 @@ def _build_source_class():
         def commit(self, messages):
             total = sum(m.n for m in messages if m is not None)
             if self.overwrite:
+                # Two-rename swap (old→aside, staging→root). Not atomic: a
+                # crash between the renames leaves no root but DOES leave
+                # the .old directory with the previous data for manual
+                # recovery — never a silent mix of old and new files.
                 old = self.root.rstrip("/") + ".fgwrite.old"
                 if os.path.isdir(old):
                     shutil.rmtree(old)

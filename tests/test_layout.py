@@ -293,3 +293,29 @@ def test_bucketed_rank_non_numeric_tiebreak_still_exact(spark):
     )
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_bucketed_rank_wide_range_tiebreak_no_overflow(spark):
+    """A hash-valued tiebreak spanning nearly the full signed-64 range
+    must not overflow the sub-split's width arithmetic (long `_thi - _tlo`
+    would crash under ANSI or wrap to a negative width): the range math
+    runs in double, which is monotone, so the rank stays exact."""
+    from pyspark.sql import Window
+
+    from samba_spark.plans.layout import bucketed_rank
+
+    # all-equal order, tiebreaks spread across almost the whole int64 line
+    lo, hi = -(2**62) - 7, 2**62 + 13
+    step = (hi - lo) // 999
+    rows = [(0, 1.0, lo + i * step) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k int, v double, uid long")
+
+    got = bucketed_rank(df, "k", "v", "uid", buckets=8, max_bucket_rows=100)
+    expected = df.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("k").orderBy("v", "uid"))
+        .cast("long"),
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0

@@ -103,14 +103,18 @@ def test_codec_stub_real_switch_shape_contract():
         def getbands(self):
             return ("R", "G", "B")
 
-        def resize(self, wh):
+        def resize(self, wh, resample=None):
             self._wh = wh
             return self
 
         def save(self, buf, format):
             buf.write(b"\x89PNG-fake-" + bytes(str(self._wh), "ascii"))
 
-    fake_image_mod = types.SimpleNamespace(open=lambda fh: _FakeImg())
+    # NEAREST mirrors the real PIL interface (resize_one passes it so the
+    # PIL path matches the stdlib path's resampling semantics)
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda fh: _FakeImg(), NEAREST=0
+    )
     fake_pil = types.ModuleType("PIL")
     fake_pil.Image = fake_image_mod
     sys.modules["PIL"] = fake_pil
