@@ -654,3 +654,83 @@ ORDER BY o_orderpriority, status
 
 
 MODERN["q76_unpivot"] = QuerySpec(q76_unpivot, Q76_SQL)
+
+
+# q87: parameterized SQL — Spark 4's named parameter markers plus
+# DataFrame template binding (spark.sql("... {orders} ... :min_price",
+# orders=df, min_price=...)). The parameters reach Catalyst as literals
+# AFTER parsing, so this is the injection-safe path a query service would
+# expose; the oracle inlines the same constant.
+def q87_parameterized_sql(spark, sf_dir):
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(o_totalprice), 2) AS DOUBLE) AS revenue
+        FROM {orders}
+        WHERE o_totalprice > :min_price AND o_orderpriority <> :skip
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"min_price": 100000.0, "skip": "5-LOW"},
+        orders=orders,
+    )
+
+
+Q87_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_totalprice > 100000.0 AND o_orderpriority <> '5-LOW'
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+MODERN["q87_parameterized_sql"] = QuerySpec(q87_parameterized_sql, Q87_SQL)
+
+
+# x91: mergeable quantile sketch — Spark's approx_percentile is a
+# Greenwald-Khanna rank summary that MERGES across partitions: O(1/eps)
+# sketch bytes shuffle per group instead of a per-group sort, THE 100 TB
+# quantile pattern (q37 is the exact-sort twin). Oracle contract is the
+# q29/x80 est_ok gate: the exact quantile rides along (hash-matched
+# against DuckDB) and the output asserts the accuracy=10000 estimate
+# lands within ±2% of it, so the driver row verifies the ESTIMATOR, not
+# just the exact path.
+def x91_approx_percentile(spark, sf_dir):
+    lineitem = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    qs = F.array(F.lit(0.5), F.lit(0.9))
+    est_ok = None
+    out = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", qs, 10000).alias("_a"),
+            F.percentile("l_extendedprice", qs).alias("_e"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    for i in range(2):
+        ok_i = (
+            F.abs(F.col("_a")[i] - F.col("_e")[i]) * 100
+            <= F.col("_e")[i] * 2
+        )
+        est_ok = ok_i if est_ok is None else (est_ok & ok_i)
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("_e")[0], 6).alias("p50_exact"),
+        F.round(F.col("_e")[1], 6).alias("p90_exact"),
+        est_ok.alias("est_ok"),
+        "n",
+    ).orderBy("l_returnflag")
+
+
+X91_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50_exact,
+       ROUND(quantile_cont(l_extendedprice, 0.90), 6) AS p90_exact,
+       TRUE AS est_ok,
+       COUNT(*)::BIGINT AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+MODERN["x91_approx_percentile"] = QuerySpec(x91_approx_percentile, X91_SQL)
