@@ -151,3 +151,28 @@ def test_http_server_round_trip(api):
         assert ei.value.code == 404
     finally:
         srv.shutdown()
+
+
+def test_error_paths_return_json_not_dropped_connections(api):
+    """Query-layer exceptions must surface as JSON error responses: an
+    unknown run's file tree is a 404 (empty parquet glob), and a
+    malformed request that escapes route validation is a 500 — never an
+    exception out of handle()."""
+    web, engine, _ = api
+    status, err = _get(web, "/api/dataelement/repositoryFileTree/no-such-run")
+    assert status == 404 and "no artifacts" in err["error"]
+    status, err = _get(
+        web,
+        "/api/dataelement/download",
+        executionID="no-such-run",
+        group="g",
+        file="f",
+    )
+    assert status == 404
+    # transitive BFS on a malformed direction string still answers
+    status, body = _get(
+        web,
+        f"/api/dataelement/graphOfTask/{engine.run_id}",
+        taskID="not-a-task",
+    )
+    assert status == 200 and body["produced"] == [] and body["consumed"] == []
