@@ -953,6 +953,313 @@ def _make_bmff_codec():
 mp4_bytes, parse_boxes = _make_bmff_codec()
 
 
+# Full video container path: a moov/trak/mdia/minf/stbl tree with REAL
+# sample tables (mdhd timescale, stts time-to-sample runs, stsc
+# sample-to-chunk map, stsz sample sizes, stco chunk offsets) per
+# ISO/IEC 14496-12. Frame PIXEL decode stays out of scope (no video codec
+# libs in this container, same policy as the flat-box path above), but
+# everything a frame-sampling pipeline needs — which byte range is frame
+# i, when is it presented — is parsed from the bytes, not assumed.
+def _make_bmff_video_codec():
+    import struct
+
+    VIDEO_TIMESCALE = 30000
+    CONTAINERS = {"moov", "trak", "mdia", "minf", "stbl"}
+
+    def _box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def _fullbox(btype: bytes, payload: bytes) -> bytes:
+        return _box(btype, b"\x00\x00\x00\x00" + payload)
+
+    def video_params(d: int):
+        """Deterministic per-doc sample-table parameters — the single
+        source of truth shared by the synthesizer, the tests, and the SQL
+        oracle. n samples in two stts runs (delta1 then 2*delta1); sample
+        sizes and fill bytes from integer formulas."""
+        n = 6 + d % 5
+        n1 = n // 2  # first stts run length
+        delta1 = 1000 + (d % 3) * 250
+        sizes = [12 + ((d * 31 + i * 7) % 48) for i in range(n)]
+        fills = [(d + i) % 251 for i in range(n)]
+        return n, n1, delta1, sizes, fills
+
+    def mp4_video_bytes(d: int) -> bytes:
+        """Well-formed single-track MP4: ftyp + moov(mvhd, trak(tkhd,
+        mdia(mdhd, minf(stbl(stts, stsc, stsz, stco))))) + mdat. Samples
+        land in TWO chunks (first ceil(n/2), then the rest) laid out
+        contiguously in mdat, so the chunk walk is exercised for real."""
+        n, n1, delta1, sizes, fills = video_params(d)
+        stts = _fullbox(
+            b"stts",
+            struct.pack(">I", 2)
+            + struct.pack(">II", n1, delta1)
+            + struct.pack(">II", n - n1, delta1 * 2),
+        )
+        c1 = (n + 1) // 2  # chunk 1 sample count (differs from n1 on odd n)
+        stsc = _fullbox(
+            b"stsc",
+            struct.pack(">I", 2)
+            + struct.pack(">III", 1, c1, 1)
+            + struct.pack(">III", 2, n - c1, 1),
+        )
+        stsz = _fullbox(
+            b"stsz",
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        # stco needs absolute file offsets -> assemble with a placeholder,
+        # measure, then patch (stco's own size is offset-independent).
+        def build(off1: int, off2: int) -> bytes:
+            stco = _fullbox(b"stco", struct.pack(">III", 2, off1, off2))
+            stbl = _box(b"stbl", stts + stsc + stsz + stco)
+            mdhd = _fullbox(
+                b"mdhd",
+                struct.pack(
+                    ">IIIII",
+                    0,
+                    0,
+                    VIDEO_TIMESCALE,
+                    sum(
+                        delta1 if i < n1 else 2 * delta1 for i in range(n)
+                    ),
+                    0x55C40000,  # language 'und' + pre_defined
+                ),
+            )
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + minf)
+            tkhd = _fullbox(b"tkhd", b"\x00" * 80)
+            trak = _box(b"trak", tkhd + mdia)
+            mvhd = _fullbox(b"mvhd", b"\x00" * 96)
+            moov = _box(b"moov", mvhd + trak)
+            ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+            mdat = _box(
+                b"mdat",
+                b"".join(bytes([f]) * s for s, f in zip(sizes, fills)),
+            )
+            return ftyp + moov + mdat
+
+        probe = build(0, 0)
+        mdat_payload = len(probe) - sum(sizes)
+        off1 = mdat_payload
+        off2 = mdat_payload + sum(sizes[:c1])
+        return build(off1, off2)
+
+    def parse_sample_table(content: bytes):
+        """Parse the sample tables out of a single-track MP4:
+        ``(timescale, [(idx, dts, size, offset)])`` with offsets absolute
+        into the file. General decode — multi-run stts, multi-entry stsc
+        over the stco chunk list (co64 handled), no assumption that
+        chunks are contiguous."""
+        def children(buf: bytes, base: int, end: int):
+            pos = base
+            while pos + 8 <= end:
+                (size,) = struct.unpack(">I", buf[pos : pos + 4])
+                btype = buf[pos + 4 : pos + 8].decode("latin-1")
+                hdr = 8
+                if size == 1:
+                    (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                    hdr = 16
+                elif size == 0:
+                    size = end - pos
+                if size < hdr or pos + size > end:
+                    raise ValueError(f"truncated box {btype!r} at {pos}")
+                yield btype, pos + hdr, pos + size
+                pos += size
+
+        tables: dict = {}
+
+        def walk(base: int, end: int):
+            for btype, body, bend in children(content, base, end):
+                if btype in CONTAINERS:
+                    walk(body, bend)
+                elif btype in ("mdhd", "stts", "stsc", "stsz", "stco", "co64"):
+                    tables[btype] = (body, bend)
+
+        if len(content) < 8 or content[4:8] != b"ftyp":
+            raise ValueError("not an ISO-BMFF blob (no leading ftyp)")
+        walk(0, len(content))
+        for need in ("mdhd", "stts", "stsc", "stsz", "stco"):
+            if need not in tables and not (need == "stco" and "co64" in tables):
+                raise ValueError(f"missing {need} box")
+
+        def full(name: str):
+            body, bend = tables[name]
+            return body + 4, bend  # skip version/flags
+
+        b, _ = full("mdhd")
+        timescale = struct.unpack(">I", content[b + 8 : b + 12])[0]
+
+        b, _ = full("stsz")
+        uniform, count = struct.unpack(">II", content[b : b + 8])
+        if uniform:
+            sizes = [uniform] * count
+        else:
+            sizes = list(
+                struct.unpack(f">{count}I", content[b + 8 : b + 8 + 4 * count])
+            )
+
+        b, _ = full("stts")
+        (n_runs,) = struct.unpack(">I", content[b : b + 4])
+        dts, t = [], 0
+        for r in range(n_runs):
+            cnt, delta = struct.unpack(
+                ">II", content[b + 4 + 8 * r : b + 12 + 8 * r]
+            )
+            for _ in range(cnt):
+                dts.append(t)
+                t += delta
+        if len(dts) != count:
+            raise ValueError("stts/stsz sample count mismatch")
+
+        if "stco" in tables:
+            b, _ = full("stco")
+            (n_chunks,) = struct.unpack(">I", content[b : b + 4])
+            chunk_offs = list(
+                struct.unpack(
+                    f">{n_chunks}I", content[b + 4 : b + 4 + 4 * n_chunks]
+                )
+            )
+        else:
+            b, _ = full("co64")
+            (n_chunks,) = struct.unpack(">I", content[b : b + 4])
+            chunk_offs = list(
+                struct.unpack(
+                    f">{n_chunks}Q", content[b + 4 : b + 4 + 8 * n_chunks]
+                )
+            )
+
+        b, _ = full("stsc")
+        (n_ent,) = struct.unpack(">I", content[b : b + 4])
+        stsc = [
+            struct.unpack(">III", content[b + 4 + 12 * e : b + 16 + 12 * e])
+            for e in range(n_ent)
+        ]
+
+        # Chunk walk: for 1-based chunk k, the applicable stsc entry is the
+        # last one with first_chunk <= k; samples are laid sequentially
+        # from the chunk's stco offset.
+        offsets, sample = [0] * count, 0
+        for k in range(1, n_chunks + 1):
+            spc = 0
+            for first_chunk, samples_per_chunk, _desc in stsc:
+                if first_chunk <= k:
+                    spc = samples_per_chunk
+            off = chunk_offs[k - 1]
+            for _ in range(spc):
+                if sample >= count:
+                    raise ValueError("stsc maps more samples than stsz has")
+                offsets[sample] = off
+                off += sizes[sample]
+                sample += 1
+        if sample != count:
+            raise ValueError("chunk walk covered fewer samples than stsz")
+
+        return timescale, [
+            (i, dts[i], sizes[i], offsets[i]) for i in range(count)
+        ]
+
+    return VIDEO_TIMESCALE, video_params, mp4_video_bytes, parse_sample_table
+
+
+VIDEO_TIMESCALE, video_params, mp4_video_bytes, parse_sample_table = (
+    _make_bmff_video_codec()
+)
+
+
+def synth_mp4_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic single-track MP4 synthesis with real sample tables
+    (``video_params`` arithmetic) — the fixture generator for the
+    frame-sampling path."""
+
+    def _synth(batches):
+        for batch in batches:
+            out = []
+            for mid in batch[id_col]:
+                mid = int(mid)
+                out.append(
+                    {"media_id": mid, "content": mp4_video_bytes(mid)}
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col)).mapInPandas(_synth, schema)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_k: int = 3,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame sampling over a binary MP4 column: parse the REAL sample
+    tables, keep every ``every_k``-th sample, and extract that frame's
+    byte range from mdat — (media_id, sample_idx, dts, timescale,
+    frame_size, frame_offset, byte_sum), where byte_sum totals the
+    EXTRACTED payload bytes, proving the offsets address real data.
+
+    Scale contract: Arrow-batched ``mapInPandas``; each blob is touched
+    once, output is O(kept frames), nothing leaves the executor but the
+    per-frame metadata row. At 100 TB the same stage runs unchanged —
+    frame payload bytes themselves would be carried as binary columns (or
+    spilled via ``spill_binary_column``) only when a downstream decode
+    actually needs them. Reference ships no video surface at all; its
+    nearest analogue is opaque FileGroup bytes
+    (core/src/main/java/br/uff/spark/advancedpipe/FileGroup.java:20-29).
+    """
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+
+    def _sample(batches):
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                blob = bytes(content)
+                timescale, samples = parse_sample_table(blob)
+                for i, dts, size, off in samples:
+                    if i % every_k:
+                        continue
+                    frame = blob[off : off + size]
+                    if len(frame) != size:
+                        raise ValueError(
+                            f"frame {i} of media {mid} out of bounds"
+                        )
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "sample_idx": i,
+                            "dts": dts,
+                            "timescale": timescale,
+                            "frame_size": size,
+                            "frame_offset": off,
+                            "byte_sum": sum(frame),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("sample_idx", T.LongType()),
+            T.StructField("dts", T.LongType()),
+            T.StructField("timescale", T.LongType()),
+            T.StructField("frame_size", T.LongType()),
+            T.StructField("frame_offset", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+        ]
+    )
+    return media.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        _sample, schema
+    )
+
+
 def parse_mp4_boxes(
     media: DataFrame, id_col: str = "media_id", content_col: str = "content"
 ) -> DataFrame:

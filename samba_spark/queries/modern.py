@@ -734,3 +734,67 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 MODERN["x91_approx_percentile"] = QuerySpec(x91_approx_percentile, X91_SQL)
+
+
+# x92: video FRAME SAMPLING through real ISO-BMFF sample tables — the
+# missing piece between x74's flat box walk and an actual video training
+# pipeline: which byte range is frame i and when is it presented. The
+# synthesizer emits a full moov/trak/mdia/minf/stbl tree (two stts runs,
+# two chunks via stsc/stco, per-sample stsz); the operator parses those
+# tables back and extracts every 3rd frame's payload from mdat. byte_sum
+# totals the EXTRACTED bytes, so a hash match proves the chunk-walk
+# offsets address the real frame data, not just replayed arithmetic.
+# Reference has no video surface (opaque FileGroup bytes only,
+# core/src/main/java/br/uff/spark/advancedpipe/FileGroup.java:20-29).
+def x92_frame_sample(spark, sf_dir):
+    from samba_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_mp4_videos,
+    )
+
+    docs = (
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+        .select("doc_id")
+        .where(F.col("doc_id") < 60)
+    )
+    return sample_video_frames(synth_mp4_videos(docs), every_k=3).orderBy(
+        "media_id", "sample_idx"
+    )
+
+
+# Oracle replays the video_params arithmetic: n = 6 + d%5 samples, two
+# stts runs (n//2 at delta1 = 1000 + (d%3)*250, rest at 2*delta1), sample
+# i is 12 + ((d*31 + i*7)%48) bytes of fill (d+i)%251, and the fixed box
+# layout puts the mdat payload at 412 + 4n (asserted against the real
+# encoder in tests/test_multimodal.py).
+X92_SQL = """
+WITH p AS (
+  SELECT doc_id AS media_id,
+         6 + doc_id % 5 AS n,
+         (6 + doc_id % 5) // 2 AS n1,
+         1000 + (doc_id % 3) * 250 AS delta1
+  FROM documents WHERE doc_id < 60),
+s AS (
+  SELECT media_id, n, n1, delta1, CAST(i AS BIGINT) AS i,
+         12 + ((media_id * 31 + i * 7) % 48) AS fsize,
+         (media_id + i) % 251 AS fill
+  FROM p, UNNEST(range(0, n)) AS u(i)),
+o AS (
+  SELECT media_id, i, n1, delta1, fsize, fill,
+         412 + 4 * n + COALESCE(SUM(fsize) OVER (
+           PARTITION BY media_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS foffset
+  FROM s)
+SELECT media_id, i AS sample_idx,
+       CAST(CASE WHEN i < n1 THEN i * delta1
+                 ELSE n1 * delta1 + (i - n1) * delta1 * 2 END AS BIGINT)
+         AS dts,
+       CAST(30000 AS BIGINT) AS timescale,
+       CAST(fsize AS BIGINT) AS frame_size,
+       CAST(foffset AS BIGINT) AS frame_offset,
+       CAST(fsize * fill AS BIGINT) AS byte_sum
+FROM o WHERE i % 3 = 0
+ORDER BY media_id, sample_idx
+"""
+
+MODERN["x92_frame_sample"] = QuerySpec(x92_frame_sample, X92_SQL)

@@ -574,3 +574,120 @@ def test_audio_fingerprint_neardup_pairs(spark):
     assert [(p.media_a, p.media_b, p.hamming) for p in pairs] == [
         (1, 2, expected)
     ]
+
+
+# ---------------------------------------------------------------- x92 codec
+def test_video_sample_table_round_trip():
+    """Encoder → parser round trip for 200 deterministic MP4s, and the
+    oracle's closed-form layout (mdat payload at 412 + 4n, frames
+    contiguous across the two chunks) must match the REAL encoder."""
+    from samba_spark.operators.multimodal import (
+        VIDEO_TIMESCALE,
+        mp4_video_bytes,
+        parse_sample_table,
+        video_params,
+    )
+
+    for d in range(200):
+        blob = mp4_video_bytes(d)
+        ts, samples = parse_sample_table(blob)
+        n, n1, delta1, sizes, fills = video_params(d)
+        assert ts == VIDEO_TIMESCALE and len(samples) == n
+        run = 412 + 4 * n
+        for i, dts, size, off in samples:
+            exp = i * delta1 if i < n1 else n1 * delta1 + (i - n1) * 2 * delta1
+            assert (dts, size, off) == (exp, sizes[i], run), (d, i)
+            assert blob[off : off + size] == bytes([fills[i]]) * size
+            run += size
+
+
+def test_video_sample_table_co64_and_sparse_chunks():
+    """The chunk walk is general, not layout-assuming: a hand-built blob
+    with 64-bit co64 offsets and chunks laid out NON-contiguously (gap
+    bytes between chunks, reverse of file order) parses to the offsets
+    the tables declare."""
+    import struct
+
+    from samba_spark.operators.multimodal import parse_sample_table
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def full(btype, payload):
+        return box(btype, b"\x00\x00\x00\x00" + payload)
+
+    sizes = [10, 20, 30]
+    stts = full(b"stts", struct.pack(">III", 1, 3, 500))
+    stsc = full(b"stsc", struct.pack(">I", 2) + struct.pack(">III", 1, 2, 1)
+                + struct.pack(">III", 2, 1, 1))
+    stsz = full(b"stsz", struct.pack(">II", 0, 3)
+                + b"".join(struct.pack(">I", s) for s in sizes))
+    mdhd = full(b"mdhd", struct.pack(">IIIII", 0, 0, 90000, 1500, 0))
+
+    def assemble(off1, off2):
+        co64 = full(b"co64", struct.pack(">IQQ", 2, off1, off2))
+        stbl = box(b"stbl", stts + stsc + stsz + co64)
+        moov = box(b"moov", box(b"trak", box(b"mdia", mdhd + box(b"minf", stbl))))
+        ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+        return ftyp, moov
+
+    ftyp, moov = assemble(0, 0)
+    base = len(ftyp) + len(moov) + 8
+    # chunk 2 (sample 3) FIRST in the file, gap, then chunk 1 (samples 1-2)
+    off2 = base
+    off1 = base + sizes[2] + 5
+    ftyp, moov = assemble(off1, off2)
+    mdat = box(b"mdat", b"c" * sizes[2] + b"\xff" * 5 + b"a" * sizes[0] + b"b" * sizes[1])
+    ts, samples = parse_sample_table(ftyp + moov + mdat)
+    assert ts == 90000
+    assert samples == [
+        (0, 0, 10, off1),
+        (1, 500, 20, off1 + 10),
+        (2, 1000, 30, off2),
+    ]
+
+
+def test_video_sample_table_rejects_malformed():
+    import pytest as _pytest
+
+    from samba_spark.operators.multimodal import (
+        mp4_video_bytes,
+        parse_sample_table,
+    )
+
+    with _pytest.raises(ValueError, match="ftyp"):
+        parse_sample_table(b"\x00\x00\x00\x08junk")
+    blob = mp4_video_bytes(7)
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        parse_sample_table(blob[: len(blob) // 2])
+
+
+def test_sample_frames_distributed(spark):
+    """every_k selection + real byte extraction through Spark: byte_sum
+    must equal frame_size * fill for every emitted frame."""
+    from samba_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_mp4_videos,
+        video_params,
+    )
+
+    docs = spark.range(0, 40).toDF("doc_id")
+    out = sample_video_frames(synth_mp4_videos(docs), every_k=2)
+    rows = {(r.media_id, r.sample_idx): r for r in out.collect()}
+    total = 0
+    for d in range(40):
+        n, n1, delta1, sizes, fills = video_params(d)
+        for i in range(n):
+            if i % 2:
+                assert (d, i) not in rows
+                continue
+            r = rows[(d, i)]
+            assert r.frame_size == sizes[i]
+            assert r.byte_sum == sizes[i] * fills[i]
+            total += 1
+    assert len(rows) == total
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_k"):
+        sample_video_frames(synth_mp4_videos(docs), every_k=0)
