@@ -206,3 +206,73 @@ def triangle_count(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Multi-source weighted shortest paths bounded to ``max_hops`` edges —
+    distributed Bellman-Ford: after round h, dist(v) is exactly the
+    minimum weight over all paths of <= h edges from any source (weights
+    non-negative; integer weights keep every engine bit-exact).
+    ``sources`` is a one-column vertex frame. Returns (vertex, dist) for
+    every vertex reachable within the hop bound.
+
+    Scale posture: each round is ONE join (frontier ⋈ edges, shuffled on
+    the vertex key) + one min-aggregation; only the FRONTIER — vertices
+    whose distance improved last round — joins edges, so rounds shrink as
+    the wavefront settles (the Pregel halting pattern; a settled prefix
+    re-fires only when re-improved, which preserves the <=h-edge
+    optimality invariant). dist is localCheckpointed per round to
+    truncate iterative lineage, same as pagerank above.
+    """
+    e = edges.select(
+        F.col(src).alias("e_src"),
+        F.col(dst).alias("e_dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint()
+    dist = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("vertex"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    frontier = dist
+    for _h in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["vertex"] == e["e_src"])
+            .select(
+                F.col("e_dst").alias("vertex"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            cand.join(
+                dist.select(
+                    F.col("vertex"), F.col("dist").alias("old_dist")
+                ),
+                "vertex",
+                "left",
+            )
+            .where(
+                F.col("old_dist").isNull()
+                | (F.col("dist") < F.col("old_dist"))
+            )
+            .select("vertex", "dist")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist

@@ -165,3 +165,83 @@ def journey_string(
 def pattern_match_counts(journeys: DataFrame, pattern: str) -> Column:
     """Count of non-overlapping regex matches of ``pattern`` in ``journey``."""
     return F.size(F.regexp_extract_all("journey", F.lit(pattern), F.lit(0)))
+
+
+def count_min_table(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-Min sketch as a DataFrame: ``(row_j, bucket, cnt)`` — the
+    d×w counter matrix in relational form, built in ONE pass (each row
+    explodes to ``depth`` (j, h_j(x)) entries, then an exact groupBy with
+    map-side partial counts). State is O(depth*width) regardless of input
+    rows, and two tables built over disjoint data MERGE by summing cnt per
+    cell — the mergeable-summary contract every sketch here follows
+    (tested in tests/test_sketches.py). Bucket hash is the md5-based
+    ``hash_bucket`` salted with the row index, so DuckDB replays the
+    sketch bit-for-bit (x94's oracle recomputes the whole matrix)."""
+    from samba_spark.operators.mixing import hash_bucket
+
+    entries = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("row_j"),
+                        hash_bucket(
+                            F.concat(
+                                F.lit(f"{j}:"), F.col(col).cast("string")
+                            ),
+                            width,
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e")
+    )
+    return entries.groupBy(
+        F.col("e.row_j").alias("row_j"), F.col("e.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def count_min_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point queries against a Count-Min table: for each candidate in
+    ``items[col]``, est = min_j cms[j][h_j(x)] — always >= the true count,
+    over by at most ~e*N/width w.h.p. The cms table is O(depth*width)
+    rows, so it broadcasts; candidates never shuffle."""
+    from samba_spark.operators.mixing import hash_bucket
+
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("row_j"),
+                        hash_bucket(
+                            F.concat(
+                                F.lit(f"{j}:"), F.col(col).cast("string")
+                            ),
+                            width,
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("e"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cms),
+            (F.col("e.row_j") == cms["row_j"])
+            & (F.col("e.bucket") == cms["bucket"]),
+        )
+        .groupBy(col)
+        .agg(F.min("cnt").cast("long").alias("est_cms"))
+    )

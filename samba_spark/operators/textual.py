@@ -683,3 +683,58 @@ def bpe_train(
             "tokens", F.aggregate("tokens", acc0, step, fin)
         ).localCheckpoint()
     return merges, toks
+
+
+def lm_fluency(documents: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Bigram language-model fluency score per document — the CCNet-style
+    "train an LM on the corpus, score each doc, filter the least fluent"
+    quality gate, with integer-exact arithmetic so every engine agrees
+    bit-for-bit (no transcendental perplexity: the score is the summed
+    add-one-smoothed bigram probability, fixed-point scaled).
+
+    Per doc bigram (a, b): p_scaled = (scale * (c_ab + 1)) div (c_a + V)
+    where c_ab / c_a are corpus bigram/unigram counts and V is vocabulary
+    size. fluency = Σ p_scaled; avg_fluency = fluency div n_bigrams.
+    Higher = more predictable under the corpus LM.
+
+    Scale contract: the model relations are aggregation-sized (vocab and
+    bigram-type counts, not corpus-sized) — at 100 TB you'd cap to the
+    top-V types and broadcast; here they flow through ordinary shuffle
+    joins keyed on the bigram. V is a broadcast 1-row aggregate. The
+    corpus is scanned twice (token counts, bigram stream); both scans are
+    codegen'd projections with map-side partial aggs.
+    """
+    toks = documents.select(
+        "doc_id", tokens_col(F.col("text")).alias("toks")
+    )
+    uni = toks.select(F.explode("toks").alias("w"))
+    c_a = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = uni.agg(F.countDistinct("w").alias("vsz"))
+    bg = (
+        toks.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    scored = (
+        bg.join(c_ab, ["w1", "w2"])
+        .join(c_a.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(f"({scale} * (c_ab + 1)) div (c_a + vsz)").alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("p").cast("long").alias("fluency"),
+        F.expr("sum(p) div count(1)").cast("long").alias("avg_fluency"),
+    )

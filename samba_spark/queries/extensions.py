@@ -2734,6 +2734,46 @@ ORDER BY doc_a, doc_b
 """
 
 
+def x_lm_fluency(spark, sf_dir):
+    """Corpus-trained bigram-LM fluency gate (operators/textual.lm_fluency)
+    — the CCNet-style "score every doc under a corpus LM, keep the fluent
+    tail" filter, integer-exact via fixed-point add-one-smoothed bigram
+    probabilities (no float log, so the oracle matches bit-for-bit).
+    Returns the 25 LEAST fluent docs — the ones a quality gate drops."""
+    from samba_spark.operators.textual import lm_fluency
+
+    return (
+        lm_fluency(_docs(spark, sf_dir))
+        .orderBy(F.asc("avg_fluency"), F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+X_LM_FLUENCY_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+  FROM toked, UNNEST(range(0, greatest(len(toks)-2, 0) + 1)) AS u(i)
+  WHERE toks[i+2] IS NOT NULL),
+cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2),
+ca AS (
+  SELECT t AS w, COUNT(*) AS c_a
+  FROM toked, UNNEST(toks) AS u(t) GROUP BY t),
+v AS (SELECT COUNT(DISTINCT t) AS vsz FROM toked, UNNEST(toks) AS u(t)),
+scored AS (
+  SELECT bg.doc_id, (1000000 * (c_ab + 1)) // (c_a + vsz) AS p
+  FROM bg JOIN cab USING (w1, w2) JOIN ca ON ca.w = bg.w1 CROSS JOIN v)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, SUM(p)::BIGINT AS fluency,
+       (SUM(p) // COUNT(*))::BIGINT AS avg_fluency
+FROM scored GROUP BY doc_id
+ORDER BY avg_fluency ASC, doc_id ASC LIMIT 25
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -2788,6 +2828,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x44_png_pixel_pipeline": QuerySpec(x_png_pixel_pipeline, X_PNG_PIXEL_SQL),
     "x89_phash_dedup": QuerySpec(x_phash_dedup, X_PHASH_SQL),
     "x90_audio_fp_dedup": QuerySpec(x_audio_fingerprint_dedup, X_AUDIO_FP_SQL),
+    "x93_lm_fluency": QuerySpec(x_lm_fluency, X_LM_FLUENCY_SQL),
     "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
     "x46_retention_monthly": QuerySpec(
         x_retention_monthly, X_RETENTION_MONTHLY_SQL

@@ -1266,6 +1266,57 @@ ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 100
 """
 
 
+# q88: bounded-hop weighted shortest paths — the fourth iterative graph
+# operator (CC q40, PageRank q41, triangles x55). Distributed
+# Bellman-Ford with frontier pruning over the customer↔supplier graph,
+# weight = the pair's minimum line-item quantity (integer-exact). The
+# oracle enumerates every <=3-edge walk in a recursive CTE and takes the
+# min — path-cost semantics proved equal to the relaxation fixpoint.
+def q88_shortest_paths(spark, sf_dir):
+    from samba_spark.operators.graph import shortest_paths
+
+    tables = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = (
+        tables["lineitem"]
+        .join(
+            tables["orders"],
+            tables["lineitem"].l_orderkey == tables["orders"].o_orderkey,
+        )
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("weight"))
+    )
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    sources = pairs.select("src").where(F.col("src") <= 5).distinct()
+    return shortest_paths(edges, sources, max_hops=3).orderBy("vertex")
+
+
+Q88_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT o_custkey AS src, l_suppkey + 10000000 AS dst,
+         MIN(CAST(l_quantity AS BIGINT)) AS weight
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+edges AS (SELECT src, dst, weight FROM pairs
+          UNION ALL SELECT dst, src, weight FROM pairs),
+srcs AS (SELECT DISTINCT src AS vertex FROM pairs WHERE src <= 5),
+walk(vertex, dist, hops) AS (
+  SELECT vertex, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM srcs
+  UNION ALL
+  SELECT e.dst, w.dist + e.weight, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.vertex
+  WHERE w.hops < 3)
+SELECT vertex, MIN(dist)::BIGINT AS dist
+FROM walk GROUP BY vertex ORDER BY vertex
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -1285,6 +1336,7 @@ EXTRAS: dict[str, QuerySpec] = {
     "q39_training_pipeline": QuerySpec(q39_training_pipeline, _q39_sql()),
     "q40_connected_components": QuerySpec(q40_connected_components, Q40_SQL),
     "q41_pagerank": QuerySpec(q41_pagerank, Q41_SQL),
+    "q88_shortest_paths": QuerySpec(q88_shortest_paths, Q88_SQL),
     "q42_salted_join": QuerySpec(q42_salted_join, Q42_SQL),
     "q43_stream_join": QuerySpec(q43_stream_join, Q43_SQL),
     "q44_stream_dedup": QuerySpec(q44_stream_dedup, Q44_SQL),

@@ -772,11 +772,79 @@ ORDER BY err_id, click_id
 """
 
 
+def x94_count_min(spark, sf_dir):
+    """Count-Min heavy hitters over the corpus token stream: a 4×512
+    counter matrix built in one pass (O(depth*width) state, mergeable by
+    cell-wise sum), then point-estimates for the true top-20 tokens via
+    a broadcast of the tiny table. The md5-salted bucket hash is replayed
+    bit-for-bit by the oracle, which rebuilds the ENTIRE sketch in SQL —
+    the driver row verifies the estimator exactly, including each
+    token\'s overestimate, not just the exact path. Completes the sketch
+    shelf: HLL (x80) approximate-distinct, bitmap (x82) exact-distinct,
+    approx_top_k (x81) native heavy hitters, GK (x91) quantiles, CMS
+    (x94) point frequencies."""
+    from samba_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+    from samba_spark.operators.textual import tokens_col
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tok = docs.select(F.explode(tokens_col(F.col("text"))).alias("token"))
+    cms = count_min_table(tok, "token", depth=4, width=512)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    est = count_min_estimate(cms, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "true_cnt",
+            "est_cms",
+            (F.col("est_cms") - F.col("true_cnt")).alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+    )
+
+
+X94_SQL = r"""
+WITH toked AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tok AS (SELECT t AS token FROM toked, UNNEST(toks) AS u(t)),
+ent AS (
+  SELECT j, (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 8))
+             ::BIGINT % 512) AS bucket
+  FROM tok, UNNEST(range(0, 4)) AS r(j)),
+cms AS (SELECT j, bucket, COUNT(*) AS cnt FROM ent GROUP BY j, bucket),
+top AS (
+  SELECT token, COUNT(*)::BIGINT AS true_cnt
+  FROM tok GROUP BY token
+  ORDER BY true_cnt DESC, token ASC LIMIT 20),
+est AS (
+  SELECT top.token, top.true_cnt, MIN(cms.cnt) AS est_cms
+  FROM top, UNNEST(range(0, 4)) AS r(j)
+  JOIN cms ON cms.j = r.j AND cms.bucket =
+    (('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || top.token), 1, 8))
+     ::BIGINT % 512)
+  GROUP BY top.token, top.true_cnt)
+SELECT token, true_cnt, est_cms::BIGINT AS est_cms,
+       (est_cms - true_cnt)::BIGINT AS overestimate
+FROM est ORDER BY true_cnt DESC, token ASC
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
     "x79_stratified_split": QuerySpec(x79_stratified_split, X79_SQL),
     "x80_hll_rollup": QuerySpec(x80_hll_rollup, X80_SQL),
+    "x94_count_min": QuerySpec(x94_count_min, X94_SQL),
     "x81_approx_topk": QuerySpec(x81_approx_topk, X81_SQL),
     "x82_bitmap_distinct": QuerySpec(x82_bitmap_distinct, X82_SQL),
     "q78_stateful_processor": QuerySpec(q78_stateful_processor, Q78_SQL),

@@ -1099,3 +1099,29 @@ def test_semantic_prune_keeps_one_rep_per_cluster(spark):
         for r in semantic_prune(df, threshold=0.9).collect()
     }
     assert got == {10: 3, 20: 2, 30: 1}
+
+
+def test_lm_fluency_semantics(spark):
+    """Hand-checkable corpus: 'a b' repeated is maximally predictable, a
+    one-off word salad is not; the fixed-point arithmetic must equal the
+    add-one-smoothed bigram model computed by hand."""
+    from samba_spark.operators.textual import lm_fluency
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in lm_fluency(docs).collect()}
+    # corpus: tokens a,b x3 each; c,d,e x1. V=5.
+    # bigrams: (a,b)x3, (b,a)x2, (c,d), (d,e)
+    p_ab = (1_000_000 * (3 + 1)) // (3 + 5)
+    p_ba = (1_000_000 * (2 + 1)) // (3 + 5)
+    assert out[1].n_bigrams == 5
+    assert out[1].fluency == 3 * p_ab + 2 * p_ba
+    assert out[1].avg_fluency == (3 * p_ab + 2 * p_ba) // 5
+    p_cd = (1_000_000 * 2) // (1 + 5)
+    assert out[2].fluency == 2 * p_cd
+    assert out[1].avg_fluency > out[2].avg_fluency

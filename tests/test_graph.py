@@ -65,3 +65,53 @@ def test_triangle_count_self_loops_ignored(spark):
     )
     got = {r.vertex: r.n_triangles for r in triangle_count(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_shortest_paths_matches_bruteforce_bounded_bellman_ford(spark):
+    """Random-ish (seeded arithmetic) directed graph vs a pure-Python
+    bounded-hop Bellman-Ford; also checks the hop bound BITES (a cheap
+    long path must lose to a pricier short one within the bound)."""
+    from samba_spark.operators.graph import shortest_paths
+
+    n = 25
+    edges = [
+        (a, b, 1 + (a * 7 + b * 13) % 9)
+        for a in range(n)
+        for b in range(n)
+        if a != b and (a * 31 + b * 17) % 11 < 2
+    ]
+    max_hops = 3
+    sources = [0, 1]
+    # reference: dist_h = min over <= h-edge paths
+    INF = float("inf")
+    dist = {v: (0 if v in sources else INF) for v in range(n)}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for a, b, w in edges:
+            if dist[a] + w < nxt[b]:
+                nxt[b] = dist[a] + w
+        dist = nxt
+    expected = {v: d for v, d in dist.items() if d < INF}
+
+    e_df = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    s_df = spark.createDataFrame([(v,) for v in sources], ["vertex"])
+    got = {
+        r.vertex: r.dist
+        for r in shortest_paths(e_df, s_df, max_hops).collect()
+    }
+    assert got == expected
+
+
+def test_shortest_paths_hop_bound_excludes_longer_cheaper_path(spark):
+    from samba_spark.operators.graph import shortest_paths
+
+    # 0->9 direct costs 100; 0->..->9 via 3 unit edges costs 3 but needs
+    # 3 hops: with max_hops=2 the direct edge wins, with 3 the chain wins
+    edges = spark.createDataFrame(
+        [(0, 9, 100), (0, 1, 1), (1, 2, 1), (2, 9, 1)],
+        ["src", "dst", "weight"],
+    )
+    src = spark.createDataFrame([(0,)], ["vertex"])
+    two = {r.vertex: r.dist for r in shortest_paths(edges, src, 2).collect()}
+    three = {r.vertex: r.dist for r in shortest_paths(edges, src, 3).collect()}
+    assert two[9] == 100 and three[9] == 3

@@ -272,3 +272,36 @@ def test_stored_sketches_append_incrementally(spark, sf_smoke, tmp_path):
         .collect()
     }
     assert merged == direct
+
+
+def test_count_min_merge_and_overestimate_invariant(spark):
+    """The CMS contract: (1) tables over disjoint halves merge by
+    cell-wise sum into exactly the full-data table; (2) every point
+    estimate >= the true count."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_table,
+    )
+
+    rows = [(i, f"tok{i % 17}") for i in range(400)]
+    df = spark.createDataFrame(rows, ["i", "token"])
+    h1, h2 = df.where("i < 200"), df.where("i >= 200")
+    merged = (
+        count_min_table(h1, "token", depth=3, width=32)
+        .unionByName(count_min_table(h2, "token", depth=3, width=32))
+        .groupBy("row_j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    full = count_min_table(df, "token", depth=3, width=32)
+    as_set = lambda d: {tuple(r) for r in d.collect()}
+    assert as_set(merged) == as_set(full)
+
+    truth = df.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = count_min_estimate(
+        full, truth.select("token"), "token", depth=3, width=32
+    )
+    joined = truth.join(est, "token").collect()
+    assert len(joined) == 17
+    assert all(r.est_cms >= r.true_cnt for r in joined)
