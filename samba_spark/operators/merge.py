@@ -155,3 +155,34 @@ def merge_partial_aggs(
         .groupBy(*keys)
         .agg(*[F.sum(c).alias(c) for c in sums])
     )
+
+
+def delta_join(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incremental maintenance of an INNER equi-join under inserts to
+    BOTH sides: the new matches are exactly
+
+        ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    so ``(A_old ⋈ B_old) ∪ delta_join(...) == (A_old∪ΔA) ⋈ (B_old∪ΔB)``
+    — the algebraic identity every incremental-view-maintenance engine
+    is built on (join distributes over union). Returns only the NEW
+    result rows; the caller unions them onto the maintained snapshot.
+
+    Scale posture: at 100 TB the old sides are the big ones and the
+    deltas are an ingest batch — two of the three joins have a
+    batch-sized probe side (broadcastable under AQE), and the snapshot
+    join A_old ⋈ B_old never re-runs. Column layout is ``on`` keys +
+    A-only columns + B-only columns, same as a plain ``a.join(b, on)``.
+    """
+    on = list(on)
+    return (
+        a_delta.join(b_old, on=on)
+        .unionByName(a_old.join(b_delta, on=on))
+        .unionByName(a_delta.join(b_delta, on=on))
+    )

@@ -53,6 +53,50 @@ def quality_audit(df: DataFrame, checks: Mapping[str, Column]) -> DataFrame:
     )
 
 
+def fd_profile(
+    df: DataFrame, fds: Mapping[str, tuple[list[str], str]]
+) -> DataFrame:
+    """Functional-dependency check: does LHS → RHS hold, and how badly
+    does it fail? ``fds`` maps a display name → ([lhs_cols], rhs_col).
+    One row per FD: (fd, n_groups, violating_groups, max_rhs_distinct,
+    holds). A group violates when one LHS value maps to >1 distinct RHS
+    value; ``holds`` iff no group violates.
+
+    Scale posture: each FD is one groupBy on its LHS (shuffle keyed on
+    the dependency's own determinant — the natural partitioning) with a
+    count_distinct partial, then a 1-row rollup; FDs over the SAME frame
+    still run as independent aggregations because their grouping keys
+    differ (no shared-scan trick exists for heterogeneous keys — this is
+    the aggregation-shape floor, not an implementation choice). Profiler
+    output is aggregation-sized: one row per candidate FD.
+
+    Complements quality_audit (row-local predicates) and key_uniqueness
+    (whole-row keys): FDs are the discovery tool schema normalization
+    and dedup-key design start from.
+    """
+    parts = []
+    for name, (lhs, rhs) in fds.items():
+        g = df.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.count_distinct(F.col(rhs)).alias("nd")
+        )
+        parts.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("violating_groups"),
+                F.max("nd").cast("long").alias("max_rhs_distinct"),
+            ).select(
+                "*", (F.col("violating_groups") == 0).alias("holds")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def key_uniqueness(df: DataFrame, *cols: str) -> DataFrame:
     """(n_rows, n_distinct, n_duplicates) for a candidate key — COUNT vs
     COUNT DISTINCT in one aggregate (expand rewrite, one job)."""

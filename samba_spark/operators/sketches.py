@@ -245,3 +245,32 @@ def count_min_estimate(
         .groupBy(col)
         .agg(F.min("cnt").cast("long").alias("est_cms"))
     )
+
+
+def count_min_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Join-cardinality estimation from two Count-Min tables built over
+    the two sides' join keys: for each hash row j,
+    ``est_j = Σ_b cmsA[j][b] * cmsB[j][b]`` — an inner product that
+    upper-bounds the true equi-join output size (every true key pair
+    lands in the same bucket; collisions only add) — and the estimate is
+    ``min_j est_j``. This is the sketch-based statistic a cost-based
+    optimizer wants BEFORE committing to a join strategy at 100 TB:
+    both inputs are O(depth*width) regardless of table size, so the
+    estimate costs a metadata-scale join, not a data-scale one.
+    Returns a single row ``(est_join_size)``. A hash row with NO
+    colliding buckets means est_j = 0 (its inner join emits nothing) —
+    so the min is 0 whenever fewer than ``depth`` rows survive."""
+    a = cms_a.select("row_j", "bucket", F.col("cnt").alias("cnt_a"))
+    b = cms_b.select("row_j", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["row_j", "bucket"])
+        .groupBy("row_j")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("est"))
+    )
+    depth = cms_a.select("row_j").distinct().count()
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < F.lit(depth), F.lit(0))
+        .otherwise(F.min("est"))
+        .cast("long")
+        .alias("est_join_size")
+    )

@@ -2774,6 +2774,124 @@ ORDER BY avg_fluency ASC, doc_id ASC LIMIT 25
 """
 
 
+def x_frequent_itemsets(spark, sf_dir):
+    """A-priori frequent-itemset mining (operators/mining.py) over brand
+    baskets: itemsets of size 1–3 held by >= 2% of orders. Level-wise
+    candidate pruning (broadcast L1/L2 semi-joins, downward closure) is
+    the 100 TB path — on TPC-H's uniform brand mix the L2 tier proves no
+    triple can be frequent, so the 3-way join never materializes rows;
+    the crafted-basket unit tests exercise a non-empty L3. Distinct from
+    x68 (top-k pair counts, no support pruning, no candidate tiers)."""
+    from samba_spark.operators.mining import frequent_itemsets
+
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    ob = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it"))
+    )
+    n_baskets = ob.select("bk").distinct().count()
+    min_sup = (2 * n_baskets + 99) // 100  # ceil(2% of baskets), int-exact
+    return frequent_itemsets(ob, "bk", "it", min_sup).orderBy(
+        "size", F.desc("support"), "itemset"
+    )
+
+
+X_FREQUENT_ITEMSETS_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+ms AS (SELECT (2 * COUNT(DISTINCT bk) + 99) // 100 AS min_sup FROM ob),
+l1 AS (
+  SELECT it, COUNT(*)::BIGINT AS support FROM ob GROUP BY it
+  HAVING COUNT(*) >= (SELECT min_sup FROM ms)),
+pair_occ AS (
+  SELECT a.bk, a.it AS x, b.it AS y
+  FROM ob a JOIN ob b ON a.bk = b.bk AND a.it < b.it
+  WHERE a.it IN (SELECT it FROM l1) AND b.it IN (SELECT it FROM l1)),
+l2 AS (
+  SELECT x, y, COUNT(*)::BIGINT AS support FROM pair_occ GROUP BY x, y
+  HAVING COUNT(*) >= (SELECT min_sup FROM ms)),
+tri_occ AS (
+  SELECT p.bk, p.x, p.y, c.it AS z
+  FROM pair_occ p
+  JOIN l2 ON l2.x = p.x AND l2.y = p.y
+  JOIN ob c ON c.bk = p.bk AND p.y < c.it
+  WHERE EXISTS (SELECT 1 FROM l2 q WHERE q.x = p.x AND q.y = c.it)
+    AND EXISTS (SELECT 1 FROM l2 q WHERE q.x = p.y AND q.y = c.it)),
+l3 AS (
+  SELECT x, y, z, COUNT(*)::BIGINT AS support FROM tri_occ GROUP BY x, y, z
+  HAVING COUNT(*) >= (SELECT min_sup FROM ms))
+SELECT itemset, size, support FROM (
+  SELECT it AS itemset, 1 AS size, support FROM l1
+  UNION ALL
+  SELECT x || '|' || y, 2, support FROM l2
+  UNION ALL
+  SELECT x || '|' || y || '|' || z, 3, support FROM l3)
+ORDER BY size, support DESC, itemset
+"""
+
+
+def x_fd_profile(spark, sf_dir):
+    """Functional-dependency discovery (operators/quality.fd_profile)
+    across the star schema: keys that must determine (o_orderkey →
+    o_custkey; p_name → p_brand when names are unique) and dependencies
+    that fail with measurable violation counts (l_partkey → l_suppkey:
+    each part has several suppliers; p_type → p_brand: one type spans
+    brands). The schema-normalization / dedup-key-design profiling
+    pass, output aggregation-sized."""
+    from samba_spark.operators.quality import fd_profile
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem", "part", "customer"])
+    rows = [
+        fd_profile(t["orders"], {"o_orderkey->o_custkey": (["o_orderkey"], "o_custkey")}),
+        fd_profile(t["part"], {"p_name->p_brand": (["p_name"], "p_brand")}),
+        fd_profile(t["part"], {"p_type->p_brand": (["p_type"], "p_brand")}),
+        fd_profile(t["lineitem"], {"l_partkey->l_suppkey": (["l_partkey"], "l_suppkey")}),
+        fd_profile(t["customer"], {"c_nationkey->c_mktsegment": (["c_nationkey"], "c_mktsegment")}),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("fd")
+
+
+X_FD_PROFILE_SQL = """
+WITH fd1 AS (
+  SELECT 'o_orderkey->o_custkey' AS fd, g.* FROM (
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS violating_groups,
+           MAX(nd)::BIGINT AS max_rhs_distinct
+    FROM (SELECT COUNT(DISTINCT o_custkey) AS nd FROM orders GROUP BY o_orderkey)) g),
+fd2 AS (
+  SELECT 'p_name->p_brand' AS fd, g.* FROM (
+    SELECT COUNT(*)::BIGINT, SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+           MAX(nd)::BIGINT
+    FROM (SELECT COUNT(DISTINCT p_brand) AS nd FROM part GROUP BY p_name)) g),
+fd3 AS (
+  SELECT 'p_type->p_brand' AS fd, g.* FROM (
+    SELECT COUNT(*)::BIGINT, SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+           MAX(nd)::BIGINT
+    FROM (SELECT COUNT(DISTINCT p_brand) AS nd FROM part GROUP BY p_type)) g),
+fd4 AS (
+  SELECT 'l_partkey->l_suppkey' AS fd, g.* FROM (
+    SELECT COUNT(*)::BIGINT, SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+           MAX(nd)::BIGINT
+    FROM (SELECT COUNT(DISTINCT l_suppkey) AS nd FROM lineitem GROUP BY l_partkey)) g),
+fd5 AS (
+  SELECT 'c_nationkey->c_mktsegment' AS fd, g.* FROM (
+    SELECT COUNT(*)::BIGINT, SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT,
+           MAX(nd)::BIGINT
+    FROM (SELECT COUNT(DISTINCT c_mktsegment) AS nd FROM customer GROUP BY c_nationkey)) g)
+SELECT fd, n_groups, violating_groups, max_rhs_distinct,
+       violating_groups = 0 AS holds
+FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL
+      SELECT * FROM fd3 UNION ALL SELECT * FROM fd4 UNION ALL
+      SELECT * FROM fd5)
+ORDER BY fd
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -2829,6 +2947,10 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x89_phash_dedup": QuerySpec(x_phash_dedup, X_PHASH_SQL),
     "x90_audio_fp_dedup": QuerySpec(x_audio_fingerprint_dedup, X_AUDIO_FP_SQL),
     "x93_lm_fluency": QuerySpec(x_lm_fluency, X_LM_FLUENCY_SQL),
+    "x95_frequent_itemsets": QuerySpec(
+        x_frequent_itemsets, X_FREQUENT_ITEMSETS_SQL
+    ),
+    "x96_fd_profile": QuerySpec(x_fd_profile, X_FD_PROFILE_SQL),
     "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
     "x46_retention_monthly": QuerySpec(
         x_retention_monthly, X_RETENTION_MONTHLY_SQL

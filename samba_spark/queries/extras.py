@@ -1317,6 +1317,46 @@ FROM walk GROUP BY vertex ORDER BY vertex
 """
 
 
+# q89: incremental JOIN maintenance — x71's sibling for the other
+# stateful-view shape. x71 proves agg(old) ⊕ agg(delta) == agg(all);
+# this proves (A_old⋈B_old) ∪ delta_join(ΔA, ΔB) == A⋈B, with inserts
+# on BOTH join sides (orders by date, customers by key residue). The
+# oracle computes the full join directly, so a hash match IS the IVM
+# identity check.
+def q89_delta_join(spark, sf_dir):
+    from samba_spark.operators.merge import delta_join
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    o_old = t["orders"].where(F.col("o_orderdate") < cutoff)
+    o_new = t["orders"].where(F.col("o_orderdate") >= cutoff)
+    cust = t["customer"].withColumnRenamed("c_custkey", "o_custkey")
+    c_old = cust.where(F.col("o_custkey") % 5 < 4)
+    c_new = cust.where(F.col("o_custkey") % 5 == 4)
+
+    snapshot = o_old.join(c_old, "o_custkey")
+    fresh = delta_join(o_old, o_new, c_old, c_new, ["o_custkey"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        snapshot.unionByName(fresh)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q89_SQL = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 EXTRAS: dict[str, QuerySpec] = {
     "q24_provenance_lineage": QuerySpec(q24_provenance_lineage, None),
     "q25_asof_join": QuerySpec(q25_asof_join, Q25_SQL),
@@ -1337,6 +1377,7 @@ EXTRAS: dict[str, QuerySpec] = {
     "q40_connected_components": QuerySpec(q40_connected_components, Q40_SQL),
     "q41_pagerank": QuerySpec(q41_pagerank, Q41_SQL),
     "q88_shortest_paths": QuerySpec(q88_shortest_paths, Q88_SQL),
+    "q89_delta_join": QuerySpec(q89_delta_join, Q89_SQL),
     "q42_salted_join": QuerySpec(q42_salted_join, Q42_SQL),
     "q43_stream_join": QuerySpec(q43_stream_join, Q43_SQL),
     "q44_stream_dedup": QuerySpec(q44_stream_dedup, Q44_SQL),

@@ -839,12 +839,79 @@ FROM est ORDER BY true_cnt DESC, token ASC
 """
 
 
+def x97_join_size_estimate(spark, sf_dir):
+    """Sketch-driven join-cardinality estimation — the cost-based
+    optimizer statistic, computed WITHOUT running the join: Count-Min
+    tables (x94's operator) over each side's join key, then
+    ``min_j Σ_b cmsA[j][b]·cmsB[j][b]`` (sketches.count_min_join_size).
+    Estimates |lineitem ⋈ σ(status='F') orders| on orderkey; the output
+    row carries the true size next to the estimate so the driver
+    verifies the ESTIMATOR exactly (both are deterministic md5-bucket
+    replays), including its guaranteed-overestimate sign. At 100 TB the
+    two sketch builds are one scan each with O(depth·width) state — the
+    join itself never runs."""
+    from samba_spark.operators.sketches import (
+        count_min_join_size,
+        count_min_table,
+    )
+
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    filt = t["orders"].where(F.col("o_orderstatus") == "F")
+    cms_l = count_min_table(
+        t["lineitem"].select(F.col("l_orderkey").alias("k")), "k",
+        depth=4, width=1024,
+    )
+    cms_o = count_min_table(
+        filt.select(F.col("o_orderkey").alias("k")), "k",
+        depth=4, width=1024,
+    )
+    true_size = (
+        t["lineitem"]
+        .join(filt, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_size"))
+    )
+    return true_size.crossJoin(count_min_join_size(cms_l, cms_o)).select(
+        "true_size",
+        "est_join_size",
+        (F.col("est_join_size") - F.col("true_size")).alias("overestimate"),
+    )
+
+
+X97_SQL = """
+WITH la AS (
+  SELECT j, (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+             CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 1024) AS bucket
+  FROM lineitem, UNNEST(range(0, 4)) AS r(j)),
+cms_l AS (SELECT j, bucket, COUNT(*) AS cnt FROM la GROUP BY j, bucket),
+ob AS (
+  SELECT j, (('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+             CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 1024) AS bucket
+  FROM orders, UNNEST(range(0, 4)) AS r(j)
+  WHERE o_orderstatus = 'F'),
+cms_o AS (SELECT j, bucket, COUNT(*) AS cnt FROM ob GROUP BY j, bucket),
+est AS (
+  SELECT CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(s) END AS est_join_size
+  FROM (
+    SELECT l.j, SUM(l.cnt * o.cnt) AS s
+    FROM cms_l l JOIN cms_o o ON l.j = o.j AND l.bucket = o.bucket
+    GROUP BY l.j)),
+ts AS (
+  SELECT COUNT(*)::BIGINT AS true_size
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT true_size, est_join_size::BIGINT AS est_join_size,
+       (est_join_size - true_size)::BIGINT AS overestimate
+FROM ts CROSS JOIN est
+"""
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
     "x79_stratified_split": QuerySpec(x79_stratified_split, X79_SQL),
     "x80_hll_rollup": QuerySpec(x80_hll_rollup, X80_SQL),
     "x94_count_min": QuerySpec(x94_count_min, X94_SQL),
+    "x97_join_size_estimate": QuerySpec(x97_join_size_estimate, X97_SQL),
     "x81_approx_topk": QuerySpec(x81_approx_topk, X81_SQL),
     "x82_bitmap_distinct": QuerySpec(x82_bitmap_distinct, X82_SQL),
     "q78_stateful_processor": QuerySpec(q78_stateful_processor, Q78_SQL),

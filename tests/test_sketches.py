@@ -305,3 +305,38 @@ def test_count_min_merge_and_overestimate_invariant(spark):
     joined = truth.join(est, "token").collect()
     assert len(joined) == 17
     assert all(r.est_cms >= r.true_cnt for r in joined)
+
+
+def test_count_min_join_size_upper_bounds_and_small_case(spark):
+    """Tiny exact case: keys unique per side, no hash collisions likely
+    at width 512 → estimate equals the true join size; and the estimate
+    can never be below the true size whatever the collisions."""
+    from samba_spark.operators.sketches import (
+        count_min_join_size,
+        count_min_table,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 2, 3]], ["k"])
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 9]], ["k"])
+    cms_a = count_min_table(a, "k")
+    cms_b = count_min_table(b, "k")
+    est = count_min_join_size(cms_a, cms_b).collect()[0].est_join_size
+    true_size = a.join(b, "k").count()  # 1x2 + 1x2... keys: 1 matches twice
+    assert true_size == 4
+    assert est >= true_size
+
+
+def test_count_min_join_size_disjoint_keys(spark):
+    from samba_spark.operators.sketches import (
+        count_min_join_size,
+        count_min_table,
+    )
+
+    a = spark.createDataFrame([(f"a{k}",) for k in range(5)], ["k"])
+    b = spark.createDataFrame([(f"b{k}",) for k in range(5)], ["k"])
+    est = count_min_join_size(
+        count_min_table(a, "k"), count_min_table(b, "k")
+    ).collect()
+    # disjoint keys: any hash row with no colliding bucket pins the min
+    # to 0, and these fixed md5 buckets produce no 4-row-wide collision.
+    assert est[0].est_join_size == 0
