@@ -483,3 +483,52 @@ def gap_filled_daily(
         )
         .withColumn("cum_cents", F.sum("day_cents").over(w).cast("long"))
     )
+
+
+def ewma(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value: Column,
+    *,
+    alpha_halving: bool = True,
+) -> DataFrame:
+    """Integer-exact exponentially-weighted moving average per key:
+    ``s_0 = x_0; s_t = (x_t + s_{t-1}) div 2`` (α = 1/2, integer
+    division) over the series ordered by ``order_cols``. The α=1/2 fold
+    keeps every engine bit-identical — no float powers, no
+    transcendental decay — while preserving the EWMA property (old
+    observations decay geometrically). Returns (key, n_events,
+    last_value, ewma) with BIGINT values.
+
+    Scale posture: ONE shuffle (groupBy key) with the per-key series
+    materialized as a sorted array and folded by a codegen'd
+    higher-order function — no window over a global sort, no iterative
+    jobs. Assumes bounded per-key series (an entity's event history),
+    the same per-group discipline as sessionization above; an unbounded
+    hot key would need windowed pre-aggregation first.
+    """
+    if not alpha_halving:
+        raise NotImplementedError("only the alpha=1/2 integer fold is exact")
+    ordered = events.select(
+        F.col(key_col).alias("k"),
+        F.struct(
+            *[F.col(c) for c in order_cols], value.cast("long").alias("v")
+        ).alias("s"),
+    )
+    per_key = ordered.groupBy("k").agg(
+        F.transform(
+            F.array_sort(F.collect_list("s")), lambda s: s["v"]
+        ).alias("vals")
+    )
+    return per_key.select(
+        F.col("k").alias(key_col),
+        F.size("vals").cast("long").alias("n_events"),
+        F.element_at("vals", -1).cast("long").alias("last_value"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1),"
+            " element_at(vals, 1), (acc, x) -> (acc + x) div 2)"
+        )
+        .cast("long")
+        .alias("ewma"),
+    )

@@ -346,3 +346,42 @@ def semantic_prune(
     )
     survivors = clusters.select(id_col, "n_merged").unionByName(singletons)
     return embeddings.join(survivors, id_col)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings — the standard
+    hybrid-search combiner (lexical + vector, or any mix): each ranking
+    contributes ``scale div (k + rank)`` and an item absent from a
+    ranking contributes 0, so ``rrf = Σ_r scale div (k + rank_r)``.
+    Fixed-point integer division keeps every engine bit-identical (the
+    float 1/(k+rank) classic differs only by the scale quantization).
+
+    Inputs are (id_col, rank) frames — rank 1-based, already
+    deterministic (rank ties must be broken upstream). Output:
+    (id_col, rank_0.., rank_N-1, rrf) with NULL rank for items missing
+    from a ranking. Scale posture: rankings are top-k lists —
+    aggregation-sized — so the N-way full outer join is metadata-scale
+    regardless of corpus size; fusion never touches the corpus.
+    """
+    out = rankings[0].select(
+        id_col, F.col("rank").cast("long").alias("rank_0")
+    )
+    for i, r in enumerate(rankings[1:], 1):
+        out = out.join(
+            r.select(id_col, F.col("rank").cast("long").alias(f"rank_{i}")),
+            id_col,
+            "full",
+        )
+    score = None
+    for i in range(len(rankings)):
+        term = F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.expr(f"{scale} div ({k} + rank_{i})"),
+        ).otherwise(F.lit(0))
+        score = term if score is None else score + term
+    return out.withColumn("rrf", score.cast("long"))

@@ -27,7 +27,7 @@ the r3 sketch family (x80–x82/x87), and the highest-risk remaining ops
 
 Round-5 rotation backlog (the 27 residual never-driver-checked queries, to
 rotate in once the round-4 window comes back green): x45–x47, x50–x52,
-x54, x56–x59, x61, x62, x64, x66–x69, x76, x78, x88–x97, q74, q76,
+x54, x56–x59, x61, x62, x64, x66–x69, x76, x78, x88–x99, q74, q76,
 q87–q89.
 Two rotations
 (r4 + r5) fully retire the backlog; every query stays under the local

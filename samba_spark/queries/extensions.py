@@ -2892,6 +2892,132 @@ ORDER BY fd
 """
 
 
+def x_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion (simsearch.rrf_fuse) of
+    a LEXICAL ranking (x38's integer TF·IDF, top-50) and a VECTOR
+    ranking (x10's rounded-cosine top-50 against doc 0's embedding) —
+    the standard two-tower search combiner. rrf = Σ 10⁶ div (60+rank),
+    absent-from-a-ranking contributes 0; top-15 fused. Both input
+    rankings and the fusion arithmetic are integer/rounded-exact, so
+    the whole hybrid stack is oracle-replayable."""
+    from samba_spark.operators.simsearch import rrf_fuse
+    from samba_spark.operators.textual import search_topk
+    from pyspark.sql import Window
+
+    docs, embs = _docs(spark, sf_dir), _embs(spark, sf_dir)
+    lex = search_topk(docs, ["table", "stream", "vector"], k=50)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_rank = lex.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("rank")
+    )
+    qdf = embs.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("embedding").alias("q_embedding")
+    )
+    vec_rank = S.cosine_topk(embs, qdf, k=50).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    fused = rrf_fuse([lex_rank, vec_rank], "doc_id")
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_0").alias("rank_lex"),
+            F.col("rank_1").alias("rank_vec"),
+            "rrf",
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(15)
+    )
+
+
+X_HYBRID_RRF_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x = 'table'))::BIGINT AS tf0,
+         len(list_filter(toks, x -> x = 'stream'))::BIGINT AS tf1,
+         len(list_filter(toks, x -> x = 'vector'))::BIGINT AS tf2
+  FROM toked),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::BIGINT AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::BIGINT AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::BIGINT AS df2
+  FROM tf),
+lex_scored AS (
+  SELECT doc_id,
+       (CASE WHEN df0 > 0 THEN tf0 * FLOOR(1e6 * n / df0)::BIGINT ELSE 0 END
+      + CASE WHEN df1 > 0 THEN tf1 * FLOOR(1e6 * n / df1)::BIGINT ELSE 0 END
+      + CASE WHEN df2 > 0 THEN tf2 * FLOOR(1e6 * n / df2)::BIGINT ELSE 0 END
+       )::BIGINT AS score
+  FROM tf, stats),
+lex_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS r
+  FROM lex_scored WHERE score > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 50),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+  FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id AS doc_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+vec_scored AS (
+  SELECT c.doc_id,
+         ROUND(list_dot_product(q.q_emb, c.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+  FROM c CROSS JOIN q),
+vec_rank AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC)::BIGINT AS r
+  FROM vec_scored ORDER BY sim DESC, doc_id ASC LIMIT 50),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         l.r AS rank_lex, v.r AS rank_vec,
+         (COALESCE(1000000 // (60 + l.r), 0)
+        + COALESCE(1000000 // (60 + v.r), 0))::BIGINT AS rrf
+  FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id)
+SELECT doc_id, rank_lex, rank_vec, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 15
+"""
+
+
+def x_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (sessionize.ewma): integer α=1/2
+    fold ``s_t = (x_t + s_{t-1}) div 2`` over each user's (ts,
+    event_id)-ordered history — the smoothing baseline an anomaly
+    monitor tracks per entity, bit-exact in every engine (no float
+    decay). One shuffle, codegen'd higher-order fold, no global
+    window. Top-25 users by smoothed level."""
+    from samba_spark.operators.sessionize import ewma
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ewma(ev, "user_id", ["ts", "event_id"], cents)
+        .orderBy(F.desc("ewma"), "user_id")
+        .limit(25)
+    )
+
+
+X_EWMA_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         list(CAST(ROUND(value * 100) AS BIGINT) ORDER BY ts, event_id)
+           AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id, len(vals)::BIGINT AS n_events,
+       vals[-1]::BIGINT AS last_value,
+       list_reduce(vals, (a, b) -> (a + b) // 2)::BIGINT AS ewma
+FROM ev ORDER BY ewma DESC, user_id ASC LIMIT 25
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -2951,6 +3077,8 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_frequent_itemsets, X_FREQUENT_ITEMSETS_SQL
     ),
     "x96_fd_profile": QuerySpec(x_fd_profile, X_FD_PROFILE_SQL),
+    "x98_ewma": QuerySpec(x_ewma, X_EWMA_SQL),
+    "x99_hybrid_rrf": QuerySpec(x_hybrid_rrf, X_HYBRID_RRF_SQL),
     "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
     "x46_retention_monthly": QuerySpec(
         x_retention_monthly, X_RETENTION_MONTHLY_SQL

@@ -1125,3 +1125,54 @@ def test_lm_fluency_semantics(spark):
     p_cd = (1_000_000 * 2) // (1 + 5)
     assert out[2].fluency == 2 * p_cd
     assert out[1].avg_fluency > out[2].avg_fluency
+
+
+def test_rrf_fuse_semantics(spark):
+    """Overlap gets both contributions; single-ranking items get one;
+    the fixed-point quantization matches hand arithmetic."""
+    from samba_spark.operators.simsearch import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["id", "rank"])
+    b = spark.createDataFrame([(20, 1), (40, 2)], ["id", "rank"])
+    got = {r.id: r for r in rrf_fuse([a, b], "id").collect()}
+    assert got[20].rrf == 1_000_000 // 62 + 1_000_000 // 61
+    assert got[10].rrf == 1_000_000 // 61
+    assert got[40].rrf == 1_000_000 // 62
+    assert got[40].rank_0 is None and got[40].rank_1 == 2
+    assert set(got) == {10, 20, 30, 40}
+
+
+def test_ewma_integer_fold(spark):
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sessionize import ewma
+
+    df = spark.createDataFrame(
+        [("u1", 1, 1), ("u1", 2, 5), ("u1", 3, 9), ("u1", 4, 3), ("u2", 1, 7)],
+        ["user", "t", "v"],
+    )
+    got = {
+        r.user: r
+        for r in ewma(df, "user", ["t"], F.col("v")).collect()
+    }
+    # u1: 1 -> (1+5)//2=3 -> (3+9)//2=6 -> (6+3)//2=4
+    assert got["u1"].ewma == 4
+    assert got["u1"].n_events == 4
+    assert got["u1"].last_value == 3
+    # single observation: EWMA is the observation itself
+    assert got["u2"].ewma == 7 and got["u2"].n_events == 1
+
+
+def test_ewma_order_sensitivity(spark):
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sessionize import ewma
+
+    # same multiset, different order -> different fold result proves the
+    # series is genuinely ordered by the order columns, not arrival
+    asc = [("u", i, v) for i, v in enumerate([10, 0, 0, 0])]
+    desc = [("u", i, v) for i, v in enumerate([0, 0, 0, 10])]
+    r_asc = ewma(spark.createDataFrame(asc, ["u", "t", "v"]), "u", ["t"], F.col("v")).collect()[0].ewma
+    r_desc = ewma(spark.createDataFrame(desc, ["u", "t", "v"]), "u", ["t"], F.col("v")).collect()[0].ewma
+    assert r_asc == 1   # 10 -> 5 -> 2 -> 1
+    assert r_desc == 5  # 0 -> 0 -> 0 -> (0+10)//2
