@@ -15,7 +15,7 @@ run), kept engine-exact: all outputs are integer counts.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -109,4 +109,38 @@ def key_uniqueness(df: DataFrame, *cols: str) -> DataFrame:
         "n_rows",
         "n_distinct",
         (F.col("n_rows") - F.col("n_distinct")).cast("long").alias("n_duplicates"),
+    )
+
+
+def table_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """ANALYZE-style column statistics in ONE scan: per column,
+    (column, n_rows, n_distinct, n_null) — the NDV/null-count statistics
+    a cost-based optimizer (and x97's sketch estimator) consumes. All
+    distinct counts ride a single aggregate via Catalyst's expand
+    rewrite — N columns cost one shuffle-free scan plus one 1-row
+    aggregate, not N jobs; the 1-row result explodes into per-column
+    rows without touching the driver."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{i}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nn_{i}")
+        )
+    row = df.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_nd_{i}").alias("nd"),
+                F.col(f"_nn_{i}").alias("nn"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(F.col("_n"), F.explode(cells).alias("c")).select(
+        F.col("c.column").alias("column"),
+        F.col("_n").alias("n_rows"),
+        F.col("c.nd").alias("n_distinct"),
+        F.col("c.nn").alias("n_null"),
     )

@@ -289,3 +289,48 @@ def upsert(
         updates.select(*keys).distinct(), keys, "left_anti"
     )
     return survivors.unionByName(updates.select(*target.columns))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval × interval OVERLAP join — both sides are time ranges and
+    a pair matches iff ``l_start <= r_end AND r_start <= l_end``. This
+    is the shape range_join (point vs window, q26) cannot express, and
+    the naive plan is a cross join with a non-equi predicate — quadratic
+    and unshuffleable.
+
+    Scale strategy (standard bucket decomposition): every interval
+    explodes to the fixed-width time buckets it covers, the join runs as
+    an ordinary hash-shuffle EQUI-join on the bucket id, the exact
+    overlap predicate filters false bucket-mates, and a distinct()
+    collapses pairs that met in several buckets. Pick ``bucket_seconds``
+    near the typical interval length: each interval then hits O(1)
+    buckets and the shuffle is keyed on time — i.e., partition count
+    scales with the time span, never with |L|×|R|. Long stragglers cost
+    more buckets (linear in their length), not a cross join.
+
+    Column names must be disjoint between the two frames (pre-rename);
+    the output keeps all columns from both, deduplicated exactly.
+    """
+    bucket_us = bucket_seconds * 1_000_000
+
+    def explode_buckets(df: DataFrame, start: str, end: str) -> DataFrame:
+        # integer div, not float /: micros near 2^50 lose exactness in a
+        # double quotient and can misplace boundary timestamps
+        lo = F.expr(f"unix_micros({start}) div {bucket_us}L")
+        hi = F.expr(f"unix_micros({end}) div {bucket_us}L")
+        return df.withColumn("_bucket", F.explode(F.sequence(lo, hi)))
+
+    lb = explode_buckets(left, l_start, l_end)
+    rb = explode_buckets(right, r_start, r_end)
+    joined = lb.join(rb, "_bucket").where(
+        (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    )
+    return joined.drop("_bucket").distinct()

@@ -3018,6 +3018,115 @@ FROM ev ORDER BY ewma DESC, user_id ASC LIMIT 25
 """
 
 
+def x_table_profile(spark, sf_dir):
+    """ANALYZE-style statistics pass (quality.table_profile) over
+    lineitem: exact NDV + null count per column, all in one scan (one
+    expand-rewrite aggregate, no per-column jobs). These are the table
+    statistics x97's sketch estimator and any cost-based join reorder
+    consume; with x96 (FDs) and x39 (skew) this completes the profiling
+    shelf."""
+    from samba_spark.operators.quality import table_profile
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return table_profile(li).orderBy("column")
+
+
+X_TABLE_PROFILE_SQL = """
+WITH s AS (SELECT COUNT(*)::BIGINT AS n FROM lineitem)
+SELECT col AS "column", n AS n_rows, n_distinct, n_null FROM (
+  SELECT 'l_orderkey' AS col, COUNT(DISTINCT l_orderkey)::BIGINT AS n_distinct,
+         SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null FROM lineitem
+  UNION ALL SELECT 'l_partkey', COUNT(DISTINCT l_partkey)::BIGINT,
+         SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey)::BIGINT,
+         SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_linenumber', COUNT(DISTINCT l_linenumber)::BIGINT,
+         SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_quantity', COUNT(DISTINCT l_quantity)::BIGINT,
+         SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', COUNT(DISTINCT l_extendedprice)::BIGINT,
+         SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_discount', COUNT(DISTINCT l_discount)::BIGINT,
+         SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_tax', COUNT(DISTINCT l_tax)::BIGINT,
+         SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag)::BIGINT,
+         SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_linestatus', COUNT(DISTINCT l_linestatus)::BIGINT,
+         SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+  UNION ALL SELECT 'l_shipdate', COUNT(DISTINCT l_shipdate)::BIGINT,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+) AS s2 CROSS JOIN s
+ORDER BY col
+"""
+
+
+def x_interval_overlap(spark, sf_dir):
+    """Interval × interval overlap join (relational.interval_overlap_join)
+    — cross-USER temporal correlation: for each (user, day) build the
+    click-activity interval and the error interval, then find every
+    pair of DIFFERENT users whose intervals overlap in wall time. The
+    naive plan is a non-equi cross join; the operator turns it into an
+    hourly-bucket equi-join + exact predicate + distinct (see operator
+    docstring for the 100 TB posture). Overlap length in integer
+    microseconds; top-50 longest."""
+    from samba_spark.operators.relational import interval_overlap_join
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    day = F.date_trunc("day", F.col("ts"))
+
+    def per_user_day(etype, prefix):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(
+                F.col("user_id").alias(f"{prefix}_user"),
+                day.alias(f"{prefix}_day"),
+            )
+            .agg(
+                F.min("ts").alias(f"{prefix}_start"),
+                F.max("ts").alias(f"{prefix}_end"),
+            )
+        )
+
+    clicks = per_user_day("click", "c")
+    errors = per_user_day("error", "e")
+    pairs = interval_overlap_join(
+        clicks, errors, "c_start", "c_end", "e_start", "e_end"
+    ).where(F.col("c_user") != F.col("e_user"))
+    overlap_us = F.unix_micros(
+        F.least(F.col("c_end"), F.col("e_end"))
+    ) - F.unix_micros(F.greatest(F.col("c_start"), F.col("e_start")))
+    return (
+        pairs.select(
+            "c_user",
+            "e_user",
+            F.col("c_day").cast("date").alias("c_day"),
+            overlap_us.cast("long").alias("overlap_us"),
+        )
+        .orderBy(F.desc("overlap_us"), "c_user", "e_user", "c_day")
+        .limit(50)
+    )
+
+
+X_INTERVAL_OVERLAP_SQL = """
+WITH c AS (
+  SELECT user_id AS c_user, date_trunc('day', ts) AS c_day,
+         MIN(ts) AS c_start, MAX(ts) AS c_end
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+e AS (
+  SELECT user_id AS e_user, date_trunc('day', ts) AS e_day,
+         MIN(ts) AS e_start, MAX(ts) AS e_end
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+SELECT c_user, e_user, CAST(c_day AS DATE) AS c_day,
+       (epoch_us(LEAST(c_end, e_end))
+      - epoch_us(GREATEST(c_start, e_start)))::BIGINT AS overlap_us
+FROM c JOIN e ON c_start <= e_end AND e_start <= c_end
+WHERE c_user <> e_user
+ORDER BY overlap_us DESC, c_user, e_user, c_day
+LIMIT 50
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
@@ -3078,6 +3187,10 @@ EXTENSIONS: dict[str, QuerySpec] = {
     ),
     "x96_fd_profile": QuerySpec(x_fd_profile, X_FD_PROFILE_SQL),
     "x98_ewma": QuerySpec(x_ewma, X_EWMA_SQL),
+    "x100_table_profile": QuerySpec(x_table_profile, X_TABLE_PROFILE_SQL),
+    "x101_interval_overlap": QuerySpec(
+        x_interval_overlap, X_INTERVAL_OVERLAP_SQL
+    ),
     "x99_hybrid_rrf": QuerySpec(x_hybrid_rrf, X_HYBRID_RRF_SQL),
     "x45_deep_funnel": QuerySpec(x_deep_funnel, X_DEEP_FUNNEL_SQL),
     "x46_retention_monthly": QuerySpec(

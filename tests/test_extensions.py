@@ -1176,3 +1176,54 @@ def test_ewma_order_sensitivity(spark):
     r_desc = ewma(spark.createDataFrame(desc, ["u", "t", "v"]), "u", ["t"], F.col("v")).collect()[0].ewma
     assert r_asc == 1   # 10 -> 5 -> 2 -> 1
     assert r_desc == 5  # 0 -> 0 -> 0 -> (0+10)//2
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketed overlap join == brute-force non-equi join, including
+    intervals that span several buckets (dedup) and touch-at-boundary
+    pairs (inclusive predicate)."""
+    import datetime as dt
+
+    from samba_spark.operators.relational import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [
+            ("L1", ts(0), ts(90)),     # spans 2 hourly buckets
+            ("L2", ts(200), ts(210)),
+            ("L3", ts(600), ts(660)),
+        ],
+        ["l_id", "ls", "le"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("R1", ts(60), ts(120)),   # overlaps L1 in both buckets
+            ("R2", ts(90), ts(95)),    # touches L1 exactly at its end
+            ("R3", ts(211), ts(300)),  # just after L2 — no match
+            ("R4", ts(650), ts(700)),
+        ],
+        ["r_id", "rs", "re"],
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re"
+        ).collect()
+    )
+    rows_l = left.collect()
+    rows_r = right.collect()
+    expected = sorted(
+        (l.l_id, r.r_id)
+        for l in rows_l
+        for r in rows_r
+        if l.ls <= r.re and r.rs <= l.le
+    )
+    assert got == expected
+    assert ("L1", "R1") in got and ("L1", "R2") in got
+    assert ("L2", "R3") not in got
+    # multi-bucket overlap must appear exactly once
+    assert len(got) == len(set(got))
