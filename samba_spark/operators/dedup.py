@@ -650,3 +650,64 @@ def rare_token_blocking_pairs(
             F.col("n_union").cast("long").alias("n_union"),
         )
     )
+
+
+def deletion_neighborhood_pairs(
+    strings: DataFrame,
+    str_col: str = "s",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Edit-distance-1 string pair join via deletion neighborhoods
+    (the SymSpell blocking scheme): two strings are within Levenshtein
+    distance 1 iff their neighborhoods N(s) = {s} ∪ {s minus one char}
+    intersect, so candidates come from an equi-join on a 64-bit hash of
+    the variant — never a distance cross join. Candidates are then
+    verified with the exact ``levenshtein`` expression (neighborhood
+    overlap admits a few distance-2 pairs, e.g. transpositions).
+
+    Feed it a DICTIONARY (distinct strings), not occurrences: SymSpell
+    blocks on term spellings, and joining occurrences would re-inflate
+    every repeated string into a quadratic bucket. Each string of length
+    L emits L+1 variants, so the exchange moves O(total chars) 8-byte
+    keys — linear in dictionary size, independent of corpus row count.
+    ``max_bucket`` drops degenerate variant buckets (e.g. the empty
+    string from every 1-char term) the same way LSH caps boilerplate
+    shingle buckets.
+
+    Output: (s_a, s_b, distance) with s_a < s_b, distance ≤ 1 exact.
+
+    The reference has no string-similarity surface (rdd/RDD.scala
+    distinct is exact-only); clean-room implementation of the public
+    SymSpell deletion-neighborhood idea.
+    """
+    s = F.col(str_col)
+    variants = strings.select(
+        s.alias("_s"),
+        F.explode(
+            F.array_union(
+                F.array(s),
+                F.expr(
+                    f"transform(sequence(1, length({str_col})), i -> "
+                    f"concat(substring({str_col}, 1, i - 1), "
+                    f"substring({str_col}, i + 1, length({str_col}))))"
+                ),
+            )
+        ).alias("_v"),
+    ).select("_s", F.xxhash64(F.col("_v")).alias("_vh"))
+    counts = variants.groupBy("_vh").agg(F.count(F.lit(1)).alias("_n"))
+    capped = variants.join(
+        counts.where(F.col("_n") <= max_bucket).select("_vh"), "_vh"
+    )
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "_vh")
+        .where(F.col("a._s") < F.col("b._s"))
+        .select(F.col("a._s").alias("s_a"), F.col("b._s").alias("s_b"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "distance", F.levenshtein("s_a", "s_b").cast("long")
+        )
+        .where(F.col("distance") <= 1)
+    )

@@ -276,3 +276,72 @@ def shortest_paths(
         )
         frontier = improved
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 4,
+) -> DataFrame:
+    """(vertex, community) via synchronous label propagation: every
+    vertex starts as its own label; each round every vertex adopts the
+    most frequent label among its neighbors, ties broken toward the
+    SMALLEST label — fully deterministic (no RNG, no async sweep
+    order), so a fixed ``iterations`` unroll is reproducible in any
+    engine. Communities are denser-than-CC structure: connected
+    components merge everything reachable, LPA keeps weakly-linked
+    clusters apart.
+
+    Each round is two partial-aggregated shuffles, both keyed by vertex
+    ((vertex, label) count, then a max_by vote), with candidate volume
+    O(edges) — the GraphX LPA shape re-expressed as DataFrame aggs.
+    Rounds localCheckpoint so plan depth stays flat at any iteration
+    count. Reference has no graph surface (SURVEY §2.4); clean-room.
+    """
+    undirected = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    )
+    # self-loops: each vertex votes for its own label too — the standard
+    # stabilizer that stops synchronous LPA from two-coloring oscillation
+    # on bipartite-ish graphs
+    sym = (
+        undirected.unionByName(
+            undirected.select("_s").distinct().select(
+                "_s", F.col("_s").alias("_d")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("_s").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(iterations):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("vertex").alias("_d"),
+                    F.col("label").alias("_nl"),
+                ),
+                "_d",
+            )
+            .groupBy(F.col("_s").alias("vertex"), F.col("_nl"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            votes.groupBy("vertex")
+            .agg(
+                F.max_by(
+                    "_nl", F.struct(F.col("_c"), (-F.col("_nl")).alias("_t"))
+                ).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select("vertex", F.col("label").alias("community"))

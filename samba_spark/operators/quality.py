@@ -144,3 +144,30 @@ def table_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
         F.col("c.nd").alias("n_distinct"),
         F.col("c.nn").alias("n_null"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit over a quasi-identifier set: one
+    row per equivalence class (the distinct combination of quasi-
+    identifier values) with its size, the number of distinct sensitive
+    values it carries (l-diversity), and an ``at_risk`` flag for classes
+    smaller than ``k`` — the re-identification exposure report a
+    training-data release gate runs before publishing user-derived
+    records.
+
+    One hash aggregation keyed by the quasi columns; output is
+    O(equivalence classes), never O(rows), and the distinct-sensitive
+    count rides the same pass (Catalyst expand rewrite), so the whole
+    audit is a single scan at any scale. The reference has no privacy
+    surface; north-star governance utility.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"),
+        F.countDistinct(sensitive_col).cast("long").alias("l_diversity"),
+        (F.count(F.lit(1)) < F.lit(k)).alias("at_risk"),
+    )

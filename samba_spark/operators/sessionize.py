@@ -532,3 +532,145 @@ def ewma(
         .cast("long")
         .alias("ewma"),
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k_x10000: int = 44478,
+) -> DataFrame:
+    """Robust outlier flags via median + MAD (median absolute deviation)
+    — the heavy-tail-safe complement to ``sliding_zscore_anomalies``:
+    mean/stddev are themselves dragged by the outliers they are supposed
+    to flag, while the median/MAD pair has a 50% breakdown point.
+
+    Exact-integer formulation so the flag boundary is engine-exact:
+    values are cents ``c``; ``med2 = 2·median(c)`` (interpolated median
+    of integers doubled is itself an integer), ``dev2 = |2c − med2|``,
+    ``mad4 = 2·median(dev2)``. The flag is
+    ``dev2 · 2 · 10000 > k_x10000 · mad4`` — the default ``k_x10000 =
+    44478 = 3 × 1.4826 × 10⁴`` is the classic "3 sigma-equivalents"
+    (1.4826·MAD estimates σ for normal data), with every comparison in
+    64-bit integers (no float boundary ties).
+
+    Per-group medians come from one exact ``percentile`` aggregation per
+    pass (two passes: median, then MAD); group stats are O(groups) and
+    broadcast back, so the event table is scanned twice and never
+    shuffled on anything but the tiny group key. Returns the flagged
+    rows with their group context.
+    """
+    c = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(
+        F.col(group_col), F.col(id_col), c.alias("cents")
+    )
+    med = base.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("cents"), F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("med2")
+    )
+    dev = base.join(F.broadcast(med), group_col).withColumn(
+        "dev2", F.abs(F.col("cents") * 2 - F.col("med2"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("dev2"), F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .where(
+            F.col("dev2") * 2 * 10000 > F.lit(k_x10000) * F.col("mad4")
+        )
+        .select(
+            group_col,
+            id_col,
+            "cents",
+            "med2",
+            "mad4",
+            (F.col("dev2") * 2).alias("dev4"),
+        )
+    )
+
+
+def interpolate_daily_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Linearly interpolated per-user daily event-count series — the
+    missing-value repair step between ``gap_filled_daily`` (zero-fill)
+    and a model-grade feature: gap days get the straight line between
+    the surrounding observed days instead of a hole or a zero.
+
+    Integer-exact: interpolated value is
+    ``prev + (next − prev) · pos ÷ gap`` in 1/1000 units with integer
+    floor division (counts are non-negative, so floor and truncate
+    agree in every engine). Observed days pass through exactly.
+
+    Same physical shape as ``gap_filled_daily``: one user-keyed
+    exchange serves the daily aggregate, the date-spine join and both
+    direction windows; the spine explode is bounded by each user's own
+    active span (#users × span rows — metadata-small at 100 TB).
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    daily = (
+        events.select(F.col(user_col), day.alias("day"))
+        .groupBy(user_col, "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    bounds = events.groupBy(user_col).agg(
+        F.date_trunc("DAY", F.min(ts_col)).alias("_d0"),
+        F.date_trunc("DAY", F.max(ts_col)).alias("_d1"),
+    )
+    spine = bounds.select(
+        user_col,
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    sparse = spine.join(daily, [user_col, "day"], "left")
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(user_col)
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    with_day = sparse.withColumn(
+        "_obs_day", F.when(F.col("n_obs").isNotNull(), F.col("day"))
+    )
+    filled = (
+        with_day.withColumn("_pv", F.last("n_obs", True).over(w_prev))
+        .withColumn("_pd", F.last("_obs_day", True).over(w_prev))
+        .withColumn("_nv", F.first("n_obs", True).over(w_next))
+        .withColumn("_nd", F.first("_obs_day", True).over(w_next))
+    )
+    staged = filled.withColumn(
+        # observed rows never take the DIV branch, but keep the divisor
+        # nonzero so ANSI mode cannot trip on a pre-evaluated 0-gap row
+        "_gap",
+        F.greatest(
+            F.datediff(F.col("_nd"), F.col("_pd")).cast("long"), F.lit(1)
+        ),
+    ).withColumn(
+        "_pos", F.datediff(F.col("day"), F.col("_pd")).cast("long")
+    ).withColumn(
+        "_num",
+        F.col("_pv") * 1000 * F.col("_gap")
+        + (F.col("_nv") - F.col("_pv")) * 1000 * F.col("_pos"),
+    )
+    interp = F.when(
+        F.col("n_obs").isNotNull(), (F.col("n_obs") * 1000).cast("long")
+    ).otherwise(F.expr("_num DIV _gap"))
+    return staged.select(
+        F.col(user_col),
+        F.col("day").cast("date").alias("day"),
+        F.col("n_obs").isNotNull().alias("observed"),
+        interp.alias("count_x1000"),
+    )

@@ -738,3 +738,74 @@ def lm_fluency(documents: DataFrame, scale: int = 1_000_000) -> DataFrame:
         F.sum("p").cast("long").alias("fluency"),
         F.expr("sum(p) div count(1)").cast("long").alias("avg_fluency"),
     )
+
+
+def strip_boilerplate(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal — the REPAIR half of x35's
+    repeated-span detection: cut every non-overlapping ``n``-token chunk
+    that appears in more than ``max_df`` distinct documents (headers,
+    footers, navigation junk in a crawl), and reassemble each document
+    from its surviving chunks in order.
+
+    Chunking is pure Catalyst (``sequence``/``slice``/``inline`` — no
+    Python, no per-row UDF); the chunk-frequency relation is corpus-wide
+    but only O(distinct chunks) and its frequent slice (the only thing
+    joined back) is a broadcast — the corpus itself is never shuffled.
+    Reassembly sorts each document's surviving (idx, chunk) pairs inside
+    an array aggregate, so ordering never depends on task order.
+
+    Returns (id, n_chunks, n_removed, cleaned); fully-boilerplate
+    documents survive with an empty ``cleaned``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nch = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.struct(
+            (i + 1).alias("idx"),
+            F.array_join(F.slice(toks, i * n + 1, n), " ").alias("chunk"),
+        ),
+    )
+    base = documents.select(
+        F.col(id_col), nch.alias("n_chunks"), chunks.alias("_chunks")
+    )
+    expl = base.select(id_col, "n_chunks", F.inline("_chunks"))
+    frequent = (
+        expl.select("chunk", id_col)
+        .distinct()
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("chunk")
+    )
+    kept = expl.join(F.broadcast(frequent), "chunk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("idx", "chunk"))
+                ),
+                lambda s: s.getField("chunk"),
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        base.select(id_col, "n_chunks")
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            (
+                F.col("n_chunks") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )

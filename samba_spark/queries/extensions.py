@@ -3127,7 +3127,327 @@ LIMIT 50
 """
 
 
+def x_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit (quality.k_anonymity) over the
+    customer table: quasi-identifiers someone could know externally
+    (nation, market segment), sensitive attribute = account-balance
+    bucket. One O(classes) aggregation flags every equivalence class an
+    attacker could pin below k=5 members — the governance gate before a
+    user-derived corpus ships. Balance bucket uses shifted integer
+    division so negative balances bucket identically in every engine."""
+    from samba_spark.operators.quality import k_anonymity
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    quasi = cust.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        ((cents + F.lit(10_000_000)) / F.lit(100_000))
+        .cast("long")
+        .alias("bal_bucket"),
+    )
+    return (
+        k_anonymity(
+            quasi, ["nationkey", "mktsegment"], "bal_bucket", k=5
+        )
+        .orderBy("class_size", "nationkey", "mktsegment")
+        .limit(100)
+    )
+
+
+X_K_ANONYMITY_SQL = """
+WITH q AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         c_mktsegment AS mktsegment,
+         ((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 10000000) // 100000)
+           AS bal_bucket
+  FROM customer)
+SELECT nationkey, mktsegment,
+       COUNT(*)::BIGINT AS class_size,
+       COUNT(DISTINCT bal_bucket)::BIGINT AS l_diversity,
+       COUNT(*) < 5 AS at_risk
+FROM q GROUP BY nationkey, mktsegment
+ORDER BY class_size, nationkey, mktsegment
+LIMIT 100
+"""
+
+
+def x_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance-1 spelling join (dedup.deletion_neighborhood_pairs,
+    SymSpell blocking): the dictionary is the distinct part names plus,
+    for each, a deterministically perturbed copy (one character deleted
+    at an ascii-derived position), and the operator must rediscover
+    every within-distance-1 pair through the deletion-neighborhood
+    equi-join — no distance cross join anywhere. Exact ``levenshtein``
+    verification on candidates only."""
+    from samba_spark.operators.dedup import deletion_neighborhood_pairs
+
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    names = part.select(F.col("p_name").alias("s")).distinct()
+    perturbed = names.select(
+        F.expr(
+            "concat(substring(s, 1, ascii(substring(s, 1, 1)) % length(s)),"
+            " substring(s, ascii(substring(s, 1, 1)) % length(s) + 2,"
+            " length(s)))"
+        ).alias("s")
+    )
+    dictionary = names.union(perturbed).distinct()
+    return (
+        deletion_neighborhood_pairs(dictionary, "s")
+        .orderBy("s_a", "s_b")
+        .limit(200)
+    )
+
+
+X_LEVENSHTEIN_SQL = """
+WITH names AS (SELECT DISTINCT p_name AS s FROM part),
+perturbed AS (
+  SELECT DISTINCT
+         substr(s, 1, ascii(substr(s, 1, 1)) % length(s))
+      || substr(s, ascii(substr(s, 1, 1)) % length(s) + 2) AS s
+  FROM names),
+dict AS (SELECT s FROM names UNION SELECT s FROM perturbed),
+vars AS (
+  SELECT s,
+         unnest(list_append(
+           list_transform(range(1, length(s) + 1),
+                          i -> substr(s, 1, i - 1) || substr(s, i + 1)),
+           s)) AS v
+  FROM dict),
+pairs AS (
+  SELECT DISTINCT a.s AS s_a, b.s AS s_b
+  FROM vars a JOIN vars b ON a.v = b.v AND a.s < b.s)
+SELECT s_a, s_b, levenshtein(s_a, s_b)::BIGINT AS distance
+FROM pairs WHERE levenshtein(s_a, s_b) <= 1
+ORDER BY s_a, s_b LIMIT 200
+"""
+
+
+def x_mad_outliers(spark, sf_dir):
+    """Robust median/MAD outliers (sessionize.mad_outliers) per event
+    type — the 50%-breakdown complement to x58's trailing z-score: the
+    median pair cannot be dragged by the very outliers under test.
+    Integer-exact flag boundary (doubled medians, k = 3·1.4826 scaled
+    ×10⁴) so Spark and the oracle agree bit-for-bit; group stats
+    broadcast back, the event table never shuffles on data."""
+    from samba_spark.operators.sessionize import mad_outliers
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return mad_outliers(ev).orderBy(
+        F.desc("dev4"), "event_type", "event_id"
+    ).limit(50)
+
+
+X_MAD_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+med AS (
+  SELECT event_type,
+         CAST(ROUND(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+  FROM e GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.event_id, e.cents, med.med2,
+         abs(2 * e.cents - med.med2) AS dev2
+  FROM e JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type,
+         CAST(ROUND(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type)
+SELECT dev.event_type, dev.event_id, dev.cents, dev.med2, mad.mad4,
+       (2 * dev.dev2)::BIGINT AS dev4
+FROM dev JOIN mad USING (event_type)
+WHERE 2 * dev.dev2 * 10000 > 44478 * mad.mad4
+ORDER BY dev4 DESC, event_type, event_id LIMIT 50
+"""
+
+
+def q90_interpolate_daily(spark, sf_dir):
+    """Linear-interpolation gap fill (sessionize.interpolate_daily_counts)
+    — per-user daily event-count series where missing days get the exact
+    integer straight line between surrounding observations (x69 zero-
+    fills; this repairs). One user-keyed exchange for aggregate, spine
+    join and both direction windows; 1/1000-unit integer output."""
+    from samba_spark.operators.sessionize import interpolate_daily_counts
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        interpolate_daily_counts(ev)
+        .orderBy("user_id", "day")
+        .limit(365)
+    )
+
+
+Q90_INTERPOLATE_SQL = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*)::BIGINT AS n_obs
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM bounds),
+sparse AS (
+  SELECT s.user_id, s.day, d.n_obs
+  FROM spine s LEFT JOIN daily d USING (user_id, day)),
+filled AS (
+  SELECT user_id, day, n_obs,
+         LAST_VALUE(n_obs IGNORE NULLS) OVER w AS pv,
+         LAST_VALUE(CASE WHEN n_obs IS NOT NULL THEN day END IGNORE NULLS)
+           OVER w AS pd,
+         FIRST_VALUE(n_obs IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN n_obs IS NOT NULL THEN day END IGNORE NULLS)
+           OVER wf AS nd
+  FROM sparse
+  WINDOW w AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, CAST(day AS DATE) AS day,
+       n_obs IS NOT NULL AS observed,
+       (CASE WHEN n_obs IS NOT NULL THEN n_obs * 1000
+             ELSE (pv * 1000 * GREATEST(date_diff('day', pd, nd), 1)
+                 + (nv - pv) * 1000 * date_diff('day', pd, day))
+                // GREATEST(date_diff('day', pd, nd), 1)
+        END)::BIGINT AS count_x1000
+FROM filled ORDER BY user_id, day LIMIT 365
+"""
+
+
+
+def x_lpa_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation (graph.
+    label_propagation, 4 rounds, ties to the smallest label) over the
+    customer–supplier trading graph — community structure the CC/
+    PageRank/triangle family cannot see. The oracle unrolls the same 4
+    votes as chained CTEs with a ROW_NUMBER tie-break, so every round is
+    engine-exact. Top-50 communities by size."""
+    from samba_spark.operators.graph import label_propagation
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 3)  # repeat-trade edges: sparse enough for
+        .select("src", "dst")     # community structure, not one giant blob
+    )
+    comm = label_propagation(pairs, iterations=4)
+    return (
+        comm.groupBy(F.col("community").cast("long").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("vertex").cast("long").alias("min_vertex"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(50)
+    )
+
+
+def _lpa_round_sql(i):
+    return f"""
+v{i} AS (
+  SELECT e.s AS v, l.label AS nl, COUNT(*) AS c
+  FROM edges e JOIN l{i - 1} l ON e.d = l.v GROUP BY 1, 2),
+l{i} AS (
+  SELECT v, nl AS label FROM (
+    SELECT v, nl,
+           ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, nl ASC) AS rn
+    FROM v{i}) WHERE rn = 1)"""
+
+
+X_LPA_SQL = (
+    """
+WITH pairs AS (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+und AS (SELECT src AS s, dst AS d FROM pairs
+        UNION SELECT dst, src FROM pairs),
+edges AS (SELECT s, d FROM und
+          UNION SELECT DISTINCT s, s FROM und),
+l0 AS (SELECT DISTINCT s AS v, s AS label FROM edges),"""
+    + ",".join(_lpa_round_sql(i) for i in (1, 2, 3, 4))
+    + """
+SELECT label AS community, COUNT(*)::BIGINT AS n_members,
+       MIN(v)::BIGINT AS min_vertex
+FROM l4 GROUP BY label
+ORDER BY n_members DESC, community LIMIT 50
+"""
+)
+
+
+def x_strip_boilerplate(spark, sf_dir):
+    """Corpus boilerplate removal (textual.strip_boilerplate): cut every
+    non-overlapping 3-token chunk shared by more than 2 documents and
+    reassemble the survivors in order — the repair half of x35's
+    repeated-span detection. Chunking is pure Catalyst; only the
+    O(distinct frequent chunks) relation broadcasts back. Docs with the
+    most boilerplate first."""
+    from samba_spark.operators.textual import strip_boilerplate
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        strip_boilerplate(docs, n=3, max_df=2)
+        .orderBy(F.desc("n_removed"), "doc_id")
+        .limit(100)
+    )
+
+
+X_STRIP_BOILERPLATE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         (len(string_split(text, ' ')) + 2) // 3 AS n_chunks
+  FROM documents),
+expl AS (
+  SELECT doc_id, n_chunks,
+         unnest(list_transform(range(1, n_chunks + 1),
+           j -> struct_pack(idx := j,
+                chunk := array_to_string(toks[(j-1)*3+1 : (j-1)*3+3], ' '))))
+           AS u
+  FROM base),
+flat AS (SELECT doc_id, n_chunks, u.idx AS idx, u.chunk AS chunk FROM expl),
+freq AS (
+  SELECT chunk FROM (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM flat GROUP BY chunk)
+  WHERE df > 2),
+kept AS (
+  SELECT * FROM flat WHERE chunk NOT IN (SELECT chunk FROM freq)),
+rebuilt AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         string_agg(chunk, ' ' ORDER BY idx) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_chunks AS BIGINT) AS n_chunks,
+       (b.n_chunks - COALESCE(r.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(r.cleaned, '') AS cleaned
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY n_removed DESC, doc_id LIMIT 100
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x105_lpa_communities": QuerySpec(x_lpa_communities, X_LPA_SQL),
+    "x106_strip_boilerplate": QuerySpec(
+        x_strip_boilerplate, X_STRIP_BOILERPLATE_SQL
+    ),
+    "x102_k_anonymity": QuerySpec(x_k_anonymity, X_K_ANONYMITY_SQL),
+    "x103_levenshtein_pairs": QuerySpec(
+        x_levenshtein_pairs, X_LEVENSHTEIN_SQL
+    ),
+    "x104_mad_outliers": QuerySpec(x_mad_outliers, X_MAD_OUTLIERS_SQL),
+    "q90_interpolate_daily": QuerySpec(
+        q90_interpolate_daily, Q90_INTERPOLATE_SQL
+    ),
     "x1_dedup_exact": QuerySpec(x_dedup_exact, X_DEDUP_EXACT_SQL),
     "x2_dedup_normalized": QuerySpec(x_dedup_normalized, X_DEDUP_NORM_SQL),
     "x3_minhash_lsh_dedup": QuerySpec(x_minhash_lsh_dedup, X_MINHASH_LSH_SQL),

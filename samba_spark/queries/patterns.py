@@ -905,6 +905,59 @@ FROM ts CROSS JOIN est
 """
 
 
+def q91_stream_full_outer_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join (streaming/ops.
+    interval_join_full_outer) — completes the q43/q85 join-type matrix.
+    Matched error→click pairs emit immediately; unmatched errors
+    null-pad once watermark > err_ts; unmatched clicks must outlive the
+    lookback and null-pad only once watermark > click_ts + 10 min. The
+    oracle replays the batch full join with exactly those two closure
+    predicates against the final global watermark."""
+    import uuid
+
+    from samba_spark.streaming import ops as S
+
+    stream = S.read_events_stream(
+        spark, sf_dir, nanos=True, path_glob="events.parquet"
+    )
+    errors = stream.where(F.col("event_type") == "error")
+    clicks = stream.where(F.col("event_type") == "click")
+    joined = S.interval_join_full_outer(errors, clicks, lookback="10 minutes")
+    name = "q91_" + uuid.uuid4().hex[:8]
+    out = S.run_to_memory(joined, name, "append", state_partitions=8)
+    return out.orderBy("err_id", "click_id", "user_id")
+
+
+Q91_SQL = """
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'error'),
+c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT MAX(ts) FROM e), (SELECT MAX(ts) FROM c))
+              - INTERVAL '1 hour' AS w),
+matched AS (
+  SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id
+  FROM e JOIN c ON e.user_id = c.user_id
+                AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts),
+unmatched_e AS (
+  SELECT e.event_id AS err_id, CAST(NULL AS BIGINT) AS click_id, e.user_id
+  FROM e, wm
+  WHERE e.ts < wm.w AND NOT EXISTS (
+    SELECT 1 FROM c WHERE c.user_id = e.user_id
+      AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts)),
+unmatched_c AS (
+  SELECT CAST(NULL AS BIGINT) AS err_id, c.event_id AS click_id, c.user_id
+  FROM c, wm
+  WHERE c.ts + INTERVAL '10 minutes' < wm.w AND NOT EXISTS (
+    SELECT 1 FROM e WHERE e.user_id = c.user_id
+      AND c.ts BETWEEN e.ts - INTERVAL '10 minutes' AND e.ts))
+SELECT err_id, click_id, user_id FROM matched
+UNION ALL SELECT err_id, click_id, user_id FROM unmatched_e
+UNION ALL SELECT err_id, click_id, user_id FROM unmatched_c
+"""
+
+
+
 PATTERNS: dict[str, QuerySpec] = {
     "q77_recursive_cte": QuerySpec(q77_recursive_cte, Q77_SQL),
     "x78_sequence_pattern": QuerySpec(x78_sequence_pattern, X78_SQL),
@@ -927,4 +980,7 @@ PATTERNS: dict[str, QuerySpec] = {
     "x86_arrow_cogroup": QuerySpec(x86_arrow_cogroup, X86_SQL),
     "x87_sketch_persistence": QuerySpec(x87_sketch_persistence, X87_SQL),
     "q85_stream_outer_join": QuerySpec(q85_stream_outer_join, Q85_SQL),
+    "q91_stream_full_outer_join": QuerySpec(
+        q91_stream_full_outer_join, Q91_SQL
+    ),
 }

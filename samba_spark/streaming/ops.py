@@ -259,6 +259,48 @@ def interval_join_outer(
     ).select("err_id", "click_id", F.col("err_user").alias("user_id"))
 
 
+def interval_join_full_outer(
+    errors: DataFrame,
+    clicks: DataFrame,
+    *,
+    lookback: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join-type
+    matrix (q43 inner, q85 left): BOTH sides null-pad on watermark
+    closure. Asymmetric closure times fall straight out of the interval
+    bounds: an error row can only match clicks at or before err_ts, so
+    it closes when the watermark passes err_ts; a click can be claimed
+    by errors as late as click_ts + lookback, so its state must survive
+    ``lookback`` longer and its null-pad emits only once
+    watermark > click_ts + lookback. State on both sides stays
+    watermark-bounded; the outer obligations ride the same eviction
+    scan. q91's oracle replays the batch full join with exactly these
+    two closure predicates."""
+    e = errors.select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    ).withWatermark("err_ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return e.join(
+        c,
+        F.expr(
+            f"err_user = click_user AND "
+            f"click_ts BETWEEN err_ts - INTERVAL {lookback} AND err_ts"
+        ),
+        "full_outer",
+    ).select(
+        "err_id",
+        "click_id",
+        F.coalesce(F.col("err_user"), F.col("click_user")).alias("user_id"),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, *cols: str, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -1227,3 +1227,45 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     assert ("L2", "R3") not in got
     # multi-bucket overlap must appear exactly once
     assert len(got) == len(set(got))
+
+
+def test_strip_boilerplate_removes_frequent_chunks(spark):
+    from samba_spark.operators.textual import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c x1 y1 z1"),
+            (2, "a b c x2 y2 z2"),
+            (3, "a b c"),
+            (4, "p q r s t u"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in strip_boilerplate(docs, n=3, max_df=2).collect()
+    }
+    # "a b c" appears in 3 docs (> max_df=2): stripped everywhere
+    assert got[1]["cleaned"] == "x1 y1 z1"
+    assert got[1]["n_chunks"] == 2 and got[1]["n_removed"] == 1
+    assert got[2]["cleaned"] == "x2 y2 z2"
+    # doc 3 is pure boilerplate: survives with empty text
+    assert got[3]["cleaned"] == "" and got[3]["n_removed"] == 1
+    # doc 4 shares nothing: untouched
+    assert got[4]["cleaned"] == "p q r s t u"
+    assert got[4]["n_removed"] == 0
+
+
+def test_strip_boilerplate_partial_tail_chunk(spark):
+    from samba_spark.operators.textual import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.asDict()
+        for r in strip_boilerplate(docs, n=3, max_df=2).collect()
+    }
+    # 4 tokens -> chunks "a b c" + tail "d"; nothing frequent
+    assert got[1]["n_chunks"] == 2 and got[1]["cleaned"] == "a b c d"
+    assert got[2]["n_chunks"] == 1 and got[2]["cleaned"] == "e f"

@@ -115,3 +115,40 @@ def test_shortest_paths_hop_bound_excludes_longer_cheaper_path(spark):
     two = {r.vertex: r.dist for r in shortest_paths(edges, src, 2).collect()}
     three = {r.vertex: r.dist for r in shortest_paths(edges, src, 3).collect()}
     assert two[9] == 100 and three[9] == 3
+
+
+def test_label_propagation_keeps_bridged_triangles_apart(spark):
+    # Two triangles joined by one bridge edge: CC merges them into one
+    # component; LPA's majority vote keeps them separate communities.
+    from samba_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        ["src", "dst"],
+    )
+    comm = {
+        r.vertex: r.community
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert comm == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    cc = {
+        r.vertex: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert set(cc.values()) == {1}
+
+
+def test_label_propagation_deterministic_tiebreak(spark):
+    # Isolated edge: both endpoints see a 1-1 tie each round; the
+    # smallest label must win on both sides.
+    from samba_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(7, 9)], ["src", "dst"])
+    comm = {
+        r.vertex: r.community
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert comm == {7: 7, 9: 7}

@@ -44,3 +44,29 @@ def test_fd_profile_null_rhs(spark):
     got = {r.fd: r for r in fd_profile(df, {"k->v": (["k"], "v")}).collect()}
     assert got["k->v"].holds
     assert got["k->v"].n_groups == 2
+
+
+def test_k_anonymity_classes_and_risk(spark):
+    from samba_spark.operators.quality import k_anonymity
+
+    df = spark.createDataFrame(
+        [
+            ("US", "A", 1), ("US", "A", 1), ("US", "A", 2),
+            ("US", "A", 2), ("US", "A", 3),          # size 5, l=3: safe
+            ("US", "B", 1), ("US", "B", 1),          # size 2, l=1: risk
+            ("FR", "A", 9),                          # size 1, l=1: risk
+        ],
+        ["nation", "segment", "sensitive"],
+    )
+    got = {
+        (r.nation, r.segment): r.asDict()
+        for r in k_anonymity(
+            df, ["nation", "segment"], "sensitive", k=5
+        ).collect()
+    }
+    assert got[("US", "A")]["class_size"] == 5
+    assert got[("US", "A")]["l_diversity"] == 3
+    assert not got[("US", "A")]["at_risk"]
+    assert got[("US", "B")]["class_size"] == 2
+    assert got[("US", "B")]["at_risk"]
+    assert got[("FR", "A")]["at_risk"]

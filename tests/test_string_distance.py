@@ -1,0 +1,68 @@
+"""deletion_neighborhood_pairs: SymSpell-style edit-distance-1 join."""
+
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, words, **kw):
+    from samba_spark.operators.dedup import deletion_neighborhood_pairs
+
+    df = spark.createDataFrame([(w,) for w in words], ["s"])
+    return {
+        (r.s_a, r.s_b): r.distance
+        for r in deletion_neighborhood_pairs(df, "s", **kw).collect()
+    }
+
+
+def test_finds_all_edit1_kinds(spark):
+    got = _pairs(
+        spark,
+        ["spark", "spa rk", "sprk", "spork", "flink", "flinx", "duck"],
+    )
+    # deletion, insertion, substitution all land at distance 1
+    assert got[("spark", "sprk")] == 1       # deletion
+    assert got[("spa rk", "spark")] == 1     # insertion
+    assert got[("spark", "spork")] == 1      # substitution
+    assert got[("flink", "flinx")] == 1
+    # unrelated words never pair
+    assert not any("duck" in p for p in got)
+
+
+def test_excludes_distance_two(spark):
+    # 'ab' vs 'ba' share deletion variant 'a' but lev = 2: must be
+    # filtered by the exact verify stage.
+    got = _pairs(spark, ["ab", "ba"])
+    assert got == {}
+
+
+def test_exact_duplicates_pair_at_zero_distance_absent(spark):
+    # dictionary input is distinct strings; identical strings collapse
+    # upstream, so s_a < s_b means no self pairs
+    got = _pairs(spark, ["same", "same"])
+    assert got == {}
+
+
+def test_brute_force_parity(spark):
+    import itertools
+
+    words = [
+        "alpha", "alpha1", "alhpa", "alpa", "aalpha", "beta", "betta",
+        "bet", "gamma", "gamm", "gama", "delta",
+    ]
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        tuple(sorted((a, b))): 1
+        for a, b in itertools.combinations(words, 2)
+        if lev(a, b) == 1
+    }
+    got = _pairs(spark, words)
+    assert got == want
