@@ -681,19 +681,25 @@ def deletion_neighborhood_pairs(
     SymSpell deletion-neighborhood idea.
     """
     s = F.col(str_col)
-    variants = strings.select(
-        s.alias("_s"),
-        F.explode(
-            F.array_union(
-                F.array(s),
-                F.expr(
-                    f"transform(sequence(1, length({str_col})), i -> "
-                    f"concat(substring({str_col}, 1, i - 1), "
-                    f"substring({str_col}, i + 1, length({str_col}))))"
-                ),
-            )
-        ).alias("_v"),
-    ).select("_s", F.xxhash64(F.col("_v")).alias("_vh"))
+    variants = (
+        strings.select(
+            s.alias("_s"),
+            F.explode(
+                F.array_union(
+                    F.array(s),
+                    F.expr(
+                        f"transform(sequence(1, length({str_col})), i -> "
+                        f"concat(substring({str_col}, 1, i - 1), "
+                        f"substring({str_col}, i + 1, length({str_col}))))"
+                    ),
+                )
+            ).alias("_v"),
+        )
+        .select("_s", F.xxhash64(F.col("_v")).alias("_vh"))
+        # reused 3x (bucket counts + both join sides): materialize once so
+        # the dictionary scan/explode doesn't recompute per consumer
+        .localCheckpoint()
+    )
     counts = variants.groupBy("_vh").agg(F.count(F.lit(1)).alias("_n"))
     capped = variants.join(
         counts.where(F.col("_n") <= max_bucket).select("_vh"), "_vh"

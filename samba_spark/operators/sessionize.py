@@ -674,3 +674,121 @@ def interpolate_daily_counts(
         F.col("n_obs").isNotNull().alias("observed"),
         interp.alias("count_x1000"),
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact offline change-point per group via the CUSUM statistic:
+    with prefix sums S_k and group total T over the (ts, id)-ordered
+    series, the drift D_k = n·S_k − k·T is an integer multiple of the
+    mean shift at split k; the change point is the k maximizing |D_k|
+    (ties to the earliest k). All arithmetic is 64-bit integer on cents
+    — no float, so the argmax is engine-exact.
+
+    Scale shape: the global prefix sum is assembled WITHOUT a global
+    per-group window (which would put each group's entire history in
+    one task). Two levels instead: a within-day window partitioned by
+    (group, day), plus a day-level carry ladder whose cumulative window
+    runs over O(groups × days) rows — metadata-sized at any corpus
+    scale. Same ladder as concurrency_profile. Returns one row per
+    group: (group, n, k_star, d_abs).
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    base = events.select(
+        F.col(group_col),
+        day.alias("_day"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+    )
+    daily = base.groupBy(group_col, "_day").agg(
+        F.sum("_c").alias("_dsum"), F.count(F.lit(1)).alias("_dcnt")
+    )
+    wd = Window.partitionBy(group_col).orderBy("_day")
+    carry = daily.select(
+        group_col,
+        "_day",
+        (F.sum("_dsum").over(wd) - F.col("_dsum")).alias("_off_sum"),
+        (F.sum("_dcnt").over(wd) - F.col("_dcnt")).alias("_off_cnt"),
+    )
+    win = (
+        Window.partitionBy(group_col, "_day")
+        .orderBy("_ts", "_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefixed = (
+        base.withColumn("_ps", F.sum("_c").over(win))
+        .withColumn("_pk", F.count(F.lit(1)).over(win))
+        .join(carry, [group_col, "_day"])
+        .select(
+            group_col,
+            (F.col("_off_sum") + F.col("_ps")).alias("_s"),
+            (F.col("_off_cnt") + F.col("_pk")).alias("_k"),
+        )
+    )
+    totals = base.groupBy(group_col).agg(
+        F.sum("_c").alias("_tot"), F.count(F.lit(1)).alias("_n")
+    )
+    d = prefixed.join(F.broadcast(totals), group_col).withColumn(
+        "_d", F.abs(F.col("_n") * F.col("_s") - F.col("_k") * F.col("_tot"))
+    )
+    return d.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.max_by(
+            "_k", F.struct(F.col("_d"), (-F.col("_k")).alias("_t"))
+        ).cast("long").alias("k_star"),
+        F.max("_d").cast("long").alias("d_abs"),
+    )
+
+
+def winsorize_audit(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorization with an exact audit trail: clamp each group's
+    values to its [p_lo, p_hi] exact percentiles and report how many
+    rows each tail clipped plus the winsorized sum — the outlier-
+    tolerant alternative to dropping rows (x26 filters; this clips).
+
+    Integer-exact boundary: percentiles of integer cents interpolate on
+    (n−1)·p, so with the default 1/20-grid quantiles every interpolated
+    value is a multiple of 1/20 — scaling by 20 makes bounds, clamps and
+    sums pure 64-bit integers (columns are ×20 cents). Two passes:
+    O(groups) percentile stats broadcast back over one more scan; the
+    data never shuffles.
+    """
+    c = F.round(F.col(value_col) * 100).cast("long")
+    base = events.select(F.col(group_col), (c * 20).alias("_c20"))
+    stats = base.groupBy(group_col).agg(
+        F.round(F.percentile(F.col("_c20") / 20, F.lit(p_lo)) * 20)
+        .cast("long")
+        .alias("lo20"),
+        F.round(F.percentile(F.col("_c20") / 20, F.lit(p_hi)) * 20)
+        .cast("long")
+        .alias("hi20"),
+    )
+    clipped = base.join(F.broadcast(stats), group_col).select(
+        group_col,
+        "lo20",
+        "hi20",
+        F.greatest(F.least(F.col("_c20"), F.col("hi20")), F.col("lo20"))
+        .alias("_w"),
+        (F.col("_c20") < F.col("lo20")).cast("long").alias("_lo"),
+        (F.col("_c20") > F.col("hi20")).cast("long").alias("_hi"),
+    )
+    return clipped.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("lo20").alias("lo20"),
+        F.max("hi20").alias("hi20"),
+        F.sum("_lo").cast("long").alias("n_clipped_low"),
+        F.sum("_hi").cast("long").alias("n_clipped_high"),
+        F.sum("_w").cast("long").alias("sum_winsorized20"),
+    )

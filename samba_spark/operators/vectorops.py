@@ -255,3 +255,82 @@ def covariance_matrix(
             F.round(cov, 9).alias("cov"),
         )
     )
+
+
+def linear_model_2f(
+    df: DataFrame,
+    group_col: str,
+    x1,
+    x2,
+    y,
+) -> DataFrame:
+    """Closed-form least-squares fit of ``y ~ x1 + x2`` per group — model
+    training INSIDE the engine, no collect, no iteration: one partial-
+    aggregated scan accumulates the 9 sufficient statistics (Σx, Σx²,
+    Σxy, …) and the normal equations are solved per group with Cramer's
+    rule. Scaling by n clears every division, so the solution is exact
+    integer arithmetic end to end: slopes are returned as
+    (numerator, determinant) pairs — DECIMAL(38,0) products rendered as
+    canonical digit strings (engine-portable; DuckDB mirrors them as
+    HUGEINT) — plus IEEE-double ratios for human consumption.
+
+    a11 = n·Σx1² − (Σx1)², a12 = n·Σx1x2 − Σx1Σx2, a22 likewise,
+    b1 = n·Σx1y − Σx1Σy, b2 = n·Σx2y − Σx2Σy;
+    det = a11a22 − a12², β1 = (b1a22 − b2a12)/det, β2 = (b2a11 − b1a12)/det.
+
+    Bounds: with |x| ≤ 10³, |y| ≤ 10⁵ (cents) and n ≤ 10⁹ rows/group the
+    deepest product stays < 10³⁸ — inside DECIMAL(38,0). Sufficient
+    statistics shuffle O(groups) rows; the fit is embarrassingly partial
+    — the 100 TB regression is one scan. Degenerate groups (det = 0:
+    constant or collinear features) surface det='0' rather than a
+    divide error. The reference has no analytics beyond counts; this is
+    north-star in-engine modeling.
+    """
+    e = df.select(
+        F.col(group_col),
+        x1.cast("long").alias("_x1"),
+        x2.cast("long").alias("_x2"),
+        y.cast("long").alias("_y"),
+    )
+    s = e.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x1").alias("_s1"),
+        F.sum("_x2").alias("_s2"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x1") * F.col("_x1")).alias("_s11"),
+        F.sum(F.col("_x2") * F.col("_x2")).alias("_s22"),
+        F.sum(F.col("_x1") * F.col("_x2")).alias("_s12"),
+        F.sum(F.col("_x1") * F.col("_y")).alias("_s1y"),
+        F.sum(F.col("_x2") * F.col("_y")).alias("_s2y"),
+    )
+
+    def dec(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    h = s.select(
+        group_col,
+        "n",
+        (dec("n") * dec("_s11") - dec("_s1") * dec("_s1")).alias("_a11"),
+        (dec("n") * dec("_s12") - dec("_s1") * dec("_s2")).alias("_a12"),
+        (dec("n") * dec("_s22") - dec("_s2") * dec("_s2")).alias("_a22"),
+        (dec("n") * dec("_s1y") - dec("_s1") * dec("_sy")).alias("_b1"),
+        (dec("n") * dec("_s2y") - dec("_s2") * dec("_sy")).alias("_b2"),
+    )
+    det = F.col("_a11") * F.col("_a22") - F.col("_a12") * F.col("_a12")
+    b1n = F.col("_b1") * F.col("_a22") - F.col("_b2") * F.col("_a12")
+    b2n = F.col("_b2") * F.col("_a11") - F.col("_b1") * F.col("_a12")
+    return h.select(
+        group_col,
+        "n",
+        det.cast("string").alias("det"),
+        b1n.cast("string").alias("beta1_num"),
+        b2n.cast("string").alias("beta2_num"),
+        F.when(
+            det.cast("double") != 0.0,
+            b1n.cast("double") / det.cast("double"),
+        ).alias("slope1"),
+        F.when(
+            det.cast("double") != 0.0,
+            b2n.cast("double") / det.cast("double"),
+        ).alias("slope2"),
+    )

@@ -3435,7 +3435,145 @@ ORDER BY n_removed DESC, doc_id LIMIT 100
 
 
 
+def x_linear_model(spark, sf_dir):
+    """In-engine closed-form regression (vectorops.linear_model_2f):
+    per event type, fit value-cents ~ hour-of-day + days-since-epoch
+    (diurnal + trend) by Cramer-solved normal equations — exact integer
+    numerator/determinant strings (DECIMAL(38,0) vs the oracle's
+    HUGEINT) plus IEEE-double slopes. One partial-aggregated scan; the
+    fit itself is O(groups)."""
+    from samba_spark.operators.vectorops import linear_model_2f
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return linear_model_2f(
+        ev,
+        "event_type",
+        F.hour("ts"),
+        F.expr("datediff(CAST(ts AS DATE), DATE'2024-01-01')"),
+        F.round(F.col("value") * 100),
+    ).orderBy("event_type")
+
+
+X_LINEAR_MODEL_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS x1,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+              AS BIGINT) AS x2,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n,
+         SUM(x1)::BIGINT AS s1, SUM(x2)::BIGINT AS s2,
+         SUM(y)::BIGINT AS sy,
+         SUM(x1 * x1)::BIGINT AS s11, SUM(x2 * x2)::BIGINT AS s22,
+         SUM(x1 * x2)::BIGINT AS s12,
+         SUM(x1 * y)::BIGINT AS s1y, SUM(x2 * y)::BIGINT AS s2y
+  FROM e GROUP BY event_type),
+h AS (
+  SELECT event_type, n,
+         n::HUGEINT * s11 - s1::HUGEINT * s1 AS a11,
+         n::HUGEINT * s12 - s1::HUGEINT * s2 AS a12,
+         n::HUGEINT * s22 - s2::HUGEINT * s2 AS a22,
+         n::HUGEINT * s1y - s1::HUGEINT * sy AS b1,
+         n::HUGEINT * s2y - s2::HUGEINT * sy AS b2
+  FROM s)
+SELECT event_type, n,
+       CAST(a11 * a22 - a12 * a12 AS VARCHAR) AS det,
+       CAST(b1 * a22 - b2 * a12 AS VARCHAR) AS beta1_num,
+       CAST(b2 * a11 - b1 * a12 AS VARCHAR) AS beta2_num,
+       CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+         CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+           / CAST(a11 * a22 - a12 * a12 AS DOUBLE) END AS slope1,
+       CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+         CAST(b2 * a11 - b1 * a12 AS DOUBLE)
+           / CAST(a11 * a22 - a12 * a12 AS DOUBLE) END AS slope2
+FROM h ORDER BY event_type
+"""
+
+
+
+def x_changepoint(spark, sf_dir):
+    """Exact CUSUM change-point per event type (sessionize.
+    cusum_changepoint): the (ts, id)-ordered drift D_k = n·S_k − k·T in
+    pure 64-bit integers, argmax with earliest-k ties. The global prefix
+    sum is built from a within-day window plus a day-level carry ladder
+    — no global per-group window task anywhere (the oracle, at audit
+    scale, uses the naive single window)."""
+    from samba_spark.operators.sessionize import cusum_changepoint
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return cusum_changepoint(ev).orderBy("event_type")
+
+
+X_CHANGEPOINT_SQL = """
+WITH e AS (
+  SELECT event_type, ts, event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+w AS (
+  SELECT event_type,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS k
+  FROM e),
+t AS (SELECT event_type, SUM(c)::BIGINT AS tot, COUNT(*)::BIGINT AS n
+      FROM e GROUP BY 1),
+d AS (
+  SELECT w.event_type, t.n, w.k,
+         abs(t.n * w.s - w.k * t.tot) AS dd
+  FROM w JOIN t USING (event_type)),
+r AS (
+  SELECT event_type, n, k, dd,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY dd DESC, k ASC) AS rn
+  FROM d)
+SELECT event_type, n::BIGINT AS n, k::BIGINT AS k_star, dd::BIGINT AS d_abs
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+
+def x_winsorize(spark, sf_dir):
+    """Exact-percentile winsorization audit (sessionize.winsorize_audit):
+    clamp event values to each type's [P5, P95] with integer-exact ×20
+    bounds, reporting per-tail clip counts and the winsorized sum — the
+    clip-don't-drop complement to x26's quantile filter."""
+    from samba_spark.operators.sessionize import winsorize_audit
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return winsorize_audit(ev).orderBy("event_type")
+
+
+X_WINSORIZE_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) * 20 AS c20
+  FROM events),
+s AS (
+  SELECT event_type,
+         CAST(ROUND(quantile_cont(c20 / 20, 0.05) * 20) AS BIGINT) AS lo20,
+         CAST(ROUND(quantile_cont(c20 / 20, 0.95) * 20) AS BIGINT) AS hi20
+  FROM e GROUP BY event_type)
+SELECT e.event_type, COUNT(*)::BIGINT AS n,
+       MAX(s.lo20)::BIGINT AS lo20, MAX(s.hi20)::BIGINT AS hi20,
+       SUM(CASE WHEN e.c20 < s.lo20 THEN 1 ELSE 0 END)::BIGINT
+         AS n_clipped_low,
+       SUM(CASE WHEN e.c20 > s.hi20 THEN 1 ELSE 0 END)::BIGINT
+         AS n_clipped_high,
+       SUM(GREATEST(LEAST(e.c20, s.hi20), s.lo20))::BIGINT
+         AS sum_winsorized20
+FROM e JOIN s USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),
+    "x108_changepoint": QuerySpec(x_changepoint, X_CHANGEPOINT_SQL),
+    "x107_linear_model": QuerySpec(x_linear_model, X_LINEAR_MODEL_SQL),
     "x105_lpa_communities": QuerySpec(x_lpa_communities, X_LPA_SQL),
     "x106_strip_boilerplate": QuerySpec(
         x_strip_boilerplate, X_STRIP_BOILERPLATE_SQL

@@ -64,3 +64,80 @@ def test_interpolation_straight_line(spark):
     # single-day user: one observed row, nothing interpolated
     assert got[(2, "2026-03-02")] == (True, 1000)
     assert len([k for k in got if k[0] == 2]) == 1
+
+
+def test_linear_model_recovers_exact_plane(spark):
+    from samba_spark.operators.vectorops import linear_model_2f
+
+    rows = [
+        ("g", x1, x2, 5 + 2 * x1 + 3 * x2)
+        for x1, x2 in [(0, 0), (1, 0), (0, 1), (2, 1), (1, 2)]
+    ] + [("d", 1, x2, x2 + 1) for x2 in (0, 1, 5)]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    got = {
+        r.g: r.asDict()
+        for r in linear_model_2f(
+            df, "g", F.col("x1"), F.col("x2"), F.col("y")
+        ).collect()
+    }
+    # exact-fit plane: slopes recovered exactly, integer ratio holds
+    assert got["g"]["slope1"] == 2.0
+    assert got["g"]["slope2"] == 3.0
+    assert int(got["g"]["beta1_num"]) == 2 * int(got["g"]["det"])
+    # constant x1 -> singular normal equations: det='0', slopes null
+    assert got["d"]["det"] == "0"
+    assert got["d"]["slope1"] is None and got["d"]["slope2"] is None
+
+
+def test_cusum_changepoint_finds_mean_shift(spark):
+    import datetime
+
+    from samba_spark.operators.sessionize import cusum_changepoint
+
+    # 4 days x 2 events: zeros then 10-cent values; shift after k=4.
+    # Spanning days exercises the day-carry ladder (no global window).
+    rows = []
+    for i, v in enumerate([0.0, 0.0, 0.0, 0.0, 0.10, 0.10, 0.10, 0.10]):
+        rows.append(
+            (i, datetime.datetime(2026, 4, 1 + i // 2, 12, i % 2), "a", v)
+        )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    )
+    r = cusum_changepoint(df).collect()[0]
+    assert (r.event_type, r.n, r.k_star, r.d_abs) == ("a", 8, 4, 160)
+
+
+def test_cusum_tiebreak_earliest_k(spark):
+    import datetime
+
+    from samba_spark.operators.sessionize import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [
+            (0, datetime.datetime(2026, 4, 1), "b", 0.0),
+            (1, datetime.datetime(2026, 4, 2), "b", 0.10),
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    r = cusum_changepoint(df).collect()[0]
+    assert (r.k_star, r.d_abs) == (1, 10)
+
+
+def test_winsorize_clips_both_tails_exactly(spark):
+    import datetime
+
+    from samba_spark.operators.sessionize import winsorize_audit
+
+    # 21 values 0..20 dollars: P5 = 1.0, P95 = 19.0 exactly (k = (n-1)p
+    # integral), so exactly one row clips on each tail.
+    base = datetime.datetime(2026, 5, 1)
+    df = spark.createDataFrame(
+        [(i, base, "w", float(i)) for i in range(21)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    r = winsorize_audit(df).collect()[0]
+    assert (r.n, r.lo20, r.hi20) == (21, 100 * 20, 1900 * 20)
+    assert (r.n_clipped_low, r.n_clipped_high) == (1, 1)
+    # sum = (1 + 1..19 sum + 19) * 100 cents * 20
+    assert r.sum_winsorized20 == (1 + sum(range(1, 20)) + 19) * 100 * 20
