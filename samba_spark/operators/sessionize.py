@@ -792,3 +792,62 @@ def winsorize_audit(
         F.sum("_hi").cast("long").alias("n_clipped_high"),
         F.sum("_w").cast("long").alias("sum_winsorized20"),
     )
+
+
+def time_weighted_average(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per (user, day) time-weighted average — each value holds from its
+    event until the user's next event that day, so irregularly-sampled
+    series average by TIME HELD, not by tick count (the TWAP every
+    metrics store needs; a plain AVG over bursty ticks is wrong).
+
+    Exact rational output: numerator Σ cents·held_µs and denominator
+    (last_ts − first_ts in µs) are both 64-bit integers, so engines
+    agree bit-for-bit and the consumer divides at display time (an IEEE
+    ratio rides along). Users with one event in a day have no held
+    interval — they surface with twap_num = 0, twap_den = 0, ratio NULL.
+
+    One (user, day)-keyed exchange serves the lead window and the
+    aggregate; per-task state is bounded by a user's single-day events.
+    """
+    day = F.date_trunc("DAY", F.col(ts_col))
+    base = events.select(
+        F.col(user_col),
+        day.alias("day"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_c"),
+    )
+    w = Window.partitionBy(user_col, "day").orderBy("_ts", "_id")
+    held = base.withColumn(
+        "_next", F.lead("_ts").over(w)
+    ).withColumn(
+        "_held_us",
+        F.unix_micros(F.col("_next")) - F.unix_micros(F.col("_ts")),
+    )
+    return (
+        held.groupBy(user_col, "day")
+        .agg(
+            F.coalesce(F.sum(F.col("_c") * F.col("_held_us")), F.lit(0))
+            .cast("long")
+            .alias("twap_num"),
+            F.coalesce(F.sum("_held_us"), F.lit(0))
+            .cast("long")
+            .alias("twap_den"),
+        )
+        .select(
+            user_col,
+            F.col("day").cast("date").alias("day"),
+            "twap_num",
+            "twap_den",
+            F.when(
+                F.col("twap_den") > 0,
+                F.col("twap_num").cast("double") / F.col("twap_den"),
+            ).alias("twap_cents"),
+        )
+    )

@@ -3570,7 +3570,48 @@ ORDER BY e.event_type
 
 
 
+def q92_twap(spark, sf_dir):
+    """Per-user-day time-weighted average (sessionize.
+    time_weighted_average): values weighted by how long they were the
+    user's latest reading, not by tick count. Exact integer
+    numerator/denominator plus an IEEE ratio; one (user, day)-keyed
+    exchange. Top-100 held-time days."""
+    from samba_spark.operators.sessionize import time_weighted_average
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        time_weighted_average(ev)
+        .orderBy(F.desc("twap_den"), "user_id", "day")
+        .limit(100)
+    )
+
+
+Q92_TWAP_SQL = """
+WITH e AS (
+  SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events),
+h AS (
+  SELECT user_id, day, c,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id, day
+                                 ORDER BY ts, event_id))
+           - epoch_us(ts) AS held_us
+  FROM e),
+a AS (
+  SELECT user_id, CAST(day AS DATE) AS day,
+         COALESCE(SUM(c * held_us), 0)::BIGINT AS twap_num,
+         COALESCE(SUM(held_us), 0)::BIGINT AS twap_den
+  FROM h GROUP BY 1, 2)
+SELECT user_id, day, twap_num, twap_den,
+       CASE WHEN twap_den > 0
+            THEN CAST(twap_num AS DOUBLE) / twap_den END AS twap_cents
+FROM a ORDER BY twap_den DESC, user_id, day LIMIT 100
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),
     "x108_changepoint": QuerySpec(x_changepoint, X_CHANGEPOINT_SQL),
     "x107_linear_model": QuerySpec(x_linear_model, X_LINEAR_MODEL_SQL),

@@ -141,3 +141,30 @@ def test_winsorize_clips_both_tails_exactly(spark):
     assert (r.n_clipped_low, r.n_clipped_high) == (1, 1)
     # sum = (1 + 1..19 sum + 19) * 100 cents * 20
     assert r.sum_winsorized20 == (1 + sum(range(1, 20)) + 19) * 100 * 20
+
+
+def test_twap_weights_by_held_time(spark):
+    import datetime
+
+    from samba_spark.operators.sessionize import time_weighted_average
+
+    def t(minute):
+        return datetime.datetime(2026, 6, 1, 10, minute)
+
+    # value 1.00 held 10 min, value 3.00 held 30 min, last tick unheld
+    df = spark.createDataFrame(
+        [
+            (0, t(0), 1, "e", 1.0),
+            (1, t(10), 1, "e", 3.0),
+            (2, t(40), 1, "e", 99.0),
+            (3, t(5), 2, "e", 7.0),  # single event: no held interval
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    got = {r.user_id: r.asDict() for r in time_weighted_average(df).collect()}
+    ten_min = 10 * 60 * 1_000_000
+    assert got[1]["twap_num"] == 100 * ten_min + 300 * 3 * ten_min
+    assert got[1]["twap_den"] == 4 * ten_min
+    assert got[1]["twap_cents"] == (100 + 3 * 300) / 4
+    assert got[2]["twap_num"] == 0 and got[2]["twap_den"] == 0
+    assert got[2]["twap_cents"] is None
