@@ -274,3 +274,56 @@ def count_min_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
         .cast("long")
         .alias("est_join_size")
     )
+
+
+def sliding_distinct(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window_minutes: int = 60,
+) -> DataFrame:
+    """EXACT distinct-``id`` count over a trailing time window, per
+    (group, minute) — the "unique users in the last hour" panel metric.
+    COUNT(DISTINCT) cannot ride a sliding SQL frame, and re-scanning the
+    raw window per output minute is O(window) per row. Here:
+
+    1. one pass dedups to (group, minute, id) — raw event volume is gone
+       and per-minute duplicates never fan out;
+    2. each surviving triple fans out to the ≤``window_minutes`` output
+       minutes it can serve (generated-offset equi-join against the
+       observed minutes — bounded fan-out, never a range cross join);
+    3. one distinct-count aggregate per (group, output minute), where
+       the fan-out already co-keys rows so the expand rewrite's partial
+       aggregation compacts map-side.
+
+    The shuffle carries window × |distinct triples| SMALL rows (ids, not
+    payloads). In the DENSE regime — ids per (group, minute) rivaling
+    the 32768-bit bucket width — flip to x82's bitmap path: build
+    per-minute bucket bitmaps FIRST and fan those out (fixed 4 KiB per
+    bucket regardless of density); at typical telemetry sparsity the
+    id fan-out is orders of magnitude lighter, which is why it is the
+    default. Window arithmetic is integer minutes — engine-exact.
+    """
+    minute = F.date_trunc("MINUTE", F.col(ts_col))
+    ids = events.select(
+        F.col(group_col),
+        minute.alias("_m"),
+        F.col(id_col).alias("_id"),
+    ).distinct()
+    targets = ids.select(group_col, F.col("_m").alias("minute")).distinct()
+    fanned = ids.select(
+        group_col,
+        "_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {window_minutes - 1}), "
+                f"i -> _m + make_interval(0, 0, 0, 0, 0, i, 0))"
+            )
+        ).alias("minute"),
+    )
+    return (
+        fanned.join(targets, [group_col, "minute"])
+        .groupBy(group_col, "minute")
+        .agg(F.countDistinct("_id").cast("long").alias("n_distinct"))
+    )

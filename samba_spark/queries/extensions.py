@@ -3610,7 +3610,81 @@ FROM a ORDER BY twap_den DESC, user_id, day LIMIT 100
 
 
 
+def x_sliding_distinct(spark, sf_dir):
+    """Exact trailing-hour unique users per (event_type, minute)
+    (sketches.sliding_distinct): minute-grain bitmap construction, a
+    bounded offset fan-out equi-join to the observed output minutes,
+    bitmap OR-merge + popcount — COUNT(DISTINCT) over a sliding window
+    without ever re-shuffling raw events (the Druid panel-metric
+    pattern; the oracle recomputes each window from raw rows). First
+    200 minutes."""
+    from samba_spark.operators.sketches import sliding_distinct
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        sliding_distinct(ev)
+        .orderBy("event_type", "minute")
+        .limit(200)
+    )
+
+
+X_SLIDING_DISTINCT_SQL = """
+WITH e AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, user_id FROM events),
+t AS (SELECT DISTINCT event_type, m FROM e)
+SELECT t.event_type, t.m AS minute,
+       COUNT(DISTINCT e.user_id)::BIGINT AS n_distinct
+FROM t JOIN e
+  ON e.event_type = t.event_type
+ AND e.m BETWEEN t.m - INTERVAL '59 minutes' AND t.m
+GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
+"""
+
+
+
+def q93_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() provenance bits — the
+    arbitrary-subset sibling of q7's ROLLUP / q34-style CUBE: exactly
+    the three requested groupings ((flag, status), (flag), ()) in ONE
+    Expand + aggregate pass, each output row tagged with its grouping_id
+    so consumers can tell a real NULL from a rolled-up one. Integer-cent
+    sums."""
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    li.createOrReplaceTempView("q93_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents
+        FROM q93_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+Q93_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))::BIGINT
+         AS sum_price_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "q93_grouping_sets": QuerySpec(q93_grouping_sets, Q93_GROUPING_SETS_SQL),
+    "x110_sliding_distinct": QuerySpec(
+        x_sliding_distinct, X_SLIDING_DISTINCT_SQL
+    ),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),
     "x108_changepoint": QuerySpec(x_changepoint, X_CHANGEPOINT_SQL),

@@ -340,3 +340,33 @@ def test_count_min_join_size_disjoint_keys(spark):
     # disjoint keys: any hash row with no colliding bucket pins the min
     # to 0, and these fixed md5 buckets produce no 4-row-wide collision.
     assert est[0].est_join_size == 0
+
+
+def test_sliding_distinct_exact_over_window_boundary(spark):
+    import datetime
+
+    from samba_spark.operators.sketches import sliding_distinct
+
+    def t(h, m):
+        return datetime.datetime(2026, 7, 1, h, m)
+
+    # window is [t-59min, t]: user 1 at 10:00 and 10:31 (dup within one
+    # window), user 2 at 10:31, user 3 at 11:30 — at 11:30 the 10:00
+    # event has aged out (90 min) but 10:31 is exactly on the 59-minute
+    # boundary and still counts.
+    rows = [
+        (0, t(10, 0), 1, "e", 0.0),
+        (1, t(10, 31), 1, "e", 0.0),
+        (2, t(10, 31), 2, "e", 0.0),
+        (3, t(11, 30), 3, "e", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    got = {
+        r.minute.isoformat(): r.n_distinct
+        for r in sliding_distinct(df, group_col="event_type").collect()
+    }
+    assert got["2026-07-01T10:00:00"] == 1
+    assert got["2026-07-01T10:31:00"] == 2          # users 1,2 + aged 10:00 dup
+    assert got["2026-07-01T11:30:00"] == 3          # 10:31 in, 10:00 aged out

@@ -46,6 +46,17 @@ PROBES = [
     # probe would measure nothing — its scale argument is analytic
     # (SCALE.md round-4 section: band keys shuffle, image bytes don't).
     "x88_semantic_prune",
+    # session-4 families: itemset mining (basket fan-out), exact NDV
+    # profile (expand rewrite), deletion-neighborhood string join
+    # (dictionary-sized, should be FLAT across SF once distinct names
+    # saturate), label propagation (iterative vote rounds), CUSUM
+    # change-point (day-carry ladder), TWAP (lead-window + agg).
+    "x95_frequent_itemsets",
+    "x100_table_profile",
+    "x103_levenshtein_pairs",
+    "x105_lpa_communities",
+    "x108_changepoint",
+    "q92_twap",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
