@@ -57,6 +57,7 @@ PROBES = [
     "x105_lpa_communities",
     "x108_changepoint",
     "q92_twap",
+    "x110_sliding_distinct",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
