@@ -138,19 +138,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_index(
     documents: DataFrame,
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    max_bucket: int = 1000,
     hash_family: str = "md5",
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH. Pairs are generated
-    bucket-locally: explode signatures into ``bands`` band-keys, self-join on
-    (band, band_hash). ``max_bucket`` caps degenerate buckets (boilerplate)
-    — the 100 TB skew guard; capped buckets are dropped, trading recall for
-    a bound on the join fan-out."""
+    """(doc_id, band, band_hash): the banded-LSH bucket table — the
+    PERSISTABLE index half of fuzzy dedup (store it x87-style and new
+    batches never re-signature the corpus; see dedup_incremental_lsh).
+    One signature pass + a bands-wide explode; O(docs × bands) rows of
+    16-byte keys."""
     rows = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes, hash_family)
 
@@ -166,7 +165,7 @@ def lsh_candidate_pairs(
         # xxhash64 family keeps a cheap 64-bit numeric key
         return F.md5(joined) if hash_family == "md5" else F.xxhash64(joined)
 
-    band_entries = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -177,6 +176,24 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_hash")
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH. Pairs are generated
+    bucket-locally: explode signatures into ``bands`` band-keys, self-join on
+    (band, band_hash). ``max_bucket`` caps degenerate buckets (boilerplate)
+    — the 100 TB skew guard; capped buckets are dropped, trading recall for
+    a bound on the join fan-out."""
+    band_entries = lsh_band_index(
+        documents, n, num_hashes, bands, hash_family
+    )
     # bucket-size cap via a window over the same shuffle key — one exchange
     # (vs groupBy+join-back = two) and the band entries stay partitioned by
     # (band, band_hash) for the self-join that follows
@@ -716,4 +733,53 @@ def deletion_neighborhood_pairs(
             "distance", F.levenshtein("s_a", "s_b").cast("long")
         )
         .where(F.col("distance") <= 1)
+    )
+
+
+def dedup_incremental_lsh(
+    index: DataFrame,
+    delta_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Ingest-time FUZZY dedup: the near-dup pairs created by adding a
+    delta batch to an already-indexed corpus — the MinHash sibling of
+    x27's exact digest anti-join. ``index`` is the persisted
+    (doc_id, band, band_hash) bucket table (lsh_band_index, storable
+    x87-style); only the DELTA is shingled/signatured, so per-batch cost
+    is O(delta × bands) + a join against the bucket table — the corpus
+    is never re-signatured.
+
+    The bucket cap is evaluated over index ∪ delta (identical semantics
+    to a full rebuild: a bucket that degenerates once the delta lands is
+    dropped for everyone). Output pairs each involve ≥1 delta doc —
+    delta↔corpus and delta↔delta, (least, greatest)-normalized.
+    """
+    delta_keys = lsh_band_index(
+        delta_docs, n, num_hashes, bands, hash_family
+    )
+    full = index.unionByName(delta_keys)
+    w = Window.partitionBy("band", "band_hash")
+    bounded = full.withColumn(
+        "_bucket_n", F.count(F.lit(1)).over(w)
+    ).where(F.col("_bucket_n") <= max_bucket)
+    delta_ids = delta_docs.select("doc_id").distinct()
+    delta_bounded = bounded.join(F.broadcast(delta_ids), "doc_id")
+    d = delta_bounded.alias("d")
+    o = bounded.alias("o")
+    return (
+        d.join(
+            o,
+            (F.col("d.band") == F.col("o.band"))
+            & (F.col("d.band_hash") == F.col("o.band_hash"))
+            & (F.col("d.doc_id") != F.col("o.doc_id")),
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+        .distinct()
     )

@@ -3680,7 +3680,39 @@ ORDER BY gid, l_returnflag, l_linestatus
 
 
 
+def x_incremental_lsh(spark, sf_dir):
+    """Ingest-time fuzzy dedup (dedup.dedup_incremental_lsh): the
+    even-doc_id half of the corpus is the PERSISTED band-bucket index
+    (lsh_band_index — only its bucket table exists at ingest time), the
+    odd half arrives as the delta, and the operator surfaces every
+    near-dup candidate pair the delta creates — delta↔corpus and
+    delta↔delta — without re-signaturing the corpus. Bucket cap
+    evaluated over index ∪ delta, exactly as a full rebuild would; the
+    oracle runs the full x3 LSH pipeline and keeps pairs with ≥1 odd
+    member."""
+    from samba_spark.operators.dedup import (
+        dedup_incremental_lsh,
+        lsh_band_index,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    index = lsh_band_index(docs.where(F.col("doc_id") % 2 == 0))
+    delta = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup_incremental_lsh(index, delta).orderBy("doc_a", "doc_b")
+
+
+def _x111_sql():
+    return rf"""
+WITH {_LSH_PAIRS_CTES}
+SELECT doc_a, doc_b FROM pairs
+WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+ORDER BY doc_a, doc_b
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x111_incremental_lsh": QuerySpec(x_incremental_lsh, _x111_sql()),
     "q93_grouping_sets": QuerySpec(q93_grouping_sets, Q93_GROUPING_SETS_SQL),
     "x110_sliding_distinct": QuerySpec(
         x_sliding_distinct, X_SLIDING_DISTINCT_SQL

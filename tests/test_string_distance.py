@@ -66,3 +66,31 @@ def test_brute_force_parity(spark):
     }
     got = _pairs(spark, words)
     assert got == want
+
+
+def test_incremental_lsh_only_delta_pairs(spark):
+    from samba_spark.operators.dedup import (
+        dedup_incremental_lsh,
+        lsh_band_index,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark plans and shuffles"
+    docs = spark.createDataFrame(
+        [
+            (0, dup),        # indexed corpus
+            (2, other),      # indexed corpus
+            (4, other),      # indexed corpus (even-even dup: must NOT emit)
+            (1, dup),        # delta: dup of indexed 0
+            (3, dup),        # delta: dup of 0 and 1 (delta-delta pair too)
+        ],
+        ["doc_id", "text"],
+    )
+    index = lsh_band_index(docs.where("doc_id % 2 = 0"))
+    delta = docs.where("doc_id % 2 = 1")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_incremental_lsh(index, delta).collect()
+    }
+    # delta<->corpus and delta<->delta pairs, never corpus<->corpus
+    assert got == {(0, 1), (0, 3), (1, 3)}
