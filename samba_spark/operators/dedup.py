@@ -783,3 +783,92 @@ def dedup_incremental_lsh(
         )
         .distinct()
     )
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    k_block: int = 5,
+    max_df: int = 100,
+    num_pct: int = 9,
+    den_pct: int = 10,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT detection — |A∩B| / min(|A|,|B|) ≥
+    num_pct/den_pct over n-gram shingle sets — the partial-copy case
+    symmetric Jaccard (x5) structurally misses: a paragraph quoted
+    inside a much larger document has tiny Jaccard but containment ≈ 1,
+    and MinHash-LSH candidates (tuned for Jaccard) won't surface it.
+
+    Candidates come from asymmetric prefix-filter blocking: each doc
+    BLOCKS on its ``k_block`` rarest shingles (df ≤ ``max_df``), and
+    blocked shingles probe EVERY doc carrying them — if A ⊆ B then A's
+    rarest shingle is in B, so the pair is generated from A's side
+    regardless of B's size. Candidate volume is bounded by
+    Σ_blocked df(s) ≤ k_block · max_df per doc; the exact intersection
+    count verifies candidates only. All-integer threshold
+    (``den_pct·n_inter ≥ num_pct·n_small``); the reported containment is
+    the raw IEEE quotient of the same integers.
+
+    Returns (doc_a, doc_b, n_inter, n_small, containment), doc_a < doc_b.
+    """
+    sh = shingles(documents, n).distinct().select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("term"),
+    )
+    sh = sh.localCheckpoint()  # reused 4x: df, blocks, probe, verify
+    dfreq = sh.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "term").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "term")
+        ),
+    )
+    blocks = ranked.where(
+        (F.col("_rk") <= k_block) & (F.col("_df") <= max_df)
+    ).select(F.col("doc_id").alias("_ba"), "term")
+    probe = ranked.where(F.col("_df") <= max_df).select(
+        F.col("doc_id").alias("_bb"), "term"
+    )
+    cand = (
+        blocks.join(probe, "term")
+        .where(F.col("_ba") != F.col("_bb"))
+        .select(
+            F.least("_ba", "_bb").alias("doc_a"),
+            F.greatest("_ba", "_bb").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "term"), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "term"),
+            ["doc_b", "term"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb")),
+            "doc_b",
+        )
+        .withColumn("n_small", F.least("_na", "_nb"))
+        .where(
+            F.lit(den_pct) * F.col("n_inter")
+            >= F.lit(num_pct) * F.col("n_small")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.col("n_small").cast("long").alias("n_small"),
+            (F.col("n_inter") / F.col("n_small")).alias("containment"),
+        )
+    )

@@ -809,3 +809,51 @@ def strip_boilerplate(
             F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
         )
     )
+
+
+def feature_hash_vectors(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dims: int = 32,
+) -> DataFrame:
+    """The hashing trick: fixed-width token-count vectors with NO
+    vocabulary pass — token t increments slot md5(t) mod ``dims`` — the
+    one-scan featurizer that needs no fitted state, no broadcast vocab,
+    and no second job, which is why it is the standard first featurizer
+    at corpus scale (collisions are the accepted trade; dims tunes
+    them). Pure Catalyst: per-slot counts are array expressions in the
+    scan stage, zero shuffles before the caller's own aggregation.
+
+    Returns (id, vec array<long>, nnz, max_count). The md5-derived slot
+    hash is engine-reproducible, so an external SQL engine builds the
+    identical vectors (unlike JVM-seeded hashes).
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("long")
+        % dims,
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: F.size(F.filter(F.col("_slots"), lambda s: s == i)).cast(
+            "long"
+        ),
+    )
+    return (
+        documents.select(F.col(id_col), hashed.alias("_slots"))
+        .select(F.col(id_col), vec.alias("vec"))
+        .select(
+            id_col,
+            "vec",
+            F.size(F.filter(F.col("vec"), lambda c: c > 0))
+            .cast("long")
+            .alias("nnz"),
+            F.array_max("vec").cast("long").alias("max_count"),
+        )
+    )

@@ -3711,7 +3711,97 @@ ORDER BY doc_a, doc_b
 
 
 
+def x_containment(spark, sf_dir):
+    """Containment near-dup detection (dedup.ngram_containment_pairs):
+    |A∩B|/min ≥ 0.9 over 3-gram shingles, candidates from asymmetric
+    rare-shingle prefix blocking — the quoted-paragraph case Jaccard
+    and MinHash both miss. Integer threshold; IEEE quotient reported."""
+    from samba_spark.operators.dedup import ngram_containment_pairs
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return ngram_containment_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+X_CONTAINMENT_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+shs AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(array_to_string(toks[i+1 : i+3], ' ')),
+                         1, 15))::BIGINT AS term
+  FROM toked, UNNEST(range(0, greatest(len(toks)-3, 0) + 1)) AS u(i)),
+dfreq AS (SELECT term, COUNT(*) AS df FROM shs GROUP BY term),
+ranked AS (
+  SELECT s.doc_id, s.term, d.df,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df, s.term) AS rk
+  FROM shs s JOIN dfreq d USING (term)),
+blocks AS (SELECT doc_id AS ba, term FROM ranked
+           WHERE rk <= 5 AND df <= 100),
+probe AS (SELECT doc_id AS bb, term FROM ranked WHERE df <= 100),
+cand AS (
+  SELECT DISTINCT LEAST(ba, bb) AS doc_a, GREATEST(ba, bb) AS doc_b
+  FROM blocks JOIN probe USING (term) WHERE ba <> bb),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shs GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.doc_a
+  JOIN shs b ON b.doc_id = c.doc_b AND b.term = a.term
+  GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b, i.n_inter::BIGINT AS n_inter,
+       LEAST(sa.n, sb.n)::BIGINT AS n_small,
+       CAST(i.n_inter AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 10 * i.n_inter >= 9 * LEAST(sa.n, sb.n)
+ORDER BY doc_a, doc_b
+"""
+
+
+
+def x_feature_hashing(spark, sf_dir):
+    """Hashing-trick featurizer (textual.feature_hash_vectors): 32-dim
+    token-count vectors with no vocabulary pass — slot = md5(token) mod
+    32, engine-reproducible. One scan, zero shuffles before the final
+    order. First 100 docs."""
+    from samba_spark.operators.textual import feature_hash_vectors
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return feature_hash_vectors(docs).orderBy("doc_id").limit(100)
+
+
+X_FEATURE_HASHING_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+slots AS (
+  SELECT doc_id,
+         list_transform(toks,
+           t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 32) AS sl
+  FROM toked),
+vecs AS (
+  SELECT doc_id,
+         list_transform(range(0, 32),
+           i -> len(list_filter(sl, s -> s = i))::BIGINT) AS vec
+  FROM slots)
+SELECT doc_id, vec,
+       len(list_filter(vec, c -> c > 0))::BIGINT AS nnz,
+       list_max(vec)::BIGINT AS max_count
+FROM vecs ORDER BY doc_id LIMIT 100
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x113_feature_hashing": QuerySpec(x_feature_hashing, X_FEATURE_HASHING_SQL),
+    "x112_containment": QuerySpec(x_containment, X_CONTAINMENT_SQL),
     "x111_incremental_lsh": QuerySpec(x_incremental_lsh, _x111_sql()),
     "q93_grouping_sets": QuerySpec(q93_grouping_sets, Q93_GROUPING_SETS_SQL),
     "x110_sliding_distinct": QuerySpec(

@@ -94,3 +94,47 @@ def test_incremental_lsh_only_delta_pairs(spark):
     }
     # delta<->corpus and delta<->delta pairs, never corpus<->corpus
     assert got == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_containment_finds_quoted_paragraph(spark):
+    from samba_spark.operators.dedup import ngram_containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    big = (
+        "intro words here before the quote "
+        + quote
+        + " and plenty of trailing commentary words follow the quoted part"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, quote),                      # small doc
+            (2, big),                        # contains it verbatim
+            (3, "unrelated corpus text about engines and plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in ngram_containment_pairs(docs).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # every 3-shingle of the quote appears in the big doc
+    assert r.n_inter == r.n_small
+    assert r.containment == 1.0
+    assert not any(3 in p for p in got)
+
+
+def test_feature_hash_vectors_match_reference(spark):
+    import hashlib
+
+    from samba_spark.operators.textual import feature_hash_vectors
+
+    text = "spark spark plan shuffle plan spark"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = feature_hash_vectors(docs).collect()[0]
+    want = [0] * 32
+    for t in text.split():
+        want[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 32] += 1
+    assert list(r.vec) == want
+    assert r.nnz == sum(1 for c in want if c) and r.max_count == max(want)
