@@ -822,8 +822,15 @@ def feature_hash_vectors(
     one-scan featurizer that needs no fitted state, no broadcast vocab,
     and no second job, which is why it is the standard first featurizer
     at corpus scale (collisions are the accepted trade; dims tunes
-    them). Pure Catalyst: per-slot counts are array expressions in the
-    scan stage, zero shuffles before the caller's own aggregation.
+    them). Pure Catalyst, zero shuffles before the caller's own
+    aggregation.
+
+    Plan shape matters here: the histogram is ONE ``aggregate`` fold
+    that references the hashed-slot array exactly once (a per-slot
+    ``filter`` loop re-evaluates the md5 map ``dims`` times once
+    CollapseProject inlines it — measured 9.3 s vs 0.9 s at sf0.1), and
+    the derived stats read the vector through a Generate barrier so
+    projection collapse cannot inline the fold into each of them.
 
     Returns (id, vec array<long>, nnz, max_count). The md5-derived slot
     hash is engine-reproducible, so an external SQL engine builds the
@@ -839,21 +846,22 @@ def feature_hash_vectors(
         .cast("long")
         % dims,
     )
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda i: F.size(F.filter(F.col("_slots"), lambda s: s == i)).cast(
-            "long"
+    vec = F.aggregate(
+        hashed,
+        F.expr(f"array_repeat(0L, {dims})"),
+        lambda acc, s: F.transform(
+            acc,
+            lambda c, i: F.when(i.cast("long") == s, c + 1).otherwise(c),
         ),
     )
-    return (
-        documents.select(F.col(id_col), hashed.alias("_slots"))
-        .select(F.col(id_col), vec.alias("vec"))
-        .select(
-            id_col,
-            "vec",
-            F.size(F.filter(F.col("vec"), lambda c: c > 0))
-            .cast("long")
-            .alias("nnz"),
-            F.array_max("vec").cast("long").alias("max_count"),
-        )
+    barrier = documents.select(
+        F.col(id_col), F.explode(F.array(vec)).alias("vec")
+    )
+    return barrier.select(
+        id_col,
+        "vec",
+        F.size(F.filter(F.col("vec"), lambda c: c > 0))
+        .cast("long")
+        .alias("nnz"),
+        F.array_max("vec").cast("long").alias("max_count"),
     )

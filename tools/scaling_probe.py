@@ -58,6 +58,8 @@ PROBES = [
     "x108_changepoint",
     "q92_twap",
     "x110_sliding_distinct",
+    "x111_incremental_lsh",
+    "x112_containment",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
