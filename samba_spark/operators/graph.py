@@ -345,3 +345,78 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels.select("vertex", F.col("label").alias("community"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """Personalized PageRank: the random walk restarts into the
+    ``sources`` set instead of uniformly — rank becomes proximity TO the
+    sources, the recommendation / related-items primitive plain
+    PageRank (global importance) cannot express. Same physical loop as
+    :func:`pagerank` (3 exchanges per round, dangling mass as a 1-row
+    broadcast aggregate, localCheckpoint cuts), with the restart vector
+    1/|S| on S broadcast-joined instead of the 1/n constant; dangling
+    mass also returns to the sources, preserving Σrank = 1.
+
+    ``sources`` must have a ``vertex`` column; |S| is resolved with one
+    count. Fixed iteration count keeps the unrolled SQL oracle exact.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint()
+    vertices = (
+        e.select(F.col("src").alias("vertex"))
+        .unionByName(e.select(F.col("dst").alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    s = sources.select("vertex").distinct().join(
+        vertices, "vertex"
+    ).localCheckpoint()
+    n_s = s.count()
+    restart = vertices.join(
+        s.withColumn("_r", F.lit(1.0 / n_s)), "vertex", "left"
+    ).select("vertex", F.coalesce("_r", F.lit(0.0)).alias("_restart"))
+    restart = restart.localCheckpoint()
+    e2 = (
+        e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")), "src")
+        .select("src", "dst", "out_deg")
+        .localCheckpoint()
+    )
+    ranks = restart.select("vertex", F.col("_restart").alias("rank"))
+    for _ in range(iterations):
+        flow = ranks.join(e2, ranks.vertex == e2.src, "left").select(
+            e2.dst.alias("dst"),
+            F.when(
+                e2.dst.isNull(), F.col("rank")
+            ).otherwise(F.col("rank") / F.col("out_deg")).alias("c"),
+        )
+        agg = flow.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        dangling = agg.where(F.col("dst").isNull()).agg(
+            F.coalesce(F.sum("inflow"), F.lit(0.0)).alias("m")
+        )
+        contribs = agg.where(F.col("dst").isNotNull())
+        ranks = (
+            restart.join(contribs, restart.vertex == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "vertex",
+                (
+                    F.lit(1.0 - damping) * F.col("_restart")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("inflow", F.lit(0.0))
+                        + F.col("m") * F.col("_restart")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("vertex", F.round("rank", round_to).alias("rank"))

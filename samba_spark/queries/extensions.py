@@ -3799,7 +3799,144 @@ FROM vecs ORDER BY doc_id LIMIT 100
 
 
 
+def x_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (graph.personalized_pagerank): the random
+    walk restarts into customers 0–5, so rank = proximity to those
+    seeds — the related-items primitive q41's global PageRank cannot
+    express. Same 3-exchange loop and unrolled recursive-CTE oracle
+    pattern as q41 (5 iterations, damping 0.85, symmetric trading
+    graph: no dangling mass)."""
+    from samba_spark.operators.graph import personalized_pagerank
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sources = pairs.select(F.col("src").alias("vertex")).where(
+        F.col("vertex") <= 5
+    ).distinct()
+    return (
+        personalized_pagerank(edges, sources, iterations=5)
+        .orderBy("vertex")
+    )
+
+
+X_PPR_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst, src FROM pairs),
+verts AS (SELECT DISTINCT src AS vertex FROM edges),
+s AS (SELECT vertex FROM verts WHERE vertex <= 5),
+params AS (SELECT COUNT(*)::DOUBLE AS ns FROM s),
+outdeg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+restart AS (
+  SELECT v.vertex,
+         CASE WHEN sv.vertex IS NOT NULL
+              THEN 1.0 / (SELECT ns FROM params) ELSE 0.0 END AS r
+  FROM verts v LEFT JOIN s sv ON sv.vertex = v.vertex),
+pr(it, vertex, rank) AS (
+  SELECT 0, vertex, r FROM restart
+  UNION ALL
+  SELECT it + 1, vertex, (1 - 0.85) * r + 0.85 * inflow
+  FROM (
+    SELECT v.vertex, v.r, MAX(p.it) AS it, SUM(p.rank / o.d) AS inflow
+    FROM restart v
+    JOIN edges e ON e.dst = v.vertex
+    JOIN pr p ON p.vertex = e.src
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY v.vertex, v.r)
+  WHERE it < 5)
+SELECT vertex, ROUND(rank, 6) AS rank
+FROM pr WHERE it = 5 ORDER BY vertex
+"""
+
+
+
+def q94_identifier_clause(spark, sf_dir):
+    """IDENTIFIER() clause (Spark 4): table and column names bound from
+    parameters WITHOUT string-splicing SQL — the injection-safe path for
+    query services that template object names (q87 covers value
+    parameters; this covers identifiers). The oracle inlines the same
+    names."""
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    t.createOrReplaceTempView("q94_orders")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(IDENTIFIER(:val) * 100) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        ORDER BY status
+        """,
+        args={
+            "tbl": "q94_orders",
+            "grp": "o_orderstatus",
+            "val": "o_totalprice",
+        },
+    )
+
+
+Q94_IDENTIFIER_SQL = """
+SELECT o_orderstatus AS status, COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM orders GROUP BY o_orderstatus ORDER BY status
+"""
+
+
+def q95_group_by_all(spark, sf_dir):
+    """GROUP BY ALL + ORDER BY ALL (Spark 4 / modern-SQL ergonomics):
+    every non-aggregate select item becomes a grouping key and the full
+    select list the sort key — resolved at analysis time to the
+    identical plan as the explicit form (which is what the oracle
+    runs)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    t.createOrReplaceTempView("q95_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM q95_lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+Q95_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n_rows,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus, n_rows, sum_qty
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "q94_identifier_clause": QuerySpec(
+        q94_identifier_clause, Q94_IDENTIFIER_SQL
+    ),
+    "q95_group_by_all": QuerySpec(q95_group_by_all, Q95_GROUP_BY_ALL_SQL),
+    "x114_personalized_pagerank": QuerySpec(
+        x_personalized_pagerank, X_PPR_SQL
+    ),
     "x113_feature_hashing": QuerySpec(x_feature_hashing, X_FEATURE_HASHING_SQL),
     "x112_containment": QuerySpec(x_containment, X_CONTAINMENT_SQL),
     "x111_incremental_lsh": QuerySpec(x_incremental_lsh, _x111_sql()),

@@ -152,3 +152,26 @@ def test_label_propagation_deterministic_tiebreak(spark):
         for r in label_propagation(edges, iterations=3).collect()
     }
     assert comm == {7: 7, 9: 7}
+
+
+def test_personalized_pagerank_concentrates_on_seed_side(spark):
+    from samba_spark.operators.graph import personalized_pagerank
+
+    # path graph 1-2-3-4-5, seed {1}: rank must decrease with distance
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5), (5, 4)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(1,)], ["vertex"])
+    r = {
+        row.vertex: row.rank
+        for row in personalized_pagerank(edges, seeds, iterations=8).collect()
+    }
+    # strict per-hop monotonicity does NOT hold on a path (v5 feeds its
+    # whole rank to v4 each round — degree effects); assert the
+    # parity-safe decay instead: seed dominates, and rank falls along
+    # the odd-distance chain from the seed
+    assert r[1] == max(r.values())
+    assert r[1] > r[3] > r[5]
+    # mass conserved (no dangling on a symmetric graph)
+    assert abs(sum(r.values()) - 1.0) < 1e-4
