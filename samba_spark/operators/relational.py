@@ -334,3 +334,65 @@ def interval_overlap_join(
         (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
     )
     return joined.drop("_bucket").distinct()
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    id_col: str,
+    bucket_width: int = 100_000,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not DOMINATED by any other —
+    dominated means another row is ≤ on the minimized column and ≥ on
+    the maximized column, strictly better on at least one. The
+    multi-criteria shortlist query (cheapest-yet-largest) whose naive
+    form is an O(n²) NOT EXISTS self-join.
+
+    Sort-based pruning WITHOUT a global window: a row survives iff its
+    max_col strictly exceeds the best max_col of every strictly-cheaper
+    row, and it is the best of its equal-min peers. The
+    strictly-cheaper prefix maximum is assembled two-level — a window
+    inside each fixed-width value bucket of min_col plus a carry ladder
+    over the O(#buckets) bucket maxima (disjoint value ranges make
+    every earlier bucket strictly cheaper) — the same day-ladder shape
+    as concurrency/CUSUM, so no single-task window exists at any data
+    size. Duplicate (min, max) points keep the id-min representative.
+    Integer criteria ⇒ engine-exact.
+    """
+    b = (F.col(min_col).cast("long") / F.lit(bucket_width)).cast("long")
+    base = df.withColumn("_b", b)
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(min_col).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    bucket_max = base.groupBy("_b").agg(
+        F.max(max_col).alias("_bmax")
+    )
+    w_carry = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bucket_max.select(
+        "_b", F.max("_bmax").over(w_carry).alias("_carry")
+    )
+    w_tie = Window.partitionBy(min_col).orderBy(
+        F.col(max_col).desc(), F.col(id_col).asc()
+    )
+    staged = (
+        base.withColumn("_local_prev", F.max(max_col).over(w_local))
+        .join(carry, "_b")
+        .withColumn(
+            # greatest() skips NULLs: null only when both levels are empty
+            "_best_prev",
+            F.greatest(F.col("_local_prev"), F.col("_carry")),
+        )
+        .withColumn("_peer_rk", F.row_number().over(w_tie))
+    )
+    return staged.where(
+        (
+            F.col("_best_prev").isNull()
+            | (F.col(max_col) > F.col("_best_prev"))
+        )
+        & (F.col("_peer_rk") == 1)
+    ).drop("_b", "_local_prev", "_carry", "_best_prev", "_peer_rk")

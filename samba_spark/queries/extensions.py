@@ -3929,7 +3929,90 @@ ORDER BY l_returnflag, l_linestatus, n_rows, sum_qty
 
 
 
+def x_skyline(spark, sf_dir):
+    """2-D Pareto frontier over parts (relational.skyline_2d): cheapest-
+    yet-largest — no other part is at-most-as-expensive AND at-least-as-
+    large with one strict. The operator's two-level bucket ladder
+    replaces the O(n²) NOT-EXISTS self-join the oracle runs; duplicate
+    (price, size) points keep the min-partkey representative."""
+    from samba_spark.operators.relational import skyline_2d
+
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    return skyline_2d(p, "price_cents", "size", "p_partkey").orderBy(
+        "price_cents", "p_partkey"
+    )
+
+
+X_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part),
+nd AS (
+  SELECT * FROM p r WHERE NOT EXISTS (
+    SELECT 1 FROM p s
+    WHERE s.price_cents <= r.price_cents AND s.size >= r.size
+      AND (s.price_cents < r.price_cents OR s.size > r.size)))
+SELECT p_partkey, p_name, price_cents, size FROM (
+  SELECT nd.*, ROW_NUMBER() OVER (PARTITION BY price_cents, size
+                                  ORDER BY p_partkey) AS rn
+  FROM nd)
+WHERE rn = 1 ORDER BY price_cents, p_partkey
+"""
+
+
+
+def x_pandas_udaf(spark, sf_dir):
+    """Completes the Python-boundary matrix with the two @pandas_udf
+    cells the suite's Arrow surface didn't yet pin: a SCALAR pandas UDF
+    (Arrow-batched column transform) and a GROUPED-AGG pandas UDF (a
+    user-defined aggregate riding the normal hash aggregate). Integer
+    cents end to end, so the Python boundary is oracle-exact — the
+    documented slow path beside the Catalyst equivalents, here to prove
+    the API, not to win the benchmark."""
+    from samba_spark.functions.pandas_ops import (
+        make_int_count,
+        make_int_sum,
+        make_to_cents,
+    )
+
+    to_cents = make_to_cents()
+    int_sum = make_int_sum()
+    int_count = make_int_count()
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # pandas UDAFs cannot share an agg with built-in aggregates, so the
+    # count is a pandas reduction too
+    return (
+        ev.withColumn("_c", to_cents("value"))
+        .groupBy("event_type")
+        .agg(
+            int_count("_c").alias("n"),
+            int_sum("_c").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X_PANDAS_UDAF_SQL = """
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x116_pandas_udaf": QuerySpec(x_pandas_udaf, X_PANDAS_UDAF_SQL),
+    "x115_skyline": QuerySpec(x_skyline, X_SKYLINE_SQL),
     "q94_identifier_clause": QuerySpec(
         q94_identifier_clause, Q94_IDENTIFIER_SQL
     ),

@@ -522,3 +522,40 @@ def test_journey_pattern_matches_python_re(spark, etypes):
     got = j.select(pattern_match_counts(j, "vc*p").alias("n")).collect()[0]["n"]
     want = len(re.findall("vc*p", "".join(e[0] for e in etypes)))
     assert got == want
+
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),     # price
+        st.integers(min_value=0, max_value=10),     # size
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(_points)
+def test_skyline_matches_bruteforce(spark, pts):
+    from samba_spark.operators.relational import skyline_2d
+
+    rows = [(i, p, s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "price", "size"])
+    got = {
+        (r.price, r.size, r.id)
+        for r in skyline_2d(df, "price", "size", "id", bucket_width=7)
+        .collect()
+    }
+
+    def dominated(r):
+        return any(
+            s[1] <= r[1] and s[2] >= r[2] and (s[1] < r[1] or s[2] > r[2])
+            for s in rows
+        )
+
+    nd = [r for r in rows if not dominated(r)]
+    # operator keeps the min-id representative per (price, size) point
+    want = {}
+    for i, p, s in nd:
+        want[(p, s)] = min(want.get((p, s), i), i)
+    assert got == {(p, s, i) for (p, s), i in want.items()}
