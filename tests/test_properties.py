@@ -559,3 +559,112 @@ def test_skyline_matches_bruteforce(spark, pts):
     for i, p, s in nd:
         want[(p, s)] = min(want.get((p, s), i), i)
     assert got == {(p, s, i) for (p, s), i in want.items()}
+
+
+_cent_series = st.lists(
+    st.integers(min_value=-10_000, max_value=10_000),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(**_SETTINGS)
+@given(_cent_series)
+def test_mad_outliers_matches_python_reference(spark, cents):
+    import datetime
+
+    from samba_spark.operators.sessionize import mad_outliers
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1), "g", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    )
+    got = {r.event_id for r in mad_outliers(df).collect()}
+
+    def interp_median_x2(vals):
+        s = sorted(vals)
+        n = len(s)
+        if n % 2:
+            return 2 * s[n // 2]
+        return s[n // 2 - 1] + s[n // 2]
+
+    med2 = interp_median_x2(cents)
+    dev2 = [abs(2 * c - med2) for c in cents]
+    mad4 = interp_median_x2(dev2)
+    want = {
+        i for i, d in enumerate(dev2) if d * 2 * 10000 > 44478 * mad4
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(_cent_series)
+def test_cusum_matches_python_reference(spark, cents):
+    import datetime
+
+    from samba_spark.operators.sessionize import cusum_changepoint
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1 + i // 4, 6, i % 4), "g", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    )
+    r = cusum_changepoint(df).collect()[0]
+    n, tot = len(cents), sum(cents)
+    best = max(
+        (abs(n * sum(cents[:k]) - k * tot), -k)
+        for k in range(1, n + 1)
+    )
+    assert (r.n, r.d_abs, r.k_star) == (n, best[0], -best[1])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),    # day offset
+            st.integers(min_value=0, max_value=5),    # events that day
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_interpolation_matches_python_reference(spark, spec):
+    import datetime
+
+    from samba_spark.operators.sessionize import interpolate_daily_counts
+
+    rows, eid = [], 0
+    counts = {}
+    for day_off, n in spec:
+        counts[day_off] = counts.get(day_off, 0) + n
+        for _ in range(n):
+            rows.append(
+                (eid, datetime.datetime(2026, 2, 1 + day_off), 1, "e", 0.0, "")
+            )
+            eid += 1
+    counts = {d: n for d, n in counts.items() if n > 0}
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    got = {
+        r.day.day - 1: (r.observed, r.count_x1000)
+        for r in interpolate_daily_counts(df).collect()
+    }
+    d0, d1 = min(counts), max(counts)
+    for d in range(d0, d1 + 1):
+        if d in counts:
+            assert got[d] == (True, counts[d] * 1000)
+        else:
+            p = max(x for x in counts if x < d)
+            nx = min(x for x in counts if x > d)
+            num = counts[p] * 1000 * (nx - p) + (counts[nx] - counts[p]) * 1000 * (d - p)
+            assert got[d] == (False, num // (nx - p))
+    assert set(got) == set(range(d0, d1 + 1))
