@@ -25,13 +25,13 @@ Spark-4 surface (x70/x83–x86, q77/q79–q82), TPC-H completion (q63–q72),
 the r3 sketch family (x80–x82/x87), and the highest-risk remaining ops
 (x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75).
 
-Round-5 rotation backlog (the 60 residual never-driver-checked queries —
-27 from rounds 3–4 plus the 33 round-4 additions x93–x116/q88–q95 — to
+Round-5 rotation backlog (the 62 residual never-driver-checked queries —
+27 from rounds 3–4 plus the 35 round-4 additions x93–x116/q88–q97 — to
 rotate in once the round-4 window comes back green): x45–x47, x50–x52,
 x54, x56–x59, x61, x62, x64, x66–x69, x76, x78, x88–x116, q74, q76,
-q87–q95. That is 60 entries for 45 free slots: round 5 rotates in 45
+q87–q97. That is 62 entries for 45 free slots: round 5 rotates in 45
 (prioritizing the oldest never-checked entries), round 6 retires the
-last 15; every query stays under the local DuckDB parity harness
+last 17; every query stays under the local DuckDB parity harness
 (tools/parity_sweep.py + tests) in every round regardless of window
 position.
 """

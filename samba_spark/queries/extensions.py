@@ -4010,7 +4010,86 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 
+def q96_bag_setops(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL — bag semantics (Q13 covers the
+    set-semantics trio): duplicates survive by multiplicity, the form
+    reconciliation jobs need when row counts ARE the signal. Two
+    derived multisets of (status, priority) rows from split halves of
+    orders; output tags each surviving row with its source op."""
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    a = t.where(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = t.where(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    inter = a.intersectAll(b).withColumn("op", F.lit("intersect_all"))
+    diff = a.exceptAll(b).withColumn("op", F.lit("except_all"))
+    return (
+        inter.unionByName(diff)
+        .groupBy("op", "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("op", "o_orderstatus", "o_orderpriority")
+    )
+
+
+Q96_BAG_SETOPS_SQL = """
+WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders
+           WHERE o_orderkey % 3 <> 0),
+b AS (SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 2 <> 0),
+i AS (SELECT 'intersect_all' AS op, * FROM (
+        SELECT * FROM a INTERSECT ALL SELECT * FROM b)),
+d AS (SELECT 'except_all' AS op, * FROM (
+        SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+SELECT op, o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n_rows
+FROM (SELECT * FROM i UNION ALL SELECT * FROM d)
+GROUP BY op, o_orderstatus, o_orderpriority
+ORDER BY op, o_orderstatus, o_orderpriority
+"""
+
+
+def q97_nullsafe_join(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics dimension-key
+    reconciliation needs when "unknown" is a real bucket. Keys are
+    orders' status with 'P' mapped to NULL on one side and a NULL row
+    class on the other; a plain equi-join would silently drop the NULL
+    class, which is exactly what the count proves didn't happen."""
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    a = t.select(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k"),
+        "o_orderkey",
+    )
+    dim = (
+        t.select(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("k")
+        )
+        .distinct()
+        .withColumn("bucket", F.coalesce(F.col("k"), F.lit("UNKNOWN")))
+    )
+    return (
+        a.join(dim, a["k"].eqNullSafe(dim["k"]))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy("bucket")
+    )
+
+
+Q97_NULLSAFE_SQL = """
+WITH a AS (SELECT NULLIF(o_orderstatus, 'P') AS k, o_orderkey FROM orders),
+dim AS (SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS k FROM orders),
+dim2 AS (SELECT k, COALESCE(k, 'UNKNOWN') AS bucket FROM dim)
+SELECT d.bucket, COUNT(*)::BIGINT AS n_orders
+FROM a JOIN dim2 d ON a.k IS NOT DISTINCT FROM d.k
+GROUP BY d.bucket ORDER BY d.bucket
+"""
+
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "q96_bag_setops": QuerySpec(q96_bag_setops, Q96_BAG_SETOPS_SQL),
+    "q97_nullsafe_join": QuerySpec(q97_nullsafe_join, Q97_NULLSAFE_SQL),
     "x116_pandas_udaf": QuerySpec(x_pandas_udaf, X_PANDAS_UDAF_SQL),
     "x115_skyline": QuerySpec(x_skyline, X_SKYLINE_SQL),
     "q94_identifier_clause": QuerySpec(
