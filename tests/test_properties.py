@@ -668,3 +668,72 @@ def test_interpolation_matches_python_reference(spark, spec):
             num = counts[p] * 1000 * (nx - p) + (counts[nx] - counts[p]) * 1000 * (d - p)
             assert got[d] == (False, num // (nx - p))
     assert set(got) == set(range(d0, d1 + 1))
+
+
+@settings(**_SETTINGS)
+@given(_cent_series)
+def test_winsorize_matches_python_reference(spark, cents):
+    import datetime
+
+    from samba_spark.operators.sessionize import winsorize_audit
+
+    rows = [
+        (i, datetime.datetime(2026, 3, 1), "g", c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value"]
+    )
+    r = winsorize_audit(df).collect()[0]
+
+    def q20(vals, p):
+        # (n-1)p interpolation, scaled x20 (exact for p on the 1/20 grid)
+        s = sorted(vals)
+        pos = (len(s) - 1) * p
+        lo, frac = int(pos), pos - int(pos)
+        v = s[lo] if frac == 0 else s[lo] * (1 - frac) + s[lo + 1] * frac
+        return round(v * 20)
+
+    lo20, hi20 = q20(cents, 0.05), q20(cents, 0.95)
+    c20 = [c * 20 for c in cents]
+    assert (r.lo20, r.hi20) == (lo20, hi20)
+    assert r.n_clipped_low == sum(1 for c in c20 if c < lo20)
+    assert r.n_clipped_high == sum(1 for c in c20 if c > hi20)
+    assert r.sum_winsorized20 == sum(
+        min(max(c, lo20), hi20) for c in c20
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=600),   # minutes offset
+            st.integers(min_value=-5000, max_value=5000),  # cents
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_twap_matches_python_reference(spark, ticks):
+    import datetime
+
+    from samba_spark.operators.sessionize import time_weighted_average
+
+    base = datetime.datetime(2026, 3, 2)
+    rows = [
+        (i, base + datetime.timedelta(minutes=m), 7, "e", c / 100.0)
+        for i, (m, c) in enumerate(sorted(ticks))
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    r = time_weighted_average(df).collect()[0]
+    ordered = sorted(ticks)
+    num = den = 0
+    for (m0, c0), (m1, _) in zip(ordered, ordered[1:]):
+        held = (m1 - m0) * 60 * 1_000_000
+        num += c0 * held
+        den += held
+    assert (r.twap_num, r.twap_den) == (num, den)
