@@ -335,11 +335,15 @@ def label_propagation(
             .groupBy(F.col("_s").alias("vertex"), F.col("_nl"))
             .agg(F.count(F.lit(1)).alias("_c"))
         )
+        # min over (-count, label): largest count first, then smallest
+        # label — works for string vertex ids too (negating the COUNT,
+        # never the label, keeps the tie-break type-agnostic)
         labels = (
             votes.groupBy("vertex")
             .agg(
-                F.max_by(
-                    "_nl", F.struct(F.col("_c"), (-F.col("_nl")).alias("_t"))
+                F.min_by(
+                    "_nl",
+                    F.struct((-F.col("_c")).alias("_nc"), F.col("_nl")),
                 ).alias("label")
             )
             .localCheckpoint()
@@ -381,6 +385,10 @@ def personalized_pagerank(
         vertices, "vertex"
     ).localCheckpoint()
     n_s = s.count()
+    if n_s == 0:
+        raise ValueError(
+            "sources must contain at least one vertex present in the graph"
+        )
     restart = vertices.join(
         s.withColumn("_r", F.lit(1.0 / n_s)), "vertex", "left"
     ).select("vertex", F.coalesce("_r", F.lit(0.0)).alias("_restart"))

@@ -74,6 +74,8 @@ def fd_profile(
     (whole-row keys): FDs are the discovery tool schema normalization
     and dedup-key design start from.
     """
+    if not fds:
+        raise ValueError("fd_profile requires at least one FD")
     parts = []
     for name, (lhs, rhs) in fds.items():
         g = df.groupBy(*[F.col(c) for c in lhs]).agg(
@@ -112,18 +114,43 @@ def key_uniqueness(df: DataFrame, *cols: str) -> DataFrame:
     )
 
 
-def table_profile(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
-    """ANALYZE-style column statistics in ONE scan: per column,
+def table_profile(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """ANALYZE-style column statistics in one job: per column,
     (column, n_rows, n_distinct, n_null) — the NDV/null-count statistics
-    a cost-based optimizer (and x97's sketch estimator) consumes. All
-    distinct counts ride a single aggregate via Catalyst's expand
-    rewrite — N columns cost one shuffle-free scan plus one 1-row
-    aggregate, not N jobs; the 1-row result explodes into per-column
-    rows without touching the driver."""
+    a cost-based optimizer (and x97's sketch estimator) consumes.
+
+    Cost model — choose the mode by table width:
+
+    - ``exact=True``: N ``count_distinct``s in one aggregate go through
+      Catalyst's **Expand rewrite** — an N-fold row expansion into the
+      partial aggregate and a shuffle keyed by (column, value). Exact
+      by contract, but the scan multiplies by the column count: right
+      as a maintenance-window tool on narrow tables, wrong for wide
+      tables at scale (it is why the exact mode scales ~4.5×/decade).
+    - ``exact=False``: HyperLogLog++ (``approx_count_distinct``, default
+      ``rsd=0.05``) per column — partial-aggregable sketches, NO expand,
+      no per-value shuffle: one scan, one 1-row exchange of N sketch
+      registers. The 100 TB / wide-table mode; same machinery as the
+      x80 HLL rollup family. NDVs are estimates (±rsd relative error);
+      n_rows/n_null stay exact in both modes.
+
+    The 1-row result explodes into per-column rows without touching the
+    driver."""
     cols = list(cols) if cols is not None else list(df.columns)
     aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
     for i, c in enumerate(cols):
-        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"_nd_{i}"))
+        nd = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(F.col(c), rsd)
+        )
+        aggs.append(nd.cast("long").alias(f"_nd_{i}"))
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"_nn_{i}")
         )

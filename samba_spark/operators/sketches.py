@@ -327,3 +327,72 @@ def sliding_distinct(
         .groupBy(group_col, "minute")
         .agg(F.countDistinct("_id").cast("long").alias("n_distinct"))
     )
+
+
+def sliding_distinct_bitmap(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    window_minutes: int = 60,
+) -> DataFrame:
+    """EXACT trailing-window distinct count — same contract and
+    bit-identical output as :func:`sliding_distinct` — via the x82
+    bucket-bitmap path: the 100 TB / dense-regime plan.
+
+    :func:`sliding_distinct` fans out every distinct (group, minute, id)
+    TRIPLE to its ≤``window_minutes`` output minutes, so the shuffle
+    carries window × |triples| rows. Here the ids are compressed FIRST:
+
+    1. one pass builds a 4 KiB position bitmap per (group, minute,
+       32768-id bucket) — map-side combinable, raw volume gone;
+    2. the BITMAPS (not the ids) fan out to the observed output minutes
+       via the same bounded generated-offset equi-join;
+    3. per (group, output minute, bucket) the bitmaps OR together and
+       popcount; popcounts sum per (group, minute). Buckets partition
+       the id space, so the sum is the exact distinct count.
+
+    Shuffle volume is window × |group × minute × occupied-bucket| fixed
+    4 KiB rows — bounded by id-space density, independent of how many
+    distinct ids land per minute. At telemetry density (ids per
+    group-minute ≫ buckets touched) this is orders of magnitude lighter
+    than the triple fan-out; at extreme sparsity (a handful of 64-bit
+    hash ids per minute) the triple path wins. Requires an integral
+    ``id_col`` (bitmap_bit_position), like x82.
+    """
+    minute = F.date_trunc("MINUTE", F.col(ts_col))
+    c = F.col(id_col)
+    per_minute = (
+        events.select(F.col(group_col), minute.alias("_m"), c.alias("_id"))
+        .groupBy(
+            group_col,
+            "_m",
+            F.bitmap_bucket_number(F.col("_id")).alias("_bucket"),
+        )
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position(F.col("_id"))).alias(
+                "_bm"
+            )
+        )
+    )
+    targets = per_minute.select(
+        group_col, F.col("_m").alias("minute")
+    ).distinct()
+    fanned = per_minute.select(
+        group_col,
+        "_bucket",
+        "_bm",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {window_minutes - 1}), "
+                f"i -> _m + make_interval(0, 0, 0, 0, 0, i, 0))"
+            )
+        ).alias("minute"),
+    )
+    return (
+        fanned.join(targets, [group_col, "minute"])
+        .groupBy(group_col, "minute", "_bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("_bm")).alias("_pc"))
+        .groupBy(group_col, "minute")
+        .agg(F.sum("_pc").cast("long").alias("n_distinct"))
+    )

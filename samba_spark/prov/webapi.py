@@ -39,6 +39,7 @@ Endpoint map (reference route → ours, same path shape):
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional
@@ -59,6 +60,28 @@ _PALETTE = [
 
 def _rows(df) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
+
+
+# User-supplied identifiers that reach the FILESYSTEM (blob paths, run-dir
+# globs) must be charset-validated first: a sha256 of "../../etc/passwd"
+# would otherwise escape the blob dir via os.path.join, and a run_id of
+# "*" (or "../x") would widen/escape the manifest glob. run_ids are
+# uuid4 strings (artifacts.py:120) but any dot-free [A-Za-z0-9._-] token
+# that can't traverse or glob is accepted.
+_SHA256_RE = re.compile(r"^[0-9a-f]{64}$")
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]{0,127}$")
+
+
+def _safe_sha256(sha: str) -> str:
+    if not _SHA256_RE.match(sha):
+        raise HTTPError(400, "sha256 must match ^[0-9a-f]{64}$")
+    return sha
+
+
+def _safe_run_id(run_id: str) -> str:
+    if not _RUN_ID_RE.match(run_id):
+        raise HTTPError(400, "run_id contains disallowed characters")
+    return run_id
 
 
 class HTTPError(Exception):
@@ -260,6 +283,7 @@ class ProvWebAPI:
         walks the JGit tree; ours lists the ArtifactStore manifest)."""
         if self.artifacts is None:
             raise HTTPError(503, "no ArtifactStore attached")
+        _safe_run_id(run_id)
         try:
             rows = _rows(self.artifacts.file_tree(self.store.spark, run_id))
         except Exception as e:  # unknown run → empty glob → AnalysisException
@@ -292,9 +316,12 @@ class ProvWebAPI:
         manifest (DataElementAPICtrl.kt:280-314 streams from git)."""
         if self.artifacts is None:
             raise HTTPError(503, "no ArtifactStore attached")
+        if sha256 is not None:
+            _safe_sha256(sha256)
         if sha256 is None:
             if group is None or file_name is None:
                 raise HTTPError(400, "need sha256 or group+file")
+            _safe_run_id(run_id)
             try:
                 rows = _rows(
                     self.artifacts.file_tree(self.store.spark, run_id)

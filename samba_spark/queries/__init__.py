@@ -25,15 +25,22 @@ Spark-4 surface (x70/x83–x86, q77/q79–q82), TPC-H completion (q63–q72),
 the r3 sketch family (x80–x82/x87), and the highest-risk remaining ops
 (x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75).
 
-Round-5 rotation backlog (the 62 residual never-driver-checked queries —
-27 from rounds 3–4 plus the 35 round-4 additions x93–x116/q88–q97 — to
-rotate in once the round-4 window comes back green): x45–x47, x50–x52,
-x54, x56–x59, x61, x62, x64, x66–x69, x76, x78, x88–x116, q74, q76,
-q87–q97. That is 62 entries for 45 free slots: round 5 rotates in 45
-(prioritizing the oldest never-checked entries), round 6 retires the
-last 17; every query stays under the local DuckDB parity harness
-(tools/parity_sweep.py + tests) in every round regardless of window
-position.
+Round-5 rotation (VERDICT r4 item 1): the round-4 window came back
+50/50 green (49 full + q24 rows-only by design), so all 45 rotated-in
+entries moved to ``AUX_QUERIES``; the freed slots hold 45 of the
+62-query backlog, oldest-first per the verdict: every round-2/3
+residual (x45–x47, x50–x52, x54, x56–x59, x61, x62, x64, x66–x69,
+x76, x78, q74, q76 — 22 entries) then the highest-risk round-4
+additions (multimodal dedup x88–x92, mining/profiling
+x95/x96/x100/x107, graph x105/x114, events x108–x110, dedup
+x111–x113, q87–q92 — 23 entries).
+
+Round-6 rotation backlog (the 19 residual never-driver-checked
+queries): x93, x94, x97–x99, x101–x104, x106, x115, x116, q93–q97,
+plus the round-5 additions x117 (approx table profile) and x118
+(bitmap sliding distinct). All 19 fit one window; every query stays
+under the local DuckDB parity harness (tools/parity_sweep.py + tests)
+in every round regardless of window position.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -55,62 +62,62 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Round-4 rotation: 45 slots, every entry below has NEVER had a driver
-# row (added after the round-3 window was pinned). Priority order follows
-# VERDICT r3: streaming state, codecs, Spark-4 surface, TPC-H completion,
-# sketches, then the highest-risk remaining extensions.
+# Round-5 rotation: 45 slots, every entry below has NEVER had a driver
+# row. Priority order follows VERDICT r4 item 1: the oldest residuals
+# (rounds 2–3) first, then the highest-risk round-4 additions.
 _ROTATED_IN = [
-    # streaming state
-    "q73_stream_cdc",
-    "q78_stateful_processor",
-    "q83_watermark_dedup",
-    "q84_chained_stateful",
-    "q85_stream_outer_join",
-    # codecs
-    "x44_png_pixel_pipeline",
-    "x63_avro_roundtrip",
-    "x73_audio_frames",
-    "x74_mp4_boxes",
-    # Spark-4 SQL/API surface
-    "x70_variant_extract",
-    "x83_python_datasource",
-    "x84_observed_metrics",
-    "x85_arrow_stats",
-    "x86_arrow_cogroup",
-    "q77_recursive_cte",
-    "q79_pipe_sql",
-    "q80_collation",
-    "q81_try_functions",
-    "q82_sql_scripting",
-    # TPC-H completion
-    "q63_tpch_q4",
-    "q64_tpch_q7",
-    "q65_tpch_q8",
-    "q66_tpch_q12",
-    "q67_tpch_q13",
-    "q68_tpch_q15",
-    "q69_tpch_q17",
-    "q70_tpch_q19",
-    "q71_tpch_q21",
-    "q72_tpch_q22",
-    # mergeable sketches
-    "x80_hll_rollup",
-    "x81_approx_topk",
-    "x82_bitmap_distinct",
-    "x87_sketch_persistence",
-    # highest-risk remaining extensions
-    "x48_bloom_dedup",
-    "x49_scd2_history",
-    "x53_parquet_manifest",
-    "x55_triangle_count",
-    "x60_rare_token_pairs",
-    "x65_covariance_matrix",
-    "x71_incremental_agg",
-    "x72_udtf_leading_tokens",
-    "x75_bpe_merge_round",
-    "x77_scd2_lookup",
-    "x79_stratified_split",
-    "q75_run_diff",
+    # round-2/3 residuals (oldest never-driver-checked first)
+    "x45_deep_funnel",
+    "x46_retention_monthly",
+    "x47_trailing_window",
+    "x50_quantization_stats",
+    "x51_time_rollup",
+    "x52_filtered_topk",
+    "x54_binned_quantiles",
+    "x56_attribution",
+    "x57_inverted_index",
+    "x58_anomaly",
+    "x59_concurrency",
+    "x61_transition_matrix",
+    "x62_trend_slope",
+    "x64_zorder_stats",
+    "x66_quality_audit",
+    "x67_edit_distance",
+    "x68_brand_cooccurrence",
+    "x69_gap_fill",
+    "x76_corpus_report",
+    "x78_sequence_pattern",
+    "q74_point_in_time",
+    "q76_unpivot",
+    # multimodal dedup (round-4 additions, highest-risk first)
+    "x88_semantic_prune",
+    "x89_phash_dedup",
+    "x90_audio_fp_dedup",
+    "x91_approx_percentile",
+    "x92_frame_sample",
+    # mining / profiling
+    "x95_frequent_itemsets",
+    "x96_fd_profile",
+    "x100_table_profile",
+    "x107_linear_model",
+    # graph
+    "x105_lpa_communities",
+    "x114_personalized_pagerank",
+    # event analytics
+    "x108_changepoint",
+    "x109_winsorize",
+    "x110_sliding_distinct",
+    # dedup at scale
+    "x111_incremental_lsh",
+    "x112_containment",
+    "x113_feature_hashing",
+    # modern SQL / time series
+    "q87_parameterized_sql",
+    "q88_shortest_paths",
+    "q89_delta_join",
+    "q90_interpolate_daily",
+    "q91_stream_full_outer_join",
+    "q92_twap",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

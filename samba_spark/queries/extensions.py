@@ -3019,12 +3019,14 @@ FROM ev ORDER BY ewma DESC, user_id ASC LIMIT 25
 
 
 def x_table_profile(spark, sf_dir):
-    """ANALYZE-style statistics pass (quality.table_profile) over
-    lineitem: exact NDV + null count per column, all in one scan (one
-    expand-rewrite aggregate, no per-column jobs). These are the table
-    statistics x97's sketch estimator and any cost-based join reorder
-    consume; with x96 (FDs) and x39 (skew) this completes the profiling
-    shelf."""
+    """ANALYZE-style statistics pass (quality.table_profile, exact mode)
+    over lineitem: exact NDV + null count per column in one aggregate —
+    via Catalyst's Expand rewrite, i.e. an N-column-fold row expansion
+    and a shuffle keyed by (column, value), NOT a free scan: exact mode
+    is the narrow-table / maintenance-window tool; x117 is the HLL
+    approx mode for wide tables at scale. These are the table statistics
+    x97's sketch estimator and any cost-based join reorder consume; with
+    x96 (FDs) and x39 (skew) this completes the profiling shelf."""
     from samba_spark.operators.quality import table_profile
 
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
@@ -3056,6 +3058,62 @@ SELECT col AS "column", n AS n_rows, n_distinct, n_null FROM (
          SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
   UNION ALL SELECT 'l_shipdate', COUNT(DISTINCT l_shipdate)::BIGINT,
          SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+) AS s2 CROSS JOIN s
+ORDER BY col
+"""
+
+
+def x_table_profile_approx(spark, sf_dir):
+    """quality.table_profile(exact=False) — the wide-table / 100 TB
+    profiling mode: per-column NDV via HyperLogLog++ sketches
+    (approx_count_distinct, rsd=0.05) in ONE aggregate with NO Expand
+    rewrite — one scan, one 1-row exchange of sketch registers, vs
+    exact x100's N-fold row expansion + per-value shuffle. est_ok
+    contract (same as x80): the oracle carries the exact NDV; Spark
+    returns the exact NDV too AND asserts its HLL estimate lands within
+    ±20% (4× the configured rsd), so a hash match verifies the
+    estimator, not just the exact path. n_rows/n_null are exact in both
+    modes."""
+    from samba_spark.operators.quality import table_profile
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    approx = table_profile(orders, cols, exact=False).select(
+        "column", F.col("n_distinct").alias("_approx_nd")
+    )
+    exact = table_profile(orders, cols, exact=True)
+    return (
+        exact.join(approx, "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_distinct",
+            "n_null",
+            (
+                F.abs(F.col("_approx_nd") - F.col("n_distinct")) * 5
+                <= F.col("n_distinct")
+            ).alias("est_ok"),
+        )
+        .orderBy("column")
+    )
+
+
+X_TABLE_PROFILE_APPROX_SQL = """
+WITH s AS (SELECT COUNT(*)::BIGINT AS n FROM orders)
+SELECT col AS "column", n AS n_rows, n_distinct, n_null, TRUE AS est_ok
+FROM (
+  SELECT 'o_custkey' AS col, COUNT(DISTINCT o_custkey)::BIGINT AS n_distinct,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+  FROM orders
+  UNION ALL SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus)::BIGINT,
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
+  UNION ALL SELECT 'o_totalprice', COUNT(DISTINCT o_totalprice)::BIGINT,
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
+  UNION ALL SELECT 'o_orderdate', COUNT(DISTINCT o_orderdate)::BIGINT,
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+  FROM orders
 ) AS s2 CROSS JOIN s
 ORDER BY col
 """
@@ -3612,12 +3670,15 @@ FROM a ORDER BY twap_den DESC, user_id, day LIMIT 100
 
 def x_sliding_distinct(spark, sf_dir):
     """Exact trailing-hour unique users per (event_type, minute)
-    (sketches.sliding_distinct): minute-grain bitmap construction, a
-    bounded offset fan-out equi-join to the observed output minutes,
-    bitmap OR-merge + popcount — COUNT(DISTINCT) over a sliding window
+    (sketches.sliding_distinct): dedup to (group, minute, id) triples,
+    a bounded offset fan-out equi-join to the observed output minutes,
+    one distinct-count aggregate — COUNT(DISTINCT) over a sliding window
     without ever re-shuffling raw events (the Druid panel-metric
-    pattern; the oracle recomputes each window from raw rows). First
-    200 minutes."""
+    pattern; the oracle recomputes each window from raw rows). The
+    shuffle carries window × |triples| id rows — right at telemetry
+    sparsity; x118 is the bit-identical bucket-bitmap variant whose
+    shuffle is bounded by id-space density instead (the dense-regime /
+    100 TB plan). First 200 minutes."""
     from samba_spark.operators.sketches import sliding_distinct
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
@@ -3640,6 +3701,24 @@ FROM t JOIN e
 GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
 """
 
+
+def x_sliding_distinct_bitmap(spark, sf_dir):
+    """x110's exact trailing-hour unique-user metric on the bucket-bitmap
+    path (sketches.sliding_distinct_bitmap): ids compress into 4 KiB
+    position bitmaps per (event_type, minute, 32768-id bucket) BEFORE
+    the window fan-out, so the fanned shuffle carries fixed-width
+    bitmaps bounded by id-space density instead of window × |triples|
+    id rows — the dense-regime / 100 TB plan the x110 docstring
+    specifies. Bit-identical output; shares x110's raw-recompute
+    oracle. First 200 minutes."""
+    from samba_spark.operators.sketches import sliding_distinct_bitmap
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        sliding_distinct_bitmap(ev)
+        .orderBy("event_type", "minute")
+        .limit(200)
+    )
 
 
 def q93_grouping_sets(spark, sf_dir):
@@ -4105,6 +4184,12 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "q93_grouping_sets": QuerySpec(q93_grouping_sets, Q93_GROUPING_SETS_SQL),
     "x110_sliding_distinct": QuerySpec(
         x_sliding_distinct, X_SLIDING_DISTINCT_SQL
+    ),
+    "x117_table_profile_approx": QuerySpec(
+        x_table_profile_approx, X_TABLE_PROFILE_APPROX_SQL
+    ),
+    "x118_sliding_distinct_bitmap": QuerySpec(
+        x_sliding_distinct_bitmap, X_SLIDING_DISTINCT_SQL
     ),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),

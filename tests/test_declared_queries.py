@@ -56,9 +56,9 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-4 rotation: the sentinel core plus 45 never-driver-checked
-    round-3 additions (streaming state, codecs, Spark-4 surface, TPC-H
-    q63–q72, sketches, highest-risk extensions) must all be in-window so
+    Round-5 rotation (VERDICT r4 item 1): the sentinel core plus 45
+    never-driver-checked backlog entries — every round-2/3 residual,
+    then the highest-risk round-4 additions — must all be in-window so
     each gets its first hard driver row."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
@@ -71,14 +71,20 @@ def test_contract_window_invariant():
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
-    # Priority families from VERDICT r3 item 1, each pinned in-window.
-    for q in ("q73", "q78", "q83", "q84", "q85"):  # streaming state
+    # Priority families from VERDICT r4 item 1, each pinned in-window.
+    residual_x = (
+        "x45", "x46", "x47", "x50", "x51", "x52", "x54", "x56", "x57",
+        "x58", "x59", "x61", "x62", "x64", "x66", "x67", "x68", "x69",
+        "x76", "x78",
+    )
+    round4_x = (
+        "x88", "x89", "x90", "x91", "x92",          # multimodal dedup
+        "x95", "x96", "x100", "x107",               # mining / profiling
+        "x105", "x114",                              # graph
+        "x108", "x109", "x110",                      # event analytics
+        "x111", "x112", "x113",                      # dedup at scale
+    )
+    for x in residual_x + round4_x:
+        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
+    for q in ("q74", "q76", "q87", "q88", "q89", "q90", "q91", "q92"):
         assert any(n.startswith(f"{q}_") for n in in_window), f"{q} outside window"
-    for x in ("x44", "x63", "x73", "x74"):  # codecs
-        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
-    for q in range(63, 73):  # TPC-H completion
-        assert any(n.startswith(f"q{q}_") for n in in_window), f"q{q} outside window"
-    for x in ("x70", "x83", "x84", "x85", "x86"):  # Spark-4 API surface
-        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
-    for x in ("x80", "x81", "x82", "x87"):  # sketches
-        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -75,3 +75,43 @@ def test_duplicate_rows_collapse_and_max_size(spark):
     assert got == {"a": (1, 2), "b": (1, 2), "a|b": (2, 2)}
     with pytest.raises(ValueError):
         _run(spark, baskets, 1, max_size=4)
+
+
+def test_basket_cap_skew_guard(spark):
+    """One pathological 10k-item basket (50M uncapped pairs in a single
+    task) completes in bounded time under max_basket_items, and the cap
+    never inflates supports: every reported itemset's support is ≤ the
+    exact support and ≥ what the other (uncapped) baskets alone give."""
+    import time
+
+    normal = [
+        (bk, f"i{i}") for bk in range(50) for i in range(bk % 4, bk % 4 + 3)
+    ]
+    monster = [(999, f"m{i}") for i in range(10_000)] + [
+        (999, "i0"), (999, "i1"), (999, "i2")
+    ]
+    df = spark.createDataFrame(normal + monster, ["bk", "it"])
+    t0 = time.monotonic()
+    rows = frequent_itemsets(
+        df, "bk", "it", min_support=5, max_basket_items=64
+    ).collect()
+    elapsed = time.monotonic() - t0
+    got = {r.itemset: (r.size, r.support) for r in rows}
+    assert elapsed < 120  # uncapped, the 50M-pair task dominates far beyond
+    # supports never exceed the exact value (cap can only drop pairs);
+    # L1 (size 1) stays exact — the cap only gates pair/triple enumeration
+    by_bk: dict[int, set] = {}
+    for bk, it in normal + monster:
+        by_bk.setdefault(bk, set()).add(it)
+    for key, (size, sup) in got.items():
+        parts = set(key.split("|"))
+        exact = sum(1 for v in by_bk.values() if parts <= v)
+        assert sup <= exact
+        if size == 1:
+            assert sup == exact  # L1 is cap-exempt
+
+
+def test_basket_cap_validation(spark):
+    df = spark.createDataFrame([(1, "a")], ["bk", "it"])
+    with pytest.raises(ValueError):
+        frequent_itemsets(df, "bk", "it", 1, max_basket_items=1)
