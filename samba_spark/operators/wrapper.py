@@ -284,6 +284,12 @@ class ProvDataFrame:
             F.explode(F.col(PROV_DEPS)).alias("dep_element_id"),
         )
         self.session.store.append_element_deps(deps)
+        # Kick the two deferred write jobs off NOW on the store's
+        # background worker: they compute from the cache just built, so
+        # they overlap the caller's foreground action instead of adding
+        # two fixed write latencies after it (store.flush() still joins
+        # them — visibility and the §6 overhead timer are unchanged).
+        self.session.store.schedule_flush()
         return self
 
     # -- A10/A11/A12 ----------------------------------------------------------

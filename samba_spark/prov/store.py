@@ -17,6 +17,7 @@ import json
 import os
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,6 +97,19 @@ class ProvStore:
             "elements": [],
             "element_deps": [],
         }
+        # Async flush worker: persist_elements() schedules the deferred
+        # element/dep writes here so they OVERLAP the caller's foreground
+        # action instead of adding two fixed write-job latencies after it
+        # (the §6 ≤2× element-capture budget is dominated by exactly those
+        # latencies on short pipelines). Single worker: scheduled flushes
+        # serialize, so two append jobs never target the same parquet
+        # directory concurrently (a shared _temporary staging dir would
+        # race); WITHIN one flush the two tables still write concurrently
+        # (independent directories). flush() joins outstanding work before
+        # its own synchronous drain, so read-your-writes semantics and the
+        # flush-inclusive overhead timer are unchanged.
+        self._flush_pool: "ThreadPoolExecutor | None" = None
+        self._flush_futures: list = []
         if enabled:
             os.makedirs(prov_dir, exist_ok=True)
 
@@ -204,6 +218,32 @@ class ProvStore:
             return
         with self._lock:
             self._pending_dfs["element_deps"].append(df)
+
+    def schedule_flush(self) -> None:
+        """Kick the deferred element/dep writes off on the background
+        worker so they overlap the caller's next foreground action. The
+        single worker serializes whole-batch flushes (append jobs to one
+        directory never run concurrently); flush() joins all scheduled
+        work, so nothing changes for readers — only WHEN the write jobs
+        run (during the foreground action, not after it)."""
+        if not self.enabled:
+            return
+        with self._lock:
+            if not any(self._pending_dfs.values()):
+                return
+            if self._flush_pool is None:
+                self._flush_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="prov-flush"
+                )
+            self._flush_futures.append(
+                self._flush_pool.submit(self._flush_pending_dfs)
+            )
+
+    def _join_scheduled_flushes(self) -> None:
+        with self._lock:
+            futures, self._flush_futures = self._flush_futures, []
+        for f in futures:
+            f.result()  # propagate any write failure to the caller
 
     def _flush_pending_dfs(self) -> None:
         """Write all queued element/dep plans — one unioned Spark write job
@@ -327,6 +367,7 @@ class ProvStore:
     def flush(self) -> None:
         if not self.enabled:
             return
+        self._join_scheduled_flushes()
         with self._lock:
             for name, rows in self._buffers.items():
                 if not rows:
@@ -408,8 +449,13 @@ class ProvStore:
         queued element batches first, so reads always see every append)."""
         if name in self._buffers:
             self.flush()
-        if name in self._pending_dfs and self._pending_dfs[name]:
-            self._flush_pending_dfs()
+        if name in self._pending_dfs:
+            # join any flush scheduled on the background worker first —
+            # read-your-writes must hold whether the batch is still
+            # queued here or already in flight on the async path
+            self._join_scheduled_flushes()
+            if self._pending_dfs[name]:
+                self._flush_pending_dfs()
         path = os.path.join(self.prov_dir, name)
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema=model.TABLES[name])

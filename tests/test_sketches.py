@@ -370,3 +370,27 @@ def test_sliding_distinct_exact_over_window_boundary(spark):
     assert got["2026-07-01T10:00:00"] == 1
     assert got["2026-07-01T10:31:00"] == 2          # users 1,2 + aged 10:00 dup
     assert got["2026-07-01T11:30:00"] == 3          # 10:31 in, 10:00 aged out
+
+
+def test_sliding_distinct_bitmap_bit_identical(spark, sf_smoke):
+    """The bucket-bitmap path (x118) must produce BIT-IDENTICAL output to
+    the triple fan-out path (x110) — same contract, different shuffle
+    shape — on the real events fixture, including ids that span multiple
+    32768-bit buckets and groups×minutes with boundary aging."""
+    from samba_spark.operators.sketches import (
+        sliding_distinct,
+        sliding_distinct_bitmap,
+    )
+    from samba_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_smoke, ["events"])["events"]
+    a = {
+        (r.event_type, r.minute): r.n_distinct
+        for r in sliding_distinct(ev).collect()
+    }
+    b = {
+        (r.event_type, r.minute): r.n_distinct
+        for r in sliding_distinct_bitmap(ev).collect()
+    }
+    assert a == b
+    assert len(a) > 0

@@ -51,10 +51,10 @@ def main() -> None:
             if spec.oracle is None:
                 entry["mode"] = "rows_only"
                 # Rows-only queries still need a hard assertion, not just
-                # "did not raise": each must produce at least one row (all
-                # three by-design rows-only queries — q24 provenance
-                # contract, q30 seeded sample, x14 IVF top-k — are non-empty
-                # at every test SF).
+                # "did not raise": each must produce at least one row (both
+                # by-design rows-only queries — q30 seeded sample, x14 IVF
+                # top-k — are non-empty at every test SF; q24 graduated to
+                # an external DuckDB oracle over its prov parquet in r5).
                 entry["ok"] = len(spark_rows) >= 1
                 if not entry["ok"]:
                     entry["err"] = "rows_only query returned 0 rows"
