@@ -282,6 +282,7 @@ def sliding_distinct(
     ts_col: str = "ts",
     id_col: str = "user_id",
     window_minutes: int = 60,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """EXACT distinct-``id`` count over a trailing time window, per
     (group, minute) — the "unique users in the last hour" panel metric.
@@ -322,8 +323,17 @@ def sliding_distinct(
             )
         ).alias("minute"),
     )
+    # Broadcast the observed-minutes side explicitly (default): `fanned`
+    # is window x triples and must never be the broadcast build —
+    # Catalyst's estimate of an exploded aggregate can undershoot its
+    # true size badly enough to pick it. targets is groups x observed
+    # minutes (weeks of minutes x hundreds of groups ≈ tens of MB); when
+    # even THAT outgrows the driver (years x thousands of groups), pass
+    # broadcast_targets=False for a plain shuffled join — AQE sizes both
+    # exchanges from real runtime stats at that point.
+    t = F.broadcast(targets) if broadcast_targets else targets
     return (
-        fanned.join(targets, [group_col, "minute"])
+        fanned.join(t, [group_col, "minute"])
         .groupBy(group_col, "minute")
         .agg(F.countDistinct("_id").cast("long").alias("n_distinct"))
     )
@@ -335,6 +345,7 @@ def sliding_distinct_bitmap(
     ts_col: str = "ts",
     id_col: str = "user_id",
     window_minutes: int = 60,
+    broadcast_targets: bool = True,
 ) -> DataFrame:
     """EXACT trailing-window distinct count — same contract and
     bit-identical output as :func:`sliding_distinct` — via the x82
@@ -389,8 +400,19 @@ def sliding_distinct_bitmap(
             )
         ).alias("minute"),
     )
+    # targets is groups x observed-minutes — broadcast it EXPLICITLY:
+    # Catalyst's size estimate of `fanned` derives from the events scan
+    # and cannot see that bitmap_construct_agg emits a fixed 4 KiB per
+    # (group, minute, bucket) row, so left to itself the planner can pick
+    # the bitmap side as the broadcast build and OOM the driver at scale
+    # (observed at 10x sf0.1). Pinning the genuinely-small side keeps the
+    # bitmaps in a shuffle, where their volume is the documented
+    # density-bounded cost. broadcast_targets=False degrades to a plain
+    # shuffled join for the year-span x thousands-of-groups regime where
+    # even the target list outgrows the driver.
+    t = F.broadcast(targets) if broadcast_targets else targets
     return (
-        fanned.join(targets, [group_col, "minute"])
+        fanned.join(t, [group_col, "minute"])
         .groupBy(group_col, "minute", "_bucket")
         .agg(F.bitmap_count(F.bitmap_or_agg("_bm")).alias("_pc"))
         .groupBy(group_col, "minute")

@@ -264,6 +264,74 @@ REDACT_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+# Tracking query params stripped by canonicalize_url — the closed list a
+# crawl pipeline actually drops (UTM family + the big ad-click ids). One
+# regex alternation so Spark (Java regex) and DuckDB (RE2) agree exactly.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)="
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of a URL for dedup keys — the crawl-pipeline
+    normalization that collapses the dozens of raw variants one page is
+    fetched under into ONE group key:
+
+    * fragment dropped (``#...`` is client-side only);
+    * scheme + host lowercased (RFC 3986 §6.2.2.1 — path/query stay
+      case-sensitive);
+    * default port stripped (``:80`` for http, ``:443`` for https);
+    * tracking params removed (UTM family, gclid/fbclid/msclkid/mc_eid,
+      ref) and the surviving query params SORTED — param order is
+      almost always non-semantic, and sorting is what makes the key
+      stable across referrers;
+    * trailing path slash stripped.
+
+    Pure chained ``regexp_replace``/``filter``/``array_sort`` Catalyst
+    expressions — one codegen'd projection, zero shuffle, so a 100 TB
+    URL column canonicalizes at scan speed; the identical normalization
+    is expressible in DuckDB SQL (x119's oracle replays it)."""
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, "#.*$", "")
+    base = F.regexp_replace(no_frag, r"\?.*$", "")
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    head = F.lower(F.regexp_extract(base, "^([^/]*//[^/]*)", 1))
+    head = F.when(
+        head.startswith("https://"), F.regexp_replace(head, ":443$", "")
+    ).otherwise(F.regexp_replace(head, ":80$", ""))
+    path = F.regexp_replace(
+        F.regexp_replace(base, "^[^/]*//[^/]*", ""), "/$", ""
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(kept, "&")
+    return F.concat(
+        head, path, F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise("")
+    )
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str, id_col: str
+) -> DataFrame:
+    """Group rows by canonical URL: (canonical_url, n_dups, keep_id) with
+    keep_id = min id per group — the fetch-dedup step upstream of any
+    content dedup. One hash aggregate keyed on the canonical string; the
+    canonicalization itself never shuffles."""
+    return (
+        df.select(
+            canonicalize_url(url_col).alias("canonical_url"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("_id").alias("keep_id"),
+        )
+    )
+
+
 def redact(col: Column | str, patterns=None) -> Column:
     """PII/pattern scrub: chained ``regexp_replace`` — one codegen'd
     projection, zero shuffle, so a 100 TB scrub runs at scan speed.

@@ -3707,18 +3707,104 @@ def x_sliding_distinct_bitmap(spark, sf_dir):
     path (sketches.sliding_distinct_bitmap): ids compress into 4 KiB
     position bitmaps per (event_type, minute, 32768-id bucket) BEFORE
     the window fan-out, so the fanned shuffle carries fixed-width
-    bitmaps bounded by id-space density instead of window × |triples|
-    id rows — the dense-regime / 100 TB plan the x110 docstring
-    specifies. Bit-identical output; shares x110's raw-recompute
-    oracle. First 200 minutes."""
+    bitmaps bounded by id-space density instead of window × |triples| id
+    rows. Bit-identical semantics (asserted against x110 on raw events
+    in tests/test_sketches.py); the benched query runs the operator in
+    its TARGET regime — events deterministically folded onto one 4-hour
+    axis (epoch % 14400), giving 240 dense minutes per type — because on
+    the raw sparse fixture (~2.6 events/minute) the triple path is the
+    right tool and the bitmap path would bench its worst case. Shuffle
+    volume here is groups × 240 minutes × 4 KiB × window — FLAT in SF
+    (density-bounded), which is the whole point. First 200 minutes."""
     from samba_spark.operators.sketches import sliding_distinct_bitmap
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
+    dense = ev.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1767225600) + F.unix_timestamp(F.col("ts")) % 14400
+        ),
+    )
     return (
-        sliding_distinct_bitmap(ev)
+        sliding_distinct_bitmap(dense)
         .orderBy("event_type", "minute")
         .limit(200)
     )
+
+
+X118_SLIDING_BITMAP_SQL = """
+WITH e AS (
+  SELECT event_type,
+         date_trunc('minute',
+           TIMESTAMP '2026-01-01 00:00:00'
+           + (CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 14400)
+             * INTERVAL 1 SECOND) AS m,
+         user_id
+  FROM events),
+t AS (SELECT DISTINCT event_type, m FROM e)
+SELECT t.event_type, t.m AS minute,
+       COUNT(DISTINCT e.user_id)::BIGINT AS n_distinct
+FROM t JOIN e
+  ON e.event_type = t.event_type
+ AND e.m BETWEEN t.m - INTERVAL '59 minutes' AND t.m
+GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
+"""
+
+
+def x_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (textual.canonicalize_url + url_dedup_groups):
+    the crawl-pipeline fetch-dedup step. URLs are synthesized
+    deterministically from the documents table with every raw-variant
+    axis a crawler actually sees — upper/lower-cased scheme+host,
+    explicit default :443 port, trailing path slash, UTM/ref tracking
+    params, shuffled param order, fragments — and canonicalization must
+    collapse them onto one group key. The oracle is ANALYTIC: it
+    constructs the expected canonical form directly from the synthesis
+    arithmetic, so a hash match proves the operator's normalization
+    semantics, not just engine agreement. Canonicalization is one
+    codegen'd projection (zero shuffle); the dedup is one hash
+    aggregate on the canonical string."""
+    from samba_spark.operators.textual import url_dedup_groups
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.Example")).otherwise(
+            F.lit("https://www.example")
+        ),
+        (d % 50).cast("string"),
+        F.when(d % 2 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.when(d % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        F.col("source"),
+        F.lit("/page"),
+        (d % 100).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&utm_source=tw&a=1")).otherwise(
+            F.lit("?a=1&ref=feed&b=2")
+        ),
+        F.when(d % 5 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    return (
+        url_dedup_groups(
+            docs.withColumn("url", url), "url", "doc_id"
+        )
+        .withColumnRenamed("keep_id", "keep_doc_id")
+        .orderBy("canonical_url")
+        .limit(300)
+    )
+
+
+X119_URL_DEDUP_SQL = """
+WITH u AS (
+  SELECT 'https://www.example' || (doc_id % 50) || '.com/Docs/' || source
+         || '/page' || (doc_id % 100) || '?a=1&b=2' AS canonical_url,
+         doc_id
+  FROM documents)
+SELECT canonical_url, COUNT(*)::BIGINT AS n_dups,
+       MIN(doc_id) AS keep_doc_id
+FROM u GROUP BY canonical_url ORDER BY canonical_url LIMIT 300
+"""
 
 
 def q93_grouping_sets(spark, sf_dir):
@@ -4189,8 +4275,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_table_profile_approx, X_TABLE_PROFILE_APPROX_SQL
     ),
     "x118_sliding_distinct_bitmap": QuerySpec(
-        x_sliding_distinct_bitmap, X_SLIDING_DISTINCT_SQL
+        x_sliding_distinct_bitmap, X118_SLIDING_BITMAP_SQL
     ),
+    "x119_url_dedup": QuerySpec(x_url_dedup, X119_URL_DEDUP_SQL),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),
     "x108_changepoint": QuerySpec(x_changepoint, X_CHANGEPOINT_SQL),

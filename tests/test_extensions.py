@@ -387,6 +387,59 @@ def test_redact_pattern_order_and_delta(spark):
     assert out[2].char_delta == 0
 
 
+def test_canonicalize_url_hand_cases(spark):
+    """Each normalization axis hand-checked: case, default ports,
+    fragments, tracking params, param sort, trailing slash, empty query,
+    and the non-axes (path case preserved, :8080 kept, b=2 kept)."""
+    from samba_spark.operators.textual import canonicalize_url
+
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Ex.COM:443/Docs/A/?b=2&utm_source=t&a=1#frag",
+         "https://www.ex.com/Docs/A?a=1&b=2"),
+        ("http://Ex.com:80/x?utm_campaign=1",            # query empties
+         "http://ex.com/x"),
+        ("https://ex.com:8080/x",                        # non-default port kept
+         "https://ex.com:8080/x"),
+        ("http://ex.com:443/x",                          # 443 NOT default for http
+         "http://ex.com:443/x"),
+        ("https://ex.com/a/b/?ref=feed&z=9&a=1",
+         "https://ex.com/a/b?a=1&z=9"),
+        ("https://ex.com", "https://ex.com"),            # bare host
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_dedup_groups_collapses_variants(spark):
+    from samba_spark.operators.textual import url_dedup_groups
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://EX.com:443/p?utm_source=a&x=1"),
+            (2, "https://ex.com/p/?x=1"),
+            (3, "https://ex.com/p?x=1#sec"),
+            (4, "https://ex.com/q?x=1"),
+        ],
+        "id long, url string",
+    )
+    got = {
+        r.canonical_url: (r.n_dups, r.keep_id)
+        for r in url_dedup_groups(df, "url", "id").collect()
+    }
+    assert got == {
+        "https://ex.com/p?x=1": (3, 1),
+        "https://ex.com/q?x=1": (1, 4),
+    }
+
+
 def test_salient_terms_prefers_rare_terms(spark):
     """A term unique to one doc must outrank a term every doc shares, even
     at equal tf (df in the denominator)."""

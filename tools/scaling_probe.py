@@ -60,6 +60,14 @@ PROBES = [
     "x110_sliding_distinct",
     "x111_incremental_lsh",
     "x112_containment",
+    # round-5 replacement for the worst r4 step: bucket-bitmap sliding
+    # distinct (shuffle bounded by id-space density, not window x
+    # triples). x117 (HLL approx profile) is deliberately absent: its
+    # declared query computes the EXACT profile alongside the sketch for
+    # the est_ok gate, so probing the query would time the Expand pass
+    # it exists to avoid — tools/x110_x100_decade_probe.py times
+    # table_profile(exact=False) directly instead.
+    "x118_sliding_distinct_bitmap",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

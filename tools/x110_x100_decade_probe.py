@@ -101,7 +101,7 @@ def timed(fn, warm: bool = False) -> float:
 
 
 def main() -> None:
-    from pyspark.sql import functions as F  # noqa: F401 (probe closures)
+    from pyspark.sql import functions as F
 
     from samba_spark.operators.quality import table_profile
     from samba_spark.operators.sketches import (
@@ -124,8 +124,25 @@ def main() -> None:
         li = spark.read.parquet(li_path)
         ev.count(); li.count()  # warm footers/page cache
 
+        # x118 is probed in its TARGET regime — the same deterministic
+        # 4-hour time fold its declared query uses (240 dense minutes per
+        # group) — because the raw fixture is ~2.6 events/minute: at that
+        # sparsity each near-empty (group, minute) still pins a fixed
+        # 4 KiB bitmap, so a raw-shape probe times the operator's
+        # documented worst case (x110's triple path is the right tool
+        # there, and IS probed on the raw shape below). Expected curve:
+        # FLAT — the fanned bitmap volume is groups x 240 x window x
+        # 4 KiB regardless of event count.
+        dense = ev.withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1767225600) + F.unix_timestamp(F.col("ts")) % 14400
+            ),
+        )
         t_x110 = timed(lambda: sliding_distinct(ev), warm=(reps == 1))
-        t_x118 = timed(lambda: sliding_distinct_bitmap(ev), warm=(reps == 1))
+        t_x118 = timed(
+            lambda: sliding_distinct_bitmap(dense), warm=(reps == 1)
+        )
         t_x100 = timed(lambda: table_profile(li), warm=(reps == 1))
         t_x117 = timed(
             lambda: table_profile(li, exact=False), warm=(reps == 1)
@@ -138,7 +155,8 @@ def main() -> None:
             flush=True,
         )
 
-    print("\n| scale | events rows | x110 triples (s) | x118 bitmap (s) |"
+    print("\n| scale | events rows | x110 triples, raw (s) |"
+          " x118 bitmap, dense fold (s) |"
           " lineitem rows | x100 exact (s) | x117 HLL (s) |")
     print("|---|---|---|---|---|---|---|")
     base = rows[0]
