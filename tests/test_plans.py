@@ -554,3 +554,50 @@ def test_join_strategy_hints_are_respected(spark, sf_smoke):
 
     shuffle_hash = orders.join(cust.hint("shuffle_hash"), "c_custkey")
     assert "ShuffledHashJoin" in plan_string(shuffle_hash, "simple")
+
+
+def test_sliding_distinct_broadcasts_targets_not_bitmaps(spark, sf_smoke):
+    """Both sliding-distinct paths must broadcast the observed-minutes
+    side, never the fanned side: Catalyst's size estimate of the fanned
+    aggregate cannot see that bitmap_construct_agg emits a fixed 4 KiB
+    per row — left unpinned it picked the bitmap side at 10x sf0.1 and
+    OOMed the driver building the broadcast."""
+    from samba_spark.operators.sketches import (
+        sliding_distinct,
+        sliding_distinct_bitmap,
+    )
+    from samba_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, sf_smoke, ["events"])["events"]
+    for op in (sliding_distinct, sliding_distinct_bitmap):
+        plan = plan_string(op(ev), "formatted")
+        assert "BroadcastHashJoin" in plan, op.__name__
+        # the broadcast build must be the bare (group, minute) key list —
+        # a bitmap/id column inside the BroadcastExchange block means the
+        # wrong side was picked
+        bx = plan[plan.index("BroadcastExchange"):]
+        assert "_bm" not in bx.split("\n\n")[0], op.__name__
+        # broadcast_targets=False removes the PIN (it does not forbid the
+        # optimizer from broadcasting a genuinely tiny side, as it will
+        # at this SF) — it must still produce a runnable equivalent plan
+        fb = op(ev, broadcast_targets=False)
+        assert fb.columns == [ev.columns[2], "minute", "n_distinct"] or (
+            "n_distinct" in fb.columns
+        )
+
+
+def test_url_canonicalize_zero_shuffle_single_agg_exchange(spark, sf_smoke):
+    """x119: canonicalization is a pure projection (no exchange of its
+    own); the whole dedup plans as ONE aggregation exchange keyed on the
+    canonical string — partial + final HashAggregate around it."""
+    from samba_spark.operators.textual import url_dedup_groups
+    from samba_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_smoke, ["documents"])["documents"]
+    df = docs.withColumn(
+        "url", F.concat(F.lit("HTTP://Ex.com:80/p/"), F.col("doc_id") % 10)
+    )
+    s = plan_summary(url_dedup_groups(df, "url", "doc_id"))
+    assert s["n_exchanges"] == 1
+    assert s["n_hash_aggregates"] >= 2  # map-side combine present

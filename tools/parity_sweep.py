@@ -8,12 +8,12 @@ oracle). Run from the repo root:
 
     python tools/parity_sweep.py [sf_dir] [out.json]
 
-Defaults: /root/testdata/sf0.01 → PARITY_r04.json
+Defaults: /root/testdata/sf0.01 → PARITY_r05.json
 
 Per-round CI invocation (VERDICT r3 item 8 — both SFs, committed):
 
-    python tools/parity_sweep.py /root/testdata/sf0.001 PARITY_r04_sf0.001.json
-    python tools/parity_sweep.py /root/testdata/sf0.01  PARITY_r04.json
+    python tools/parity_sweep.py /root/testdata/sf0.001 PARITY_r05_sf0.001.json
+    python tools/parity_sweep.py /root/testdata/sf0.01  PARITY_r05.json
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "PARITY_r04.json"
+    out = sys.argv[2] if len(sys.argv) > 2 else "PARITY_r05.json"
 
     from samba_spark.queries import ALL_QUERIES
     from samba_spark.session import get_spark
