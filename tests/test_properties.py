@@ -737,3 +737,125 @@ def test_twap_matches_python_reference(spark, ticks):
         num += c0 * held
         den += held
     assert (r.twap_num, r.twap_den) == (num, den)
+
+
+_url_parts = st.tuples(
+    st.sampled_from(["http", "https", "HTTP", "HTTPS", "hTtPs"]),
+    st.text(alphabet=st.sampled_from(list("abEx.")), min_size=1, max_size=8),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(
+        st.sampled_from(["Docs", "p", "A9", "x"]), min_size=0, max_size=3
+    ),
+    st.booleans(),  # trailing slash
+    st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=", "utm_source=x", "utm_campaign=9",
+             "ref=feed", "gclid=g1", "B=3"]
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    st.sampled_from(["", "#frag", "#a?b=2"]),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_url_parts, min_size=1, max_size=8))
+def test_canonicalize_url_matches_python_reference(spark, parts):
+    """canonicalize_url vs a pure-Python reference implementing the same
+    contract (fragment drop, scheme+host lowercase, default-port strip,
+    tracking-param filter + sort, trailing-slash strip) over randomly
+    composed URLs — including fragment text containing '?', empty param
+    values, repeated params, and mixed-case schemes."""
+    import re
+
+    from samba_spark.operators.textual import (
+        TRACKING_PARAM_RE,
+        canonicalize_url,
+    )
+
+    def py_canon(url: str) -> str:
+        no_frag = re.sub(r"#.*$", "", url)
+        base = re.sub(r"\?.*$", "", no_frag)
+        m = re.search(r"\?(.*)$", no_frag)
+        query = m.group(1) if m else ""
+        hm = re.match(r"^([^/]*//[^/]*)", base)
+        head = hm.group(1).lower() if hm else ""
+        if head.startswith("https://"):
+            head = re.sub(r":443$", "", head)
+        else:
+            head = re.sub(r":80$", "", head)
+        path = re.sub(r"/$", "", re.sub(r"^[^/]*//[^/]*", "", base))
+        kept = sorted(
+            p for p in query.split("&")
+            if p != "" and not re.match(TRACKING_PARAM_RE, p)
+        )
+        return head + path + ("?" + "&".join(kept) if kept else "")
+
+    urls = []
+    for scheme, host, port, segs, slash, params, frag in parts:
+        u = f"{scheme}://{host}{port}"
+        if segs:
+            u += "/" + "/".join(segs)
+        if slash:
+            u += "/"
+        if params:
+            u += "?" + "&".join(params)
+        u += frag
+        urls.append(u)
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], ["i", "url"]
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == py_canon(u), (u, got[i], py_canon(u))
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=150),   # minute offset
+        st.integers(min_value=0, max_value=70000),  # id spans 3 bitmap buckets
+        st.sampled_from(["a", "b"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_events)
+def test_sliding_distinct_paths_match_python_reference(spark, rows):
+    """Both sliding-distinct physical paths (triple fan-out x110 and
+    bucket-bitmap x118) must equal the brute-force Python window count on
+    random events — ids crossing 32768-bucket boundaries, duplicate
+    (group, minute, id) rows, windows spanning the 59-minute boundary."""
+    import datetime
+
+    from samba_spark.operators.sketches import (
+        sliding_distinct,
+        sliding_distinct_bitmap,
+    )
+
+    base = datetime.datetime(2026, 7, 1, 0, 0)
+    data = [
+        (i, base + datetime.timedelta(minutes=m), uid, g, 0.0)
+        for i, (m, uid, g) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    expected = {}
+    minutes = {(g, m) for m, _, g in rows}
+    for g, m in minutes:
+        ids = {u for m2, u, g2 in rows if g2 == g and m - 59 <= m2 <= m}
+        expected[(g, base + datetime.timedelta(minutes=m))] = len(ids)
+    for op in (sliding_distinct, sliding_distinct_bitmap):
+        got = {
+            (r.event_type, r.minute): r.n_distinct
+            for r in op(df, group_col="event_type").collect()
+        }
+        assert got == expected, op.__name__
