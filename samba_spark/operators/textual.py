@@ -267,7 +267,11 @@ REDACT_PATTERNS: list[tuple[str, str]] = [
 # Tracking query params stripped by canonicalize_url — the closed list a
 # crawl pipeline actually drops (UTM family + the big ad-click ids). One
 # regex alternation so Spark (Java regex) and DuckDB (RE2) agree exactly.
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)="
+# (=|$) so VALUELESS tracking params ('?utm_source', '?ref') strip too —
+# requiring '=' would leave the bare variant in a different dedup group;
+# $ cannot over-match here because rlike runs on a single split param
+# (no newlines survive the '&' split of a URL query).
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref)(=|$)"
 
 
 def canonicalize_url(col: Column | str) -> Column:

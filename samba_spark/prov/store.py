@@ -245,6 +245,19 @@ class ProvStore:
         for f in futures:
             f.result()  # propagate any write failure to the caller
 
+    def close(self) -> None:
+        """Release the async-flush worker thread. Called by
+        ProvSession.stop() after the final flush — a store that ever
+        scheduled a flush would otherwise leak one idle thread (and its
+        references) per session for the process lifetime. Idempotent;
+        a closed store can still flush synchronously (schedule_flush
+        lazily re-creates the pool if the store is reused)."""
+        self._join_scheduled_flushes()
+        with self._lock:
+            pool, self._flush_pool = self._flush_pool, None
+        if pool is not None:
+            pool.shutdown(wait=True)
+
     def _flush_pending_dfs(self) -> None:
         """Write all queued element/dep plans — one unioned Spark write job
         per table instead of one per persist_elements call. The per-table

@@ -68,8 +68,10 @@ def _rows(df) -> list[dict]:
 # "*" (or "../x") would widen/escape the manifest glob. run_ids are
 # uuid4 strings (artifacts.py:120) but any dot-free [A-Za-z0-9._-] token
 # that can't traverse or glob is accepted.
-_SHA256_RE = re.compile(r"^[0-9a-f]{64}$")
-_RUN_ID_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]{0,127}$")
+# \Z, not $: Python's $ also matches before a trailing newline, so a
+# %0A-terminated token would pass a $-anchored check.
+_SHA256_RE = re.compile(r"\A[0-9a-f]{64}\Z")
+_RUN_ID_RE = re.compile(r"\A[A-Za-z0-9][A-Za-z0-9_-]{0,127}\Z")
 
 
 def _safe_sha256(sha: str) -> str:

@@ -21,8 +21,14 @@ from samba_spark.sources.tables import load_tables
 # semantics (map 1-1, filter sentinel, join two-sided, agg n-1), not a
 # self-assertion. The dir holds exactly one run whenever the SQL reads
 # it, and the pipeline is SF-INDEPENDENT by construction (nation/region
-# are fixed at 25/5 rows at every TPC-H SF), so any interleaving of q24
-# executions at different SFs still leaves matching content.
+# are fixed at 25/5 rows at every TPC-H SF), so SEQUENTIAL interleaving
+# of q24 executions at different SFs still leaves matching content.
+# Limits, stated honestly: (1) the oracle only BINDS after the Spark
+# side has run once (every consumer — driver, parity sweep, pytest —
+# runs Spark-then-oracle per query; the schema-only sweep test seeds the
+# dir explicitly); (2) CONCURRENT q24 runs from separate processes race
+# on the shared path (rmtree under a reader) — the driver, bench, and
+# test harness are all sequential, and a clash merely fails loudly.
 _Q24_PROV_DIR = "/tmp/samba_q24_prov"
 
 

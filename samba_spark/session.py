@@ -227,6 +227,7 @@ class ProvSession:
         if self.provenance_enabled:
             self.store.finish_execution(self.run_id, self.end_time)
             self.store.flush()
+            self.store.close()  # release the async-flush worker thread
         if stop_spark:
             self.spark.stop()
 

@@ -405,6 +405,12 @@ def test_canonicalize_url_hand_cases(spark):
          "http://ex.com:443/x"),
         ("https://ex.com/a/b/?ref=feed&z=9&a=1",
          "https://ex.com/a/b?a=1&z=9"),
+        ("https://ex.com/p?utm_source&x=1",              # VALUELESS tracking
+         "https://ex.com/p?x=1"),
+        ("https://ex.com/p?ref",                         # bare ref empties query
+         "https://ex.com/p"),
+        ("https://ex.com/p?refresh=1",                   # prefix NOT over-matched
+         "https://ex.com/p?refresh=1"),
         ("https://ex.com", "https://ex.com"),            # bare host
     ]
     df = spark.createDataFrame(

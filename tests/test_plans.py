@@ -569,20 +569,24 @@ def test_sliding_distinct_broadcasts_targets_not_bitmaps(spark, sf_smoke):
     from samba_spark.sources.tables import load_tables
 
     ev = load_tables(spark, sf_smoke, ["events"])["events"]
-    for op in (sliding_distinct, sliding_distinct_bitmap):
+    for op, payload_col in (
+        (sliding_distinct, "_id"),
+        (sliding_distinct_bitmap, "_bm"),
+    ):
         plan = plan_string(op(ev), "formatted")
         assert "BroadcastHashJoin" in plan, op.__name__
         # the broadcast build must be the bare (group, minute) key list —
-        # a bitmap/id column inside the BroadcastExchange block means the
-        # wrong side was picked
-        bx = plan[plan.index("BroadcastExchange"):]
-        assert "_bm" not in bx.split("\n\n")[0], op.__name__
+        # the path's payload column (id triple / bitmap) inside the
+        # BroadcastExchange's input block means the wrong side was picked
+        bx_input = plan[plan.index("BroadcastExchange"):].split("\n\n")[0]
+        assert payload_col not in bx_input, (op.__name__, bx_input)
         # broadcast_targets=False removes the PIN (it does not forbid the
         # optimizer from broadcasting a genuinely tiny side, as it will
-        # at this SF) — it must still produce a runnable equivalent plan
+        # at this SF) — the output contract must be unchanged
         fb = op(ev, broadcast_targets=False)
-        assert fb.columns == [ev.columns[2], "minute", "n_distinct"] or (
-            "n_distinct" in fb.columns
+        assert fb.columns == ["event_type", "minute", "n_distinct"], (
+            op.__name__,
+            fb.columns,
         )
 
 
