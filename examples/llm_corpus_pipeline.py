@@ -4,6 +4,7 @@ operators (x1-x32) composed the way a real data-prep run chains them:
 
   raw documents
     → ingest quality gate         (x66: expectation checks, one scan)
+    → fetch dedup by URL          (x119: canonicalize_url, zero-shuffle key)
     → exact dedup                 (x1: digest groupBy, keep lowest doc_id)
     → fuzzy dedup                 (x3: MinHash-LSH clusters, keep one per cluster)
     → quality gate                (x6: stats; keep score above threshold)
@@ -58,11 +59,36 @@ def main() -> None:
     ).collect()
     assert all(r.passed for r in gate), gate
 
+    # 0.5 fetch dedup by canonical URL (x119) — BEFORE any content pass:
+    # the same page fetched under utm params / case variants / trailing
+    # slashes never reaches the (much more expensive) content dedup.
+    # URLs here are synthesized from doc metadata (fixture has none);
+    # canonicalization is a zero-shuffle projection.
+    from samba_spark.operators.textual import url_dedup_groups
+
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            (F.col("doc_id") % 400).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=crawl"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    url_keep = url_dedup_groups(with_urls, "url", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs0 = docs.join(url_keep, "doc_id", "left_semi")
+
     # 1. exact dedup — survivors only
-    exact_keep = dedup_exact(docs).select(
+    exact_keep = dedup_exact(docs0).select(
         F.col("keep_doc_id").alias("doc_id")
     )
-    docs1 = docs.join(exact_keep, "doc_id", "left_semi")
+    docs1 = docs0.join(exact_keep, "doc_id", "left_semi")
 
     # 2. fuzzy dedup — one representative (min doc_id) per LSH cluster
     clusters = minhash_lsh_dedup(docs1)
@@ -112,7 +138,8 @@ def main() -> None:
     # 9. packing audit: how many 256-token sequences does the split yield
     packs = pack_sequences(train, budget=256)
 
-    n1, n2, n3, n4, n5 = (
+    n0, n1, n2, n3, n4, n5 = (
+        docs0.count(),
         docs1.count(),
         docs2.count(),
         docs3.count(),
@@ -124,6 +151,7 @@ def main() -> None:
     n_seqs = packs.count()
     n_terms = inverted_index(train, min_df=2).count()
     print(f"raw documents         : {n_raw}")
+    print(f"after URL fetch dedup : {n0}")
     print(f"after exact dedup     : {n1}")
     print(f"after fuzzy dedup     : {n2}")
     print(f"after quality gate    : {n3}")
