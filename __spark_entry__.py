@@ -32,6 +32,12 @@ def oracle_sql() -> dict[str, str]:
     expressible ops: xxhash64-family minhash/simhash, seeded-LSH ANN) get a
     rows-only check from the driver."""
     from samba_spark.queries import ALL_QUERIES
+    from samba_spark.queries.extras import seed_q24_oracle_dir
+
+    # q24's oracle reads the prov parquet its own Spark run writes; seed
+    # empty schema-correct files so the SQL BINDS in any consumer
+    # ordering (the comparison itself always follows a fresh q24 run).
+    seed_q24_oracle_dir()
 
     return {
         name: spec.oracle.strip()

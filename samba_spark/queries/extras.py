@@ -6,6 +6,8 @@ marked extension / not-oracle-declared).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from samba_spark.operators import relational as R
@@ -30,6 +32,23 @@ from samba_spark.sources.tables import load_tables
 # on the shared path (rmtree under a reader) — the driver, bench, and
 # test harness are all sequential, and a clash merely fails loudly.
 _Q24_PROV_DIR = "/tmp/samba_q24_prov"
+
+
+def seed_q24_oracle_dir() -> None:
+    """Make Q24_SQL *bindable* before q24's Spark side has ever run:
+    write empty, schema-correct parquet into any missing prov table dir
+    (pyarrow only — no Spark needed). DESCRIBE/validation passes against
+    the seed; the real comparison always reads the files q24's own run
+    just wrote (its first step is rmtree + full re-capture). Called by
+    __spark_entry__.oracle_sql() and the schema-only sweep test, so no
+    consumer ordering can hit 'no files match the pattern'."""
+    from samba_spark.prov import model
+    from samba_spark.prov.store import _write_rows_parquet
+
+    for t in ("tasks", "elements", "element_deps"):
+        d = os.path.join(_Q24_PROV_DIR, t)
+        if not (os.path.isdir(d) and os.listdir(d)):
+            _write_rows_parquet(d, [], model.TABLES[t])
 
 
 def q24_provenance_lineage(spark, sf_dir):

@@ -36,27 +36,18 @@ def test_entry_smoke(spark):
     assert keys_o <= keys_q
 
 
-def test_no_hugeint_oracle_columns(duck, spark, sf_smoke):
+def test_no_hugeint_oracle_columns(duck):
     """No oracle may produce a HUGEINT / DECIMAL(38,*) (int128) column:
     DuckDB promotes bare SUM(BIGINT) to HUGEINT, which the driver's hasher
     represents differently from BIGINT even when values are identical
     (round-2 q39 hash-fail root cause). Every integer SUM must be wrapped
     in CAST(... AS BIGINT) or ROUND."""
-    import os
+    from samba_spark.queries.extras import seed_q24_oracle_dir
 
+    seed_q24_oracle_dir()  # q24's oracle binds against its prov dir
     for name, spec in ALL_QUERIES.items():
         if not spec.oracle:
             continue
-        if name == "q24_provenance_lineage" and not os.path.exists(
-            "/tmp/samba_q24_prov/tasks"
-        ):
-            # q24's oracle reads the prov parquet its OWN Spark run
-            # writes (extras._Q24_PROV_DIR), so DESCRIBE only binds after
-            # that side effect exists — a selective run that skipped
-            # test_oracle_match[q24] must materialize it first. Cheap:
-            # the q24 pipeline is SF-independent (nation/region are 25/5
-            # rows at every SF).
-            spec.fn(spark, sf_smoke)
         desc = duck.execute(f"DESCRIBE {spec.oracle}").fetchall()
         for col, typ, *_ in desc:
             t = typ.upper()
