@@ -35,11 +35,11 @@ additions (multimodal dedup x88–x92, mining/profiling
 x95/x96/x100/x107, graph x105/x114, events x108–x110, dedup
 x111–x113, q87–q92 — 23 entries).
 
-Round-6 rotation backlog (the 20 residual never-driver-checked
+Round-6 rotation backlog (the 21 residual never-driver-checked
 queries): x93, x94, x97–x99, x101–x104, x106, x115, x116, q93–q97,
 plus the round-5 additions x117 (approx table profile), x118 (bitmap
-sliding distinct), and x119 (canonical-URL dedup). All 20 fit one
-window; every query stays under the local DuckDB parity harness
+sliding distinct), x119 (canonical-URL dedup), and x120 (native XML
+round-trip). All 21 fit one window; every query stays under the local DuckDB parity harness
 (tools/parity_sweep.py + tests) in every round regardless of window
 position.
 """

@@ -2575,6 +2575,62 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+X120_DIR = "/tmp/samba_spark_x120_xml"
+
+
+def x_xml_roundtrip(spark, sf_dir):
+    """Spark 4's NATIVE XML source (the spark-xml package folded into
+    core — SPARK-44265), completing the source/sink matrix beside
+    csv/json/parquet/orc/avro/JDBC: a deterministic customer slice goes
+    out through `.write.format("xml")` (rowTag records) and back through
+    `.read.format("xml")` with an explicit schema (inference would
+    widen types), then aggregates per market segment; the oracle
+    computes the identical aggregate straight from the parquet, so any
+    XML escaping/type round-trip bug breaks the hash. Exact integer
+    cents via round-before-cast, same contract as x63."""
+    import shutil
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    subset = cust.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    shutil.rmtree(X120_DIR, ignore_errors=True)
+    (
+        subset.write.format("xml")
+        .option("rootTag", "customers")
+        .option("rowTag", "customer")
+        .mode("overwrite")
+        .save(X120_DIR)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey long, c_mktsegment string, bal_cents long")
+        .load(X120_DIR)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+            F.sum("bal_cents").cast("long").alias("sum_bal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+X120_SQL = """
+SELECT c_mktsegment,
+       COUNT(*)::BIGINT AS n,
+       CAST(SUM(c_custkey) AS BIGINT)::BIGINT AS sum_key,
+       SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))::BIGINT AS sum_bal_cents
+FROM customer WHERE c_custkey % 5 = 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def x_transition_matrix(spark, sf_dir):
     """Per-user event-type bigram transitions (Markov chain estimate):
     one user-keyed sort feeds LAG, then a tiny (#types²) count matrix
@@ -4278,6 +4334,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_sliding_distinct_bitmap, X118_SLIDING_BITMAP_SQL
     ),
     "x119_url_dedup": QuerySpec(x_url_dedup, X119_URL_DEDUP_SQL),
+    "x120_xml_roundtrip": QuerySpec(x_xml_roundtrip, X120_SQL),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),
     "x108_changepoint": QuerySpec(x_changepoint, X_CHANGEPOINT_SQL),
