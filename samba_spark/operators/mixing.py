@@ -74,19 +74,33 @@ def cap_per_group(
     key: str,
     extra_order: Sequence[str] = (),
     rank_col: str = "rk",
+    salt_by_group: bool = False,
 ) -> DataFrame:
     """Deterministically downsample each ``group`` to at most ``k`` rows —
     the over-represented-source cap in a corpus mix. Rows are ranked by
     (md5-hash of ``key``, key) so the kept subset is a stable pseudo-random
     sample, independent of partitioning.
 
+    ``salt_by_group=True`` hashes ``(group, key)`` instead, so each group
+    keeps an INDEPENDENT pseudo-random subset: with the default every
+    capped group drops the same high-hash keys, which correlates the
+    error across groups (fine for a corpus mix where groups share no
+    keys; wrong for e.g. basket capping where under-counting the same
+    items in every oversized basket biases specific itemsets to zero).
+
     Scale shape: ``row_number() <= k`` compiles to WindowGroupLimit
     (plan-asserted in tests/test_plans.py for the top-k family), so each
     map task keeps only k rows per group before the shuffle — the exchange
     carries O(groups × k), never the full corpus sort."""
     order = [F.asc(c) for c in (*extra_order,)] or []
+    hashed = (
+        F.concat_ws("\x1f", F.col(group).cast("string"),
+                    F.col(key).cast("string"))
+        if salt_by_group
+        else F.col(key).cast("string")
+    )
     w = Window.partitionBy(group).orderBy(
-        _md5_base32(F.col(key).cast("string")).asc(), F.col(key).asc(), *order
+        _md5_base32(hashed).asc(), F.col(key).asc(), *order
     )
     return (
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))

@@ -298,9 +298,14 @@ def canonicalize_url(col: Column | str) -> Column:
     base = F.regexp_replace(no_frag, r"\?.*$", "")
     query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
     head = F.lower(F.regexp_extract(base, "^([^/]*//[^/]*)", 1))
+    # Strip ONLY the scheme's own default port: a bare otherwise-branch
+    # would strip :80 from any scheme (ftp://host:80 would merge with
+    # ftp://host, whose default is 21).
     head = F.when(
         head.startswith("https://"), F.regexp_replace(head, ":443$", "")
-    ).otherwise(F.regexp_replace(head, ":80$", ""))
+    ).when(
+        head.startswith("http://"), F.regexp_replace(head, ":80$", "")
+    ).otherwise(head)
     path = F.regexp_replace(
         F.regexp_replace(base, "^[^/]*//[^/]*", ""), "/$", ""
     )

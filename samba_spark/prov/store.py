@@ -110,6 +110,12 @@ class ProvStore:
         # flush-inclusive overhead timer are unchanged.
         self._flush_pool: "ThreadPoolExecutor | None" = None
         self._flush_futures: list = []
+        # Serializes whole-batch drains across ALL threads — the worker
+        # pool only serializes drains submitted to it, but flush()/table()
+        # also drain synchronously, and two HTTP-handler threads joining
+        # disjoint future snapshots could otherwise drain concurrently and
+        # race two append jobs on one directory's _temporary staging dir.
+        self._drain_mutex = threading.Lock()
         if enabled:
             os.makedirs(prov_dir, exist_ok=True)
 
@@ -272,31 +278,34 @@ class ProvStore:
         from concurrent.futures import ThreadPoolExecutor
         from functools import reduce
 
-        with self._lock:
-            batches = {
-                name: dfs[:] for name, dfs in self._pending_dfs.items() if dfs
-            }
-            for name in batches:
-                self._pending_dfs[name].clear()
-        if not batches:
-            return
+        with self._drain_mutex:
+            with self._lock:
+                batches = {
+                    name: dfs[:]
+                    for name, dfs in self._pending_dfs.items()
+                    if dfs
+                }
+                for name in batches:
+                    self._pending_dfs[name].clear()
+            if not batches:
+                return
 
-        def _write(item):
-            name, dfs = item
-            out = (
-                dfs[0]
-                if len(dfs) == 1
-                else reduce(lambda a, b: a.unionByName(b), dfs)
-            )
-            out.write.mode("append").option("compression", "snappy").parquet(
-                os.path.join(self.prov_dir, name)
-            )
+            def _write(item):
+                name, dfs = item
+                out = (
+                    dfs[0]
+                    if len(dfs) == 1
+                    else reduce(lambda a, b: a.unionByName(b), dfs)
+                )
+                out.write.mode("append").option(
+                    "compression", "snappy"
+                ).parquet(os.path.join(self.prov_dir, name))
 
-        if len(batches) == 1:
-            _write(next(iter(batches.items())))
-        else:
-            with ThreadPoolExecutor(max_workers=len(batches)) as pool:
-                list(pool.map(_write, batches.items()))
+            if len(batches) == 1:
+                _write(next(iter(batches.items())))
+            else:
+                with ThreadPoolExecutor(max_workers=len(batches)) as pool:
+                    list(pool.map(_write, batches.items()))
 
     def append_filegroup_refs(self, df: DataFrame) -> None:
         """Append a DataFrame shaped like model.FILEGROUP_REFS — the

@@ -66,7 +66,7 @@ def _rows(df) -> list[dict]:
 # globs) must be charset-validated first: a sha256 of "../../etc/passwd"
 # would otherwise escape the blob dir via os.path.join, and a run_id of
 # "*" (or "../x") would widen/escape the manifest glob. run_ids are
-# uuid4 strings (artifacts.py:120) but any dot-free [A-Za-z0-9._-] token
+# uuid4 strings (artifacts.py:120) but any dot-free [A-Za-z0-9_-] token
 # that can't traverse or glob is accepted.
 # \Z, not $: Python's $ also matches before a trailing newline, so a
 # %0A-terminated token would pass a $-anchored check.

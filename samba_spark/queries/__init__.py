@@ -35,11 +35,17 @@ additions (multimodal dedup x88–x92, mining/profiling
 x95/x96/x100/x107, graph x105/x114, events x108–x110, dedup
 x111–x113, q87–q92 — 23 entries).
 
-Round-6 rotation backlog (the 21 residual never-driver-checked
-queries): x93, x94, x97–x99, x101–x104, x106, x115, x116, q93–q97,
-plus the round-5 additions x117 (approx table profile), x118 (bitmap
-sliding distinct), x119 (canonical-URL dedup), and x120 (native XML
-round-trip). All 21 fit one window; every query stays under the local DuckDB parity harness
+Round-6 rotation (VERDICT r5 items 1–2): the round-5 window came back
+48 green + 2 canonicalizer errors (x57/x113 — array-typed outputs the
+driver's pandas sort cannot order; both now serialize those columns via
+array_join/array_to_string and stay IN-window for re-attestation). The
+other 43 rotated-in entries moved to ``AUX_QUERIES``; the freed slots
+hold the ENTIRE residual never-driver-checked backlog — x93, x94,
+x97–x99, x101–x104, x106, x115, x116, q93–q97, plus the round-5
+additions x117–x120 (21 queries) — after which every query in the
+engine has had a driver row at least once. The remaining 22 slots
+backfill with the oldest single-green rows (round-3 window, x14–x35).
+Every query stays under the local DuckDB parity harness
 (tools/parity_sweep.py + tests) in every round regardless of window
 position.
 """
@@ -63,62 +69,61 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Round-5 rotation: 45 slots, every entry below has NEVER had a driver
-# row. Priority order follows VERDICT r4 item 1: the oldest residuals
-# (rounds 2–3) first, then the highest-risk round-4 additions.
+# Round-6 rotation: 45 slots. First the two r5 canonicalizer-err rows
+# held IN-window for re-attestation (their declared outputs now
+# serialize the array columns — VERDICT r5 item 1), then the ENTIRE
+# 21-query never-driver-checked backlog (item 2 — attestation debt hits
+# zero after this round), then 22 backfill slots with the oldest
+# single-green rows (round-3 window order).
 _ROTATED_IN = [
-    # round-2/3 residuals (oldest never-driver-checked first)
-    "x45_deep_funnel",
-    "x46_retention_monthly",
-    "x47_trailing_window",
-    "x50_quantization_stats",
-    "x51_time_rollup",
-    "x52_filtered_topk",
-    "x54_binned_quantiles",
-    "x56_attribution",
+    # r5 harness-err re-attests (array outputs now serialized)
     "x57_inverted_index",
-    "x58_anomaly",
-    "x59_concurrency",
-    "x61_transition_matrix",
-    "x62_trend_slope",
-    "x64_zorder_stats",
-    "x66_quality_audit",
-    "x67_edit_distance",
-    "x68_brand_cooccurrence",
-    "x69_gap_fill",
-    "x76_corpus_report",
-    "x78_sequence_pattern",
-    "q74_point_in_time",
-    "q76_unpivot",
-    # multimodal dedup (round-4 additions, highest-risk first)
-    "x88_semantic_prune",
-    "x89_phash_dedup",
-    "x90_audio_fp_dedup",
-    "x91_approx_percentile",
-    "x92_frame_sample",
-    # mining / profiling
-    "x95_frequent_itemsets",
-    "x96_fd_profile",
-    "x100_table_profile",
-    "x107_linear_model",
-    # graph
-    "x105_lpa_communities",
-    "x114_personalized_pagerank",
-    # event analytics
-    "x108_changepoint",
-    "x109_winsorize",
-    "x110_sliding_distinct",
-    # dedup at scale
-    "x111_incremental_lsh",
-    "x112_containment",
     "x113_feature_hashing",
-    # modern SQL / time series
-    "q87_parameterized_sql",
-    "q88_shortest_paths",
-    "q89_delta_join",
-    "q90_interpolate_daily",
-    "q91_stream_full_outer_join",
-    "q92_twap",
+    # the final never-driver-checked backlog (VERDICT r5 item 2)
+    "x93_lm_fluency",
+    "x94_count_min",
+    "x97_join_size_estimate",
+    "x98_ewma",
+    "x99_hybrid_rrf",
+    "x101_interval_overlap",
+    "x102_k_anonymity",
+    "x103_levenshtein_pairs",
+    "x104_mad_outliers",
+    "x106_strip_boilerplate",
+    "x115_skyline",
+    "x116_pandas_udaf",
+    "q93_grouping_sets",
+    "q94_identifier_clause",
+    "q95_group_by_all",
+    "q96_bag_setops",
+    "q97_nullsafe_join",
+    "x117_table_profile_approx",
+    "x118_sliding_distinct_bitmap",
+    "x119_url_dedup",
+    "x120_xml_roundtrip",
+    # backfill: oldest single-green rows (round-3 window, in r3 order)
+    "x14_ivf_topk",
+    "x15_sequence_pack",
+    "x16_decontaminate",
+    "x17_top_terms",
+    "x18_repetition",
+    "x19_hash_split",
+    "x20_source_cap",
+    "x21_label_centroids",
+    "x22_sessionize",
+    "x23_json_extract",
+    "x24_redact",
+    "x25_salient_terms",
+    "x26_quantile_filter",
+    "x27_dedup_incremental",
+    "x28_length_histogram",
+    "x29_chunk_documents",
+    "x30_merge_upsert",
+    "x31_cross_source_overlap",
+    "x32_weighted_sample",
+    "x33_collocations",
+    "x34_corpus_diff",
+    "x35_repeated_spans",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

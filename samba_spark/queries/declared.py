@@ -13,6 +13,7 @@ broadcast vs shuffled-hash vs sort-merge from runtime stats).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -26,6 +27,19 @@ from samba_spark.sources.tables import load_tables
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: Optional[str]  # DuckDB SQL; None → rows-only check
+
+
+def scratch_dir(name: str) -> str:
+    """Per-repo gitignored scratch dir (``<repo>/.scaling/<name>``) for
+    queries that round-trip through the filesystem (filegroup roots,
+    XML/avro sinks, prov stores the oracle re-reads). NOT a fixed
+    world-writable /tmp path: on a multi-user host another user could
+    pre-create or symlink such a path to poison the oracle input or
+    redirect the writes (ADVICE r5)."""
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(root, ".scaling", name)
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:

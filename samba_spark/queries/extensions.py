@@ -14,7 +14,7 @@ from samba_spark.operators import dedup as D
 from samba_spark.operators import simsearch as S
 from samba_spark.operators import textual as X
 from samba_spark.operators import multimodal as M
-from samba_spark.queries.declared import QuerySpec
+from samba_spark.queries.declared import QuerySpec, scratch_dir
 from samba_spark.sources.tables import load_tables
 
 
@@ -1544,10 +1544,7 @@ FROM documents WHERE doc_id <= 5 ORDER BY media_id
 # semantics are re-expressed as a deterministic COUNT query over the
 # persisted prov parquet, and the DuckDB oracle reads the SAME store —
 # a real value-hash row for the provenance family.
-import os as _os
-import tempfile as _tempfile
-
-Q53_PROV_DIR = _os.path.join(_tempfile.gettempdir(), "samba_q53_prov")
+Q53_PROV_DIR = scratch_dir("q53_prov")
 
 
 def q53_provenance_counts(spark, sf_dir):
@@ -1859,7 +1856,7 @@ ORDER BY grain, bucket_ts
 """
 
 
-X53_DIR = "/tmp/samba_spark_x53_files"
+X53_DIR = scratch_dir("x53_files")
 
 
 def x_parquet_manifest(spark, sf_dir):
@@ -2070,11 +2067,21 @@ GROUP BY first_touch, last_touch ORDER BY first_touch, last_touch
 def x_inverted_index(spark, sf_dir):
     """Posting-list build: term → sorted doc-id array + df, min_df-pruned,
     top-50 by df. array_distinct happens before the explode so the term
-    shuffle carries each (term, doc) once."""
+    shuffle carries each (term, doc) once. The declared output serializes
+    the posting array as a comma-joined string (the operator itself keeps
+    the real array) so external canonicalizers that cannot order list
+    values — e.g. a pandas sort — can attest the result (VERDICT r5 #1)."""
     from samba_spark.operators.textual import inverted_index
 
     return (
         inverted_index(_docs(spark, sf_dir), min_df=5)
+        .select(
+            "term",
+            F.array_join(
+                F.transform("postings", lambda x: x.cast("string")), ","
+            ).alias("postings"),
+            "df",
+        )
         .orderBy(F.desc("df"), "term")
         .limit(50)
     )
@@ -2091,7 +2098,8 @@ t AS (SELECT doc_id, u.term FROM toked, UNNEST(toks) AS u(term)),
 p AS (SELECT term, list_sort(list(doc_id)) AS postings,
              COUNT(*)::BIGINT AS df
       FROM t GROUP BY term)
-SELECT term, postings, df FROM p WHERE df >= 5
+SELECT term, array_to_string(postings, ',') AS postings, df
+FROM p WHERE df >= 5
 ORDER BY df DESC, term LIMIT 50
 """
 
@@ -2153,7 +2161,7 @@ FROM r GROUP BY day ORDER BY day
 """
 
 
-Q59_PROV_DIR = "/tmp/samba_spark_q59_prov"
+Q59_PROV_DIR = scratch_dir("q59_prov")
 
 
 def q59_transitive_lineage(spark, sf_dir):
@@ -2531,7 +2539,7 @@ ORDER BY s.user_id, s.day
 """
 
 
-X63_DIR = "/tmp/samba_spark_x63_avro"
+X63_DIR = scratch_dir("x63_avro")
 
 
 def x_avro_roundtrip(spark, sf_dir):
@@ -2575,7 +2583,9 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
-X120_DIR = "/tmp/samba_spark_x120_xml"
+# Repo-scratch, not a fixed world-writable /tmp path (a hostile local
+# user could otherwise pre-create/symlink it to redirect the writes).
+X120_DIR = scratch_dir("x120_xml")
 
 
 def x_xml_roundtrip(spark, sf_dir):
@@ -3989,11 +3999,25 @@ def x_feature_hashing(spark, sf_dir):
     """Hashing-trick featurizer (textual.feature_hash_vectors): 32-dim
     token-count vectors with no vocabulary pass — slot = md5(token) mod
     32, engine-reproducible. One scan, zero shuffles before the final
-    order. First 100 docs."""
+    order. First 100 docs. The declared output comma-joins the vector
+    (the operator keeps the real array<long>) so list-blind
+    canonicalizers can sort and hash the rows (VERDICT r5 #1)."""
     from samba_spark.operators.textual import feature_hash_vectors
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    return feature_hash_vectors(docs).orderBy("doc_id").limit(100)
+    return (
+        feature_hash_vectors(docs)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("vec", lambda x: x.cast("string")), ","
+            ).alias("vec"),
+            "nnz",
+            "max_count",
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
 
 
 X_FEATURE_HASHING_SQL = r"""
@@ -4012,7 +4036,7 @@ vecs AS (
          list_transform(range(0, 32),
            i -> len(list_filter(sl, s -> s = i))::BIGINT) AS vec
   FROM slots)
-SELECT doc_id, vec,
+SELECT doc_id, array_to_string(vec, ',') AS vec,
        len(list_filter(vec, c -> c > 0))::BIGINT AS nnz,
        list_max(vec)::BIGINT AS max_count
 FROM vecs ORDER BY doc_id LIMIT 100

@@ -11,7 +11,7 @@ import os
 from pyspark.sql import functions as F
 
 from samba_spark.operators import relational as R
-from samba_spark.queries.declared import QuerySpec
+from samba_spark.queries.declared import QuerySpec, scratch_dir
 from samba_spark.sources.tables import load_tables
 
 
@@ -31,7 +31,10 @@ from samba_spark.sources.tables import load_tables
 # dir explicitly); (2) CONCURRENT q24 runs from separate processes race
 # on the shared path (rmtree under a reader) — the driver, bench, and
 # test harness are all sequential, and a clash merely fails loudly.
-_Q24_PROV_DIR = "/tmp/samba_q24_prov"
+# The dir lives under the repo's own gitignored scratch dir (NOT a fixed
+# world-writable /tmp path another local user could pre-create or
+# symlink to poison the oracle input).
+_Q24_PROV_DIR = scratch_dir("q24_prov")
 
 
 def seed_q24_oracle_dir() -> None:

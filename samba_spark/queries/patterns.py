@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from samba_spark.queries.declared import QuerySpec
+from samba_spark.queries.declared import QuerySpec, scratch_dir
 from samba_spark.sources.tables import load_tables
 
 
@@ -280,7 +280,7 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
-X83_ROOT = "/tmp/samba_x83_filegroups"
+X83_ROOT = scratch_dir("x83_filegroups")
 
 
 def x83_python_datasource(spark, sf_dir):
@@ -672,7 +672,7 @@ ORDER BY user_id
 """
 
 
-X87_ROOT = "/tmp/samba_x87_sketch_rollup"
+X87_ROOT = scratch_dir("x87_sketch_rollup")
 
 
 def x87_sketch_persistence(spark, sf_dir):

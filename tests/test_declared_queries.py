@@ -59,10 +59,10 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-5 rotation (VERDICT r4 item 1): the sentinel core plus 45
-    never-driver-checked backlog entries — every round-2/3 residual,
-    then the highest-risk round-4 additions — must all be in-window so
-    each gets its first hard driver row."""
+    Round-6 rotation (VERDICT r5 items 1–2): the sentinel core, the two
+    r5 canonicalizer-err re-attests (x57/x113), the ENTIRE 21-query
+    never-driver-checked backlog, and 22 oldest-single-green backfills
+    must all be in-window."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
@@ -74,20 +74,15 @@ def test_contract_window_invariant():
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
-    # Priority families from VERDICT r4 item 1, each pinned in-window.
-    residual_x = (
-        "x45", "x46", "x47", "x50", "x51", "x52", "x54", "x56", "x57",
-        "x58", "x59", "x61", "x62", "x64", "x66", "x67", "x68", "x69",
-        "x76", "x78",
+    # r5 re-attests + the final never-driver-checked backlog, each
+    # pinned in-window (VERDICT r5 items 1–2).
+    must_have_x = (
+        "x57", "x113",                                # r5 re-attests
+        "x93", "x94", "x97", "x98", "x99",            # backlog
+        "x101", "x102", "x103", "x104", "x106",
+        "x115", "x116", "x117", "x118", "x119", "x120",
     )
-    round4_x = (
-        "x88", "x89", "x90", "x91", "x92",          # multimodal dedup
-        "x95", "x96", "x100", "x107",               # mining / profiling
-        "x105", "x114",                              # graph
-        "x108", "x109", "x110",                      # event analytics
-        "x111", "x112", "x113",                      # dedup at scale
-    )
-    for x in residual_x + round4_x:
+    for x in must_have_x:
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
-    for q in ("q74", "q76", "q87", "q88", "q89", "q90", "q91", "q92"):
+    for q in ("q93", "q94", "q95", "q96", "q97"):
         assert any(n.startswith(f"{q}_") for n in in_window), f"{q} outside window"
