@@ -3817,6 +3817,26 @@ GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
 """
 
 
+def x_sliding_distinct_auto(spark, sf_dir):
+    """x110's exact trailing-hour unique-user metric through the
+    regime-dispatching entry point (sketches.sliding_distinct_auto,
+    VERDICT r5 item 4): a one-pass approx-distinct density probe picks
+    the triple fan-out (sparse) or the bucket-bitmap fan-out (dense).
+    On the raw telemetry fixture (~2 ids per occupied bucket) the probe
+    selects the triple path, so the oracle is x110's — and because the
+    two paths are bit-identical by contract (tests/test_sketches.py),
+    the same oracle holds whichever regime the probe picks. First 200
+    minutes."""
+    from samba_spark.operators.sketches import sliding_distinct_auto
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        sliding_distinct_auto(ev)
+        .orderBy("event_type", "minute")
+        .limit(200)
+    )
+
+
 def x_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (textual.canonicalize_url + url_dedup_groups):
     the crawl-pipeline fetch-dedup step. URLs are synthesized
@@ -4358,6 +4378,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_sliding_distinct_bitmap, X118_SLIDING_BITMAP_SQL
     ),
     "x119_url_dedup": QuerySpec(x_url_dedup, X119_URL_DEDUP_SQL),
+    "x121_sliding_distinct_auto": QuerySpec(
+        x_sliding_distinct_auto, X_SLIDING_DISTINCT_SQL
+    ),
     "x120_xml_roundtrip": QuerySpec(x_xml_roundtrip, X120_SQL),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),

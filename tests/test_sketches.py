@@ -394,3 +394,59 @@ def test_sliding_distinct_bitmap_bit_identical(spark, sf_smoke):
     }
     assert a == b
     assert len(a) > 0
+
+
+def test_sliding_distinct_auto_dispatches_by_density(spark):
+    """sliding_distinct_auto must pick the bitmap fan-out when many ids
+    share a 32768-id bucket per (group, minute) and the triple fan-out
+    when they don't — and both dispatches must return the exact counts
+    (the two paths are bit-identical by contract)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import sliding_distinct_auto
+
+    t0 = datetime.datetime(2026, 7, 1, 10, 0)
+    # dense: 1000 consecutive ids in one minute -> ~1000 ids/bucket
+    dense = spark.range(1000).select(
+        F.lit("e").alias("event_type"),
+        F.lit(t0).alias("ts"),
+        F.col("id").alias("user_id"),
+    )
+    # sparse: 50 ids spaced a full bucket apart -> 1 id/bucket
+    sparse = spark.range(50).select(
+        F.lit("e").alias("event_type"),
+        F.lit(t0).alias("ts"),
+        (F.col("id") * 32768).alias("user_id"),
+    )
+    d = sliding_distinct_auto(dense)
+    s = sliding_distinct_auto(sparse)
+    d_plan = d._jdf.queryExecution().optimizedPlan().toString()
+    s_plan = s._jdf.queryExecution().optimizedPlan().toString()
+    assert "bitmap_or_agg" in d_plan, "dense regime must take the bitmap path"
+    assert "bitmap_or_agg" not in s_plan, "sparse regime must take the triple path"
+    assert [(r.n_distinct) for r in d.collect()] == [1000]
+    assert [(r.n_distinct) for r in s.collect()] == [50]
+
+
+def test_sliding_distinct_auto_non_integral_id_short_circuits(spark):
+    """A string id column cannot take the bitmap path
+    (bitmap_bit_position needs integral ids): auto must go straight to
+    the triple path without probing."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import sliding_distinct_auto
+
+    t0 = datetime.datetime(2026, 7, 1, 10, 0)
+    df = spark.range(10).select(
+        F.lit("e").alias("event_type"),
+        F.lit(t0).alias("ts"),
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+    )
+    out = sliding_distinct_auto(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "bitmap_or_agg" not in plan
+    assert [r.n_distinct for r in out.collect()] == [10]
