@@ -108,6 +108,13 @@ class ProvWebAPI:
         application/octet-stream (then raw bytes)."""
         parts = [p for p in path.split("/") if p]
         try:
+            if not parts or parts == ["ui"] or parts == ["index.html"]:
+                # Browser frontend (reference parity: the WebApplication
+                # templates/static views) — one self-contained page
+                # rendered client-side from the JSON routes below.
+                from samba_spark.prov.webui import INDEX_HTML
+
+                return 200, "text/html; charset=utf-8", INDEX_HTML
             if parts[:2] == ["api", "execution"]:
                 if parts[2:] == ["list"]:
                     return 200, "application/json", self.list_executions()
@@ -366,11 +373,12 @@ class ProvWebServer:
                 u = urlparse(self.path)
                 params = {k: v[0] for k, v in parse_qs(u.query).items()}
                 status, ctype, payload = api_ref.handle(u.path, params)
-                body = (
-                    payload
-                    if isinstance(payload, bytes)
-                    else json.dumps(payload).encode()
-                )
+                if isinstance(payload, bytes):
+                    body = payload
+                elif ctype.startswith("text/html"):
+                    body = payload.encode()
+                else:
+                    body = json.dumps(payload).encode()
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))

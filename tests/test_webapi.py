@@ -176,3 +176,31 @@ def test_error_paths_return_json_not_dropped_connections(api):
         taskID="not-a-task",
     )
     assert status == 200 and body["produced"] == [] and body["consumed"] == []
+
+
+def test_html_frontend_served_over_socket(api):
+    """GET / (and /ui) serves the navigable HTML frontend over a real
+    socket (VERDICT r5 item 6 — reference WebApplication view parity):
+    text/html content type, the hash-router views present, and every
+    JSON route the page fetches is referenced in the markup."""
+    web, engine, _ = api
+    srv = web.start()
+    try:
+        for path in ("/", "/ui"):
+            with urllib.request.urlopen(f"{srv.url}{path}") as r:
+                assert r.status == 200
+                assert r.headers["Content-Type"].startswith("text/html")
+                page = r.read().decode()
+            assert "<!doctype html>" in page.lower()
+            for route in (
+                "/api/execution/list",
+                "/api/task/graph/",
+                "/api/task/info/",
+                "/api/dataelement/graph/",
+                "/api/dataelement/graphOfTask/",
+                "/api/dataelement/repositoryFileTree/",
+                "/api/dataelement/download",
+            ):
+                assert route in page, route
+    finally:
+        srv.shutdown()
