@@ -181,6 +181,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     round_to: int = 6,
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the 100 TB scale path named
     in SCALE.md: a KMeans coarse quantizer (pyspark.ml, distributed)
@@ -189,25 +190,16 @@ def ivf_topk(
 
     Unlike sign-LSH, IVF cells adapt to the data distribution, so recall
     on clustered real-world embeddings is far better at equal probe cost.
+
+    ``centroids`` (optional) pins the coarse quantizer instead of
+    training it: corpus rows are assigned to their nearest pinned
+    centroid with the same pure-Catalyst argmin the probe step uses —
+    no pyspark.ml, fully engine-reproducible (an external SQL engine
+    replaying the same centroid literals computes the identical cells,
+    probes, and top-k). This is also the production serving shape: the
+    quantizer is trained ONCE offline and shipped as constants; query
+    traffic must not retrain it.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus_vec = embeddings.withColumn("_features", array_to_vector("embedding"))
-    # a coarse quantizer needs rough cells, not converged ones: 8 Lloyd
-    # iterations give the same recall as the default 20 at ~half the
-    # training cost (training is the dominant cost of this operator)
-    km = KMeans(
-        k=n_cells,
-        seed=seed,
-        maxIter=8,
-        featuresCol="_features",
-        predictionCol="_cell",
-    )
-    model = km.fit(corpus_vec)
-    corpus = model.transform(corpus_vec).select("vec_id", "embedding", "_cell")
-
-    centers = [c.tolist() for c in model.clusterCenters()]
 
     def _dist2(vec: Column, center: list[float]) -> Column:
         lit_c = F.array(*[F.lit(float(v)) for v in center])
@@ -218,6 +210,46 @@ def ivf_topk(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+
+    if centroids is not None:
+        centers = [list(map(float, c)) for c in centroids]
+        cell_dists = F.array(
+            *[
+                F.struct(
+                    _dist2(F.col("embedding"), c).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(centers)
+            ]
+        )
+        corpus = embeddings.select(
+            "vec_id",
+            "embedding",
+            F.array_sort(cell_dists)[0]["cell"].alias("_cell"),
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_vec = embeddings.withColumn(
+            "_features", array_to_vector("embedding")
+        )
+        # a coarse quantizer needs rough cells, not converged ones: 8 Lloyd
+        # iterations give the same recall as the default 20 at ~half the
+        # training cost (training is the dominant cost of this operator)
+        km = KMeans(
+            k=n_cells,
+            seed=seed,
+            maxIter=8,
+            featuresCol="_features",
+            predictionCol="_cell",
+        )
+        model = km.fit(corpus_vec)
+        corpus = model.transform(corpus_vec).select(
+            "vec_id", "embedding", "_cell"
+        )
+        centers = [c.tolist() for c in model.clusterCenters()]
+
 
     # nearest n_probe cells per query: distances to all centers (tiny,
     # n_cells literals), sorted, sliced — pure expressions, no Python loop

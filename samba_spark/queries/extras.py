@@ -333,21 +333,69 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
-# Q30 stratified sample (reference sampleByKey) — seeded, deterministic per
-# engine, not cross-engine
+# Q30 stratified sample (reference sampleByKey). The DRAW is seeded and
+# engine-specific, so the declared output is the sampling CONTRACT
+# instead (VERDICT r5 item 7): per stratum — the exact population count
+# (oracle-recomputable), the count of sampled rows NOT present in the
+# population (a real anti-join, must be 0), rows from unrequested strata
+# (must be 0 overall — folded into subset_violations), and whether the
+# draw size sits inside 6-sigma binomial bounds of frac·n (a
+# deterministic TRUE for any sane sampler; Bernoulli sampling at these
+# n puts the probability of a violation below 1e-9). DuckDB recomputes
+# n_total exactly and pins the two invariants, giving q30 a full
+# value-hash row while the draw itself stays engine-local.
 def q30_sample_by(spark, sf_dir):
     customer = load_tables(spark, sf_dir, ["customer"])["customer"]
-    sampled = R.sample_by(
-        customer,
-        "c_mktsegment",
-        {"BUILDING": 0.5, "AUTOMOBILE": 0.1},
-        seed=42,
+    fracs = {"BUILDING": 0.5, "AUTOMOBILE": 0.1}
+    sampled = R.sample_by(customer, "c_mktsegment", fracs, seed=42)
+
+    # subset check: every sampled row must exist in the population, and
+    # carry one of the requested stratum keys
+    viol = (
+        sampled.join(
+            customer.select("c_custkey"), "c_custkey", "left_anti"
+        ).count()
+        + sampled.where(
+            ~F.col("c_mktsegment").isin(*fracs.keys())
+        ).count()
     )
+    frac_col = F.create_map(
+        *[x for k, v in fracs.items() for x in (F.lit(k), F.lit(v))]
+    )
+    pop = (
+        customer.where(F.col("c_mktsegment").isin(*fracs.keys()))
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    )
+    drawn = sampled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
+    f = frac_col[F.col("c_mktsegment")]
+    mu = F.col("n_total") * f
+    sigma = F.sqrt(F.col("n_total") * f * (1 - f))
     return (
-        sampled.groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"))
+        pop.join(drawn, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "n_total",
+            F.lit(viol).cast("long").alias("subset_violations"),
+            (
+                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - mu)
+                <= 6 * sigma + 1
+            ).alias("within_bounds"),
+        )
         .orderBy("c_mktsegment")
     )
+
+
+Q30_SQL = """
+SELECT c_mktsegment, COUNT(*)::BIGINT AS n_total,
+       CAST(0 AS BIGINT) AS subset_violations,
+       TRUE AS within_bounds
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
 
 
 # Q31 streaming tumbling window — run as an availableNow replay over the
@@ -1424,7 +1472,7 @@ EXTRAS: dict[str, QuerySpec] = {
     "q27_cogroup": QuerySpec(q27_cogroup, Q27_SQL),
     "q28_zip": QuerySpec(q28_zip, Q28_SQL),
     "q29_approx_count_distinct": QuerySpec(q29_approx_count_distinct, Q29_SQL),
-    "q30_sample_by": QuerySpec(q30_sample_by, None),
+    "q30_sample_by": QuerySpec(q30_sample_by, Q30_SQL),
     "q31_stream_tumbling": QuerySpec(q31_stream_tumbling, Q31_SQL),
     "q32_stream_sessions": QuerySpec(q32_stream_sessions, Q32_SQL),
     "q33_cube": QuerySpec(q33_cube, Q33_SQL),
