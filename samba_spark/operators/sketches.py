@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -489,4 +489,254 @@ def sliding_distinct_auto(
     impl = sliding_distinct_bitmap if dense else sliding_distinct
     return impl(
         events, group_col, ts_col, id_col, window_minutes, broadcast_targets
+    )
+
+
+def bloom_filter_table(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter as a sharded-bitmap DataFrame: ``(bucket, bm)`` — the
+    m-bit array stored as ``m/32768`` fixed 4 KiB bitmap rows, built in
+    ONE pass (each key explodes to its ``k_hashes`` bit positions, then
+    one grouped ``bitmap_construct_agg`` with map-side partials). The
+    ingest skip-list for a crawl/training pipeline: state is O(m) BYTES
+    regardless of corpus size, and two filters built over disjoint data
+    MERGE via ``bitmap_or_agg`` per bucket — the same mergeable-summary
+    contract as the HLL/CMS/bitmap family here.
+
+    Bit positions are md5-derived (``hash_bucket`` salted per hash
+    index), so an external SQL engine replays the EXACT filter: x122's
+    DuckDB oracle recomputes every set position and every probe verdict
+    bit-for-bit. Positions are shifted to [1, m] so the bucket/bit pair
+    never hits the bitmap functions' v=0 edge."""
+    from samba_spark.operators.mixing import hash_bucket
+
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    (
+                        hash_bucket(
+                            F.concat(
+                                F.lit(f"bloom{j}:"),
+                                F.col(col).cast("string"),
+                            ),
+                            m_bits,
+                        )
+                        + 1
+                    ).alias(f"p{j}")
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("pos")
+    )
+    return pos.groupBy(
+        F.bitmap_bucket_number(F.col("pos")).alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("pos"))).alias("bm"))
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe a :func:`bloom_filter_table`: per input row —
+    ``definitely_new`` (some hash bit unset: the key was NEVER inserted)
+    or ``maybe_dup`` (all bits set: present, or a false positive at the
+    documented ~(1-e^(-kn/m))^k rate). The crawl-ingest fast path: a
+    definitely_new verdict skips the expensive content-dedup pipeline
+    entirely.
+
+    Plan shape: the probe's positions compress into per-(row, bucket)
+    candidate bitmaps, which join the BROADCAST filter (m/32768 rows,
+    4 KiB each — a 2^23-bit filter is 256 rows) and test set-membership
+    with only the EXPOSED bitmap algebra, layout-agnostic:
+    ``bitmap_count(or(cand, filter)) > bitmap_count(filter)`` iff some
+    candidate bit is missing from the filter. No driver collect, no
+    per-bit UDF; verdicts aggregate back per row with one max()."""
+    from samba_spark.operators.mixing import hash_bucket
+
+    probes = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    (
+                        hash_bucket(
+                            F.concat(
+                                F.lit(f"bloom{j}:"),
+                                F.col(col).cast("string"),
+                            ),
+                            m_bits,
+                        )
+                        + 1
+                    ).alias(f"p{j}")
+                    for j in range(k_hashes)
+                ]
+            )
+        ).alias("pos"),
+    )
+    cand = probes.groupBy(
+        F.col(id_col),
+        F.bitmap_bucket_number(F.col("pos")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("pos"))).alias(
+            "cbm"
+        )
+    )
+    j = cand.join(F.broadcast(bloom), "bucket", "left")
+    # bits missing from the filter, via exposed bitmap algebra only:
+    # explode the (candidate, filter) pair back to rows and OR-count them
+    pair = j.select(
+        id_col,
+        "bucket",
+        F.coalesce(F.bitmap_count("bm"), F.lit(0)).alias("f_cnt"),
+        F.explode(
+            F.when(
+                F.col("bm").isNotNull(), F.array("cbm", "bm")
+            ).otherwise(F.array("cbm"))
+        ).alias("one_bm"),
+    )
+    per_bucket = pair.groupBy(id_col, "bucket", "f_cnt").agg(
+        F.bitmap_count(F.bitmap_or_agg("one_bm")).alias("or_cnt")
+    )
+    return per_bucket.groupBy(id_col).agg(
+        F.when(
+            F.max((F.col("or_cnt") > F.col("f_cnt")).cast("int")) > 0,
+            F.lit("definitely_new"),
+        )
+        .otherwise(F.lit("maybe_dup"))
+        .alias("status")
+    )
+
+
+# KMV ("k minimum values" / bottom-k, the theta-sketch construction):
+# 52-bit md5-derived hashes so the values are EXACT in both BIGINT and
+# IEEE double — every estimate below is a deterministic arithmetic
+# function of exact integers, which is what lets an external SQL engine
+# replay the sketch and its estimates bit-for-bit (x123's oracle).
+KMV_HASH_SPACE = float(1 << 52)
+
+
+def _kmv_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int = 256
+) -> DataFrame:
+    """Bottom-k distinct sketch per group: the ``k`` SMALLEST 52-bit
+    hashes of the group's distinct keys, as relational rows
+    ``(group, h)`` — O(groups × k) state regardless of input size.
+
+    Unlike HLL (union-only), KMV supports INTERSECTION and DIFFERENCE
+    estimates (:func:`kmv_set_ops_pairwise`) because it keeps a uniform
+    sample of the hash space, not just register maxima — the theta-
+    sketch trade: a few KB per group buys the full set algebra.
+
+    Mergeable-summary contract: union two sketches' rows and re-take the
+    k smallest (exactly what the pairwise op does). Plan shape: one
+    distinct on (group, h) then a windowed bottom-k, which compiles to
+    WindowGroupLimit — each map task keeps ≤k rows per group BEFORE the
+    exchange, so the shuffle carries O(groups × k), never the corpus."""
+    hashed = df.select(
+        F.col(group_col).alias("g"), _kmv_hash(F.col(key_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("g", "h")
+    )
+
+
+def kmv_set_ops_pairwise(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """All-pairs set algebra over a :func:`kmv_sketch` table: for every
+    group pair (ga < gb) — estimated distinct counts of A, B, A∪B and
+    A∩B. Merge = k smallest of the union of the two groups' hash sets;
+    est(U) = (k-1)·2^52 / kth_min when the merged sketch is full (else
+    the EXACT count — fewer than k distinct hashes means the sketch IS
+    the set); est(A∩B) = floor(est(U) · |both| / |merged|), the standard
+    theta intersection-through-jaccard estimator.
+
+    Everything is integer-exact or a single IEEE-correctly-rounded
+    double op on exact-integer operands, so estimates are engine-exact.
+    Input is O(groups × k) rows; the pair fan-out is O(groups² × k) —
+    metadata scale (the sketch table replaced the data), never the
+    corpus."""
+    groups = sketch.select("g").distinct()
+    pairs = (
+        groups.alias("x")
+        .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
+        .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
+    )
+    # per-group stats for est_a / est_b
+    num = F.lit(float(k - 1) * KMV_HASH_SPACE)
+    per_g = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
+    )
+    est_g = per_g.select(
+        "g",
+        F.when(F.col("n") < k, F.col("n").cast("long"))
+        .otherwise(F.floor(num / F.col("kth")).cast("long"))
+        .alias("est"),
+    )
+    side_a = pairs.join(sketch.withColumnRenamed("g", "ga"), "ga").select(
+        "ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = pairs.join(sketch.withColumnRenamed("g", "gb"), "gb").select(
+        "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    bottomk = merged.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    per_pair = bottomk.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("n_comb"),
+        F.max("h").alias("kth"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
+    )
+    est_union = (
+        F.when(F.col("n_comb") < k, F.col("n_comb").cast("long"))
+        .otherwise(F.floor(num / F.col("kth")).cast("long"))
+    )
+    out = per_pair.select(
+        "ga",
+        "gb",
+        est_union.alias("est_union"),
+        F.floor(
+            est_union.cast("double") * F.col("n_both") / F.col("n_comb")
+        )
+        .cast("long")
+        .alias("est_inter"),
+    )
+    return (
+        out.join(
+            est_g.select(
+                F.col("g").alias("ga"), F.col("est").alias("est_a")
+            ),
+            "ga",
+        )
+        .join(
+            est_g.select(
+                F.col("g").alias("gb"), F.col("est").alias("est_b")
+            ),
+            "gb",
+        )
+        .select(
+            "ga", "gb", "est_a", "est_b", "est_union", "est_inter"
+        )
     )

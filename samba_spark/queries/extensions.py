@@ -3914,6 +3914,121 @@ def x_sliding_distinct_auto(spark, sf_dir):
     )
 
 
+def x_bloom_ingest(spark, sf_dir):
+    """Bloom-filter ingest skip-list (sketches.bloom_filter_table +
+    bloom_probe): the corpus 2/3 of documents builds an m=2^18-bit
+    sharded-bitmap filter over text content; the delta 1/3 probes it and
+    every doc gets a definitely_new / maybe_dup verdict — the O(bytes)
+    crawl-ingest fast path that gates the expensive content-dedup
+    pipeline. Bit positions are md5-derived, so the oracle recomputes
+    the exact position sets and every verdict (false positives included)
+    bit-for-bit. Filter state: 8 bitmap rows; probe joins broadcast."""
+    from samba_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    delta = docs.where(F.col("doc_id") % 3 == 0)
+    bloom = bloom_filter_table(corpus, "text")
+    return (
+        bloom_probe(bloom, delta, "text", "doc_id")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+X122_BLOOM_SQL = """
+WITH js AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(j)),
+setbits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5('bloom' || j || ':' || text), 1, 8))::BIGINT
+           % 262144 AS pos
+  FROM (SELECT DISTINCT text FROM documents WHERE doc_id % 3 <> 0)
+  CROSS JOIN js),
+dpos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('bloom' || j || ':' || text), 1, 8))::BIGINT
+           % 262144 AS pos
+  FROM documents CROSS JOIN js WHERE doc_id % 3 = 0),
+miss AS (
+  SELECT d.doc_id, COUNT(*) FILTER (WHERE s.pos IS NULL) AS n_miss
+  FROM dpos d LEFT JOIN setbits s USING (pos) GROUP BY d.doc_id)
+SELECT doc_id,
+       CASE WHEN n_miss > 0 THEN 'definitely_new'
+            ELSE 'maybe_dup' END AS status
+FROM miss ORDER BY doc_id LIMIT 300
+"""
+
+
+def x_kmv_set_ops(spark, sf_dir):
+    """Theta-style distinct set algebra (sketches.kmv_sketch +
+    kmv_set_ops_pairwise): per event_type, the bottom-256 52-bit hashes
+    of distinct user_ids; for every type pair — estimated |A|, |B|,
+    |A∪B| and |A∩B|. The set-overlap question HLL cannot answer
+    (union-only registers); audience-overlap / segment-intersection is
+    the canonical use. Sketch state O(groups × k); every estimate is a
+    deterministic function of exact ≤2^52 integers, so the DuckDB oracle
+    replays sketch AND estimates bit-for-bit."""
+    from samba_spark.operators.sketches import (
+        kmv_set_ops_pairwise,
+        kmv_sketch,
+    )
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    sk = kmv_sketch(ev, "event_type", "user_id", k=256)
+    return kmv_set_ops_pairwise(sk, k=256).orderBy("ga", "gb")
+
+
+X123_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM events),
+sk AS (
+  SELECT g, h FROM (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM h) WHERE rn <= 256),
+est_g AS (
+  SELECT g, CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                 ELSE CAST(FLOOR(255.0 * 4503599627370496.0 / MAX(h))
+                           AS BIGINT) END AS est
+  FROM sk GROUP BY g),
+gs AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT x.g AS ga, y.g AS gb FROM gs x, gs y WHERE x.g < y.g),
+sides AS (
+  SELECT p.ga, p.gb, s.h,
+         MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.g IN (p.ga, p.gb)
+  GROUP BY p.ga, p.gb, s.h),
+bk AS (
+  SELECT * FROM (
+    SELECT ga, gb, h, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+    FROM sides) WHERE rn <= 256),
+pp AS (
+  SELECT ga, gb, COUNT(*) AS n_comb, MAX(h) AS kth,
+         SUM(in_a * in_b) AS n_both
+  FROM bk GROUP BY ga, gb),
+es AS (
+  SELECT ga, gb, n_comb, n_both,
+         CASE WHEN n_comb < 256 THEN n_comb
+              ELSE CAST(FLOOR(255.0 * 4503599627370496.0 / kth)
+                        AS BIGINT) END AS est_union
+  FROM pp)
+SELECT e.ga, e.gb, a.est::BIGINT AS est_a, b.est::BIGINT AS est_b,
+       e.est_union::BIGINT AS est_union,
+       CAST(FLOOR(CAST(e.est_union AS DOUBLE) * e.n_both / e.n_comb)
+            AS BIGINT) AS est_inter
+FROM es e
+JOIN est_g a ON a.g = e.ga
+JOIN est_g b ON b.g = e.gb
+ORDER BY ga, gb
+"""
+
+
 def x_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (textual.canonicalize_url + url_dedup_groups):
     the crawl-pipeline fetch-dedup step. URLs are synthesized
@@ -4458,6 +4573,8 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x121_sliding_distinct_auto": QuerySpec(
         x_sliding_distinct_auto, X_SLIDING_DISTINCT_SQL
     ),
+    "x122_bloom_ingest": QuerySpec(x_bloom_ingest, X122_BLOOM_SQL),
+    "x123_kmv_set_ops": QuerySpec(x_kmv_set_ops, X123_KMV_SQL),
     "x120_xml_roundtrip": QuerySpec(x_xml_roundtrip, X120_SQL),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),

@@ -13,7 +13,9 @@ families from SCALE.md:
 * ``cartesian``        — the declared q11 cross join; 1-row broadcast
   aggregates (scalar-subquery thresholds / corpus totals: q20, q42,
   q52, q54, q72, x25, x38, x39, x75, x93, x97, x99); brute-force
-  scoring against a broadcast ≤5-row query set (x10).
+  scoring against a broadcast ≤5-row query set (x10); the group-pairs
+  self-join over the DISTINCT GROUP LIST in x123's KMV set algebra
+  (#event-types rows, metadata scale — the sketch replaced the data).
 * ``single_partition`` — global single-row final aggregates and
   metadata-sized offset/carry ladders (#partitions / #buckets / #days
   rows, never data): q28, q34, q49, q54, q57, q68–q70, q72, x38–x40,
@@ -60,6 +62,7 @@ ALLOWED: dict[str, set[str]] = {
     "x100_table_profile": {"single_partition"},
     "x115_skyline": {"single_partition"},
     "x117_table_profile_approx": {"single_partition"},
+    "x123_kmv_set_ops": {"cartesian"},
 }
 
 

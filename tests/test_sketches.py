@@ -450,3 +450,99 @@ def test_sliding_distinct_auto_non_integral_id_short_circuits(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "bitmap_or_agg" not in plan
     assert [r.n_distinct for r in out.collect()] == [10]
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """Bloom invariants: every inserted key probes maybe_dup (zero false
+    negatives — the structural guarantee); two filters over disjoint
+    halves OR-merge into exactly the filter of the union (mergeable-
+    summary contract)."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    full = spark.range(2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    half1 = full.where(F.col("k").substr(2, 10).cast("long") < 1000)
+    half2 = full.where(F.col("k").substr(2, 10).cast("long") >= 1000)
+    merged = (
+        bloom_filter_table(half1, "k")
+        .unionByName(bloom_filter_table(half2, "k"))
+        .groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+    )
+    direct = bloom_filter_table(full, "k")
+    m = {r.bucket: bytes(r.bm) for r in merged.collect()}
+    d = {r.bucket: bytes(r.bm) for r in direct.collect()}
+    assert m == d
+    probe = full.select(F.col("k").alias("id"), "k")
+    res = bloom_probe(direct, probe, "k", "id").collect()
+    assert all(r.status == "maybe_dup" for r in res)
+
+
+def test_bloom_definitely_new_is_sound(spark):
+    """A probe key whose hash bits are not all set must verdict
+    definitely_new — and absent keys at low fill overwhelmingly do."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    corpus = spark.range(500).select(
+        F.concat(F.lit("in"), F.col("id")).alias("k")
+    )
+    bloom = bloom_filter_table(corpus, "k")
+    absent = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("out"), F.col("id")).alias("k")
+    )
+    res = bloom_probe(bloom, absent, "k", "id").collect()
+    n_new = sum(1 for r in res if r.status == "definitely_new")
+    # k=4 hashes, 500*4 bits in 2^18 -> fill <1%, fp rate ~(0.008)^4
+    assert n_new >= 498
+
+
+def test_kmv_estimates_within_tolerance_and_mergeable(spark):
+    """KMV accuracy (k=256 -> ~1/sqrt(k) ≈ 6% relative error; assert a
+    loose 15% bound on known-overlap sets) and the merge contract: the
+    pairwise op's merged bottom-k equals a sketch built on the unioned
+    input."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import (
+        kmv_set_ops_pairwise,
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 10000).select(
+        F.lit("A").alias("g"), F.col("id").alias("k")
+    )
+    b = spark.range(5000, 18000).select(
+        F.lit("B").alias("g"), F.col("id").alias("k")
+    )
+    sk = kmv_sketch(a.union(b), "g", "k", k=256)
+    r = kmv_set_ops_pairwise(sk, k=256).collect()[0]
+    for est, true in (
+        (r.est_a, 10000),
+        (r.est_b, 13000),
+        (r.est_union, 18000),
+        (r.est_inter, 5000),
+    ):
+        assert abs(est - true) / true < 0.15, (est, true)
+    # exact regime: fewer than k distinct keys -> estimates are exact
+    small_a = spark.range(0, 50).select(
+        F.lit("A").alias("g"), F.col("id").alias("k")
+    )
+    small_b = spark.range(30, 80).select(
+        F.lit("B").alias("g"), F.col("id").alias("k")
+    )
+    sk2 = kmv_sketch(small_a.union(small_b), "g", "k", k=256)
+    r2 = kmv_set_ops_pairwise(sk2, k=256).collect()[0]
+    assert (r2.est_a, r2.est_b, r2.est_union, r2.est_inter) == (
+        50, 50, 80, 20,
+    )
