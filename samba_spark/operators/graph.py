@@ -428,3 +428,52 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return ranks.select("vertex", F.round("rank", round_to).alias("rank"))
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    k: int = 3,
+    rounds: int = 8,
+) -> DataFrame:
+    """(vertex, degree) for every vertex of the k-core — the maximal
+    subgraph where every vertex keeps degree ≥ k — after ``rounds``
+    synchronous peel iterations (each round drops all vertices whose
+    degree among SURVIVORS is < k; peeling is monotone, so once a round
+    changes nothing every later round is a no-op and the unroll equals
+    the fixed point). The density filter community detection and
+    influence analysis start from: CC merges everything reachable, LPA
+    finds clusters, k-core strips the low-degree fringe.
+
+    Deterministic (no RNG, no sweep order), so a fixed unroll is
+    engine-reproducible — the oracle replays the same ``rounds`` as
+    chained CTEs. Each round is one degree aggregation over the
+    survivor-filtered edge list (two semi-joins + one count, all keyed
+    by vertex id); localCheckpoint keeps plan depth flat. Fixtures
+    converge well inside the default 8 (asserted in tests); production
+    callers at unknown diameter use a convergence loop instead."""
+    undirected = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    )
+    sym = undirected.where(F.col("_s") != F.col("_d")).distinct()
+    sym = sym.localCheckpoint()
+    alive = sym.select(F.col("_s").alias("v")).distinct().localCheckpoint()
+    deg = None
+    for _ in range(rounds):
+        kept = sym.join(
+            alive.select(F.col("v").alias("_s")), "_s", "semi"
+        ).join(alive.select(F.col("v").alias("_d")), "_d", "semi")
+        deg = kept.groupBy(F.col("_s").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+        alive = (
+            deg.where(F.col("degree") >= k).select("v").localCheckpoint()
+        )
+    return (
+        deg.where(F.col("degree") >= k)
+        .select(F.col("v").alias("vertex"), "degree")
+    )

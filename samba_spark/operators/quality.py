@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -197,4 +197,66 @@ def k_anonymity(
         F.count(F.lit(1)).cast("long").alias("class_size"),
         F.countDistinct(sensitive_col).cast("long").alias("l_diversity"),
         (F.count(F.lit(1)) < F.lit(k)).alias("at_risk"),
+    )
+
+
+def benford_profile(
+    df: DataFrame, col: str, group_col: "str | None" = None
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic anomaly screen for amount columns (fabricated or
+    re-binned monetary data drifts off the log curve long before any
+    per-row rule fires). Returns per (group,) digit 1–9: ``n`` (exact
+    count), ``pct_e6`` (observed share, parts-per-million — exact
+    integer arithmetic: 1e6·n/total truncated), and ``benford_e6``
+    (the expected log10(1+1/d) share in ppm, a constant literal both
+    engines share). Deviation scoring (chi-square, MAD) is a trivial
+    consumer-side fold over the 9 rows.
+
+    First digit via string form of the absolute value — engine-exact
+    for integers and exact-decimal inputs; one hash aggregate keyed by
+    (group, digit), map-side combinable, O(groups × 9) output."""
+    d = F.substring(
+        F.regexp_replace(
+            F.abs(F.col(col)).cast("decimal(38,6)").cast("string"),
+            r"[0.]*",
+            "",
+        ),
+        1,
+        1,
+    )
+    keys = ([F.col(group_col).alias("grp")] if group_col else []) + [
+        d.cast("int").alias("digit")
+    ]
+    grouped = (
+        df.where(F.abs(F.col(col)) > 0)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot_keys = ["grp"] if group_col else []
+    w = (
+        F.sum("n").over(Window.partitionBy(*tot_keys))
+        if tot_keys
+        else F.sum("n").over(Window.partitionBy())
+    )
+    import math
+
+    benford = F.create_map(
+        *[
+            x
+            for dd in range(1, 10)
+            for x in (
+                F.lit(dd),
+                F.lit(int(math.log10(1 + 1 / dd) * 1_000_000)),
+            )
+        ]
+    )
+    return grouped.select(
+        *(["grp"] if group_col else []),
+        "digit",
+        "n",
+        F.floor(F.lit(1_000_000) * F.col("n") / w)
+        .cast("long")
+        .alias("pct_e6"),
+        benford[F.col("digit")].cast("long").alias("benford_e6"),
     )

@@ -851,3 +851,91 @@ def time_weighted_average(
             ).alias("twap_cents"),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample autocorrelation of each group's DAILY total at lags
+    1..``max_lag`` — the seasonality/persistence diagnostic a
+    forecasting pipeline runs before model choice (a weekly cycle shows
+    as a lag-7 spike, a random walk as slow decay).
+
+    Exactness contract (the house integer-oracle pattern): with daily
+    totals x as exact cent integers, mean-centered sums are cleared of
+    division by scaling with n²:
+
+        num_l·n² = n²·Σ x_t·x_{t+l} − n·s1·(Σ_a x_t + Σ_b x_{t+l})
+                   + (n−l)·s1²
+        den·n²   = n²·Σ x² − n·s1²
+
+    Both are DECIMAL(38,0)-exact (≤~24 digits at any tested SF) and
+    returned as digit strings (``num_str``/``den_str``) so >64-bit
+    values hash identically across engines; ``acf`` is the rounded
+    double ratio. One day-rollup exchange keyed by group, then window
+    ``lead`` per lag over the same sort — no self-joins, no second
+    shuffle (the lag frames share one (group, day) ordering)."""
+    day = F.date_trunc("DAY", F.col(ts_col))
+    cents = F.sum(
+        F.round(F.col(value_col) * 100).cast("long")
+    ).alias("x")
+    daily = (
+        df.groupBy(F.col(group_col).alias("g"), day.alias("d"))
+        .agg(cents)
+        .select("g", "d", F.col("x").cast("decimal(38,0)").alias("x"))
+    )
+    w = Window.partitionBy("g").orderBy("d")
+    leads = daily.select(
+        "g",
+        "x",
+        *[F.lead("x", l).over(w).alias(f"x_{l}") for l in range(1, max_lag + 1)],
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    ]
+    for l in range(1, max_lag + 1):
+        xl = F.col(f"x_{l}")
+        aggs += [
+            F.sum(F.when(xl.isNotNull(), F.col("x") * xl)).alias(f"cross_{l}"),
+            F.sum(F.when(xl.isNotNull(), F.col("x"))).alias(f"sa_{l}"),
+            F.sum(xl).alias(f"sb_{l}"),
+        ]
+    stats = leads.groupBy("g").agg(*aggs)
+    lag_rows = []
+    for l in range(1, max_lag + 1):
+        n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+        num = (
+            n * n * F.col(f"cross_{l}")
+            - n * s1 * (F.col(f"sa_{l}") + F.col(f"sb_{l}"))
+            + (n - l) * s1 * s1
+        )
+        den = n * n * s2 - n * s1 * s1
+        lag_rows.append(
+            F.struct(
+                F.lit(l).cast("long").alias("lag"),
+                dec(num).cast("string").alias("num_str"),
+                dec(den).cast("string").alias("den_str"),
+                F.round(
+                    num.cast("double") / den.cast("double"), 6
+                ).alias("acf"),
+            )
+        )
+    return (
+        stats.select(
+            "g", F.explode(F.array(*lag_rows)).alias("r")
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("r.lag").alias("lag"),
+            F.col("r.num_str").alias("num_str"),
+            F.col("r.den_str").alias("den_str"),
+            F.col("r.acf").alias("acf"),
+        )
+    )

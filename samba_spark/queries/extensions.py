@@ -4029,6 +4029,158 @@ ORDER BY ga, gb
 """
 
 
+def x_k_core(spark, sf_dir):
+    """k-core decomposition (graph.k_core, k=3, 8 synchronous peel
+    rounds) over the repeat-trade customer–supplier graph — the
+    density filter that strips the low-degree fringe CC and LPA keep.
+    Peeling is monotone and deterministic, so the oracle unrolls the
+    SAME 8 rounds as chained CTEs (converges by round 6 on the
+    fixtures — extra rounds are no-ops, asserted in tests). Top-100
+    core vertices by in-core degree."""
+    from samba_spark.operators.graph import k_core
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2)
+        .select("src", "dst")
+    )
+    return (
+        k_core(pairs, k=3, rounds=8)
+        .orderBy(F.desc("degree"), "vertex")
+        .limit(100)
+    )
+
+
+def _x124_sql(k: int = 3, rounds: int = 8) -> str:
+    head = """
+WITH pairs AS (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(l_suppkey AS BIGINT) + 10000000 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (
+  SELECT DISTINCT _s, _d FROM (
+    SELECT src AS _s, dst AS _d FROM pairs
+    UNION ALL SELECT dst, src FROM pairs) WHERE _s <> _d),
+a0 AS (SELECT DISTINCT _s AS v FROM sym)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS (
+  SELECT e._s AS v, COUNT(*)::BIGINT AS degree
+  FROM sym e
+  JOIN a{r - 1} x ON e._s = x.v
+  JOIN a{r - 1} y ON e._d = y.v
+  GROUP BY e._s),
+a{r} AS (SELECT v FROM d{r} WHERE degree >= {k})""")
+    parts.append(f"""
+SELECT v AS vertex, degree FROM d{rounds} WHERE degree >= {k}
+ORDER BY degree DESC, vertex LIMIT 100""")
+    return "".join(parts)
+
+
+def x_benford(spark, sf_dir):
+    """Benford first-digit screen (quality.benford_profile) over order
+    totals per order priority — the fraud/quality anomaly check for
+    amount columns. Exact counts + ppm shares (floor(1e6·n/total)) +
+    the Benford expectation as shared integer literals; one hash
+    aggregate keyed by (group, digit)."""
+    from samba_spark.operators.quality import benford_profile
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return benford_profile(
+        orders, "o_totalprice", group_col="o_orderpriority"
+    ).orderBy("grp", "digit")
+
+
+def _x125_sql() -> str:
+    import math
+
+    benford_rows = ", ".join(
+        f"({d}, {int(math.log10(1 + 1 / d) * 1_000_000)})"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH b(digit, benford_e6) AS (VALUES {benford_rows}),
+d AS (
+  SELECT o_orderpriority AS grp,
+         CAST(substr(regexp_replace(
+                CAST(CAST(abs(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+                '[0.]*', '', 'g'), 1, 1) AS INT) AS digit
+  FROM orders WHERE abs(o_totalprice) > 0),
+g AS (
+  SELECT grp, digit, COUNT(*)::BIGINT AS n FROM d GROUP BY grp, digit),
+t AS (
+  SELECT grp, digit, n, SUM(n) OVER (PARTITION BY grp) AS w FROM g)
+SELECT t.grp, t.digit, t.n,
+       CAST(FLOOR(1000000 * t.n / t.w) AS BIGINT) AS pct_e6,
+       b.benford_e6::BIGINT AS benford_e6
+FROM t JOIN b ON b.digit = t.digit
+ORDER BY t.grp, t.digit
+"""
+
+
+def x_acf(spark, sf_dir):
+    """Daily-total autocorrelation at lags 1–5 per event type
+    (sessionize.autocorrelation) — the seasonality/persistence
+    diagnostic before any forecasting model choice. n²-scaled
+    mean-centered sums stay DECIMAL(38,0)/HUGEINT-exact and travel as
+    digit strings; the ratio is the only float. One day-rollup
+    exchange, then window leads over a single (group, day) sort."""
+    from samba_spark.operators.sessionize import autocorrelation
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return autocorrelation(ev, "event_type", "ts", "value").orderBy(
+        "event_type", "lag"
+    )
+
+
+def _x126_sql(max_lag: int = 5) -> str:
+    lead_cols = ", ".join(
+        f"LEAD(x, {l}) OVER w AS x_{l}" for l in range(1, max_lag + 1)
+    )
+    stat_cols = ", ".join(
+        f"SUM(CASE WHEN x_{l} IS NOT NULL THEN x * x_{l} END) AS cross_{l}, "
+        f"SUM(CASE WHEN x_{l} IS NOT NULL THEN x END) AS sa_{l}, "
+        f"SUM(x_{l}) AS sb_{l}"
+        for l in range(1, max_lag + 1)
+    )
+    lag_selects = "\n  UNION ALL ".join(
+        f"SELECT g, {l} AS lag, "
+        f"(n*n*cross_{l} - n*s1*(sa_{l}+sb_{l}) + (n-{l})*s1*s1) AS num, "
+        f"(n*n*s2 - n*s1*s1) AS den FROM stats"
+        for l in range(1, max_lag + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type AS g, date_trunc('day', ts) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS HUGEINT) AS x
+  FROM events GROUP BY 1, 2),
+leads AS (
+  SELECT g, x, {lead_cols}
+  FROM daily WINDOW w AS (PARTITION BY g ORDER BY d)),
+stats AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS s1,
+         SUM(x * x) AS s2, {stat_cols}
+  FROM leads GROUP BY g),
+lags AS (
+  {lag_selects})
+SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(num AS VARCHAR) AS num_str, CAST(den AS VARCHAR) AS den_str,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+FROM lags ORDER BY event_type, lag
+"""
+
+
 def x_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (textual.canonicalize_url + url_dedup_groups):
     the crawl-pipeline fetch-dedup step. URLs are synthesized
@@ -4575,6 +4727,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     ),
     "x122_bloom_ingest": QuerySpec(x_bloom_ingest, X122_BLOOM_SQL),
     "x123_kmv_set_ops": QuerySpec(x_kmv_set_ops, X123_KMV_SQL),
+    "x124_k_core": QuerySpec(x_k_core, _x124_sql()),
+    "x125_benford": QuerySpec(x_benford, _x125_sql()),
+    "x126_acf": QuerySpec(x_acf, _x126_sql()),
     "x120_xml_roundtrip": QuerySpec(x_xml_roundtrip, X120_SQL),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),

@@ -135,8 +135,10 @@ def test_entry_contract_includes_extensions(spark):
     assert "x4_simhash" in os_ and "x5_ngram_jaccard" in os_
     # seeded plane literals make sign-LSH oracle-replayable too
     assert "x11_ann_lsh_topk" in os_ and "x12_embedding_neardup" in os_
-    # KMeans training is engine-specific → rows-only
-    assert "x14_ivf_topk" not in os_
+    # pinned-quantizer mode (round 6) made x14 fully oracle-checkable;
+    # the trained-KMeans mode stays engine-specific and is exercised by
+    # test_ivf_beats_lsh_recall
+    assert "x14_ivf_topk" in os_
 
 
 # -- x15-x17 training-pipeline ops -----------------------------------------

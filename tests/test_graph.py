@@ -175,3 +175,26 @@ def test_personalized_pagerank_concentrates_on_seed_side(spark):
     assert r[1] > r[3] > r[5]
     # mass conserved (no dangling on a symmetric graph)
     assert abs(sum(r.values()) - 1.0) < 1e-4
+
+
+def test_k_core_peels_fringe_and_converges(spark):
+    """A 4-clique with a pendant chain: the 3-core is exactly the clique
+    (each clique vertex keeps degree 3 after the chain peels away,
+    peeling takes >1 round because the chain peels inward one hop per
+    round), and extra rounds past convergence are no-ops."""
+    from samba_spark.operators.graph import k_core
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(clique + chain, ["src", "dst"])
+    core = {(r.vertex, r.degree) for r in k_core(edges, k=3).collect()}
+    assert core == {(0, 3), (1, 3), (2, 3), (3, 3)}
+    more = {
+        (r.vertex, r.degree)
+        for r in k_core(edges, k=3, rounds=12).collect()
+    }
+    assert more == core
+    # k=2: the chain still peels (leaf 6 first, then 5, then 4), the
+    # clique survives with full degrees
+    core2 = {(r.vertex, r.degree) for r in k_core(edges, k=2).collect()}
+    assert core2 == {(0, 3), (1, 3), (2, 3), (3, 3)}

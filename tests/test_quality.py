@@ -70,3 +70,35 @@ def test_k_anonymity_classes_and_risk(spark):
     assert got[("US", "B")]["class_size"] == 2
     assert got[("US", "B")]["at_risk"]
     assert got[("FR", "A")]["at_risk"]
+
+
+def test_benford_profile_counts_and_shares(spark):
+    """Digit extraction handles decimals, zeros-in-value, and negatives;
+    shares are floor(1e6*n/total); groups get independent totals."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.quality import benford_profile
+
+    rows = [
+        ("a", 123.45), ("a", 0.042), ("a", -20.0), ("a", 105.5),
+        ("a", 900.0), ("b", 7.0), ("b", 70.0), ("b", 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        (r.grp, r.digit): (r.n, r.pct_e6)
+        for r in benford_profile(df, "v", group_col="g").collect()
+    }
+    # group a: digits 1 (123.45, 105.5), 4 (0.042), 2 (-20.0), 9 (900)
+    assert out[("a", 1)] == (2, 400000)
+    assert out[("a", 4)] == (1, 200000)
+    assert out[("a", 2)] == (1, 200000)
+    assert out[("a", 9)] == (1, 200000)
+    # group b: 0.0 is excluded; both values lead with 7
+    assert out[("b", 7)] == (2, 1000000)
+    assert ("b", 0) not in out
+    benford_1 = [
+        r.benford_e6
+        for r in benford_profile(df, "v").collect()
+        if r.digit == 1
+    ]
+    assert benford_1 == [301029] * len(benford_1)
