@@ -68,6 +68,17 @@ PROBES = [
     # it exists to avoid — tools/x110_x100_decade_probe.py times
     # table_profile(exact=False) directly instead.
     "x118_sliding_distinct_bitmap",
+    # round-6 additions: regime-dispatched sliding distinct (probe +
+    # chosen path), Bloom ingest skip-list (bitmap build + broadcast
+    # probe), KMV set algebra (bottom-k sketch then metadata-scale pair
+    # ops), k-core peeling (8 fixed degree-agg rounds), Benford digit
+    # profile (one hash agg), daily ACF (day rollup + window leads).
+    "x121_sliding_distinct_auto",
+    "x122_bloom_ingest",
+    "x123_kmv_set_ops",
+    "x124_k_core",
+    "x125_benford",
+    "x126_acf",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
