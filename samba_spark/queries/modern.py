@@ -798,3 +798,65 @@ ORDER BY media_id, sample_idx
 """
 
 MODERN["x92_frame_sample"] = QuerySpec(x92_frame_sample, X92_SQL)
+
+
+# q98: SQL user-defined functions — Spark 4's CREATE FUNCTION ... RETURN
+# (SPARK-46246 SQL scalar UDFs + SQL table functions). Unlike Python
+# UDFs, the body INLINES into the Catalyst plan (whole-stage-codegen'd,
+# optimizer sees through it — zero serialization boundary), which is why
+# a warehouse keeps its business logic in SQL UDFs: shared semantics at
+# builtin speed. Demonstrates both forms — two scalar fns used inside an
+# aggregate and a table function joined as a dimension; the oracle
+# inlines every body.
+def q98_sql_udf(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    li.createOrReplaceTempView("q98_lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q98_disc_cents(
+            p DOUBLE, d DOUBLE) RETURNS BIGINT
+        RETURN CAST(ROUND(p * (1 - d) * 100) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q98_band(d DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(FLOOR(d * 20) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION q98_band_labels()
+        RETURNS TABLE(band BIGINT, label STRING)
+        RETURN SELECT id AS band, concat('disc_band_', id) AS label
+               FROM range(21)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, b.label AS band_label,
+               COUNT(*) AS n,
+               SUM(q98_disc_cents(l_extendedprice, l_discount))
+                 AS sum_disc_cents
+        FROM q98_lineitem l
+        JOIN q98_band_labels() b ON b.band = q98_band(l.l_discount)
+        GROUP BY l_returnflag, b.label
+        ORDER BY l_returnflag, band_label
+        """
+    )
+
+
+Q98_SQL = """
+SELECT l_returnflag,
+       'disc_band_' || CAST(CAST(FLOOR(l_discount * 20) AS BIGINT)
+                            AS VARCHAR) AS band_label,
+       COUNT(*)::BIGINT AS n,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           )::BIGINT AS sum_disc_cents
+FROM lineitem
+GROUP BY l_returnflag, band_label
+ORDER BY l_returnflag, band_label
+"""
+
+MODERN["q98_sql_udf"] = QuerySpec(q98_sql_udf, Q98_SQL)
