@@ -454,6 +454,8 @@ def k_core(
     by vertex id); localCheckpoint keeps plan depth flat. Fixtures
     converge well inside the default 8 (asserted in tests); production
     callers at unknown diameter use a convergence loop instead."""
+    if rounds < 1:
+        raise ValueError("k_core needs rounds >= 1 (got %d)" % rounds)
     undirected = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).unionByName(

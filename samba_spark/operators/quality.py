@@ -215,7 +215,13 @@ def benford_profile(
 
     First digit via string form of the absolute value — engine-exact
     for integers and exact-decimal inputs; one hash aggregate keyed by
-    (group, digit), map-side combinable, O(groups × 9) output."""
+    (group, digit), map-side combinable, O(groups × 9) output.
+
+    Domain: values whose magnitude rounds to zero at scale 6 (|v| <
+    5e-7) or overflows DECIMAL(38,6) extract NO digit and are excluded
+    like exact zeros (the digit filter below — without it they'd pool
+    into a NULL-digit row and skew every real digit's share). pct_e6
+    uses integral DIV, exact up to 2^63/1e6 ≈ 9.2e12 rows per group."""
     d = F.substring(
         F.regexp_replace(
             F.abs(F.col(col)).cast("decimal(38,6)").cast("string"),
@@ -224,14 +230,15 @@ def benford_profile(
         ),
         1,
         1,
-    )
+    ).try_cast("int")  # '' (|v| rounds to 0 at scale 6) -> NULL, filtered
     keys = ([F.col(group_col).alias("grp")] if group_col else []) + [
-        d.cast("int").alias("digit")
+        d.alias("digit")
     ]
     grouped = (
         df.where(F.abs(F.col(col)) > 0)
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("digit").isNotNull())
     )
     tot_keys = ["grp"] if group_col else []
     w = (
@@ -251,12 +258,16 @@ def benford_profile(
             )
         ]
     )
-    return grouped.select(
-        *(["grp"] if group_col else []),
-        "digit",
-        "n",
-        F.floor(F.lit(1_000_000) * F.col("n") / w)
-        .cast("long")
-        .alias("pct_e6"),
-        benford[F.col("digit")].cast("long").alias("benford_e6"),
+    return (
+        grouped.withColumn("_total", w)
+        .select(
+            *(["grp"] if group_col else []),
+            "digit",
+            "n",
+            # integral DIV, not float division + floor: the documented
+            # "exact truncated ratio" contract must survive groups past
+            # 2^53/1e6 rows where double division starts rounding
+            F.expr("(1000000 * n) DIV _total").cast("long").alias("pct_e6"),
+            benford[F.col("digit")].cast("long").alias("benford_e6"),
+        )
     )

@@ -492,6 +492,33 @@ def sliding_distinct_auto(
     )
 
 
+def _bloom_positions(col: str, m_bits: int, k_hashes: int) -> Column:
+    """The k md5-derived bit positions of one key, exploded to rows —
+    the ONE definition both :func:`bloom_filter_table` (build) and
+    :func:`bloom_probe` (probe) compile: the no-false-negative guarantee
+    holds only while build and probe hash bit-identically, so the salt
+    format, modulus, and +1 shift (bitmap functions' v=0 edge) must
+    never be edited in one path without the other."""
+    from samba_spark.operators.mixing import hash_bucket
+
+    return F.explode(
+        F.array(
+            *[
+                (
+                    hash_bucket(
+                        F.concat(
+                            F.lit(f"bloom{j}:"), F.col(col).cast("string")
+                        ),
+                        m_bits,
+                    )
+                    + 1
+                ).alias(f"p{j}")
+                for j in range(k_hashes)
+            ]
+        )
+    )
+
+
 def bloom_filter_table(
     df: DataFrame,
     col: str,
@@ -512,27 +539,7 @@ def bloom_filter_table(
     DuckDB oracle recomputes every set position and every probe verdict
     bit-for-bit. Positions are shifted to [1, m] so the bucket/bit pair
     never hits the bitmap functions' v=0 edge."""
-    from samba_spark.operators.mixing import hash_bucket
-
-    pos = df.select(
-        F.explode(
-            F.array(
-                *[
-                    (
-                        hash_bucket(
-                            F.concat(
-                                F.lit(f"bloom{j}:"),
-                                F.col(col).cast("string"),
-                            ),
-                            m_bits,
-                        )
-                        + 1
-                    ).alias(f"p{j}")
-                    for j in range(k_hashes)
-                ]
-            )
-        ).alias("pos")
-    )
+    pos = df.select(_bloom_positions(col, m_bits, k_hashes).alias("pos"))
     return pos.groupBy(
         F.bitmap_bucket_number(F.col("pos")).alias("bucket")
     ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("pos"))).alias("bm"))
@@ -560,27 +567,8 @@ def bloom_probe(
     ``bitmap_count(or(cand, filter)) > bitmap_count(filter)`` iff some
     candidate bit is missing from the filter. No driver collect, no
     per-bit UDF; verdicts aggregate back per row with one max()."""
-    from samba_spark.operators.mixing import hash_bucket
-
     probes = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    (
-                        hash_bucket(
-                            F.concat(
-                                F.lit(f"bloom{j}:"),
-                                F.col(col).cast("string"),
-                            ),
-                            m_bits,
-                        )
-                        + 1
-                    ).alias(f"p{j}")
-                    for j in range(k_hashes)
-                ]
-            )
-        ).alias("pos"),
+        F.col(id_col), _bloom_positions(col, m_bits, k_hashes).alias("pos")
     )
     cand = probes.groupBy(
         F.col(id_col),

@@ -109,6 +109,7 @@ function layout(nodes, edges) {
   return pos;
 }
 function dagSvg(nodes, edges, href) {
+  if (!nodes.length) return "<p><em>no tasks recorded for this run</em></p>";
   const pos = layout(nodes, edges);
   const xs = Object.values(pos);
   const w = Math.max(...xs.map(p => p.x)) + 210, h = Math.max(...xs.map(p => p.y)) + 70;
@@ -187,7 +188,14 @@ async function showFiles(runId) {
     `<h2>Repository files</h2>` +
     (rows.length ? table(rows, ["group", "file", "sha256", "size"], (r, c) =>
       c === "file" && r.sha256
-        ? `<a href="/api/dataelement/download?executionID=${esc(runId)}&sha256=${esc(r.sha256)}&group=${esc(r.group)}&file=${esc(r.file)}">${esc(r.file)}</a>`
+        // URL-encode (then HTML-escape) every param: a file named
+        // a&b.txt or 100%.txt must survive both the href parse and
+        // the server's parse_qs
+        ? `<a href="${esc("/api/dataelement/download?executionID=" +
+            encodeURIComponent(runId) +
+            "&sha256=" + encodeURIComponent(r.sha256) +
+            "&group=" + encodeURIComponent(r.group) +
+            "&file=" + encodeURIComponent(r.file))}">${esc(r.file)}</a>`
         : esc(r[c]))
       : `<pre>${esc(JSON.stringify(t, null, 2))}</pre>`);
 }

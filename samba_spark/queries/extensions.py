@@ -479,7 +479,9 @@ assigned AS (
   SELECT vec_id, emb, cell FROM (
     SELECT e.vec_id, e.emb, cents.cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY list_distance(e.emb, cents.c),
+                              ORDER BY list_sum(list_transform(range(1, 65),
+                                         i -> (e.emb[i] - cents.c[i])
+                                            * (e.emb[i] - cents.c[i]))),
                                        cents.cell) AS rn
     FROM e CROSS JOIN cents) WHERE rn = 1),
 q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
@@ -487,7 +489,9 @@ probes AS (
   SELECT query_id, q_emb, cell FROM (
     SELECT q.query_id, q.q_emb, cents.cell,
            ROW_NUMBER() OVER (PARTITION BY q.query_id
-                              ORDER BY list_distance(q.q_emb, cents.c),
+                              ORDER BY list_sum(list_transform(range(1, 65),
+                                         i -> (q.q_emb[i] - cents.c[i])
+                                            * (q.q_emb[i] - cents.c[i]))),
                                        cents.cell) AS rn
     FROM q CROSS JOIN cents) WHERE rn <= 3),
 scored AS (
@@ -4113,16 +4117,17 @@ def _x125_sql() -> str:
 WITH b(digit, benford_e6) AS (VALUES {benford_rows}),
 d AS (
   SELECT o_orderpriority AS grp,
-         CAST(substr(regexp_replace(
+         TRY_CAST(substr(regexp_replace(
                 CAST(CAST(abs(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
                 '[0.]*', '', 'g'), 1, 1) AS INT) AS digit
   FROM orders WHERE abs(o_totalprice) > 0),
 g AS (
-  SELECT grp, digit, COUNT(*)::BIGINT AS n FROM d GROUP BY grp, digit),
+  SELECT grp, digit, COUNT(*)::BIGINT AS n FROM d
+  WHERE digit IS NOT NULL GROUP BY grp, digit),
 t AS (
   SELECT grp, digit, n, SUM(n) OVER (PARTITION BY grp) AS w FROM g)
 SELECT t.grp, t.digit, t.n,
-       CAST(FLOOR(1000000 * t.n / t.w) AS BIGINT) AS pct_e6,
+       CAST((1000000 * t.n) // t.w AS BIGINT) AS pct_e6,
        b.benford_e6::BIGINT AS benford_e6
 FROM t JOIN b ON b.digit = t.digit
 ORDER BY t.grp, t.digit

@@ -16,7 +16,9 @@ are per-partition batched, never per-record RPC.
 from __future__ import annotations
 
 import atexit
+import getpass
 import os
+import tempfile
 import time
 import uuid
 from typing import Optional
@@ -120,8 +122,16 @@ class ProvSession:
         self.run_id = str(uuid.uuid4())
         self.start_time = time.time()
         self.end_time: Optional[float] = None
+        # Default prov root is PER-USER under the system temp dir (not a
+        # fixed world-writable /tmp path another local user could
+        # pre-create or symlink to poison the store every default-
+        # configured session reads) — same hazard class the round-6
+        # query scratch dirs were moved for. SAMBA_PROV_DIR overrides.
+        default_root = os.path.join(
+            tempfile.gettempdir(), f"samba_prov_{getpass.getuser()}"
+        )
         self.prov_dir = prov_dir or os.path.join(
-            os.environ.get("SAMBA_PROV_DIR", "/tmp/samba_prov"), self.run_id
+            os.environ.get("SAMBA_PROV_DIR", default_root), self.run_id
         )
         self._stopped = False
         # Late imports to keep session import-light.

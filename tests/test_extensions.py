@@ -24,10 +24,11 @@ def test_extension_oracle_match(spark, sf_smoke, duck, name):
     compare(spec.fn(spark, sf_smoke), duck, spec.oracle)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_smoke, name):
-    df = EXTENSIONS[name].fn(spark, sf_smoke)
-    assert df.count() >= 0
+def test_no_rows_only_extensions_remain():
+    """Every extension query carries a DuckDB oracle since round 6 (x14
+    was the last graduation) — a new oracle-less entry should be a
+    deliberate, documented decision, not an accident."""
+    assert ROWS_ONLY == []
 
 
 @pytest.fixture(scope="module")

@@ -82,6 +82,9 @@ def test_benford_profile_counts_and_shares(spark):
     rows = [
         ("a", 123.45), ("a", 0.042), ("a", -20.0), ("a", 105.5),
         ("a", 900.0), ("b", 7.0), ("b", 70.0), ("b", 0.0),
+        # rounds to 0.000000 at scale 6: excluded like an exact zero,
+        # must NOT pool into a NULL-digit row that skews b's shares
+        ("b", 4e-7),
     ]
     df = spark.createDataFrame(rows, ["g", "v"])
     out = {

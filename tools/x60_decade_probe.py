@@ -99,7 +99,14 @@ def main() -> None:
         print(f"| {label} ({n_docs} docs) | {n_docs} | {cand} | {dt} | {tr} | {dr} |")
         prev = (label, reps, n_docs, cand, dt)
 
-    shutil.rmtree(SCRATCH, ignore_errors=True)
+    # remove ONLY this probe's replica files: .scaling/ is shared scratch
+    # (query prov stores / sinks live there since round 6) and a whole-dir
+    # rmtree would wipe q24_prov/x120_xml etc. mid-round
+    for label, _ in scales:
+        shutil.rmtree(
+            os.path.join(SCRATCH, f"documents_{label}.parquet"),
+            ignore_errors=True,
+        )
     spark.stop()
 
 
