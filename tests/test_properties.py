@@ -859,3 +859,59 @@ def test_sliding_distinct_paths_match_python_reference(spark, rows):
             for r in op(df, group_col="event_type").collect()
         }
         assert got == expected, op.__name__
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=30),
+    st.lists(st.integers(0, 80), min_size=1, max_size=20),
+)
+def test_bloom_never_false_negative(spark, corpus_ids, probe_ids):
+    """For ANY corpus/probe pair: every probe key that IS in the corpus
+    must verdict maybe_dup (the structural zero-false-negative
+    guarantee), whatever the overlap shape, duplicates included."""
+    from samba_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"k{v}",) for v in corpus_ids], ["k"]
+    )
+    probe = spark.createDataFrame(
+        [(i, f"k{v}") for i, v in enumerate(probe_ids)], ["id", "k"]
+    )
+    bloom = bloom_filter_table(corpus, "k")
+    verdicts = {
+        r.id: r.status for r in bloom_probe(bloom, probe, "k", "id").collect()
+    }
+    present = set(corpus_ids)
+    for i, v in enumerate(probe_ids):
+        if v in present:
+            assert verdicts[i] == "maybe_dup", (i, v)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=60),
+    st.lists(st.integers(0, 200), min_size=1, max_size=60),
+)
+def test_kmv_exact_regime_matches_set_algebra(spark, a_keys, b_keys):
+    """Below k distinct hashes the KMV sketch IS the set: est_a/est_b/
+    est_union/est_inter must equal the true set cardinalities for any
+    input pair (duplicates collapse)."""
+    from samba_spark.operators.sketches import (
+        kmv_set_ops_pairwise,
+        kmv_sketch,
+    )
+
+    rows = [("A", v) for v in a_keys] + [("B", v) for v in b_keys]
+    df = spark.createDataFrame(rows, ["g", "k"])
+    sk = kmv_sketch(df, "g", "k", k=256)
+    out = kmv_set_ops_pairwise(sk, k=256).collect()
+    sa, sb = set(a_keys), set(b_keys)
+    assert len(out) == 1
+    r = out[0]
+    assert (r.est_a, r.est_b, r.est_union, r.est_inter) == (
+        len(sa), len(sb), len(sa | sb), len(sa & sb),
+    )
