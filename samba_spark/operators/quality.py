@@ -271,3 +271,58 @@ def benford_profile(
             benford[F.col("digit")].cast("long").alias("benford_e6"),
         )
     )
+
+
+def inclusion_coefficient(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    name: "str | None" = None,
+) -> DataFrame:
+    """Inclusion-dependency strength of one candidate foreign key: the
+    fraction of the child column's DISTINCT non-null values present in
+    the parent column — 1.0 means child ⊆ parent (an FK candidate),
+    anything lower quantifies referential breakage. With x96's FD
+    profile this completes the two classic schema-discovery profiles
+    (functional + inclusion dependencies) a lakehouse catalog mines.
+
+    One row ``(dependency, n_child_distinct, n_contained, coeff_e6)``;
+    coeff in exact ppm (integral DIV, like benford_profile). Plan:
+    both sides reduce to their distinct key sets FIRST (map-side
+    combine), the containment test is ONE left join carrying a hit
+    flag, and both counts come out of a single final aggregate — no
+    scalar-subquery cross join. At 100 TB the distincts are the only
+    data-scale passes; the join runs at NDV scale."""
+    c = (
+        child.select(F.col(child_col).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+    )
+    p = (
+        parent.select(F.col(parent_col).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    label = name or f"{child_col}->{parent_col}"
+    return (
+        c.join(p, "_k", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contained"),
+        )
+        .select(
+            F.lit(label).alias("dependency"),
+            "n_child_distinct",
+            "n_contained",
+            F.expr(
+                "CASE WHEN n_child_distinct = 0 THEN NULL "
+                "ELSE (1000000 * n_contained) DIV n_child_distinct END"
+            )
+            .cast("long")
+            .alias("coeff_e6"),
+        )
+    )

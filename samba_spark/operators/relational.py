@@ -396,3 +396,62 @@ def skyline_2d(
         )
         & (F.col("_peer_rk") == 1)
     ).drop("_b", "_local_prev", "_carry", "_best_prev", "_peer_rk")
+
+
+def scd2_collapse(
+    df: DataFrame,
+    key: str,
+    state: str,
+    ts: str,
+    tiebreak: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log:
+    collapse CONSECUTIVE rows with the same ``state`` per ``key`` into
+    one validity interval — ``(key, state, valid_from, valid_to,
+    version)``, ``valid_to`` NULL on the current version. The
+    change-capture → dimension-history build every warehouse runs;
+    ``latest_wins``/``upsert`` above keep only the head, this keeps the
+    whole auditable timeline.
+
+    Gaps-and-islands on ONE key-ordered exchange: a change flag
+    (state <> lag(state), null-safe) prefix-sums into an island id,
+    islands aggregate to their first timestamp, and valid_to/version
+    come from lead/row_number over the same partitioning — four window
+    functions sharing one shuffle, no self-joins. Deterministic given a
+    total order: pass ``tiebreak`` columns when ``ts`` alone can tie."""
+    tb = list(tiebreak or [])
+    cols = [
+        F.col(key),
+        F.col(state).alias("_st"),
+        F.col(ts).alias("_ts"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+    ]
+    order = [F.col("_ts")] + [F.col(f"_tb{i}") for i in range(len(tb))]
+    w = Window.partitionBy(key).orderBy(*order)
+    flagged = (
+        df.select(*cols)
+        .withColumn(
+            "_chg",
+            F.when(
+                F.lag(F.col("_st")).over(w).eqNullSafe(F.col("_st")), 0
+            ).otherwise(1),
+        )
+        .withColumn(
+            "_island",
+            F.sum("_chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    islands = flagged.groupBy(key, "_island").agg(
+        F.min_by("_st", F.struct(*order)).alias(state),
+        F.min("_ts").alias("valid_from"),
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from")
+    return islands.select(
+        key,
+        state,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

@@ -4186,6 +4186,111 @@ FROM lags ORDER BY event_type, lag
 """
 
 
+def q99_scd2(spark, sf_dir):
+    """Type-2 SCD history build (relational.scd2_collapse): collapse each
+    user's consecutive same-event-type runs into validity intervals with
+    valid_from/valid_to/version — the CDC-to-dimension-history step
+    q74/q89's point-in-time joins consume. One user-keyed exchange
+    shared by all four window functions; oracle replays the identical
+    gaps-and-islands SQL. Users 0–49."""
+    from samba_spark.operators.relational import scd2_collapse
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return scd2_collapse(
+        ev.where(F.col("user_id") < 50),
+        "user_id",
+        "event_type",
+        "ts",
+        tiebreak=["event_id"],
+    ).orderBy("user_id", "version")
+
+
+Q99_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_type AS st, ts, event_id
+  FROM events WHERE user_id < 50),
+f AS (
+  SELECT user_id, st, ts, event_id,
+         CASE WHEN LAG(st) OVER w IS NOT DISTINCT FROM st
+              THEN 0 ELSE 1 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT user_id, st, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS isl
+  FROM f),
+g AS (
+  SELECT user_id, isl, MIN(st) AS event_type, MIN(ts) AS valid_from
+  FROM i GROUP BY user_id, isl)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from) AS valid_to,
+       ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY valid_from) AS version
+FROM g ORDER BY user_id, version
+"""
+
+
+# Inclusion-dependency candidates for x127 — the TPC-H FK edges plus one
+# deliberate NON-key direction (customers without orders) so the profile
+# shows a <1.0 coefficient too.
+_X127_PAIRS = [
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_custkey->orders.o_custkey", "customer", "c_custkey",
+     "orders", "o_custkey"),
+]
+
+
+def x_inclusion_profile(spark, sf_dir):
+    """Inclusion-dependency (foreign-key candidate) profile
+    (quality.inclusion_coefficient) over the TPC-H join edges plus one
+    deliberate reverse direction: per candidate, distinct-child count,
+    contained count, and the ppm inclusion coefficient — the schema-
+    discovery complement to x96's FD profile. Each candidate reduces
+    both sides to distinct key sets before a semi-join, so the joins
+    run at NDV scale."""
+    from samba_spark.operators.quality import inclusion_coefficient
+
+    tables = load_tables(
+        spark, sf_dir, ["orders", "customer", "lineitem", "part", "supplier"]
+    )
+    parts = [
+        inclusion_coefficient(
+            tables[ct], cc, tables[pt], pc, name=label
+        )
+        for label, ct, cc, pt, pc in _X127_PAIRS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("dependency")
+
+
+def _x127_sql() -> str:
+    selects = []
+    for label, ct, cc, pt, pc in _X127_PAIRS:
+        selects.append(f"""
+SELECT '{label}' AS dependency,
+       n_child_distinct::BIGINT AS n_child_distinct,
+       n_contained::BIGINT AS n_contained,
+       CASE WHEN n_child_distinct = 0 THEN NULL
+            ELSE (1000000 * n_contained) // n_child_distinct
+       END::BIGINT AS coeff_e6
+FROM (
+  SELECT COUNT(*) AS n_child_distinct,
+         COUNT(*) FILTER (
+           WHERE k IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL)
+         ) AS n_contained
+  FROM (SELECT DISTINCT {cc} AS k FROM {ct} WHERE {cc} IS NOT NULL))""")
+    return "\nUNION ALL\n".join(selects) + "\nORDER BY dependency"
+
+
 def x_url_dedup(spark, sf_dir):
     """Canonical-URL dedup (textual.canonicalize_url + url_dedup_groups):
     the crawl-pipeline fetch-dedup step. URLs are synthesized
@@ -4735,6 +4840,8 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x124_k_core": QuerySpec(x_k_core, _x124_sql()),
     "x125_benford": QuerySpec(x_benford, _x125_sql()),
     "x126_acf": QuerySpec(x_acf, _x126_sql()),
+    "q99_scd2": QuerySpec(q99_scd2, Q99_SCD2_SQL),
+    "x127_inclusion_profile": QuerySpec(x_inclusion_profile, _x127_sql()),
     "x120_xml_roundtrip": QuerySpec(x_xml_roundtrip, X120_SQL),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),

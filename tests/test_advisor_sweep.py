@@ -63,6 +63,9 @@ ALLOWED: dict[str, set[str]] = {
     "x115_skyline": {"single_partition"},
     "x117_table_profile_approx": {"single_partition"},
     "x123_kmv_set_ops": {"cartesian"},
+    # one 1-row final aggregate per inclusion-dependency candidate (the
+    # global-aggregate family; inputs are NDV-reduced key sets)
+    "x127_inclusion_profile": {"single_partition"},
 }
 
 

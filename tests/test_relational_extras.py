@@ -243,3 +243,30 @@ def test_asof_join_directions(spark):
     with _pytest.raises(ValueError):
         asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
                   right_cols=["v"], direction="sideways")
+
+
+def test_scd2_collapse_semantics(spark):
+    """Consecutive same-state runs collapse; a re-appearing state opens a
+    NEW version (SCD2, not latest-wins); valid_to chains to the next
+    version's valid_from and is NULL on the current one."""
+    import datetime
+
+    from samba_spark.operators.relational import scd2_collapse
+
+    t = lambda m: datetime.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, "a", t(0), 0), (1, "a", t(1), 1), (1, "b", t(2), 2),
+        (1, "a", t(3), 3), (2, "x", t(0), 4),
+    ]
+    df = spark.createDataFrame(rows, ["k", "st", "ts", "eid"])
+    out = [
+        (r.k, r.st, r.valid_from.minute,
+         None if r.valid_to is None else r.valid_to.minute, r.version)
+        for r in scd2_collapse(df, "k", "st", "ts", tiebreak=["eid"])
+        .orderBy("k", "version")
+        .collect()
+    ]
+    assert out == [
+        (1, "a", 0, 2, 1), (1, "b", 2, 3, 2), (1, "a", 3, None, 3),
+        (2, "x", 0, None, 1),
+    ]
