@@ -224,7 +224,7 @@ def benford_profile(
     uses integral DIV, exact up to 2^63/1e6 ≈ 9.2e12 rows per group."""
     d = F.substring(
         F.regexp_replace(
-            F.abs(F.col(col)).cast("decimal(38,6)").cast("string"),
+            F.abs(F.col(col)).try_cast("decimal(38,6)").cast("string"),
             r"[0.]*",
             "",
         ),
@@ -310,7 +310,11 @@ def inclusion_coefficient(
         c.join(p, "_k", "left")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_child_distinct"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            # coalesce the OUTER sum too: over zero rows SUM is NULL,
+            # but the contract (and the x127 oracle's COUNT FILTER) is 0
+            F.coalesce(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))), F.lit(0)
+            )
             .cast("long")
             .alias("n_contained"),
         )

@@ -443,11 +443,16 @@ def scd2_collapse(
             ),
         )
     )
+    # every row in an island shares one state by construction (any
+    # change starts a new island) — plain min() is the honest aggregate
     islands = flagged.groupBy(key, "_island").agg(
-        F.min_by("_st", F.struct(*order)).alias(state),
+        F.min("_st").alias(state),
         F.min("_ts").alias("valid_from"),
     )
-    w2 = Window.partitionBy(key).orderBy("valid_from")
+    # order by the island id, NOT valid_from: island ids are monotone in
+    # the (ts, tiebreak) row order, so two adjacent islands sharing a
+    # min timestamp still version deterministically
+    w2 = Window.partitionBy(key).orderBy("_island")
     return islands.select(
         key,
         state,

@@ -4222,10 +4222,9 @@ g AS (
   SELECT user_id, isl, MIN(st) AS event_type, MIN(ts) AS valid_from
   FROM i GROUP BY user_id, isl)
 SELECT user_id, event_type, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id
-                              ORDER BY valid_from) AS valid_to,
-       ROW_NUMBER() OVER (PARTITION BY user_id
-                          ORDER BY valid_from) AS version
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY isl)
+         AS valid_to,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY isl) AS version
 FROM g ORDER BY user_id, version
 """
 

@@ -122,17 +122,28 @@ class ProvSession:
         self.run_id = str(uuid.uuid4())
         self.start_time = time.time()
         self.end_time: Optional[float] = None
-        # Default prov root is PER-USER under the system temp dir (not a
-        # fixed world-writable /tmp path another local user could
-        # pre-create or symlink to poison the store every default-
-        # configured session reads) — same hazard class the round-6
-        # query scratch dirs were moved for. SAMBA_PROV_DIR overrides.
-        default_root = os.path.join(
-            tempfile.gettempdir(), f"samba_prov_{getpass.getuser()}"
-        )
-        self.prov_dir = prov_dir or os.path.join(
-            os.environ.get("SAMBA_PROV_DIR", default_root), self.run_id
-        )
+        # Default prov root is PER-USER under the system temp dir. This
+        # avoids benign cross-user collisions on a shared host; it does
+        # NOT defeat a hostile local user (the name is still predictable
+        # inside a sticky-bit world-writable dir, so an attacker can
+        # pre-create or symlink it before the first run) — on hostile
+        # multi-user hosts pass prov_dir / SAMBA_PROV_DIR pointing at a
+        # directory you own. Computed LAZILY: callers who provide either
+        # override never evaluate getpass.getuser(), which can raise for
+        # UIDs with no passwd entry (containers); uid is the fallback.
+        if prov_dir:
+            self.prov_dir = prov_dir
+        else:
+            root = os.environ.get("SAMBA_PROV_DIR")
+            if root is None:
+                try:
+                    who = getpass.getuser()
+                except Exception:  # no passwd entry / env (K8s arbitrary UID)
+                    who = str(os.getuid()) if hasattr(os, "getuid") else "u"
+                root = os.path.join(
+                    tempfile.gettempdir(), f"samba_prov_{who}"
+                )
+            self.prov_dir = os.path.join(root, self.run_id)
         self._stopped = False
         # Late imports to keep session import-light.
         from samba_spark.prov.store import ProvStore

@@ -270,3 +270,15 @@ def test_scd2_collapse_semantics(spark):
         (1, "a", 0, 2, 1), (1, "b", 2, 3, 2), (1, "a", 3, None, 3),
         (2, "x", 0, None, 1),
     ]
+    # SAME-timestamp adjacent islands: versioning must follow the island
+    # id (monotone in the (ts, tiebreak) order), not the tied valid_from
+    tied = spark.createDataFrame(
+        [(3, "p", t(5), 1), (3, "q", t(5), 2)], ["k", "st", "ts", "eid"]
+    )
+    out2 = [
+        (r.st, r.version, r.valid_to is None)
+        for r in scd2_collapse(tied, "k", "st", "ts", tiebreak=["eid"])
+        .orderBy("version")
+        .collect()
+    ]
+    assert out2 == [("p", 1, False), ("q", 2, True)]
