@@ -3934,7 +3934,12 @@ def x_bloom_ingest(spark, sf_dir):
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     corpus = docs.where(F.col("doc_id") % 3 != 0)
-    delta = docs.where(F.col("doc_id") % 3 == 0)
+    # the delta is new docs PLUS a re-crawled slice of the corpus itself
+    # (doc_id % 21 == 1 ⊂ corpus), so the declared output exercises BOTH
+    # verdicts: re-crawls must read maybe_dup, new docs definitely_new
+    delta = docs.where(
+        (F.col("doc_id") % 3 == 0) | (F.col("doc_id") % 21 == 1)
+    )
     bloom = bloom_filter_table(corpus, "text")
     return (
         bloom_probe(bloom, delta, "text", "doc_id")
@@ -3955,7 +3960,8 @@ dpos AS (
   SELECT doc_id,
          ('0x' || substr(md5('bloom' || j || ':' || text), 1, 8))::BIGINT
            % 262144 AS pos
-  FROM documents CROSS JOIN js WHERE doc_id % 3 = 0),
+  FROM documents CROSS JOIN js
+  WHERE doc_id % 3 = 0 OR doc_id % 21 = 1),
 miss AS (
   SELECT d.doc_id, COUNT(*) FILTER (WHERE s.pos IS NULL) AS n_miss
   FROM dpos d LEFT JOIN setbits s USING (pos) GROUP BY d.doc_id)
