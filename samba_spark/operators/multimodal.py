@@ -6,12 +6,15 @@ metadata struct alongside. Decode / feature-extraction run as Arrow-batched
 ``mapInPandas`` stages. Codec paths, in preference order:
 
 1. REAL pure-stdlib codecs, no external libs: RIFF/WAV header parse, PNG
-   IHDR parse, and a full PNG pixel codec (zlib inflate, all five scanline
-   filters, nearest-neighbor resize, re-encode) — these execute in any
-   environment and are what decode/resize use for PNG payloads.
-2. PIL, when installed, for every other image format.
+   IHDR parse, a full PNG pixel codec (zlib inflate, all five scanline
+   filters, nearest-neighbor resize, re-encode), and a full baseline-JPEG
+   SOF0 codec (Huffman entropy decode, IDCT, chroma upsampling, restart
+   markers — jpegcodec.py) — these execute in any environment and are
+   what decode/resize use for PNG and baseline-JPEG payloads.
+2. PIL, when installed, for every other image format (progressive JPEG,
+   WebP, GIF, ...).
 3. A deterministic byte-level stub, ONLY behind an explicit
-   ``allow_stub=True``, for non-PNG formats without PIL — pipelines stay
+   ``allow_stub=True``, for other formats without PIL — pipelines stay
    testable end-to-end, and the fake is loud, opt-in, and shape-identical.
 """
 
@@ -591,7 +594,13 @@ encode_png_pixels, decode_png_pixels, resize_nearest = _make_png_pixel_codec()
 def _make_image_ops():
     import hashlib as _hashlib
 
+    from samba_spark.operators.jpegcodec import (
+        decode_jpeg_pixels as _dec_jpg,
+        parse_jpeg_header as _parse_jpg_hdr,
+    )
+
     _sig = PNG_SIG
+    _jpg_sig = b"\xff\xd8"
     _chmap = dict(_PNG_CHANNELS)
     _parse_hdr = parse_png_header
     _dec_px = decode_png_pixels
@@ -612,14 +621,20 @@ def _make_image_ops():
     def decode_one(content, *, allow_stub=False):
         """Per-row decode contract: bytes → (width, height, channels),
         same types and value ranges on every path. Path order: the REAL
-        pure-stdlib PNG parse (CRC-verified IHDR) for PNG payloads — the
-        environment-independent path, and a header read beats a full PIL
-        open; PIL for other formats when installed; else the
-        deterministic stub only when explicitly allowed — non-PNG without
-        PIL fails loudly."""
+        pure-stdlib PNG parse (CRC-verified IHDR) for PNG payloads and
+        the REAL baseline-JPEG SOF0 header parse for JPEG payloads —
+        environment-independent, and a header read beats a full PIL
+        open; PIL for other formats (and non-baseline JPEG); else the
+        deterministic stub only when explicitly allowed — fails loudly
+        otherwise."""
         if bytes(content[:8]) == _sig:
             w, h, _depth, color = _parse_hdr(content)
             return int(w), int(h), _chmap[color]
+        if bytes(content[:2]) == _jpg_sig:
+            try:
+                return _parse_jpg_hdr(content)
+            except ValueError:
+                pass  # non-baseline JPEG: fall through to PIL/stub
         Image = _pil_image()
         if Image is not None:
             import io
@@ -648,12 +663,24 @@ def _make_image_ops():
         nearest rule, src = (i*src_dim)//dst_dim; PIL's default resample
         is bicubic and even its NEAREST center-samples differently). PIL
         handles only non-PNG formats, with NEAREST for the same
-        semantics."""
+        semantics. Baseline-JPEG payloads take the pure-stdlib JPEG
+        decoder (full entropy decode, IDCT, chroma upsampling) and
+        re-encode the resample as PNG — resizing is a pixel operation,
+        so the output stays in the lossless container."""
         if bytes(content[:8]) == _sig:
             w, h, ch, raw = _dec_px(content)
             return _enc_px(
                 width, height, ch, _rsz(raw, w, h, ch, width, height)
             )
+        if bytes(content[:2]) == _jpg_sig:
+            try:
+                w, h, ch, raw = _dec_jpg(content)
+            except ValueError:
+                w = None  # non-baseline JPEG: fall through to PIL/stub
+            if w is not None:
+                return _enc_px(
+                    width, height, ch, _rsz(raw, w, h, ch, width, height)
+                )
         Image = _pil_image()
         if Image is not None:
             import io
@@ -730,6 +757,124 @@ def synth_pixel_pngs(
     if pat_col not in proj:
         proj.append(pat_col)
     return df.select(*[F.col(c) for c in proj]).mapInPandas(_synth, schema)
+
+def synth_jpegs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    pattern_col: Optional[str] = None,
+) -> DataFrame:
+    """Deterministic baseline JPEGs (REAL entropy-coded streams from the
+    pure-stdlib SOF0 codec): 16x16 grayscale, four constant 8x8 blocks
+    whose EVEN values derive from ``pattern_col`` (default the id) — the
+    even-value constant-block contract under which the lossy pipeline is
+    exactly invertible (jpegcodec.decoded_constant_block_value), so an
+    external oracle can replay decoded pixel VALUES. The restart
+    interval cycles with the id (0, 1, 2 MCUs) so distributed decodes
+    exercise the DRI/RSTn resync path — restarts change the bitstream,
+    never the pixels (asserted in tests)."""
+    from samba_spark.operators.jpegcodec import encode_jpeg_baseline
+
+    _enc = encode_jpeg_baseline
+    pat_col = pattern_col or id_col
+
+    def _synth(batches):
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for mid, pat in zip(batch[id_col], batch[pat_col]):
+                mid, pat = int(mid), int(pat)
+                vals = [2 * ((pat * 37 + b * 53) % 128) for b in range(4)]
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[:8, :8] = vals[0]
+                img[:8, 8:] = vals[1]
+                img[8:, :8] = vals[2]
+                img[8:, 8:] = vals[3]
+                out.append(
+                    {
+                        "media_id": mid,
+                        "content": _enc(
+                            16, 16, 1, img.tobytes(),
+                            restart_interval=mid % 3,
+                        ),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    proj = [id_col] + ([pat_col] if pat_col != id_col else [])
+    return df.select(*[F.col(c) for c in proj]).mapInPandas(_synth, schema)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def image_pixel_stats(
+    media: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """Full pixel decode → (dims, exact pixel sum/min/max) per image.
+    REAL decode on both stdlib codecs — PNG (zlib inflate + filter
+    reconstruction) and baseline JPEG (Huffman + IDCT + upsampling);
+    other formats raise (no stub: pixel STATS from a fake would be
+    silently wrong, unlike shape-only plumbing). Arrow-batched
+    mapInPandas, one pass, no shuffle."""
+    from samba_spark.operators.jpegcodec import decode_jpeg_pixels
+
+    _dec_png = decode_png_pixels
+    _dec_jpg = decode_jpeg_pixels
+    _sig = PNG_SIG
+
+    def _stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            out = []
+            for mid, content in zip(batch[id_col], batch[content_col]):
+                b = bytes(content or b"")
+                if b[:8] == _sig:
+                    w, h, ch, raw = _dec_png(b)
+                elif b[:2] == b"\xff\xd8":
+                    w, h, ch, raw = _dec_jpg(b)
+                else:
+                    raise ValueError(
+                        "image_pixel_stats decodes PNG and baseline JPEG "
+                        "payloads only"
+                    )
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": int(w),
+                        "height": int(h),
+                        "channels": int(ch),
+                        "px_sum": int(arr.sum(dtype=np.int64)),
+                        "px_min": int(arr.min()),
+                        "px_max": int(arr.max()),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return media.select(id_col, content_col).mapInPandas(
+        _stats, PIXEL_STATS_SCHEMA
+    )
+
 
 PNG_META_SCHEMA = T.StructType(
     [

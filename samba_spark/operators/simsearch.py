@@ -177,9 +177,9 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     *,
-    n_cells: int = 16,
+    n_cells: "int | None" = None,
     n_probe: int = 4,
-    seed: int = 42,
+    seed: "int | None" = None,
     round_to: int = 6,
     centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
@@ -199,7 +199,30 @@ def ivf_topk(
     probes, and top-k). This is also the production serving shape: the
     quantizer is trained ONCE offline and shipped as constants; query
     traffic must not retrain it.
+
+    Argument contract: ``n_cells``/``seed`` parameterize TRAINING, so
+    they are mutually exclusive with ``centroids`` (passing both raises
+    — a silently-ignored training knob hid caller bugs). ``n_probe``
+    is validated against the actual cell count in both modes.
     """
+    cell_count = len(centroids) if centroids is not None else (
+        16 if n_cells is None else n_cells
+    )
+    if centroids is not None and (n_cells is not None or seed is not None):
+        raise ValueError(
+            "ivf_topk: n_cells/seed parameterize quantizer training and are "
+            "ignored when centroids pins the quantizer — pass one or the "
+            "other, not both"
+        )
+    if cell_count < 1:
+        raise ValueError("ivf_topk needs at least one cell")
+    if n_probe < 1 or n_probe > cell_count:
+        raise ValueError(
+            "ivf_topk: n_probe=%d must be in [1, %d] (the cell count)"
+            % (n_probe, cell_count)
+        )
+    n_cells = cell_count
+    seed = 42 if seed is None else seed
 
     def _dist2(vec: Column, center: list[float]) -> Column:
         lit_c = F.array(*[F.lit(float(v)) for v in center])

@@ -538,8 +538,12 @@ def bloom_filter_table(
     index), so an external SQL engine replays the EXACT filter: x122's
     DuckDB oracle recomputes every set position and every probe verdict
     bit-for-bit. Positions are shifted to [1, m] so the bucket/bit pair
-    never hits the bitmap functions' v=0 edge."""
-    pos = df.select(_bloom_positions(col, m_bits, k_hashes).alias("pos"))
+    never hits the bitmap functions' v=0 edge. NULL keys are never
+    inserted (a NULL hashes to no positions; :func:`bloom_probe`
+    mirrors this by short-circuiting NULL probes to definitely_new)."""
+    pos = df.where(F.col(col).isNotNull()).select(
+        _bloom_positions(col, m_bits, k_hashes).alias("pos")
+    )
     return pos.groupBy(
         F.bitmap_bucket_number(F.col("pos")).alias("bucket")
     ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(F.col("pos"))).alias("bm"))
@@ -566,9 +570,20 @@ def bloom_probe(
     with only the EXPOSED bitmap algebra, layout-agnostic:
     ``bitmap_count(or(cand, filter)) > bitmap_count(filter)`` iff some
     candidate bit is missing from the filter. No driver collect, no
-    per-bit UDF; verdicts aggregate back per row with one max()."""
-    probes = df.select(
-        F.col(id_col), _bloom_positions(col, m_bits, k_hashes).alias("pos")
+    per-bit UDF; verdicts aggregate back per row with one max().
+
+    NULL probe keys short-circuit to ``definitely_new``: a NULL key is
+    never inserted at build time, and a NULL's hash positions would
+    otherwise produce an EMPTY candidate bitmap in which no bit can be
+    'missing' — silently verdicting maybe_dup. The x122 oracle's left
+    join yields the same definitely_new for NULL, keeping bit-for-bit
+    parity (ADVICE r6)."""
+    keyed = df.select(F.col(id_col), F.col(col).alias("_key"))
+    null_verdicts = keyed.where(F.col("_key").isNull()).select(
+        id_col, F.lit("definitely_new").alias("status")
+    )
+    probes = keyed.where(F.col("_key").isNotNull()).select(
+        F.col(id_col), _bloom_positions("_key", m_bits, k_hashes).alias("pos")
     )
     cand = probes.groupBy(
         F.col(id_col),
@@ -594,7 +609,7 @@ def bloom_probe(
     per_bucket = pair.groupBy(id_col, "bucket", "f_cnt").agg(
         F.bitmap_count(F.bitmap_or_agg("one_bm")).alias("or_cnt")
     )
-    return per_bucket.groupBy(id_col).agg(
+    verdicts = per_bucket.groupBy(id_col).agg(
         F.when(
             F.max((F.col("or_cnt") > F.col("f_cnt")).cast("int")) > 0,
             F.lit("definitely_new"),
@@ -602,6 +617,7 @@ def bloom_probe(
         .otherwise(F.lit("maybe_dup"))
         .alias("status")
     )
+    return verdicts.unionByName(null_verdicts)
 
 
 # KMV ("k minimum values" / bottom-k, the theta-sketch construction):
@@ -659,7 +675,27 @@ def kmv_set_ops_pairwise(sketch: DataFrame, k: int = 256) -> DataFrame:
     double op on exact-integer operands, so estimates are engine-exact.
     Input is O(groups × k) rows; the pair fan-out is O(groups² × k) —
     metadata scale (the sketch table replaced the data), never the
-    corpus."""
+    corpus.
+
+    ``k`` MUST equal the k the sketch was built with: a smaller k would
+    silently truncate merged sketches early and a larger k makes full
+    sketches look like the exact regime — both skew estimates with no
+    error. The too-small direction is detectable from the data (some
+    group then holds more than k rows), so it is validated eagerly here
+    (one O(groups) aggregation on the metadata-scale sketch table — the
+    ADVICE r6 guard); the too-large direction is indistinguishable from
+    a legitimately-exact sketch and stays the caller's contract."""
+    over = (
+        sketch.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+    )
+    if over is not None and over.mx is not None and over.mx > k:
+        raise ValueError(
+            "kmv_set_ops_pairwise: k=%d but some group's sketch holds %d "
+            "rows — k must match the k used in kmv_sketch" % (k, over.mx)
+        )
     groups = sketch.select("g").distinct()
     pairs = (
         groups.alias("x")

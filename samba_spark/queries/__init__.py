@@ -48,6 +48,20 @@ backfill with the oldest single-green rows (round-3 window, x14–x35).
 Every query stays under the local DuckDB parity harness
 (tools/parity_sweep.py + tests) in every round regardless of window
 position.
+
+Round-7 rotation (VERDICT r6 item 1): the round-6 window came back
+50/50 full-green (first zero-error window), so all 45 rotated-in
+entries moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
+additions born after the r6 window pin (x121–x127, q98, q99 — the only
+queries without a driver row), then 36 backfills of the oldest
+single-green rows: the 23 round-3-window entries the r6 backfill did
+not reach (x36–x43, q48–q62) and the 13 oldest round-4-window entries
+(streaming state q73/q78/q83–q85, codecs x44/x63/x73/x74, Spark-4
+x70/x83–x85). Standing policy: new queries enter the NEXT window
+before any backfill. Remaining backfill debt after r7: the rest of the
+round-4 window (x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/
+x87, extensions x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75),
+then the round-5 window.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -69,61 +83,64 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Round-6 rotation: 45 slots. First the two r5 canonicalizer-err rows
-# held IN-window for re-attestation (their declared outputs now
-# serialize the array columns — VERDICT r5 item 1), then the ENTIRE
-# 21-query never-driver-checked backlog (item 2 — attestation debt hits
-# zero after this round), then 22 backfill slots with the oldest
-# single-green rows (round-3 window order).
+# Round-7 rotation (VERDICT r6 item 1, now standing policy: new
+# queries enter the NEXT window before any backfill). The round-6
+# window came back 50/50 full-green, so all 45 rotated-in entries
+# moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
+# additions that were born after the r6 window was pinned and so have
+# never had a driver row (x121–x127, q98, q99), then 36 backfill slots
+# with the oldest single-green rows: the 23 round-3-window entries the
+# r6 backfill did not reach (it stopped at x35), then the 13 oldest
+# round-4-window entries in r4 order.
 _ROTATED_IN = [
-    # r5 harness-err re-attests (array outputs now serialized)
-    "x57_inverted_index",
-    "x113_feature_hashing",
-    # the final never-driver-checked backlog (VERDICT r5 item 2)
-    "x93_lm_fluency",
-    "x94_count_min",
-    "x97_join_size_estimate",
-    "x98_ewma",
-    "x99_hybrid_rrf",
-    "x101_interval_overlap",
-    "x102_k_anonymity",
-    "x103_levenshtein_pairs",
-    "x104_mad_outliers",
-    "x106_strip_boilerplate",
-    "x115_skyline",
-    "x116_pandas_udaf",
-    "q93_grouping_sets",
-    "q94_identifier_clause",
-    "q95_group_by_all",
-    "q96_bag_setops",
-    "q97_nullsafe_join",
-    "x117_table_profile_approx",
-    "x118_sliding_distinct_bitmap",
-    "x119_url_dedup",
-    "x120_xml_roundtrip",
-    # backfill: oldest single-green rows (round-3 window, in r3 order)
-    "x14_ivf_topk",
-    "x15_sequence_pack",
-    "x16_decontaminate",
-    "x17_top_terms",
-    "x18_repetition",
-    "x19_hash_split",
-    "x20_source_cap",
-    "x21_label_centroids",
-    "x22_sessionize",
-    "x23_json_extract",
-    "x24_redact",
-    "x25_salient_terms",
-    "x26_quantile_filter",
-    "x27_dedup_incremental",
-    "x28_length_histogram",
-    "x29_chunk_documents",
-    "x30_merge_upsert",
-    "x31_cross_source_overlap",
-    "x32_weighted_sample",
-    "x33_collocations",
-    "x34_corpus_diff",
-    "x35_repeated_spans",
+    # round-6 additions — never driver-checked (VERDICT r6 item 1)
+    "x121_sliding_distinct_auto",
+    "x122_bloom_ingest",
+    "x123_kmv_set_ops",
+    "x124_k_core",
+    "x125_benford",
+    "x126_acf",
+    "x127_inclusion_profile",
+    "q98_sql_udf",
+    "q99_scd2",
+    # backfill: remaining round-3-window single-green rows (r3 order)
+    "x36_token_budget_cap",
+    "x37_norm_stats",
+    "x38_search_topk",
+    "x39_skew_profile",
+    "x40_funnel",
+    "x41_retention_cohorts",
+    "x42_wav_roundtrip",
+    "x43_png_roundtrip",
+    "q48_tpch_q1",
+    "q49_tpch_q6",
+    "q50_tpch_q3",
+    "q51_stream_static_join",
+    "q52_integrity_audit",
+    "q53_provenance_counts",
+    "q54_skew_window",
+    "q55_asof_forward",
+    "q56_tpch_q18",
+    "q57_tpch_q14",
+    "q58_tpch_q5",
+    "q59_transitive_lineage",
+    "q60_tpch_q10",
+    "q61_tpch_q16",
+    "q62_column_lineage",
+    # backfill: oldest round-4-window single-green rows (r4 order)
+    "q73_stream_cdc",
+    "q78_stateful_processor",
+    "q83_watermark_dedup",
+    "q84_chained_stateful",
+    "q85_stream_outer_join",
+    "x44_png_pixel_pipeline",
+    "x63_avro_roundtrip",
+    "x73_audio_frames",
+    "x74_mp4_boxes",
+    "x70_variant_extract",
+    "x83_python_datasource",
+    "x84_observed_metrics",
+    "x85_arrow_stats",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

@@ -1620,6 +1620,58 @@ FROM documents WHERE doc_id <= 5 ORDER BY media_id
 """
 
 
+def x_jpeg_pixel_pipeline(spark, sf_dir):
+    """Pixel-VALUE image pipeline on the REAL pure-stdlib baseline-JPEG
+    codec (jpegcodec.py — no PIL, no stubs; VERDICT r6 item 6): synth
+    entropy-coded JPEGs from document ids (four constant even-valued
+    8x8 blocks each, restart interval cycling 0/1/2 so the DRI/RSTn
+    resync path runs distributed), full-decode them for exact pixel
+    sums (multimodal.image_pixel_stats — Huffman, dequant, IDCT), then
+    resize to 4x4 through the JPEG→PNG resample path and decode THOSE
+    pixels too. Even-valued constant blocks make the lossy DCT pipeline
+    exactly invertible (quantized DC = (v-128)/2, every AC quantizes to
+    0 — jpegcodec.decoded_constant_block_value), so the oracle replays
+    decoded pixel VALUES with plain integer arithmetic, not just
+    dimensions: px_sum = 64·Σv_b, and the 4x4 nearest resample keeps
+    pixels (0,4,8,12)² — one per block quadrant — so r_px_sum = 4·Σv_b."""
+    docs = _docs(spark, sf_dir).where("doc_id <= 7").select("doc_id")
+    media = M.synth_jpegs(docs)
+    stats = M.image_pixel_stats(media)
+    resized = M.image_pixel_stats(
+        M.resize_images(media, width=4, height=4)
+    ).select(
+        "media_id",
+        F.col("width").alias("r_width"),
+        F.col("height").alias("r_height"),
+        F.col("channels").alias("r_channels"),
+        F.col("px_sum").alias("r_px_sum"),
+    )
+    return stats.join(resized, "media_id").orderBy("media_id")
+
+
+X_JPEG_PIXEL_SQL = """
+WITH v AS (
+  SELECT doc_id,
+         2*((doc_id*37 +   0) % 128) AS v0,
+         2*((doc_id*37 +  53) % 128) AS v1,
+         2*((doc_id*37 + 106) % 128) AS v2,
+         2*((doc_id*37 + 159) % 128) AS v3
+  FROM documents WHERE doc_id <= 7)
+SELECT doc_id::BIGINT AS media_id,
+       16::INTEGER AS width,
+       16::INTEGER AS height,
+       1::INTEGER AS channels,
+       (64*(v0+v1+v2+v3))::BIGINT AS px_sum,
+       LEAST(v0,v1,v2,v3)::INTEGER AS px_min,
+       GREATEST(v0,v1,v2,v3)::INTEGER AS px_max,
+       4::INTEGER AS r_width,
+       4::INTEGER AS r_height,
+       1::INTEGER AS r_channels,
+       (4*(v0+v1+v2+v3))::BIGINT AS r_px_sum
+FROM v ORDER BY media_id
+"""
+
+
 # q53: the provenance surface's hard driver signal. q24 is rows-only by
 # design (its invariants are engine-internal); here the same capture
 # semantics are re-expressed as a deterministic COUNT query over the
@@ -3903,16 +3955,25 @@ def x_sliding_distinct_auto(spark, sf_dir):
     regime-dispatching entry point (sketches.sliding_distinct_auto,
     VERDICT r5 item 4): a one-pass approx-distinct density probe picks
     the triple fan-out (sparse) or the bucket-bitmap fan-out (dense).
-    On the raw telemetry fixture (~2 ids per occupied bucket) the probe
-    selects the triple path, so the oracle is x110's — and because the
-    two paths are bit-identical by contract (tests/test_sketches.py),
-    the same oracle holds whichever regime the probe picks. First 200
-    minutes."""
+    The declared query feeds the DENSE fold (the same deterministic
+    4-hour epoch fold x118 benches — VERDICT r6 item 4): the probe then
+    selects the bitmap path, so the suite exercises the OTHER dispatch
+    outcome end-to-end (x110/x121-sparse already cover the triple
+    path, and the sparse-choice dispatch stays plan-pinned in
+    tests/test_sketches.py). Because the two paths are bit-identical by
+    contract, x118's oracle holds whichever regime the probe picks.
+    First 200 minutes."""
     from samba_spark.operators.sketches import sliding_distinct_auto
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
+    dense = ev.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1767225600) + F.unix_timestamp(F.col("ts")) % 14400
+        ),
+    )
     return (
-        sliding_distinct_auto(ev)
+        sliding_distinct_auto(dense)
         .orderBy("event_type", "minute")
         .limit(200)
     )
@@ -4040,12 +4101,15 @@ ORDER BY ga, gb
 
 
 def x_k_core(spark, sf_dir):
-    """k-core decomposition (graph.k_core, k=3, 8 synchronous peel
-    rounds) over the repeat-trade customer–supplier graph — the
-    density filter that strips the low-degree fringe CC and LPA keep.
-    Peeling is monotone and deterministic, so the oracle unrolls the
-    SAME 8 rounds as chained CTEs (converges by round 6 on the
-    fixtures — extra rounds are no-ops, asserted in tests). Top-100
+    """k-core decomposition (graph.k_core, k=3) over the repeat-trade
+    customer–supplier graph — the density filter that strips the
+    low-degree fringe CC and LPA keep. The operator peels to the FIXED
+    POINT (short-circuits when a round removes nothing, keeps peeling
+    past ``rounds`` when the frontier still shrinks — r7 convergence
+    fix); peeling is monotone and deterministic, so the oracle's fixed
+    8-round CTE unroll matches exactly when it, too, reaches the fixed
+    point (this fixture converges by round 6 — extra rounds are no-ops;
+    a long-path under-peel test guards the divergent case). Top-100
     core vertices by in-core degree."""
     from samba_spark.operators.graph import k_core
 
@@ -4838,7 +4902,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     ),
     "x119_url_dedup": QuerySpec(x_url_dedup, X119_URL_DEDUP_SQL),
     "x121_sliding_distinct_auto": QuerySpec(
-        x_sliding_distinct_auto, X_SLIDING_DISTINCT_SQL
+        x_sliding_distinct_auto, X118_SLIDING_BITMAP_SQL
     ),
     "x122_bloom_ingest": QuerySpec(x_bloom_ingest, X122_BLOOM_SQL),
     "x123_kmv_set_ops": QuerySpec(x_kmv_set_ops, X123_KMV_SQL),
@@ -4847,6 +4911,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x126_acf": QuerySpec(x_acf, _x126_sql()),
     "q99_scd2": QuerySpec(q99_scd2, Q99_SCD2_SQL),
     "x127_inclusion_profile": QuerySpec(x_inclusion_profile, _x127_sql()),
+    "x128_jpeg_pixel_pipeline": QuerySpec(
+        x_jpeg_pixel_pipeline, X_JPEG_PIXEL_SQL
+    ),
     "x120_xml_roundtrip": QuerySpec(x_xml_roundtrip, X120_SQL),
     "q92_twap": QuerySpec(q92_twap, Q92_TWAP_SQL),
     "x109_winsorize": QuerySpec(x_winsorize, X_WINSORIZE_SQL),

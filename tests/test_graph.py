@@ -198,3 +198,32 @@ def test_k_core_peels_fringe_and_converges(spark):
     # clique survives with full degrees
     core2 = {(r.vertex, r.degree) for r in k_core(edges, k=2).collect()}
     assert core2 == {(0, 3), (1, 3), (2, 3), (3, 3)}
+
+
+def test_k_core_converges_past_rounds_on_long_path(spark):
+    """A 30-vertex path has NO 2-core, but 2-core peeling removes only
+    the two endpoints per round (~15 rounds to empty) — a fixed
+    rounds=8 unroll would leave the middle of the path in the output
+    with degree 2. The convergence loop must keep peeling past
+    ``rounds`` and return the true (empty) fixed point."""
+    from samba_spark.operators.graph import k_core
+
+    path = [(i, i + 1) for i in range(29)]
+    edges = spark.createDataFrame(path, ["src", "dst"])
+    assert k_core(edges, k=2, rounds=8).count() == 0
+    # And a long path hanging off a 4-clique: only the clique survives.
+    clique = [(100 + a, 100 + b) for a in range(4) for b in range(4) if a < b]
+    edges2 = spark.createDataFrame(clique + [(103, 0)] + path, ["src", "dst"])
+    core = {r.vertex for r in k_core(edges2, k=2, rounds=4).collect()}
+    assert core == {100, 101, 102, 103}
+
+
+def test_k_core_empty_edges(spark):
+    """Self-loop-only input peels to an empty core with the declared
+    (vertex, degree) schema."""
+    from samba_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame([(1, 1), (2, 2)], ["src", "dst"])
+    out = k_core(edges, k=1)
+    assert out.columns == ["vertex", "degree"]
+    assert out.count() == 0

@@ -691,3 +691,172 @@ def test_sample_frames_distributed(spark):
 
     with _pytest.raises(ValueError, match="every_k"):
         sample_video_frames(synth_mp4_videos(docs), every_k=0)
+
+
+# ---------------------------------------------------------------- JPEG
+
+
+def test_jpeg_constant_blocks_exact_and_even_identity():
+    """The even-value constant-block contract (x128's oracle basis):
+    even constant blocks roundtrip EXACTLY through the lossy pipeline
+    (quantized DC = (v-128)/2, all ACs quantize to 0); odd values land
+    on a quantizer tie the float epsilon decides — the helper is ground
+    truth for both."""
+    import numpy as np
+
+    from samba_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        decoded_constant_block_value,
+        encode_jpeg_baseline,
+        parse_jpeg_header,
+    )
+
+    for v in [0, 1, 2, 17, 64, 100, 127, 128, 129, 200, 254, 255]:
+        jp = encode_jpeg_baseline(16, 16, 1, bytes([v]) * 256)
+        assert parse_jpeg_header(jp) == (16, 16, 1)
+        w, h, ch, out = decode_jpeg_pixels(jp)
+        assert (w, h, ch) == (16, 16, 1)
+        exp = decoded_constant_block_value(v)
+        assert set(out) == {exp}, (v, set(out), exp)
+        if v % 2 == 0:
+            assert exp == v
+    # four distinct even blocks stay exactly distinct
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 10, 100, 200, 250
+    _, _, _, out = decode_jpeg_pixels(
+        encode_jpeg_baseline(16, 16, 1, img.tobytes())
+    )
+    dec = np.frombuffer(out, dtype=np.uint8).reshape(16, 16)
+    assert (dec == img).all()
+
+
+def test_jpeg_lossy_roundtrip_gray_and_rgb_within_tolerance():
+    """Smooth gradients roundtrip within small error on both the
+    grayscale and 4:4:4 RGB paths, at non-multiple-of-8 dimensions."""
+    import numpy as np
+
+    from samba_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    img = np.clip(
+        np.linspace(40, 210, 24 * 40), 0, 255
+    ).astype(np.uint8).reshape(24, 40)
+    _, _, _, out = decode_jpeg_pixels(encode_jpeg_baseline(40, 24, 1, img.tobytes()))
+    err = np.abs(
+        np.frombuffer(out, np.uint8).reshape(24, 40).astype(int) - img
+    )
+    assert err.max() <= 20 and err.mean() < 4
+
+    img3 = np.zeros((17, 23, 3), dtype=np.uint8)
+    for c in range(3):
+        img3[..., c] = np.clip(
+            np.linspace(30 + 40 * c, 220 - 30 * c, 17 * 23), 0, 255
+        ).reshape(17, 23)
+    w, h, ch, out = decode_jpeg_pixels(
+        encode_jpeg_baseline(23, 17, 3, img3.tobytes())
+    )
+    assert (w, h, ch) == (23, 17, 3)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).reshape(17, 23, 3).astype(int) - img3
+    )
+    assert err.max() <= 25 and err.mean() < 5
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """4:2:0 chroma subsampling decodes through the replication
+    upsampler (and compresses smaller than 4:4:4); restart markers
+    (DRI + RSTn) change the bitstream but decode to bit-identical
+    pixels after resync + DC-predictor reset."""
+    import numpy as np
+
+    from samba_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    img3 = np.zeros((33, 47, 3), dtype=np.uint8)
+    for c in range(3):
+        img3[..., c] = np.clip(
+            np.linspace(30 + 40 * c, 220 - 30 * c, 33 * 47), 0, 255
+        ).reshape(33, 47)
+    jp420 = encode_jpeg_baseline(47, 33, 3, img3.tobytes(), subsampling="420")
+    jp444 = encode_jpeg_baseline(47, 33, 3, img3.tobytes())
+    assert len(jp420) < len(jp444)
+    w, h, ch, out = decode_jpeg_pixels(jp420)
+    assert (w, h, ch) == (47, 33, 3)
+    err = np.abs(
+        np.frombuffer(out, np.uint8).reshape(33, 47, 3).astype(int) - img3
+    )
+    assert err.mean() < 6
+
+    img = (np.arange(32 * 24) * 5 % 256).astype(np.uint8).reshape(24, 32)
+    plain = decode_jpeg_pixels(encode_jpeg_baseline(32, 24, 1, img.tobytes()))
+    rst = encode_jpeg_baseline(32, 24, 1, img.tobytes(), restart_interval=2)
+    assert b"\xff\xdd" in rst
+    assert plain == decode_jpeg_pixels(rst)
+    # 420 + RST combined
+    both = encode_jpeg_baseline(
+        47, 33, 3, img3.tobytes(), subsampling="420", restart_interval=3
+    )
+    _, _, _, out2 = decode_jpeg_pixels(both)
+    assert out2 == out  # restarts never change pixels
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    from samba_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        parse_jpeg_header,
+    )
+
+    jp = encode_jpeg_baseline(8, 8, 1, bytes(64))
+    bad = jp.replace(b"\xff\xc0", b"\xff\xc2", 1)  # fake SOF2
+    with pytest.raises(ValueError, match="SOF0"):
+        parse_jpeg_header(bad)
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg_pixels(bad)
+    with pytest.raises(ValueError, match="SOI"):
+        parse_jpeg_header(b"not a jpeg")
+
+
+def test_jpeg_wired_into_decode_and_resize_paths(spark):
+    """decode_images reads baseline-JPEG dims via the REAL SOF0 header
+    parse (no PIL, no stub); resize_images full-decodes the JPEG and
+    re-encodes the resample as PNG; image_pixel_stats computes exact
+    sums on both codecs."""
+    import numpy as np
+
+    from samba_spark.operators.jpegcodec import encode_jpeg_baseline
+    from samba_spark.operators.multimodal import (
+        decode_images,
+        image_pixel_stats,
+        resize_images,
+        synth_jpegs,
+    )
+
+    docs = spark.range(0, 6).toDF("doc_id")
+    media = synth_jpegs(docs)
+    dims = {r.media_id: r for r in decode_images(media).collect()}
+    assert all(
+        (v.width, v.height, v.channels) == (16, 16, 1) for v in dims.values()
+    )
+    stats = {r.media_id: r for r in image_pixel_stats(media).collect()}
+    for d in range(6):
+        vals = [2 * ((d * 37 + b * 53) % 128) for b in range(4)]
+        assert stats[d].px_sum == 64 * sum(vals)
+        assert stats[d].px_min == min(vals)
+        assert stats[d].px_max == max(vals)
+    resized = resize_images(media, width=4, height=4)
+    rstats = {r.media_id: r for r in image_pixel_stats(resized).collect()}
+    for d in range(6):
+        vals = [2 * ((d * 37 + b * 53) % 128) for b in range(4)]
+        assert (rstats[d].width, rstats[d].height) == (4, 4)
+        assert rstats[d].px_sum == 4 * sum(vals)
+    # non-image payload fails loudly in image_pixel_stats
+    junk = spark.createDataFrame(
+        [(99, bytearray(b"plainbytes"))], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="PNG and baseline JPEG"):
+        image_pixel_stats(junk).collect()

@@ -546,3 +546,80 @@ def test_kmv_estimates_within_tolerance_and_mergeable(spark):
     assert (r2.est_a, r2.est_b, r2.est_union, r2.est_inter) == (
         50, 50, 80, 20,
     )
+
+
+def test_bloom_probe_null_key_is_definitely_new(spark):
+    """NULL probe keys short-circuit to definitely_new (ADVICE r6): a
+    NULL was never inserted, and without the short-circuit its empty
+    candidate bitmap would silently verdict maybe_dup. Build-side NULLs
+    are dropped so the filter state is unchanged by them."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import (
+        bloom_filter_table,
+        bloom_probe,
+    )
+
+    corpus = spark.createDataFrame(
+        [("a",), ("b",), (None,)], ["k"]
+    )
+    bloom = bloom_filter_table(corpus, "k")
+    no_null = bloom_filter_table(corpus.where(F.col("k").isNotNull()), "k")
+    assert {r.bucket: bytes(r.bm) for r in bloom.collect()} == {
+        r.bucket: bytes(r.bm) for r in no_null.collect()
+    }
+    probe = spark.createDataFrame(
+        [("p1", "a"), ("p2", None), ("p3", "zzz")], ["id", "k"]
+    )
+    res = {r.id: r.status for r in bloom_probe(bloom, probe, "k", "id").collect()}
+    assert res["p1"] == "maybe_dup"
+    assert res["p2"] == "definitely_new"
+    assert res["p3"] == "definitely_new"
+
+
+def test_kmv_pairwise_rejects_mismatched_k(spark):
+    """kmv_set_ops_pairwise validates k against the sketch (ADVICE r6):
+    a k smaller than the sketch's build k would silently truncate
+    merged sketches — it must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sketches import (
+        kmv_set_ops_pairwise,
+        kmv_sketch,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    sk = kmv_sketch(df, "g", "k", k=256)
+    with pytest.raises(ValueError, match="must match"):
+        kmv_set_ops_pairwise(sk, k=64)
+
+
+def test_ivf_topk_validates_quantizer_args(spark):
+    """ivf_topk raises when centroids is combined with training knobs
+    (n_cells/seed) and when n_probe exceeds the cell count (ADVICE r6):
+    silently-ignored arguments hid caller bugs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators import simsearch as S
+
+    embs = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    qs = embs.limit(1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    with pytest.raises(ValueError, match="pass one or the other"):
+        S.ivf_topk(embs, qs, k=2, centroids=cents, n_cells=4)
+    with pytest.raises(ValueError, match="pass one or the other"):
+        S.ivf_topk(embs, qs, k=2, centroids=cents, seed=7)
+    with pytest.raises(ValueError, match="n_probe"):
+        S.ivf_topk(embs, qs, k=2, centroids=cents, n_probe=3)
+    # the valid pinned call still runs
+    assert S.ivf_topk(embs, qs, k=2, centroids=cents, n_probe=2).count() > 0
