@@ -238,3 +238,54 @@ def stratified_exact_split(
         )
         .drop("_rk", "_n")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled (α=0.5) mixture weights per source — the
+    multilingual/multi-domain rebalancing rule (sample ∝ n^α, α<1 lifts
+    small sources, α=1 is proportional): per group, its token count, an
+    integer weight numerator isqrt(n_tokens) with the shared denominator
+    Σ isqrt, the group's token allocation out of ``token_budget``, and
+    its implied epoch count in basis points (how many times the source
+    repeats to fill its allocation — the "seen n times" oversampling
+    signal mixing configs watch).
+
+    α is pinned to 0.5 so the weights stay ENGINE-EXACT: IEEE requires
+    sqrt to be correctly rounded (pow(x, 0.7) is not), and
+    floor(sqrt(n)) for n ≪ 2^52 is therefore the same integer in every
+    engine — all downstream arithmetic is integer division on exact
+    integers, which is what lets the oracle replay the allocation
+    bit-for-bit. One hash aggregation + one broadcast of the (tiny)
+    per-group table back over itself for the denominator — O(groups)
+    everywhere after the first agg."""
+    from samba_spark.operators.textual import tokens_col
+
+    toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    per = (
+        df.select(F.col(group_col).alias("source"), toks.alias("_t"))
+        .groupBy("source")
+        .agg(F.sum("_t").cast("long").alias("n_tokens"))
+        .withColumn(
+            "w_num", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+        )
+    )
+    den = per.agg(F.sum("w_num").cast("long").alias("w_den"))
+    out = per.crossJoin(F.broadcast(den))
+    alloc = F.expr(f"({int(token_budget)} * w_num) div w_den")
+    return out.select(
+        "source",
+        "n_tokens",
+        "w_num",
+        "w_den",
+        alloc.cast("long").alias("alloc_tokens"),
+        F.expr(
+            f"(10000 * (({int(token_budget)} * w_num) div w_den)) div n_tokens"
+        )
+        .cast("long")
+        .alias("epochs_bp"),
+    )

@@ -103,3 +103,65 @@ def pack_sequences(
         F.min(order_by[0]).alias("first_doc"),
         F.max(order_by[0]).alias("last_doc"),
     )
+
+
+# power-of-two length buckets for dynamic batching (x129). A CASE chain,
+# not pow(2, ceil(log2 n)): float log at exact powers of two is an
+# engine-dependent edge, while a 12-arm CASE is integer-exact everywhere
+# (the oracle replays the same chain).
+_BUCKET_EDGES = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
+
+
+def length_bucket_stats(
+    documents: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per power-of-two length bucket: the batch-shape economics of
+    bucketed dynamic batching at a fixed per-batch token ``budget`` —
+    (bucket_len, n_docs, total_tokens, pad_tokens, n_batches,
+    util_bp). Each document pads to its bucket length; a batch holds
+    ``budget div bucket_len`` documents; ``util_bp`` is real tokens over
+    batch capacity in basis points (integer — floor(10000·total_tokens /
+    (n_batches·budget))). The dynamic-batching planner's input: which
+    length regimes waste padding, and what the end-to-end token
+    utilization of the bucketed layout is.
+
+    Everything is integer arithmetic on whitespace token counts
+    (:func:`textual.tokens_col`), so the oracle replays it exactly. One
+    hash aggregation — no window, no shuffle beyond the groupBy. Docs
+    longer than the top bucket raise the CASE to NULL and are filtered
+    out explicitly (reported upstream by quality screens, not silently
+    bucketed)."""
+    toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    bucket = F.lit(None).cast("long")
+    for edge in reversed(_BUCKET_EDGES):
+        bucket = F.when(toks <= edge, F.lit(edge)).otherwise(bucket)
+    base = documents.select(
+        bucket.alias("bucket_len"), toks.alias("n_tokens")
+    ).where(F.col("bucket_len").isNotNull())
+    per = base.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    # docs per batch; a bucket longer than the budget still batches one
+    # doc at a time (the batch stretches to the bucket length)
+    cap = F.greatest(F.lit(1).cast("long"), F.expr(f"{int(budget)} div bucket_len"))
+    # ceil(n_docs / cap) via (n + d - 1) div d — SQL `div` truncates
+    # toward zero, so the -((-n) div d) idiom does NOT ceil here
+    stats = per.withColumn("_cap", cap).withColumn(
+        "n_batches", F.expr("(n_docs + _cap - 1) div _cap").cast("long")
+    )
+    return stats.select(
+        "bucket_len",
+        "n_docs",
+        "total_tokens",
+        (F.col("n_docs") * F.col("bucket_len") - F.col("total_tokens"))
+        .cast("long")
+        .alias("pad_tokens"),
+        "n_batches",
+        # integer `div` end-to-end: `/` would detour through double
+        F.expr("(10000 * total_tokens) div (n_batches * _cap * bucket_len)")
+        .cast("long")
+        .alias("util_bp"),
+    )

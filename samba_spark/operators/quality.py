@@ -330,3 +330,54 @@ def inclusion_coefficient(
             .alias("coeff_e6"),
         )
     )
+
+
+def chi_square_screen(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Per-cell chi-square contribution table for the (``col_a`` ×
+    ``col_b``) contingency — the categorical-association screen: which
+    cells of the cross-tab depart most from independence (o vs
+    e = row_total·col_total/N). Drift detection between a categorical
+    label and a suspected confounder (source × language, split ×
+    quality-bucket) reads the top contributors, not a single summary
+    statistic — per-cell rows also keep the output engine-exact, with
+    no cross-cell float summation whose order an engine could pick
+    differently.
+
+    Output: (a, b, observed, expected_milli, contrib) where
+    expected_milli = (1000·rt·ct) div N (integer-exact) and contrib =
+    round((o·N − rt·ct)² / (N·rt·ct), 6) — the ×N-scaled cell term of
+    χ² = Σ (o−e)²/e. The difference (o·N − rt·ct) is an exact BIGINT
+    (≤ ~2e10 at sf0.1); its square and the division run in double with
+    the same operand order in both engines, so round(·, 6) matches
+    bit-for-bit. One groupBy over the table, then O(cells) windows —
+    the data-bearing stage is a single hash aggregation."""
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    w_a = Window.partitionBy("a")
+    w_b = Window.partitionBy("b")
+    w_all = Window.partitionBy()
+    t = (
+        cells.withColumn("rt", F.sum("observed").over(w_a).cast("long"))
+        .withColumn("ct", F.sum("observed").over(w_b).cast("long"))
+        .withColumn("n", F.sum("observed").over(w_all).cast("long"))
+    )
+    diff = (F.col("observed") * F.col("n") - F.col("rt") * F.col("ct")).cast(
+        "long"
+    )
+    contrib = F.round(
+        (diff.cast("double") * diff.cast("double"))
+        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double"),
+        6,
+    )
+    return t.select(
+        "a",
+        "b",
+        "observed",
+        F.expr("(1000 * rt * ct) div n").cast("long").alias("expected_milli"),
+        contrib.alias("contrib"),
+    )

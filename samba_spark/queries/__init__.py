@@ -55,13 +55,16 @@ entries moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
 additions born after the r6 window pin (x121–x127, q98, q99 — the only
 queries without a driver row), then 36 backfills of the oldest
 single-green rows: the 23 round-3-window entries the r6 backfill did
-not reach (x36–x43, q48–q62) and the 13 oldest round-4-window entries
-(streaming state q73/q78/q83–q85, codecs x44/x63/x73/x74, Spark-4
-x70/x83–x85). Standing policy: new queries enter the NEXT window
-before any backfill. Remaining backfill debt after r7: the rest of the
-round-4 window (x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/
-x87, extensions x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75),
-then the round-5 window.
+not reach (x36–x43, q48–q62) and the 8 oldest round-4-window entries
+(streaming state q73/q78/q83–q85, codecs x44/x63/x73), then the 5
+round-7 additions built BEFORE this window was pinned (x128 JPEG
+pixels, x129 length-bucket packing, x130 temperature mixture, x131
+chi-square screen, x132 winnowed common-substring pairs) — standing
+policy: new queries before backfill, and these need not wait a round.
+Remaining backfill debt after r7: the rest of the round-4 window (x74,
+x70, x83–x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/x87,
+extensions x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75), then
+the round-5 window.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -136,11 +139,14 @@ _ROTATED_IN = [
     "x44_png_pixel_pipeline",
     "x63_avro_roundtrip",
     "x73_audio_frames",
-    "x74_mp4_boxes",
-    "x70_variant_extract",
-    "x83_python_datasource",
-    "x84_observed_metrics",
-    "x85_arrow_stats",
+    # round-7 additions — in-window immediately (standing policy: new
+    # queries before backfill; the window was not yet pinned when these
+    # were built, so they need not wait for round 8)
+    "x128_jpeg_pixel_pipeline",
+    "x129_length_bucket_packing",
+    "x130_temperature_mixture",
+    "x131_chi_square_screen",
+    "x132_common_substring_pairs",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

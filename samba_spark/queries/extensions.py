@@ -4875,7 +4875,208 @@ GROUP BY d.bucket ORDER BY d.bucket
 
 
 
+def x_length_bucket_packing(spark, sf_dir):
+    """Power-of-two length-bucket batching economics
+    (packing.length_bucket_stats, budget=256): per bucket — doc count,
+    real tokens, padding waste, batch count, and utilization in basis
+    points. The dynamic-batching planner's view of the corpus; all
+    integer arithmetic on whitespace token counts, one hash agg."""
+    from samba_spark.operators.packing import length_bucket_stats
+
+    docs = _docs(spark, sf_dir)
+    return length_bucket_stats(docs, budget=256).orderBy("bucket_len")
+
+
+X129_LENGTH_BUCKET_SQL = r"""
+WITH t AS (
+  SELECT len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> ''))::BIGINT AS nt
+  FROM documents),
+b AS (
+  SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+              WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+              WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+              WHEN nt <= 1024 THEN 1024 WHEN nt <= 2048 THEN 2048
+              WHEN nt <= 4096 THEN 4096 WHEN nt <= 8192 THEN 8192
+              WHEN nt <= 16384 THEN 16384 WHEN nt <= 32768 THEN 32768
+         END::BIGINT AS bucket_len, nt
+  FROM t WHERE nt <= 32768),
+per AS (
+  SELECT bucket_len, COUNT(*)::BIGINT AS n_docs, SUM(nt)::BIGINT AS total_tokens
+  FROM b GROUP BY 1),
+s AS (SELECT *, GREATEST(1, 256 // bucket_len) AS cap FROM per),
+s2 AS (SELECT *, (n_docs + cap - 1) // cap AS n_batches FROM s)
+SELECT bucket_len, n_docs, total_tokens,
+       (n_docs * bucket_len - total_tokens)::BIGINT AS pad_tokens,
+       n_batches::BIGINT AS n_batches,
+       ((10000 * total_tokens) // (n_batches * cap * bucket_len))::BIGINT AS util_bp
+FROM s2 ORDER BY bucket_len
+"""
+
+
+def x_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled (α=0.5) source mixture
+    (mixing.temperature_mixture, budget=100k tokens): per source, its
+    isqrt-weighted token allocation and implied epoch count in basis
+    points. α pinned to 0.5 because IEEE sqrt is correctly rounded in
+    every engine (pow is not), so the weights are engine-exact
+    integers."""
+    from samba_spark.operators.mixing import temperature_mixture
+
+    docs = _docs(spark, sf_dir)
+    return temperature_mixture(docs, token_budget=100_000).orderBy("source")
+
+
+X130_TEMPERATURE_SQL = r"""
+WITH per AS (
+  SELECT source,
+         SUM(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS w_num FROM per),
+d AS (SELECT SUM(w_num)::BIGINT AS w_den FROM w)
+SELECT source, n_tokens, w_num, w_den,
+       ((100000 * w_num) // w_den)::BIGINT AS alloc_tokens,
+       ((10000 * ((100000 * w_num) // w_den)) // n_tokens)::BIGINT AS epochs_bp
+FROM w, d ORDER BY source
+"""
+
+
+def x_chi_square_screen(spark, sf_dir):
+    """Categorical-association screen (quality.chi_square_screen): the
+    per-cell χ² contribution table of (o_orderpriority ×
+    o_orderstatus). Per-cell rows keep the output engine-exact (no
+    cross-cell float sum whose order an engine could pick); the top
+    contributors ARE the drift signal."""
+    from samba_spark.operators.quality import chi_square_screen
+
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return chi_square_screen(t, "o_orderpriority", "o_orderstatus").orderBy(
+        "a", "b"
+    )
+
+
+X131_CHI_SQUARE_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*)::BIGINT AS observed
+  FROM orders GROUP BY 1, 2),
+t AS (
+  SELECT *,
+         SUM(observed) OVER (PARTITION BY a)::BIGINT AS rt,
+         SUM(observed) OVER (PARTITION BY b)::BIGINT AS ct,
+         SUM(observed) OVER ()::BIGINT AS n
+  FROM cells)
+SELECT a, b, observed,
+       ((1000 * rt * ct) // n)::BIGINT AS expected_milli,
+       ROUND((CAST(observed * n - rt * ct AS DOUBLE)
+              * CAST(observed * n - rt * ct AS DOUBLE))
+             / CAST(n * rt * ct AS DOUBLE), 6) AS contrib
+FROM t ORDER BY a, b
+"""
+
+
+def x_common_substring_pairs(spark, sf_dir):
+    """Cross-document exact-substring overlap (dedup.
+    common_substring_pairs — the relational re-expression of
+    suffix-array substring dedup with WINNOWING fingerprint selection:
+    every 32-char window hashes; each sliding window of 8 hashes
+    selects its rightmost minimum (true winnowing), so two docs sharing
+    a span select IDENTICAL windows regardless of alignment — a
+    fixed-stride sample would only match spans whose alignment
+    difference is 0 mod stride. Shared selections on one alignment
+    diagonal, grouped into gap<=8 islands, are the maximal shared
+    spans). The probed corpus is the documents table plus a derived
+    'crawl slice' (each long doc re-appears shifted 20 chars with a new
+    suffix), so long misaligned verbatim spans exist by construction on
+    top of the fixture's own repeats. min_len=44 catches every true
+    span >= 58 by the L - 2*(winnow-1) guarantee (and in practice far
+    shorter); max_df=20 drops ubiquitous-vocabulary windows before the
+    self-join. Top-100 pairs by longest shared span."""
+    from samba_spark.operators.dedup import common_substring_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    derived = docs.where(F.length("text") >= 80).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 21)"),
+            F.lit(" crawl slice boilerplate suffix"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(derived)
+    return (
+        common_substring_pairs(
+            corpus, window=32, min_len=44, winnow=8, max_df=20
+        )
+        .orderBy(F.desc("span_len"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+X132_COMMON_SUBSTRING_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, substr(text, 21) || ' crawl slice boilerplate suffix'
+  FROM documents WHERE length(text) >= 80),
+offs AS (
+  SELECT doc_id, unnest(generate_series(0, length(text) - 32)) AS off, text
+  FROM corpus WHERE length(text) >= 32),
+sh AS (
+  SELECT doc_id, off,
+         ('0x' || substr(md5(substr(text, off + 1, 32)), 1, 15))::BIGINT AS h
+  FROM offs),
+ks AS (
+  SELECT doc_id, off, h,
+         (h // 16777216) * 67108864 + (67108863 - off) AS k
+  FROM sh),
+selo AS (
+  SELECT DISTINCT doc_id,
+         67108863 - (MIN(k) OVER (PARTITION BY doc_id ORDER BY off
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+                     % 67108864) AS off
+  FROM ks),
+sel AS (
+  SELECT s.doc_id, s.off, sh.h
+  FROM selo s JOIN sh ON sh.doc_id = s.doc_id AND sh.off = s.off),
+keep AS (SELECT h FROM sel GROUP BY h HAVING COUNT(DISTINCT doc_id) <= 20),
+kept AS (SELECT sel.* FROM sel JOIN keep USING (h)),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.off AS off_a, x.off - y.off AS diag
+  FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id),
+isl AS (
+  SELECT doc_a, doc_b, diag, off_a,
+         SUM(CASE WHEN prev IS NULL OR off_a - prev > 8 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_a, doc_b, diag ORDER BY off_a
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM (
+    SELECT *, LAG(off_a) OVER (PARTITION BY doc_a, doc_b, diag
+                               ORDER BY off_a) AS prev
+    FROM pairs)),
+spans AS (
+  SELECT doc_a, doc_b, diag, g,
+         (MAX(off_a) - MIN(off_a) + 32)::BIGINT AS span_len
+  FROM isl GROUP BY 1, 2, 3, 4 HAVING MAX(off_a) - MIN(off_a) + 32 >= 44)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       MAX(span_len)::BIGINT AS span_len, COUNT(*)::BIGINT AS n_spans
+FROM spans GROUP BY 1, 2
+ORDER BY span_len DESC, doc_a, doc_b LIMIT 100
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x129_length_bucket_packing": QuerySpec(
+        x_length_bucket_packing, X129_LENGTH_BUCKET_SQL
+    ),
+    "x130_temperature_mixture": QuerySpec(
+        x_temperature_mixture, X130_TEMPERATURE_SQL
+    ),
+    "x131_chi_square_screen": QuerySpec(
+        x_chi_square_screen, X131_CHI_SQUARE_SQL
+    ),
+    "x132_common_substring_pairs": QuerySpec(
+        x_common_substring_pairs, X132_COMMON_SUBSTRING_SQL
+    ),
     "q96_bag_setops": QuerySpec(q96_bag_setops, Q96_BAG_SETOPS_SQL),
     "q97_nullsafe_join": QuerySpec(q97_nullsafe_join, Q97_NULLSAFE_SQL),
     "x116_pandas_udaf": QuerySpec(x_pandas_udaf, X_PANDAS_UDAF_SQL),

@@ -115,3 +115,83 @@ class GitArtifactBackend:
     def log(self, run_id: str) -> list[str]:
         branch = self.branch_name(run_id)
         return _git(["log", "--oneline", branch], cwd=self.bare).splitlines()
+
+    def serve_http(self, host: str = "127.0.0.1", port: int = 0) -> "GitHttpServer":
+        """Serve this bare repo over the git dumb-HTTP protocol so any
+        machine can ``git clone <url>`` the artifact history — the
+        network half of A18 (the reference embeds a Gitblit server for
+        the same purpose, GitServerManager.scala:19-60; ours is the
+        standard dumb protocol: ``git update-server-info`` keeps
+        ``info/refs`` current and a stdlib static-file HTTP server does
+        the rest — no smart-protocol CGI, no external dependency).
+        Returns the started server; call ``.stop()`` when done."""
+        server = GitHttpServer(self, host=host, port=port)
+        server.start()
+        return server
+
+
+class GitHttpServer:
+    """Read-only dumb-HTTP transport for a :class:`GitArtifactBackend`.
+
+    The dumb protocol is plain HTTP GETs against the repository layout
+    (``info/refs``, ``objects/..``, packfiles); the only server-side
+    requirement is that ``git update-server-info`` has run after each
+    ref update. We install git's stock ``post-update`` hook behavior by
+    refreshing on ``start()`` and exposing :meth:`refresh` (the backend
+    is driver-side and single-writer, so a refresh per serve window is
+    sufficient; callers that commit while serving call ``refresh()``).
+    GETs only — pushes over dumb HTTP are not a thing, which is the
+    right property for an artifact log."""
+
+    def __init__(self, backend: GitArtifactBackend, host: str = "127.0.0.1", port: int = 0):
+        self.backend = backend
+        self.host = host
+        self.port = port
+        self._httpd = None
+        self._thread = None
+
+    @property
+    def url(self) -> str:
+        """Clone URL (``git clone <url>``)."""
+        if self._httpd is None:
+            raise RuntimeError("server not started")
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}/{os.path.basename(self.backend.bare)}"
+
+    def refresh(self) -> None:
+        """Regenerate ``info/refs`` / ``objects/info/packs`` after ref
+        updates (what git's stock post-update hook runs)."""
+        _git(["update-server-info"], cwd=self.backend.bare)
+
+    def start(self) -> "GitHttpServer":
+        import threading
+        from functools import partial
+        from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+        if self._httpd is not None:
+            return self
+        self.refresh()
+        root = os.path.dirname(self.backend.bare)
+
+        class _Handler(SimpleHTTPRequestHandler):
+            def log_message(self, *args):  # quiet: tests and pipelines
+                pass
+
+            def do_POST(self):  # dumb HTTP is GET-only; no receive-pack
+                self.send_error(405, "read-only dumb-HTTP git transport")
+
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), partial(_Handler, directory=root)
+        )
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+            self._thread = None

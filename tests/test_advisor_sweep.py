@@ -15,7 +15,8 @@ families from SCALE.md:
   q52, q54, q72, x25, x38, x39, x75, x93, x97, x99); brute-force
   scoring against a broadcast ≤5-row query set (x10); the group-pairs
   self-join over the DISTINCT GROUP LIST in x123's KMV set algebra
-  (#event-types rows, metadata scale — the sketch replaced the data).
+  (#event-types rows, metadata scale — the sketch replaced the data);
+  x130's 1-row weight-denominator broadcast over the per-source table.
 * ``single_partition`` — global single-row final aggregates and
   metadata-sized offset/carry ladders (#partitions / #buckets / #days
   rows, never data): q28, q34, q49, q54, q57, q68–q70, q72, x38–x40,
@@ -66,6 +67,12 @@ ALLOWED: dict[str, set[str]] = {
     # one 1-row final aggregate per inclusion-dependency candidate (the
     # global-aggregate family; inputs are NDV-reduced key sets)
     "x127_inclusion_profile": {"single_partition"},
+    # the 1-row isqrt-weight denominator broadcast back over the
+    # O(#sources) per-group table (scalar-subquery family)
+    "x130_temperature_mixture": {"cartesian", "single_partition"},
+    # the grand-total window over the CELLS table (|A|×|B| rows — 15 at
+    # any SF; the data-bearing stage is the groupBy before it)
+    "x131_chi_square_screen": {"single_partition"},
 }
 
 

@@ -59,10 +59,11 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-6 rotation (VERDICT r5 items 1–2): the sentinel core, the two
-    r5 canonicalizer-err re-attests (x57/x113), the ENTIRE 21-query
-    never-driver-checked backlog, and 22 oldest-single-green backfills
-    must all be in-window."""
+    Round-7 rotation (VERDICT r6 item 1, standing policy): the sentinel
+    core, every round-6 addition (x121–x127, q98, q99 — the only queries
+    without a driver row at the r6 close), every round-7 addition
+    (x128–x132, built before this window was pinned), and the
+    oldest-single-green backfills must all be in-window."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
@@ -74,15 +75,13 @@ def test_contract_window_invariant():
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
-    # r5 re-attests + the final never-driver-checked backlog, each
-    # pinned in-window (VERDICT r5 items 1–2).
+    # every never-driver-checked query, pinned in-window (VERDICT r6
+    # item 1 + the round-7 additions).
     must_have_x = (
-        "x57", "x113",                                # r5 re-attests
-        "x93", "x94", "x97", "x98", "x99",            # backlog
-        "x101", "x102", "x103", "x104", "x106",
-        "x115", "x116", "x117", "x118", "x119", "x120",
+        "x121", "x122", "x123", "x124", "x125", "x126", "x127",  # r6
+        "x128", "x129", "x130", "x131", "x132",                  # r7
     )
     for x in must_have_x:
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
-    for q in ("q93", "q94", "q95", "q96", "q97"):
+    for q in ("q98", "q99"):
         assert any(n.startswith(f"{q}_") for n in in_window), f"{q} outside window"

@@ -1331,3 +1331,125 @@ def test_strip_boilerplate_partial_tail_chunk(spark):
     # 4 tokens -> chunks "a b c" + tail "d"; nothing frequent
     assert got[1]["n_chunks"] == 2 and got[1]["cleaned"] == "a b c d"
     assert got[2]["n_chunks"] == 1 and got[2]["cleaned"] == "e f"
+
+
+def test_length_bucket_stats_arithmetic(spark):
+    """x129 batch economics on hand-countable docs: bucket assignment,
+    ceil batch count, padding, basis-point utilization — including a
+    bucket LONGER than the budget (capacity clamps to one doc per
+    batch, the batch stretches) and an over-long doc dropped."""
+    from samba_spark.operators.packing import length_bucket_stats
+
+    rows = [
+        (1, "a b c"),                 # 3 tokens  -> bucket 16
+        (2, "w " * 10),               # 10 tokens -> bucket 16
+        (3, "w " * 100),              # 100       -> bucket 128
+        (4, "w " * 100),              # 100       -> bucket 128
+        (5, "w " * 100),              # 100       -> bucket 128
+        (6, "w " * 300),              # 300       -> bucket 512 > budget
+        (7, "w " * 40000),            # over the top bucket: dropped
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.bucket_len: r
+        for r in length_bucket_stats(docs, budget=256).collect()
+    }
+    assert set(out) == {16, 128, 512}
+    b16 = out[16]   # cap=16, 2 docs -> 1 batch of 16 slots * 16 tokens
+    assert (b16.n_docs, b16.total_tokens, b16.pad_tokens) == (2, 13, 19)
+    assert (b16.n_batches, b16.util_bp) == (1, (10000 * 13) // 256)
+    b128 = out[128]  # cap=2, 3 docs -> 2 batches, 4 slots * 128 tokens
+    assert (b128.n_docs, b128.n_batches) == (3, 2)
+    assert b128.util_bp == (10000 * 300) // (2 * 2 * 128)
+    b512 = out[512]  # cap clamps to 1; batch stretches to 512 tokens
+    assert (b512.n_docs, b512.n_batches) == (1, 1)
+    assert b512.util_bp == (10000 * 300) // 512
+
+
+def test_temperature_mixture_lifts_small_sources(spark):
+    """x130: α=0.5 weights — the small source's epoch count exceeds the
+    big source's (the whole point of temperature sampling), and the
+    integer arithmetic is exactly isqrt-proportional."""
+    import math
+
+    from samba_spark.operators.mixing import temperature_mixture
+
+    rows = [(i, "big", "w " * 100) for i in range(100)] + [
+        (1000 + i, "small", "w " * 100) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.source: r for r in temperature_mixture(df, token_budget=5200).collect()}
+    nb, ns = 100 * 100, 4 * 100
+    wb, ws = math.isqrt(nb), math.isqrt(ns)
+    assert (out["big"].w_num, out["small"].w_num) == (wb, ws)
+    assert out["big"].alloc_tokens == (5200 * wb) // (wb + ws)
+    assert out["small"].alloc_tokens == (5200 * ws) // (wb + ws)
+    # epochs: small sees its data more often than big
+    assert out["small"].epochs_bp > out["big"].epochs_bp
+
+
+def test_chi_square_screen_known_table(spark):
+    """x131 on a hand-computed 2x2: contributions match (o·N − rt·ct)² /
+    (N·rt·ct) exactly, and a perfectly independent table contributes 0."""
+    from samba_spark.operators.quality import chi_square_screen
+
+    # observed: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=10  N=60
+    rows = (
+        [("x", "p")] * 30 + [("x", "q")] * 10
+        + [("y", "p")] * 10 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = {(r.a, r.b): r for r in chi_square_screen(df, "a", "b").collect()}
+    n = 60
+    totals = {"x": 40, "y": 20, "p": 40, "q": 20}
+    for (a, b), o in {("x","p"):30, ("x","q"):10, ("y","p"):10, ("y","q"):10}.items():
+        rt, ct = totals[a], totals[b]
+        diff = o * n - rt * ct
+        assert out[(a, b)].expected_milli == (1000 * rt * ct) // n
+        assert abs(out[(a, b)].contrib - round(diff * diff / (n * rt * ct), 6)) < 1e-9
+    # independent table -> all contributions zero
+    ind = spark.createDataFrame(
+        [("x", "p")] * 20 + [("x", "q")] * 20 + [("y", "p")] * 10 + [("y", "q")] * 10,
+        ["a", "b"],
+    )
+    assert all(r.contrib == 0.0 for r in chi_square_screen(ind, "a", "b").collect())
+
+
+def test_common_substring_pairs_winnowed_spans(spark):
+    """x132: winnowed fingerprint selection finds the shared span at ANY
+    alignment (the spans below sit at alignment difference 10, which a
+    fixed stride-4 sample would MISS — selection is content-keyed, so
+    both docs pick the same windows); winnow=1 selects every window and
+    reports the exact span length; disjoint docs report nothing; the
+    df-cap drops boilerplate shared by too many docs."""
+    from samba_spark.operators.dedup import common_substring_pairs
+
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"  # 50 chars
+    rows = [
+        (1, "PREFIXONE " + shared + " SUFFIXONE padding padding padding"),
+        (2, "totally other start " + shared + " different tail here xx"),
+        (3, "no overlap with anything else at all in this one body"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # winnow=1: every window selected -> exact span (flanking spaces: 52)
+    out = {(r.doc_a, r.doc_b): r for r in
+           common_substring_pairs(docs, window=32, min_len=48, winnow=1).collect()}
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)].span_len == 52
+    # winnow=8 at misaligned offsets (alignment diff 10, not 0 mod 8):
+    # detection guaranteed, reported >= 52 - 2*(8-1) = 38
+    out8 = {(r.doc_a, r.doc_b): r for r in
+            common_substring_pairs(docs, window=32, min_len=38, winnow=8).collect()}
+    assert (1, 2) in out8 and out8[(1, 2)].span_len >= 38
+    # boilerplate cap: the same span in 5 docs with max_df=4 reports nothing
+    many = spark.createDataFrame(
+        [(i, f"doc{i} unique lead-in {shared} unique tail {i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    assert (
+        common_substring_pairs(many, window=32, min_len=48, winnow=1, max_df=4)
+        .count() == 0
+    )
+    # parameter validation
+    with pytest.raises(ValueError, match="winnow"):
+        common_substring_pairs(docs, window=32, min_len=48, winnow=0)

@@ -70,3 +70,50 @@ def test_element_update_and_delete(engine, sf_smoke):
     # untouched elements unchanged
     others = [k for k in current if k not in (e0.element_id, e1.element_id)]
     assert len(others) == 23
+
+
+def test_git_http_serve_clone_round_trip(engine, group_src, tmp_path):
+    """A18 network story: a real `git clone` over the dumb-HTTP server
+    fetches the run branch, and the cloned tree matches the committed
+    <task>/<group>/ layout byte-for-byte. Commits made while serving
+    become visible after refresh()."""
+    import subprocess
+
+    backend = GitArtifactBackend(str(tmp_path / "vcs"))
+    backend.commit_groups(group_src, task_desc="load")
+    server = backend.serve_http()
+    try:
+        branch = backend.branch_name(engine.run_id)
+        dst = str(tmp_path / "clone1")
+        subprocess.run(
+            ["git", "clone", "--quiet", "--branch", branch, server.url, dst],
+            check=True, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        assert (tmp_path / "clone1" / "load" / "g" / "data.txt").read_bytes() == b"v1\n"
+
+        # a commit made while serving appears after refresh()
+        out = run_command(group_src, "tr v V < data.txt > data2.txt")
+        backend.commit_groups(out, task_desc="transform")
+        server.refresh()
+        dst2 = str(tmp_path / "clone2")
+        subprocess.run(
+            ["git", "clone", "--quiet", "--branch", branch, server.url, dst2],
+            check=True, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        assert (
+            tmp_path / "clone2" / "transform" / "g" / "data2.txt"
+        ).read_bytes() == b"V1\n"
+
+        # transport is read-only: POST (smart-protocol push entry) is 405
+        import urllib.request
+
+        req = urllib.request.Request(
+            server.url + "/git-receive-pack", data=b"x", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("POST should be rejected")
+        except urllib.error.HTTPError as e:
+            assert e.code == 405
+    finally:
+        server.stop()
