@@ -950,15 +950,32 @@ def common_substring_pairs(
             10,
         ).cast("long"),
     )
-    sh = (
-        documents.where(F.length(text_col) >= window)
-        .select("doc_id", F.posexplode(harr).alias("off", "h"))
-    )
     # true winnowing: each forward window of `winnow` hashes selects its
     # rightmost minimum. Argmin as one integer MIN: 36-bit selection
     # hash in the high bits, bit-flipped offset in the low 26 (offsets
     # must fit 2^26 chars per document).
     radix = 1 << 26
+    # enforce the 2^26-chars-per-document precondition LOUDLY: a longer
+    # document would wrap the packed key's offset bits and silently
+    # corrupt the winnowing argmin
+    off_checked = F.when(
+        F.col("off") >= radix,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "common_substring_pairs: document longer than 2^26 "
+                    "chars (doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(") — offsets no longer fit the selection key"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("off"))
+    sh = (
+        documents.where(F.length(text_col) >= window)
+        .select("doc_id", F.posexplode(harr).alias("off", "h"))
+        .withColumn("off", off_checked)
+    )
     # 36-bit selection hash = top bits of h (h is 60 bits of md5); the
     # shifted product stays under 2^62
     sh = sh.withColumn(

@@ -11,9 +11,12 @@ Scope (documented contract, loud failures outside it):
 - **Decoder**: baseline sequential DCT (SOF0) only — progressive
   (SOF2) and the arithmetic/lossless SOF variants raise. 8-bit sample
   precision. Grayscale, and YCbCr with ANY sampling factors (4:4:4,
-  4:2:2, 4:2:0, ... — chroma planes are replication-upsampled), both
-  interleaved and single-component scans; restart markers (DRI/RSTn)
-  honored. This covers the overwhelming majority of real-world JPEGs.
+  4:2:2, 4:2:0, ... — chroma planes are replication-upsampled) in ONE
+  interleaved scan; single-component scans are supported for grayscale
+  only (a multi-component frame written as separate per-plane scans
+  raises). Restart markers (DRI/RSTn) honored. This covers the
+  overwhelming majority of real-world JPEGs. Malformed/truncated
+  streams raise ValueError (the decode/resize fallthrough contract).
 - **Encoder**: grayscale (1 channel) or RGB (3 channels, stored 4:4:4
   YCbCr) with the Annex K example quantization tables (quality-50) and
   the Annex K typical Huffman tables. The encoder exists to synthesize
@@ -710,10 +713,30 @@ def _make_jpeg_codec(
         return int(_round_clamp(out)[0, 0])
 
 
+    def _valueerror_boundary(fn):
+        """Malformed input must surface as ValueError — the exception the
+        decode/resize fallthrough contract catches (multimodal.decode_one
+        falls through to PIL/stub on ValueError). A truncated or corrupt
+        stream otherwise escapes as struct.error (not a ValueError
+        subclass), KeyError (missing DQT/DHT table id), or IndexError —
+        crashing the Spark task instead of falling back."""
+
+        def wrapped(*args, **kw):
+            try:
+                return fn(*args, **kw)
+            except (struct.error, KeyError, IndexError) as exc:
+                raise ValueError(
+                    f"invalid JPEG: truncated or malformed stream ({exc!r})"
+                ) from exc
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        return wrapped
+
     return (
         encode_jpeg_baseline,
-        decode_jpeg_pixels,
-        parse_jpeg_header,
+        _valueerror_boundary(decode_jpeg_pixels),
+        _valueerror_boundary(parse_jpeg_header),
         decoded_constant_block_value,
     )
 

@@ -270,6 +270,11 @@ def temperature_mixture(
         df.select(F.col(group_col).alias("source"), toks.alias("_t"))
         .groupBy("source")
         .agg(F.sum("_t").cast("long").alias("n_tokens"))
+        # a source whose documents are all empty carries no tokens and no
+        # weight — dropped explicitly (isqrt(0)=0 would zero its
+        # allocation anyway, but epochs_bp would divide by zero: NULL in
+        # Spark, a hard error in the oracle)
+        .where(F.col("n_tokens") > 0)
         .withColumn(
             "w_num", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
         )

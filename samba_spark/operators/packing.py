@@ -121,9 +121,12 @@ def length_bucket_stats(
     bucketed dynamic batching at a fixed per-batch token ``budget`` —
     (bucket_len, n_docs, total_tokens, pad_tokens, n_batches,
     util_bp). Each document pads to its bucket length; a batch holds
-    ``budget div bucket_len`` documents; ``util_bp`` is real tokens over
-    batch capacity in basis points (integer — floor(10000·total_tokens /
-    (n_batches·budget))). The dynamic-batching planner's input: which
+    max(1, budget div bucket_len) documents (a bucket longer than the
+    budget batches one doc at a time, the batch stretching to the bucket
+    length); ``util_bp`` is real tokens over PADDED-SLOT capacity in
+    basis points — floor(10000·total_tokens / (n_batches·cap·
+    bucket_len)), not n_batches·budget, which differs exactly for the
+    stretched buckets. The dynamic-batching planner's input: which
     length regimes waste padding, and what the end-to-end token
     utilization of the bucketed layout is.
 

@@ -346,13 +346,18 @@ def chi_square_screen(
     differently.
 
     Output: (a, b, observed, expected_milli, contrib) where
-    expected_milli = (1000·rt·ct) div N (integer-exact) and contrib =
+    expected_milli = floor(1000·rt·ct / N) (integer-exact, computed as
+    the overflow-safe decomposition q·ct + (r·ct) div N with
+    q = (1000·rt) div N, r = (1000·rt) mod N — every intermediate stays
+    under N², i.e. BIGINT-safe to ~3e9 rows) and contrib =
     round((o·N − rt·ct)² / (N·rt·ct), 6) — the ×N-scaled cell term of
     χ² = Σ (o−e)²/e. The difference (o·N − rt·ct) is an exact BIGINT
-    (≤ ~2e10 at sf0.1); its square and the division run in double with
-    the same operand order in both engines, so round(·, 6) matches
-    bit-for-bit. One groupBy over the table, then O(cells) windows —
-    the data-bearing stage is a single hash aggregation."""
+    (bounded by N²); its square and the denominator are computed in
+    DOUBLE factor-by-factor (a 64-bit n·rt·ct product would silently
+    wrap past ~2M rows with heavy margins) with the same operand order
+    in both engines, so round(·, 6) matches bit-for-bit. One groupBy
+    over the table, then O(cells) windows — the data-bearing stage is a
+    single hash aggregation."""
     cells = (
         df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
         .groupBy("a", "b")
@@ -371,13 +376,21 @@ def chi_square_screen(
     )
     contrib = F.round(
         (diff.cast("double") * diff.cast("double"))
-        / (F.col("n") * F.col("rt") * F.col("ct")).cast("double"),
+        / (
+            F.col("n").cast("double")
+            * F.col("rt").cast("double")
+            * F.col("ct").cast("double")
+        ),
         6,
     )
     return t.select(
         "a",
         "b",
         "observed",
-        F.expr("(1000 * rt * ct) div n").cast("long").alias("expected_milli"),
+        F.expr(
+            "((1000 * rt) div n) * ct + (((1000 * rt) % n) * ct) div n"
+        )
+        .cast("long")
+        .alias("expected_milli"),
         contrib.alias("contrib"),
     )

@@ -681,32 +681,41 @@ def kmv_set_ops_pairwise(sketch: DataFrame, k: int = 256) -> DataFrame:
     silently truncate merged sketches early and a larger k makes full
     sketches look like the exact regime — both skew estimates with no
     error. The too-small direction is detectable from the data (some
-    group then holds more than k rows), so it is validated eagerly here
-    (one O(groups) aggregation on the metadata-scale sketch table — the
-    ADVICE r6 guard); the too-large direction is indistinguishable from
-    a legitimately-exact sketch and stays the caller's contract."""
-    over = (
-        sketch.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("mx"))
-        .first()
-    )
-    if over is not None and over.mx is not None and over.mx > k:
-        raise ValueError(
-            "kmv_set_ops_pairwise: k=%d but some group's sketch holds %d "
-            "rows — k must match the k used in kmv_sketch" % (k, over.mx)
-        )
+    group then holds more than k rows), so a plan-folded assertion
+    (raise_error on the per-group count, riding the aggregation the
+    estimates already need — no extra scan, no eager action) fails the
+    job loudly at execution (the ADVICE r6 guard); the too-large
+    direction is indistinguishable from a legitimately-exact sketch and
+    stays the caller's contract."""
     groups = sketch.select("g").distinct()
     pairs = (
         groups.alias("x")
         .join(groups.alias("y"), F.col("x.g") < F.col("y.g"))
         .select(F.col("x.g").alias("ga"), F.col("y.g").alias("gb"))
     )
-    # per-group stats for est_a / est_b
+    # per-group stats for est_a / est_b. The k-mismatch guard rides the
+    # SAME aggregation as a plan-folded assertion (raise_error fires at
+    # execution on the first over-full group) instead of an eager
+    # .first() — the first cut of this guard ran the whole lazy sketch
+    # plan twice per call (once for the check, once for the result) and
+    # made a plan-constructor eager.
     num = F.lit(float(k - 1) * KMV_HASH_SPACE)
     per_g = sketch.groupBy("g").agg(
         F.count(F.lit(1)).alias("n"), F.max("h").alias("kth")
     )
+    checked_n = F.when(
+        F.col("n") > k,
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_set_ops_pairwise: k=%d but group " % k),
+                F.col("g").cast("string"),
+                F.lit("'s sketch holds "),
+                F.col("n").cast("string"),
+                F.lit(" rows — k must match the k used in kmv_sketch"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
+    per_g = per_g.withColumn("n", checked_n)
     est_g = per_g.select(
         "g",
         F.when(F.col("n") < k, F.col("n").cast("long"))

@@ -53,10 +53,10 @@ Round-7 rotation (VERDICT r6 item 1): the round-6 window came back
 50/50 full-green (first zero-error window), so all 45 rotated-in
 entries moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
 additions born after the r6 window pin (x121–x127, q98, q99 — the only
-queries without a driver row), then 36 backfills of the oldest
-single-green rows: the 23 round-3-window entries the r6 backfill did
+queries without a driver row), then 31 backfills of the oldest
+single-green rows — the 23 round-3-window entries the r6 backfill did
 not reach (x36–x43, q48–q62) and the 8 oldest round-4-window entries
-(streaming state q73/q78/q83–q85, codecs x44/x63/x73), then the 5
+(streaming state q73/q78/q83–q85, codecs x44/x63/x73) — then the 5
 round-7 additions built BEFORE this window was pinned (x128 JPEG
 pixels, x129 length-bucket packing, x130 temperature mixture, x131
 chi-square screen, x132 winnowed common-substring pairs) — standing
@@ -91,10 +91,10 @@ _SENTINELS = [
 # window came back 50/50 full-green, so all 45 rotated-in entries
 # moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
 # additions that were born after the r6 window was pinned and so have
-# never had a driver row (x121–x127, q98, q99), then 36 backfill slots
-# with the oldest single-green rows: the 23 round-3-window entries the
-# r6 backfill did not reach (it stopped at x35), then the 13 oldest
-# round-4-window entries in r4 order.
+# never had a driver row (x121–x127, q98, q99), then 31 backfill slots
+# with the oldest single-green rows (the 23 round-3-window entries the
+# r6 backfill did not reach, then the 8 oldest round-4-window entries
+# in r4 order), then the 5 round-7 additions.
 _ROTATED_IN = [
     # round-6 additions — never driver-checked (VERDICT r6 item 1)
     "x121_sliding_distinct_auto",

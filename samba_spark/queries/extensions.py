@@ -4933,7 +4933,8 @@ WITH per AS (
          SUM(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                              x -> x <> '')))::BIGINT AS n_tokens
   FROM documents GROUP BY source),
-w AS (SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS w_num FROM per),
+pos AS (SELECT * FROM per WHERE n_tokens > 0),
+w AS (SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS w_num FROM pos),
 d AS (SELECT SUM(w_num)::BIGINT AS w_den FROM w)
 SELECT source, n_tokens, w_num, w_den,
        ((100000 * w_num) // w_den)::BIGINT AS alloc_tokens,
@@ -4967,10 +4968,12 @@ t AS (
          SUM(observed) OVER ()::BIGINT AS n
   FROM cells)
 SELECT a, b, observed,
-       ((1000 * rt * ct) // n)::BIGINT AS expected_milli,
+       (((1000 * rt) // n) * ct + (((1000 * rt) % n) * ct) // n)::BIGINT
+         AS expected_milli,
        ROUND((CAST(observed * n - rt * ct AS DOUBLE)
               * CAST(observed * n - rt * ct AS DOUBLE))
-             / CAST(n * rt * ct AS DOUBLE), 6) AS contrib
+             / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)),
+             6) AS contrib
 FROM t ORDER BY a, b
 """
 

@@ -152,11 +152,12 @@ class GitHttpServer:
 
     @property
     def url(self) -> str:
-        """Clone URL (``git clone <url>``)."""
+        """Clone URL (``git clone <url> <dest>`` — the repo is served at
+        the server ROOT, so pass an explicit destination)."""
         if self._httpd is None:
             raise RuntimeError("server not started")
         host, port = self._httpd.server_address[:2]
-        return f"http://{host}:{port}/{os.path.basename(self.backend.bare)}"
+        return f"http://{host}:{port}/"
 
     def refresh(self) -> None:
         """Regenerate ``info/refs`` / ``objects/info/packs`` after ref
@@ -171,7 +172,10 @@ class GitHttpServer:
         if self._httpd is not None:
             return self
         self.refresh()
-        root = os.path.dirname(self.backend.bare)
+        # serve the bare repo itself as the document root — serving its
+        # PARENT would expose every sibling file under the backend root
+        # (scratch data, other runs) over HTTP
+        root = self.backend.bare
 
         class _Handler(SimpleHTTPRequestHandler):
             def log_message(self, *args):  # quiet: tests and pipelines

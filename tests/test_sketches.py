@@ -580,7 +580,9 @@ def test_bloom_probe_null_key_is_definitely_new(spark):
 def test_kmv_pairwise_rejects_mismatched_k(spark):
     """kmv_set_ops_pairwise validates k against the sketch (ADVICE r6):
     a k smaller than the sketch's build k would silently truncate
-    merged sketches — it must raise instead."""
+    merged sketches — the plan-folded raise_error assertion must fail
+    the job at execution (NOT an eager .first(): the first cut of this
+    guard scanned the whole lazy sketch plan twice per call)."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -593,8 +595,9 @@ def test_kmv_pairwise_rejects_mismatched_k(spark):
         (F.col("id") % 2).cast("string").alias("g"), F.col("id").alias("k")
     )
     sk = kmv_sketch(df, "g", "k", k=256)
-    with pytest.raises(ValueError, match="must match"):
-        kmv_set_ops_pairwise(sk, k=64)
+    out = kmv_set_ops_pairwise(sk, k=64)  # lazy: constructing is fine
+    with pytest.raises(Exception, match="must match"):
+        out.collect()
 
 
 def test_ivf_topk_validates_quantizer_args(spark):

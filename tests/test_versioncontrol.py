@@ -105,15 +105,29 @@ def test_git_http_serve_clone_round_trip(engine, group_src, tmp_path):
         ).read_bytes() == b"V1\n"
 
         # transport is read-only: POST (smart-protocol push entry) is 405
+        import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
-            server.url + "/git-receive-pack", data=b"x", method="POST"
+            server.url + "git-receive-pack", data=b"x", method="POST"
         )
         try:
             urllib.request.urlopen(req)
             raise AssertionError("POST should be rejected")
         except urllib.error.HTTPError as e:
             assert e.code == 405
+
+        # document root is the bare repo itself: sibling files under the
+        # backend root must NOT be reachable (the first cut served the
+        # parent directory and exposed them)
+        (tmp_path / "vcs" / "secret.txt").write_text("not served")
+        try:
+            urllib.request.urlopen(server.url + "secret.txt")
+            raise AssertionError("sibling file must not be served")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # while in-repo files still are
+        with urllib.request.urlopen(server.url + "info/refs") as resp:
+            assert branch.encode() in resp.read()
     finally:
         server.stop()
