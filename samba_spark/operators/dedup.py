@@ -983,24 +983,27 @@ def common_substring_pairs(
         F.expr("h div 16777216") * radix
         + (F.lit(radix - 1) - F.col("off")),
     )
-    # materialize ONCE (3 longs/row): the winnowing-window branch and
-    # the h-recovery join both read it — without the pin the md5 pass
-    # over every window runs twice (measured 2x wall-clock at sf0.1)
-    sh = sh.localCheckpoint()
     w_fwd = (
         Window.partitionBy("doc_id").orderBy("off").rowsBetween(0, winnow - 1)
     )
-    sel_offs = (
+    # carry the FULL hash through the argmin as a struct-min on (_k, h):
+    # _k is unique per row within a document (it encodes the offset), so
+    # the struct ordering is decided entirely by _k and the selection is
+    # identical to min(_k) — but h arrives with it, which removes the
+    # join-back to the dense table (a 2nd full-table shuffle that made
+    # the 10x decade step ~2x over linear). dropDuplicates keys are a
+    # superset of the window's partition key, so no extra exchange.
+    sel = (
         sh.select(
             "doc_id",
-            (F.lit(radix - 1) - (F.min("_k").over(w_fwd) % radix)).alias(
-                "off"
-            ),
+            F.min(F.struct("_k", "h")).over(w_fwd).alias("_s"),
         )
-        .distinct()
-    )
-    sel = sel_offs.join(
-        sh.select("doc_id", "off", "h"), ["doc_id", "off"]
+        .select(
+            "doc_id",
+            (F.lit(radix - 1) - (F.col("_s._k") % radix)).alias("off"),
+            F.col("_s.h").alias("h"),
+        )
+        .dropDuplicates(["doc_id", "off"])
     )
     sel = sel.localCheckpoint()
     docfreq = sel.groupBy("h").agg(

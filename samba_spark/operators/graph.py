@@ -455,10 +455,11 @@ def k_core(
     depth the x124 oracle replays as chained CTEs; once the loop has
     converged, every deeper unroll is a no-op, so the convergence loop
     and the fixed oracle agree whenever the oracle's own unroll reaches
-    the fixed point (the declared fixture converges by round 6; a
-    graph that needed more than ``rounds`` would make the fixed-CTE
-    oracle itself a superset of the true k-core — this implementation
-    returns the true k-core). Each round is one degree aggregation
+    the fixed point. This is not theoretical: the sf0.1 declared
+    fixture needs 24 peel rounds (measured round-7), so the original
+    rounds=8 unroll silently returned a SUPERSET there — x124's oracle
+    now unrolls 26 materialized CTE rounds to cover every SF, and this
+    implementation peels to the true k-core at any depth. Each round is one degree aggregation
     over the survivor-filtered edge list (two semi-joins + one count,
     all keyed by vertex id); localCheckpoint keeps plan depth flat,
     and the convergence probe is a count() on the already-materialized

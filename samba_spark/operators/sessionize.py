@@ -939,3 +939,85 @@ def autocorrelation(
             F.col("r.acf").alias("acf"),
         )
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) over the group's (x, y) points — the
+    estimator that shrugs off up to ~29% outliers where OLS (x62's
+    closed-form slope) gets dragged; the standard robust complement in
+    a monitoring stack. Also reports the Theil–Sen intercept
+    (median of y_i − slope·x_i) and the pair count.
+
+    Expected input is a ROLLED-UP series (one row per (group, x) — e.g.
+    month index), so the pairwise fan-out is O(points²) per group at
+    METADATA scale (84 months → 3.5k pairs), never the raw table; the
+    data-bearing stage is whatever aggregation produced the rollup.
+
+    Engine-exactness: x and y are exact integers, each slope is ONE
+    correctly-rounded IEEE division, the median picks the two middle
+    values of an engine-identical sort and averages them with one
+    add + one halving — every float op identical in both engines, so
+    round(·, 6) matches bit-for-bit (the same determinism argument as
+    the α=0.5 mixture weights)."""
+    pts = df.select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    pairs = (
+        pts.alias("a")
+        .join(pts.alias("b"), F.col("a.g") == F.col("b.g"))
+        .where(F.col("a.x") < F.col("b.x"))
+        .select(
+            F.col("a.g").alias("g"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("g").orderBy("slope")
+    ranked = pairs.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    med_slope = (
+        ranked.where(
+            (F.col("_rn") == F.expr("(_n + 1) div 2"))
+            | (F.col("_rn") == F.expr("_n div 2 + 1"))
+        )
+        .groupBy("g")
+        .agg(
+            (F.sum("slope") / F.count(F.lit(1))).alias("slope"),
+            F.max("_n").cast("long").alias("n_pairs"),
+        )
+    )
+    resid = pts.join(med_slope.select("g", "slope"), "g").select(
+        "g", (F.col("y") - F.col("slope") * F.col("x")).alias("ic")
+    )
+    w2 = Window.partitionBy("g").orderBy("ic")
+    r2 = resid.withColumn("_rn", F.row_number().over(w2)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    med_ic = (
+        r2.where(
+            (F.col("_rn") == F.expr("(_n + 1) div 2"))
+            | (F.col("_rn") == F.expr("_n div 2 + 1"))
+        )
+        .groupBy("g")
+        .agg((F.sum("ic") / F.count(F.lit(1))).alias("intercept"))
+    )
+    return (
+        med_slope.join(med_ic, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_pairs",
+            F.round("slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )

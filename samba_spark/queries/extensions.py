@@ -4108,9 +4108,12 @@ def x_k_core(spark, sf_dir):
     past ``rounds`` when the frontier still shrinks — r7 convergence
     fix); peeling is monotone and deterministic, so the oracle's fixed
     8-round CTE unroll matches exactly when it, too, reaches the fixed
-    point (this fixture converges by round 6 — extra rounds are no-ops;
-    a long-path under-peel test guards the divergent case). Top-100
-    core vertices by in-core degree."""
+    point. The oracle unrolls 26 rounds — at sf0.1 the repeat-trade
+    graph needs 24 peel rounds to converge (measured round-7), so the
+    original 8-round unroll was silently a SUPERSET there: exactly the
+    under-peel hazard the r7 convergence fix exists to catch. Extra
+    rounds past the fixed point are no-ops, so one deep unroll is
+    correct at every SF. Top-100 core vertices by in-core degree."""
     from samba_spark.operators.graph import k_core
 
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
@@ -4134,28 +4137,28 @@ def x_k_core(spark, sf_dir):
     )
 
 
-def _x124_sql(k: int = 3, rounds: int = 8) -> str:
+def _x124_sql(k: int = 3, rounds: int = 26) -> str:
     head = """
 WITH pairs AS (
   SELECT CAST(o_custkey AS BIGINT) AS src,
          CAST(l_suppkey AS BIGINT) + 10000000 AS dst
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-sym AS (
+sym AS MATERIALIZED (
   SELECT DISTINCT _s, _d FROM (
     SELECT src AS _s, dst AS _d FROM pairs
     UNION ALL SELECT dst, src FROM pairs) WHERE _s <> _d),
-a0 AS (SELECT DISTINCT _s AS v FROM sym)"""
+a0 AS MATERIALIZED (SELECT DISTINCT _s AS v FROM sym)"""
     parts = [head]
     for r in range(1, rounds + 1):
         parts.append(f""",
-d{r} AS (
+d{r} AS MATERIALIZED (
   SELECT e._s AS v, COUNT(*)::BIGINT AS degree
   FROM sym e
   JOIN a{r - 1} x ON e._s = x.v
   JOIN a{r - 1} y ON e._d = y.v
   GROUP BY e._s),
-a{r} AS (SELECT v FROM d{r} WHERE degree >= {k})""")
+a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE degree >= {k})""")
     parts.append(f"""
 SELECT v AS vertex, degree FROM d{rounds} WHERE degree >= {k}
 ORDER BY degree DESC, vertex LIMIT 100""")
@@ -5067,7 +5070,76 @@ ORDER BY span_len DESC, doc_a, doc_b LIMIT 100
 """
 
 
+def x_theil_sen(spark, sf_dir):
+    """Per-priority Theil–Sen robust revenue trend
+    (sessionize.theil_sen_trend): monthly revenue-cents rollup, then the
+    median of all pairwise slopes and the median-residual intercept —
+    the outlier-proof complement to x62's OLS slope. The rollup bounds
+    the pairwise stage at O(months²) per group (metadata scale); every
+    float op (one IEEE division per pair, one add + halving for the
+    median) is engine-identical, so round(·,6) is a hash-exact oracle."""
+    from samba_spark.operators.sessionize import theil_sen_trend
+
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    monthly = t.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    return theil_sen_trend(
+        monthly, "o_orderpriority", "m", "cents"
+    ).orderBy("o_orderpriority")
+
+
+X133_THEIL_SEN_SQL = """
+WITH monthly AS (
+  SELECT o_orderpriority AS g,
+         ((EXTRACT(year FROM o_orderdate) - 1992) * 12
+          + EXTRACT(month FROM o_orderdate) - 1)::BIGINT AS x,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT AS y
+  FROM orders GROUP BY 1, 2),
+pairs AS (
+  SELECT a.g, CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM monthly a JOIN monthly b ON a.g = b.g AND a.x < b.x),
+ranked AS (
+  SELECT g, slope,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY slope) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM pairs),
+med AS (
+  SELECT g, SUM(slope) / COUNT(*) AS slope, MAX(n)::BIGINT AS n_pairs
+  FROM ranked
+  WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+  GROUP BY g),
+resid AS (
+  SELECT m.g, m.y - med.slope * m.x AS ic
+  FROM monthly m JOIN med ON med.g = m.g),
+r2 AS (
+  SELECT g, ic,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY ic) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM resid),
+med_ic AS (
+  SELECT g, SUM(ic) / COUNT(*) AS intercept
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+  GROUP BY g)
+SELECT med.g AS o_orderpriority, med.n_pairs,
+       ROUND(med.slope, 6) AS slope,
+       ROUND(med_ic.intercept, 6) AS intercept
+FROM med JOIN med_ic ON med.g = med_ic.g
+ORDER BY o_orderpriority
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x133_theil_sen": QuerySpec(x_theil_sen, X133_THEIL_SEN_SQL),
     "x129_length_bucket_packing": QuerySpec(
         x_length_bucket_packing, X129_LENGTH_BUCKET_SQL
     ),

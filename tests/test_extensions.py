@@ -1453,3 +1453,22 @@ def test_common_substring_pairs_winnowed_spans(spark):
     # parameter validation
     with pytest.raises(ValueError, match="winnow"):
         common_substring_pairs(docs, window=32, min_len=48, winnow=0)
+
+
+def test_theil_sen_shrugs_off_outliers(spark):
+    """x133: the median-of-pairwise-slopes estimator recovers the exact
+    trend of a clean line AND of a line with a wild outlier (which drags
+    OLS), on both odd and even pair counts."""
+    from samba_spark.operators.sessionize import theil_sen_trend
+
+    rows = [("a", x, 3 * x + 10) for x in range(10)]
+    rows[5] = ("a", 5, 1000)  # outlier
+    rows += [("b", x, -2 * x + 100) for x in range(8)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r for r in theil_sen_trend(df, "g", "x", "y").collect()}
+    assert (out["a"].slope, out["a"].intercept, out["a"].n_pairs) == (
+        3.0, 10.0, 45,
+    )
+    assert (out["b"].slope, out["b"].intercept, out["b"].n_pairs) == (
+        -2.0, 100.0, 28,
+    )

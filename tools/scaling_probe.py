@@ -79,6 +79,15 @@ PROBES = [
     "x124_k_core",
     "x125_benford",
     "x126_acf",
+    # round-7 additions: the JPEG codec pipeline (mapInPandas decode of
+    # a fixed 8-image fixture — probes the codec path's fixed cost, the
+    # pixel work is SF-independent by design), length-bucket batching
+    # economics (one hash agg), winnowed common-substring pairs (dense
+    # window hashing + winnowing window + df-capped pair join — the new
+    # heavy family; see also tools/x132_decade_probe.py one decade up).
+    "x128_jpeg_pixel_pipeline",
+    "x129_length_bucket_packing",
+    "x132_common_substring_pairs",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
