@@ -5138,8 +5138,58 @@ ORDER BY o_orderpriority
 """
 
 
+def x_int8_ann(spark, sf_dir):
+    """SQ8 scalar-quantized similarity top-k (simsearch.int8_quantize_topk):
+    per-dimension max-abs int8 codes, INTEGER dot-product ranking — the
+    memory-compression leg of the ANN family (4× smaller corpus than
+    float32), and the rare approximate method whose output is hash-exact
+    across engines (codes and scores are integers; the oracle replays
+    the quantizer bit-for-bit). Top-10 per query over the standard
+    5-query fixture."""
+    embs = _embs(spark, sf_dir)
+    return S.int8_quantize_topk(embs, _queries_df(embs), k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+X134_INT8_ANN_SQL = """
+WITH t AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding) AS x
+  FROM embeddings),
+sc AS (
+  SELECT d, CASE WHEN MAX(ABS(CAST(x AS DOUBLE))) > 0
+                 THEN MAX(ABS(CAST(x AS DOUBLE))) ELSE 1.0 END AS m
+  FROM t GROUP BY d),
+codes AS (
+  SELECT vec_id, t.d,
+         CAST(ROUND(127.0 * CAST(x AS DOUBLE) / m) AS BIGINT) AS code
+  FROM t JOIN sc USING (d)),
+q AS (SELECT vec_id AS query_id, d, code AS qc FROM codes WHERE vec_id < 5),
+ssq AS (SELECT vec_id, SUM(code * code)::BIGINT AS s2 FROM codes GROUP BY 1),
+s AS (
+  SELECT query_id, c.vec_id, SUM(qc * c.code)::BIGINT AS qscore
+  FROM q JOIN codes c USING (d) GROUP BY 1, 2),
+n AS (
+  SELECT s.query_id, s.vec_id, s.qscore,
+         ROUND(CAST(s.qscore AS DOUBLE)
+               / (SQRT(CAST(qs.s2 AS DOUBLE)) * SQRT(CAST(cs.s2 AS DOUBLE))),
+               6) AS sim8
+  FROM s
+  JOIN ssq qs ON qs.vec_id = s.query_id
+  JOIN ssq cs ON cs.vec_id = s.vec_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim8 DESC, vec_id) AS rank
+  FROM n)
+SELECT query_id, vec_id, qscore, sim8, rank::BIGINT AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x133_theil_sen": QuerySpec(x_theil_sen, X133_THEIL_SEN_SQL),
+    "x134_int8_ann": QuerySpec(x_int8_ann, X134_INT8_ANN_SQL),
     "x129_length_bucket_packing": QuerySpec(
         x_length_bucket_packing, X129_LENGTH_BUCKET_SQL
     ),

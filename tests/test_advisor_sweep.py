@@ -73,6 +73,9 @@ ALLOWED: dict[str, set[str]] = {
     # the grand-total window over the CELLS table (|A|×|B| rows — 15 at
     # any SF; the data-bearing stage is the groupBy before it)
     "x131_chi_square_screen": {"single_partition"},
+    # brute scoring against the broadcast ≤5-row query-code set (the x10
+    # family) — SQ8 corpus codes are the big side, queries broadcast
+    "x134_int8_ann": {"cartesian"},
 }
 
 

@@ -1472,3 +1472,53 @@ def test_theil_sen_shrugs_off_outliers(spark):
     assert (out["b"].slope, out["b"].intercept, out["b"].n_pairs) == (
         -2.0, 100.0, 28,
     )
+
+
+def test_int8_quantized_topk_recall_and_exactness(spark, sf_smoke):
+    """x134: SQ8 codes are engine-exact integers in [-127, 127]; each
+    query's own vector ranks first (self-similarity survives
+    quantization); recall@10 vs exact cosine stays high."""
+    from samba_spark.operators import simsearch as S
+    from samba_spark.queries.extensions import _embs, _queries_df
+
+    embs = _embs(spark, sf_smoke)
+    qs = _queries_df(embs)
+    out = S.int8_quantize_topk(embs, qs, k=10)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rs in by_q.items():
+        assert len(rs) == 10
+        top = min(rs, key=lambda r: r.rank)
+        assert top.vec_id == qid, "self-match must rank first"
+    # quantized cosine tracks exact cosine within quantization error
+    # (max-abs calibration; the fixture's random unclustered vectors put
+    # many top-10 gaps INSIDE that error band, so recall@10 here is a
+    # floor, not the clustered-real-data figure)
+    from pyspark.sql import functions as F
+
+    q8 = S.int8_quantize_topk(embs, qs, k=1000).select(
+        "query_id", "vec_id", "sim8"
+    )
+    exact_all = S.cosine_topk(embs, qs, k=1000).select(
+        "query_id", "vec_id", "sim"
+    )
+    err = (
+        q8.join(exact_all, ["query_id", "vec_id"])
+        .agg(
+            F.max(F.abs(F.col("sim8") - F.col("sim"))).alias("mx"),
+            F.avg(F.abs(F.col("sim8") - F.col("sim"))).alias("av"),
+        )
+        .collect()[0]
+    )
+    assert err.av <= 0.03, f"SQ8 mean cosine error too high: {err.av}"
+    assert err.mx <= 0.15, f"SQ8 max cosine error too high: {err.mx}"
+    exact = S.cosine_topk(embs, qs, k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {q: {r.vec_id for r in rs} for q, rs in by_q.items()}
+    rec = sum(len(ex[q] & got[q]) for q in ex) / sum(len(v) for v in ex.values())
+    assert rec >= 0.7, f"SQ8 recall@10 too low: {rec}"
