@@ -436,7 +436,6 @@ def k_core(
     dst: str = "dst",
     *,
     k: int = 3,
-    rounds: int = 8,
 ) -> DataFrame:
     """(vertex, degree) for every vertex of the k-core — the maximal
     subgraph where every vertex keeps degree ≥ k. Peels synchronously
@@ -451,11 +450,12 @@ def k_core(
     analysis start from: CC merges everything reachable, LPA finds
     clusters, k-core strips the low-degree fringe.
 
-    Deterministic (no RNG, no sweep order). ``rounds`` is the unroll
-    depth the x124 oracle replays as chained CTEs; once the loop has
-    converged, every deeper unroll is a no-op, so the convergence loop
-    and the fixed oracle agree whenever the oracle's own unroll reaches
-    the fixed point. This is not theoretical: the sf0.1 declared
+    Deterministic (no RNG, no sweep order). The x124 oracle replays the
+    peel as a fixed chained-CTE unroll deep enough to converge (with a
+    last-round fixed-point assertion so an under-deep unroll fails
+    loudly instead of silently superset-ing); once converged, every
+    deeper unroll is a no-op, so this convergence loop and the fixed
+    oracle agree. This is not theoretical: the sf0.1 declared
     fixture needs 24 peel rounds (measured round-7), so the original
     rounds=8 unroll silently returned a SUPERSET there — x124's oracle
     now unrolls 26 materialized CTE rounds to cover every SF, and this
@@ -463,9 +463,9 @@ def k_core(
     over the survivor-filtered edge list (two semi-joins + one count,
     all keyed by vertex id); localCheckpoint keeps plan depth flat,
     and the convergence probe is a count() on the already-materialized
-    checkpoint — nearly free."""
-    if rounds < 1:
-        raise ValueError("k_core needs rounds >= 1 (got %d)" % rounds)
+    checkpoint — nearly free. (An earlier version took a ``rounds``
+    unroll cap; the loop never read it once convergence landed, and a
+    dead cap invites someone to re-wire it and under-peel — removed.)"""
     undirected = edges.select(
         F.col(src).alias("_s"), F.col(dst).alias("_d")
     ).unionByName(

@@ -965,6 +965,19 @@ def theil_sen_trend(
     add + one halving — every float op identical in both engines, so
     round(·, 6) matches bit-for-bit (the same determinism argument as
     the α=0.5 mixture weights)."""
+    from pyspark.sql import types as T
+
+    for c in (x_col, y_col):
+        dt = df.schema[c].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"theil_sen_trend: {c} must be an integer column (got "
+                f"{dt.simpleString()}) — a silent cast('long') would "
+                "truncate fractional series and skew the trend; scale to "
+                "cents/micros upstream (the house integer-exact pattern)"
+            )
     pts = df.select(
         F.col(group_col).alias("g"),
         F.col(x_col).cast("long").alias("x"),

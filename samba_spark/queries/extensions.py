@@ -4105,10 +4105,9 @@ def x_k_core(spark, sf_dir):
     customer–supplier graph — the density filter that strips the
     low-degree fringe CC and LPA keep. The operator peels to the FIXED
     POINT (short-circuits when a round removes nothing, keeps peeling
-    past ``rounds`` when the frontier still shrinks — r7 convergence
-    fix); peeling is monotone and deterministic, so the oracle's fixed
-    8-round CTE unroll matches exactly when it, too, reaches the fixed
-    point. The oracle unrolls 26 rounds — at sf0.1 the repeat-trade
+    while the frontier shrinks — r7 convergence fix); peeling is
+    monotone and deterministic, so the oracle's fixed CTE unroll
+    matches exactly when it, too, reaches the fixed point. The oracle unrolls 26 rounds — at sf0.1 the repeat-trade
     graph needs 24 peel rounds to converge (measured round-7), so the
     original 8-round unroll was silently a SUPERSET there: exactly the
     under-peel hazard the r7 convergence fix exists to catch. Extra
@@ -4131,7 +4130,7 @@ def x_k_core(spark, sf_dir):
         .select("src", "dst")
     )
     return (
-        k_core(pairs, k=3, rounds=8)
+        k_core(pairs, k=3)
         .orderBy(F.desc("degree"), "vertex")
         .limit(100)
     )
@@ -4159,8 +4158,19 @@ d{r} AS MATERIALIZED (
   JOIN a{r - 1} y ON e._d = y.v
   GROUP BY e._s),
 a{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE degree >= {k})""")
-    parts.append(f"""
-SELECT v AS vertex, degree FROM d{rounds} WHERE degree >= {k}
+    # self-verifying unroll: if the last round still removed vertices,
+    # the unroll did NOT reach the k-core fixed point and the oracle
+    # would silently be a superset (the pre-r7 bug) — fail loudly
+    # instead, at ANY scale factor.
+    parts.append(f""",
+guard AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM a{rounds})
+              <> (SELECT COUNT(*) FROM a{rounds - 1})
+         THEN error('x124 oracle: {rounds}-round unroll did not reach '
+                    'the k-core fixed point - deepen rounds')
+         ELSE 1 END AS ok)
+SELECT v AS vertex, degree FROM d{rounds}, guard
+WHERE degree >= {k} AND guard.ok = 1
 ORDER BY degree DESC, vertex LIMIT 100""")
     return "".join(parts)
 

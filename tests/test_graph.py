@@ -181,7 +181,7 @@ def test_k_core_peels_fringe_and_converges(spark):
     """A 4-clique with a pendant chain: the 3-core is exactly the clique
     (each clique vertex keeps degree 3 after the chain peels away,
     peeling takes >1 round because the chain peels inward one hop per
-    round), and extra rounds past convergence are no-ops."""
+    round)."""
     from samba_spark.operators.graph import k_core
 
     clique = [(a, b) for a in range(4) for b in range(4) if a < b]
@@ -191,7 +191,7 @@ def test_k_core_peels_fringe_and_converges(spark):
     assert core == {(0, 3), (1, 3), (2, 3), (3, 3)}
     more = {
         (r.vertex, r.degree)
-        for r in k_core(edges, k=3, rounds=12).collect()
+        for r in k_core(edges, k=3).collect()
     }
     assert more == core
     # k=2: the chain still peels (leaf 6 first, then 5, then 4), the
@@ -203,18 +203,18 @@ def test_k_core_peels_fringe_and_converges(spark):
 def test_k_core_converges_past_rounds_on_long_path(spark):
     """A 30-vertex path has NO 2-core, but 2-core peeling removes only
     the two endpoints per round (~15 rounds to empty) — a fixed
-    rounds=8 unroll would leave the middle of the path in the output
-    with degree 2. The convergence loop must keep peeling past
-    ``rounds`` and return the true (empty) fixed point."""
+    fixed 8-round unroll would leave the middle of the path in the
+    output with degree 2. The convergence loop must keep peeling and
+    return the true (empty) fixed point."""
     from samba_spark.operators.graph import k_core
 
     path = [(i, i + 1) for i in range(29)]
     edges = spark.createDataFrame(path, ["src", "dst"])
-    assert k_core(edges, k=2, rounds=8).count() == 0
+    assert k_core(edges, k=2).count() == 0
     # And a long path hanging off a 4-clique: only the clique survives.
     clique = [(100 + a, 100 + b) for a in range(4) for b in range(4) if a < b]
     edges2 = spark.createDataFrame(clique + [(103, 0)] + path, ["src", "dst"])
-    core = {r.vertex for r in k_core(edges2, k=2, rounds=4).collect()}
+    core = {r.vertex for r in k_core(edges2, k=2).collect()}
     assert core == {100, 101, 102, 103}
 
 

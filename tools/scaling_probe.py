@@ -71,7 +71,7 @@ PROBES = [
     # round-6 additions: regime-dispatched sliding distinct (probe +
     # chosen path), Bloom ingest skip-list (bitmap build + broadcast
     # probe), KMV set algebra (bottom-k sketch then metadata-scale pair
-    # ops), k-core peeling (8 fixed degree-agg rounds), Benford digit
+    # ops), k-core peeling (degree-agg rounds to the fixed point), Benford digit
     # profile (one hash agg), daily ACF (day rollup + window leads).
     "x121_sliding_distinct_auto",
     "x122_bloom_ingest",
@@ -84,10 +84,15 @@ PROBES = [
     # pixel work is SF-independent by design), length-bucket batching
     # economics (one hash agg), winnowed common-substring pairs (dense
     # window hashing + winnowing window + df-capped pair join — the new
-    # heavy family; see also tools/x132_decade_probe.py one decade up).
+    # heavy family; see also tools/x132_decade_probe.py one decade up),
+    # Theil-Sen trend (orders scan + month rollup; the pairwise stage is
+    # metadata-scale), SQ8 quantized ANN (two embeddings scans: scale
+    # calibration + scoring — embeddings scale with SF).
     "x128_jpeg_pixel_pipeline",
     "x129_length_bucket_packing",
     "x132_common_substring_pairs",
+    "x133_theil_sen",
+    "x134_int8_ann",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
