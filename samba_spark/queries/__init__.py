@@ -53,17 +53,18 @@ Round-7 rotation (VERDICT r6 item 1): the round-6 window came back
 50/50 full-green (first zero-error window), so all 45 rotated-in
 entries moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
 additions born after the r6 window pin (x121–x127, q98, q99 — the only
-queries without a driver row), then 29 backfills of the oldest
+queries without a driver row), then 28 backfills of the oldest
 single-green rows — the 23 round-3-window entries the r6 backfill did
-not reach (x36–x43, q48–q62) and the 6 oldest round-4-window entries
-(streaming state q73/q78/q83–q85, codec x44) — then the 7
+not reach (x36–x43, q48–q62) and the 5 oldest round-4-window entries
+(streaming state q73/q78/q83–q85) — then the 8
 round-7 additions built BEFORE this window was pinned (x128 JPEG
 pixels, x129 length-bucket packing, x130 temperature mixture, x131
 chi-square screen, x132 winnowed common-substring pairs, x133
-Theil–Sen robust trend, x134 SQ8 int8 ANN) — standing
+Theil–Sen robust trend, x134 SQ8 int8 ANN, x135 BPE-apply
+tokenizer serving) — standing
 policy: new queries before backfill, and these need not wait a round.
-Remaining backfill debt after r7: the rest of the round-4 window (x63,
-x73, x74, x70, x83–x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/x87,
+Remaining backfill debt after r7: the rest of the round-4 window (x44,
+x63, x73, x74, x70, x83–x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/x87,
 extensions x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75), then
 the round-5 window.
 """
@@ -92,10 +93,10 @@ _SENTINELS = [
 # window came back 50/50 full-green, so all 45 rotated-in entries
 # moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
 # additions that were born after the r6 window was pinned and so have
-# never had a driver row (x121–x127, q98, q99), then 29 backfill slots
+# never had a driver row (x121–x127, q98, q99), then 28 backfill slots
 # with the oldest single-green rows (the 23 round-3-window entries the
-# r6 backfill did not reach, then the 6 oldest round-4-window entries
-# in r4 order), then the 7 round-7 additions.
+# r6 backfill did not reach, then the 5 oldest round-4-window entries
+# in r4 order), then the 8 round-7 additions.
 _ROTATED_IN = [
     # round-6 additions — never driver-checked (VERDICT r6 item 1)
     "x121_sliding_distinct_auto",
@@ -137,7 +138,6 @@ _ROTATED_IN = [
     "q83_watermark_dedup",
     "q84_chained_stateful",
     "q85_stream_outer_join",
-    "x44_png_pixel_pipeline",
     # round-7 additions — in-window immediately (standing policy: new
     # queries before backfill; the window was not yet pinned when these
     # were built, so they need not wait for round 8)
@@ -148,6 +148,7 @@ _ROTATED_IN = [
     "x132_common_substring_pairs",
     "x133_theil_sen",
     "x134_int8_ann",
+    "x135_bpe_apply",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

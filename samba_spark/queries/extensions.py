@@ -5197,8 +5197,59 @@ FROM r WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+# x135: the 8-merge vocabulary the fixture ships as constants (trained
+# offline in a real deployment — the pinned-quantizer story; these fire
+# on the synthetic corpus's scan/table/query vocabulary).
+X135_MERGES = [
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("t", "a"), ("ta", "b"), ("l", "e"), ("tab", "le"),
+    ("r", "o"),
+]
+
+
+def x_bpe_apply(spark, sf_dir):
+    """BPE tokenizer SERVING (textual.bpe_apply_tokens): apply the
+    8-merge pinned vocabulary to every lowercase word and count the
+    resulting tokens — the online half of the x75 trainer, expressed as
+    chained literal string replaces over a wrapped-token encoding
+    (adjacent tokens share nothing, so replace() IS the BPE greedy
+    pass; fuzz-verified against a reference carry-pass tokenizer).
+    Top-40 tokens."""
+    from samba_spark.operators.textual import bpe_apply_tokens
+
+    docs = _docs(spark, sf_dir)
+    return (
+        bpe_apply_tokens(docs, X135_MERGES)
+        .orderBy(F.desc("n"), "token")
+        .limit(40)
+    )
+
+
+def _x135_sql(merges=X135_MERGES) -> str:
+    sep = "chr(31)"
+    s = "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')"
+    for a, b in merges:
+        s = (
+            f"replace({s}, {sep} || '{a}' || {sep} || {sep} || '{b}' || {sep}, "
+            f"{sep} || '{a}{b}' || {sep})"
+        )
+    return rf"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+lw AS (SELECT w FROM words WHERE regexp_matches(w, '^[a-z]+$')),
+tok AS (
+  SELECT unnest(string_split(trim({s}, chr(31)), chr(31) || chr(31))) AS token
+  FROM lw)
+SELECT token, COUNT(*)::BIGINT AS n
+FROM tok GROUP BY 1 ORDER BY n DESC, token LIMIT 40
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
     "x133_theil_sen": QuerySpec(x_theil_sen, X133_THEIL_SEN_SQL),
+    "x135_bpe_apply": QuerySpec(x_bpe_apply, _x135_sql()),
     "x134_int8_ann": QuerySpec(x_int8_ann, X134_INT8_ANN_SQL),
     "x129_length_bucket_packing": QuerySpec(
         x_length_bucket_packing, X129_LENGTH_BUCKET_SQL

@@ -1522,3 +1522,48 @@ def test_int8_quantized_topk_recall_and_exactness(spark, sf_smoke):
     got = {q: {r.vec_id for r in rs} for q, rs in by_q.items()}
     rec = sum(len(ex[q] & got[q]) for q in ex) / sum(len(v) for v in ex.values())
     assert rec >= 0.7, f"SQ8 recall@10 too low: {rec}"
+
+
+def test_bpe_apply_matches_reference_tokenizer(spark):
+    """x135: the chained-replace tokenizer over the wrapped-token
+    encoding equals a reference carry-pass BPE on adversarial words
+    (same-symbol merges, chained merges, consecutive pairs) — including
+    the two cases the naive single-separator encoding gets wrong."""
+    from collections import Counter
+
+    from samba_spark.operators.textual import bpe_apply_tokens
+
+    def bpe_ref(word, ms):
+        syms = list(word)
+        for a, b in ms:
+            out, p = [], None
+            for x in syms:
+                if p == a and x == b:
+                    out.append(a + b)
+                    p = None
+                else:
+                    if p is not None:
+                        out.append(p)
+                    p = x
+            if p is not None:
+                out.append(p)
+            syms = out
+        return syms
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("aa", "a"),
+              ("e", "r"), ("a", "n")]
+    text = ("the theater then aan aaa aaaa ran randy hetraanenan "
+            "abab anan thethe er era")
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r.token: r.n for r in bpe_apply_tokens(docs, merges).collect()}
+    exp = Counter()
+    for w in text.split():
+        exp.update(bpe_ref(w, merges))
+    assert got == dict(exp)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid merge"):
+        bpe_apply_tokens(docs, [("A", "b")])
+    with _pytest.raises(ValueError, match="invalid merge"):
+        bpe_apply_tokens(docs, [("", "b")])
