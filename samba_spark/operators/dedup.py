@@ -150,8 +150,22 @@ def lsh_band_index(
     batches never re-signature the corpus; see dedup_incremental_lsh).
     One signature pass + a bands-wide explode; O(docs × bands) rows of
     16-byte keys."""
-    rows = num_hashes // bands
     sig = minhash_signatures(documents, n, num_hashes, hash_family)
+    return band_keys_from_signatures(sig, num_hashes, bands, hash_family)
+
+
+def band_keys_from_signatures(
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """(doc_id, band, band_hash) from an ALREADY-COMPUTED signature table
+    (doc_id, sig) — the banding half of :func:`lsh_band_index`, split out
+    so serving paths (:func:`minhash_probe_frozen`) can band a delta's
+    signatures once and reuse them for verification without a second
+    signature pass."""
+    rows = num_hashes // bands
 
     def band_key(b):
         joined = F.concat_ws(
@@ -1051,5 +1065,131 @@ def common_substring_pairs(
         .agg(
             F.max("span_len").cast("long").alias("span_len"),
             F.count(F.lit(1)).cast("long").alias("n_spans"),
+        )
+    )
+
+
+def minhash_probe_frozen(
+    index_bands: DataFrame,
+    index_sigs: DataFrame,
+    delta_docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    min_agree: int = 13,
+    max_bucket: int = 1000,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Admission-control dedup SERVING (VERDICT r7 item 8): probe a batch
+    of NEW documents against a FROZEN MinHash index and report, per delta
+    doc, its best corpus match — read-only, the index is never mutated or
+    re-signatured. The serving half of the x111 ingest story: x111
+    (``dedup_incremental_lsh``) ADDS a delta to the index and surfaces
+    every new pair (delta↔corpus and delta↔delta); this op answers the
+    training-pipeline admission question "is this incoming document
+    already in the corpus?" against a pinned index — the same
+    offline-build/online-serve split as ``ivf_topk(centroids=)`` /
+    ``int8_quantize_topk(scales=)`` / ``pq_topk(codebooks=)``.
+
+    ``index_bands`` is the persisted (doc_id, band, band_hash) table
+    (``lsh_band_index``) and ``index_sigs`` the persisted (doc_id, sig)
+    signatures (``minhash_signatures``) — both storable x87-style. Only
+    the DELTA is shingled and signatured (one pass); candidates come from
+    the (band, band_hash) equi-join; each candidate is then VERIFIED on
+    the full signatures: ``n_agree`` = positions where the two minhash
+    vectors agree, ``est_jaccard = n_agree / num_hashes``, and only
+    candidates with ``n_agree >= min_agree`` survive (integer threshold
+    — engine-exact). Estimator caveat, family-dependent: with
+    ``hash_family="xxhash64"`` the positions are independent hashes and
+    est_jaccard is the standard unbiased MinHash estimate; with the
+    default ``"md5"`` family the linear permutations
+    ``(A_j·h0 + B_j) mod P`` are MONOTONE in h0 whenever ``A_j·h0 < P``
+    (true for every A_j < 2^29 since h0 < 2^32), so positions are
+    correlated — a near-dup sharing the corpus doc's globally-smallest
+    shingle hash can agree on ALL positions. The md5 family trades that
+    statistical independence for bit-exact DuckDB replay (its banding
+    behavior, which drives candidate recall, is unaffected); treat its
+    est_jaccard as a match SCORE, and use xxhash64 when the estimate
+    itself must be calibrated.
+    Best match per delta doc = highest n_agree, ties to the smallest
+    match_id. Delta↔delta pairs are deliberately OUT of scope (that is
+    ingest, x111's job).
+
+    Bucket cap: applied to the FROZEN side only (a degenerate corpus
+    bucket is dropped for every probe — at serving time the index is
+    immutable, so unlike x111 there is no index∪delta cap to evaluate;
+    ship the index pre-capped or let the probe enforce it, same result).
+
+    100 TB posture: per-batch cost is O(delta × bands) signature rows +
+    one equi-join against the bucket table + signature joins keyed on
+    doc_id bounded by the candidate count; the corpus is scanned zero
+    times. No pairwise anything."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_probe_frozen: bands={bands} must divide "
+            f"num_hashes={num_hashes}"
+        )
+    if not 1 <= min_agree <= num_hashes:
+        raise ValueError(
+            f"minhash_probe_frozen: min_agree={min_agree} must be in "
+            f"[1, {num_hashes}]"
+        )
+    if max_bucket < 1:
+        raise ValueError("minhash_probe_frozen: max_bucket must be >= 1")
+    dsig = minhash_signatures(delta_docs, n, num_hashes, hash_family)
+    dband = band_keys_from_signatures(dsig, num_hashes, bands, hash_family)
+    w = Window.partitionBy("band", "band_hash")
+    bounded = (
+        index_bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_bucket_n") <= max_bucket)
+        .drop("_bucket_n")
+    )
+    cand = (
+        dband.alias("d")
+        .join(
+            bounded.alias("i"),
+            (F.col("d.band") == F.col("i.band"))
+            & (F.col("d.band_hash") == F.col("i.band_hash")),
+        )
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("match_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(dsig.select("doc_id", F.col("sig").alias("d_sig")), "doc_id")
+        .join(
+            index_sigs.select(
+                F.col("doc_id").alias("match_id"), F.col("sig").alias("m_sig")
+            ),
+            "match_id",
+        )
+        .withColumn(
+            "n_agree",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("d_sig"), F.col("m_sig"), lambda a, b: a == b
+                    ),
+                    lambda x: x,
+                )
+            ).cast("long"),
+        )
+        .where(F.col("n_agree") >= min_agree)
+    )
+    best = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_agree"), F.col("match_id")
+    )
+    return (
+        verified.withColumn("_rk", F.row_number().over(best))
+        .where(F.col("_rk") == 1)
+        .select(
+            "doc_id",
+            "match_id",
+            "n_agree",
+            (F.col("n_agree").cast("double") / F.lit(float(num_hashes))).alias(
+                "est_jaccard"
+            ),
         )
     )

@@ -516,6 +516,11 @@ def _make_jpeg_codec(
         while i + 4 <= len(data):
             if data[i] != 0xFF:
                 raise ValueError("invalid JPEG: lost marker sync")
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+            # marker code — skip them (a spec-legal file exercised the
+            # old strict scan into a spurious 'lost marker sync').
+            while i + 4 <= len(data) and data[i + 1] == 0xFF:
+                i += 1
             m = data[i + 1]
             if m in (0x01,) or 0xD0 <= m <= 0xD9:
                 i += 2
@@ -550,6 +555,10 @@ def _make_jpeg_codec(
         while i + 2 <= len(data):
             if data[i] != 0xFF:
                 raise ValueError("invalid JPEG: lost marker sync")
+            # skip T.81 B.1.1.2 fill bytes (0xFF runs) before the marker
+            # code, same as parse_jpeg_header above
+            while i + 2 <= len(data) and data[i + 1] == 0xFF:
+                i += 1
             m = data[i + 1]
             if m == 0xD9:
                 break

@@ -983,6 +983,33 @@ def theil_sen_trend(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     )
+    # Rolled-up-input guard (ADVICE r7): the pairwise stage keeps only
+    # a.x < b.x, so duplicate (group, x) rows would be SILENTLY dropped
+    # from the slope population and skew the median — inconsistent with
+    # the loud dtype ValueError above. Plan-folded raise_error riding a
+    # (g, x) window (the kmv k-guard pattern: fires at execution on the
+    # first duplicate, no eager second run of the plan).
+    dup_w = Window.partitionBy("g", "x")
+    pts = pts.withColumn(
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(dup_w) > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "theil_sen_trend: duplicate (group, x) row at group="
+                    ),
+                    F.col("g").cast("string"),
+                    F.lit(", x="),
+                    F.col("x").cast("string"),
+                    F.lit(
+                        " — input must be ROLLED UP to one row per "
+                        "(group, x); aggregate the series first"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("y")),
+    )
     pairs = (
         pts.alias("a")
         .join(pts.alias("b"), F.col("a.g") == F.col("b.g"))

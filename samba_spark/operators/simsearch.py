@@ -17,6 +17,7 @@ Two paths, per SURVEY.md §2.3 north-star table:
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window
@@ -446,6 +447,7 @@ def int8_quantize_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
+    scales: "list[float] | None" = None,
 ) -> DataFrame:
     """Scalar-quantized (SQ8) similarity top-k: every embedding compresses
     to int8 codes (per-dimension symmetric max-abs scaling — code_d =
@@ -472,32 +474,81 @@ def int8_quantize_topk(
     calibration would hang engine-exactness on cross-engine quantile
     interpolation semantics.
 
-    Plan shape: one exploded aggregation for the 64 per-dimension
-    scales (driver-collected — a dimension-sized lookup, same pattern
-    as the pinned IVF centroids), then quantization is a zero-shuffle
-    array transform and scoring joins the BROADCAST query codes;
-    per-query top-k via one window. Scales with the corpus scan, never
-    pairwise."""
-    dims = embeddings.select(F.posexplode("embedding").alias("d", "x"))
-    srows = (
-        dims.groupBy("d")
-        .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
-        .orderBy("d")
-        .collect()
-    )
-    sarr = F.array(
-        *[
-            F.lit(float(r.m) if r.m and r.m > 0 else 1.0)
-            for r in srows
-        ]
-    )
+    Two modes (the pinned-quantizer split, same as ``ivf_topk``'s
+    ``centroids=``, VERDICT r7 item 4):
+
+    - **training/calibration** (``scales=None``, the default): the
+      per-dimension maxima come from ONE exploded aggregation over the
+      corpus, driver-collected (a dimension-sized lookup). NOTE this is
+      an EAGER corpus scan at plan-construction time — every call
+      recalibrates. Correct for offline calibration; wrong for serving,
+      where repeated calls rescan the corpus and a drifting corpus
+      silently re-quantizes the whole index.
+    - **serving** (``scales=[...]``): the calibrated per-dimension
+      maxima ship as constants — zero calibration scan, stable codes
+      across calls. In this mode codes are CLAMPED to [-127, 127]
+      (values outside the calibration envelope saturate, the standard
+      SQ8 serving contract) — in training mode the corpus maxima make
+      corpus clamping a no-op by construction, and query codes stay
+      unclamped to preserve the engine-exact oracle replay (a query
+      beyond the corpus envelope is an out-of-calibration input; serve
+      it with pinned headroom scales instead).
+
+    Plan shape: quantization is a zero-shuffle array transform and
+    scoring joins the BROADCAST query codes; per-query top-k via one
+    window. Scales with the corpus scan, never pairwise."""
+    if scales is not None:
+        if len(scales) == 0:
+            raise ValueError("int8_quantize_topk: scales must be non-empty")
+        svals = [float(s) for s in scales]
+        if any(not math.isfinite(s) or s <= 0 for s in svals):
+            raise ValueError(
+                "int8_quantize_topk: every pinned scale must be a finite "
+                f"positive float (got {scales!r}) — scales are per-dimension "
+                "max-abs calibration constants"
+            )
+        ndim = len(svals)
+    else:
+        dims = embeddings.select(F.posexplode("embedding").alias("d", "x"))
+        srows = (
+            dims.groupBy("d")
+            .agg(F.max(F.abs(F.col("x").cast("double"))).alias("m"))
+            .orderBy("d")
+            .collect()
+        )
+        svals = [float(r.m) if r.m and r.m > 0 else 1.0 for r in srows]
+        ndim = len(svals)
+    sarr = F.array(*[F.lit(s) for s in svals])
 
     def codes(col):
-        return F.transform(
-            col,
+        # plan-folded dimension guard (the kmv k-guard pattern): a vector
+        # whose length disagrees with the scale vector would otherwise
+        # read past the array (ANSI element_at error) or silently
+        # truncate — fail loudly with the contract instead
+        checked = F.when(
+            F.size(col) != F.lit(ndim),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "int8_quantize_topk: embedding dimension "
+                    ),
+                    F.size(col).cast("string"),
+                    F.lit(f" does not match the {ndim} quantizer scales"),
+                )
+            ),
+        ).otherwise(col)
+        raw = F.transform(
+            checked,
             lambda x, i: F.round(
                 F.lit(127.0) * x.cast("double") / F.element_at(sarr, i + 1)
             ).cast("long"),
+        )
+        if scales is None:
+            return raw
+        # serving mode: saturate out-of-calibration values to the int8
+        # range instead of emitting codes beyond ±127
+        return F.transform(
+            raw, lambda c: F.greatest(F.lit(-127), F.least(F.lit(127), c))
         )
 
     def ssq(col):
@@ -544,4 +595,202 @@ def int8_quantize_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "qscore", "sim8", "rank")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 16,
+    codebooks: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """Product-quantization (PQ) similarity top-k — the compression leg
+    after SQ8 (x134): each vector splits into ``m`` subvectors, each
+    subvector encodes as the index of its nearest codebook centroid
+    (m log2(K)-bit codes ≈ 4 B/vector at m=8, K=16 — 64× smaller than
+    float32 at dim 64), and query scoring is ADC (asymmetric distance
+    computation): the QUERY stays exact and each corpus vector's score
+    is the sum of per-subspace query·centroid dot products — K·m dots
+    per query, then O(m) table lookups per corpus row.
+
+    Two modes (the pinned-quantizer split — ivf_topk ``centroids=`` /
+    int8 ``scales=``):
+
+    - **training** (``codebooks=None``): the codebook is the
+      deterministic sample quantizer — centroid c of subspace j is the
+      j-th subvector of the corpus row with the (c+1)-smallest
+      ``vec_id`` (one ``n_centroids``-row driver collect; exact,
+      engine-replayable, and the standard k-means++-style seeding
+      truncated at initialization so the oracle can reproduce it
+      bit-for-bit — production would k-means-refine OFFLINE and pin).
+    - **serving** (``codebooks=[[subspace][centroid][dim]]``): trained
+      codebooks ship as constants, zero corpus scan at plan time.
+
+    Engine-exactness: encoding distances are sequential folds of
+    squared differences (argmin resolves ties to the LOWEST centroid
+    index via first-position-of-min, identical in both engines), ADC
+    terms are sequential-fold dot products accumulated in subspace
+    order from 0.0, and the reported score is the ADC COSINE — adc_dot
+    normalized by ‖q‖ and the RECONSTRUCTED corpus norm
+    sqrt(Σ_j ‖centroid_code_j‖²) — rounded to 6 (the x134 lesson: rank
+    by a cosine, not a raw dot, whenever corpus norms vary).
+
+    Plan shape: encoding is a zero-shuffle array transform over literal
+    codebook arrays; scoring joins the BROADCAST queries (allowlisted
+    x10 pattern); per-query top-k via one window. Scales with the
+    corpus scan, never pairwise."""
+    if m <= 0 or n_centroids <= 1:
+        raise ValueError("pq_topk: need m >= 1 subspaces and >= 2 centroids")
+    if codebooks is not None:
+        if len(codebooks) != m:
+            raise ValueError(
+                f"pq_topk: codebooks has {len(codebooks)} subspaces, m={m}"
+            )
+        kc = len(codebooks[0])
+        dsub = len(codebooks[0][0]) if kc else 0
+        for j, book in enumerate(codebooks):
+            if len(book) != kc:
+                raise ValueError(
+                    f"pq_topk: subspace {j} has {len(book)} centroids, "
+                    f"subspace 0 has {kc} — all must agree"
+                )
+            for c, cv in enumerate(book):
+                if len(cv) != dsub:
+                    raise ValueError(
+                        f"pq_topk: centroid ({j},{c}) has dim {len(cv)}, "
+                        f"expected {dsub}"
+                    )
+                if any(not math.isfinite(float(v)) for v in cv):
+                    raise ValueError(
+                        f"pq_topk: centroid ({j},{c}) has a non-finite value"
+                    )
+        if kc < 2:
+            raise ValueError("pq_topk: codebooks need >= 2 centroids")
+        cb = [[[float(v) for v in cv] for cv in book] for book in codebooks]
+    else:
+        seeds = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
+        if len(seeds) < n_centroids:
+            raise ValueError(
+                f"pq_topk: corpus has only {len(seeds)} rows; "
+                f"n_centroids={n_centroids}"
+            )
+        dim = len(seeds[0].embedding)
+        if dim % m != 0:
+            raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        cb = [
+            [
+                [float(r.embedding[j * dsub + t]) for t in range(dsub)]
+                for r in seeds
+            ]
+            for j in range(m)
+        ]
+        kc = n_centroids
+    ndim = m * dsub
+    cb_col = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in cv]) for cv in book])
+            for book in cb
+        ]
+    )
+
+    def _as_double(col):
+        return F.transform(col, lambda x: x.cast("double"))
+
+    def _checked(col):
+        # plan-folded dimension guard (the kmv k-guard / x134 pattern)
+        return F.when(
+            F.size(col) != F.lit(ndim),
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_topk: embedding dimension "),
+                    F.size(col).cast("string"),
+                    F.lit(
+                        f" does not match the {m}x{dsub} codebook layout"
+                    ),
+                )
+            ),
+        ).otherwise(_as_double(col))
+
+    def _sub(col, j):
+        return F.slice(col, j * dsub + 1, dsub)
+
+    def _fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _dist2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _cvec(j, code):
+        return F.element_at(F.element_at(cb_col, j + 1), code + 1)
+
+    def _codes(col):
+        # per subspace: first index of the minimum distance (ties -> the
+        # lowest centroid index, identical in DuckDB's list_position)
+        def one(j):
+            dists = F.transform(
+                F.sequence(F.lit(0), F.lit(kc - 1)),
+                lambda c: _dist2(_sub(col, j), _cvec(j, c)),
+            )
+            return (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), one)
+
+    corpus = embeddings.select(
+        "vec_id", _codes(_checked(F.col("embedding"))).alias("codes")
+    ).withColumn(
+        # reconstructed squared norm: sum over subspaces of the coded
+        # centroid's squared norm, folded in subspace order from 0.0
+        "rssq",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + _fold_dot(
+                _cvec(j, F.element_at(F.col("codes"), j + 1)),
+                _cvec(j, F.element_at(F.col("codes"), j + 1)),
+            ),
+        ),
+    )
+    qs = queries.select(
+        "query_id", _checked(F.col("q_embedding")).alias("qd")
+    ).withColumn("q_ssq", _fold_dot(F.col("qd"), F.col("qd")))
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _fold_dot(
+            _sub(F.col("qd"), j),
+            _cvec(j, F.element_at(F.col("codes"), j + 1)),
+        ),
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            adc / (F.sqrt(F.col("q_ssq")) * F.sqrt(F.col("rssq"))), 6
+        ).alias("sim_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim_pq", "rank")
     )

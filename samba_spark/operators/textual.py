@@ -962,25 +962,67 @@ def feature_hash_vectors(
 BPE_SEP = "\x1f"  # unit separator: cannot appear in tokenized words
 
 
+# The chained-replace form compiles ONE Catalyst expression per merge;
+# past ~this many merges the expression tree stops being the fast path
+# (compile time and codegen size grow linearly with the vocabulary, and
+# real tokenizer vocabularies are 10k+ merges). "auto" switches to the
+# mapInPandas pair-index path beyond it (VERDICT r7 item 5).
+BPE_REPLACE_MAX_MERGES = 512
+
+
 def bpe_apply_tokens(
     documents: DataFrame,
     merges: "list[tuple[str, str]]",
     text_col: str = "text",
+    impl: str = "auto",
 ) -> DataFrame:
     """(token, n) counts over the corpus after applying ``merges`` (in
-    rank order) to every lowercase word. Each word becomes its BPE
-    segmentation (wrapped-token encoding above), then one literal
-    replace per merge, then split back to tokens and counted with ONE
-    hash aggregation. Merge pairs must be separator-free and lowercase
-    (validated): they are a TRAINED VOCABULARY shipped as constants —
-    the offline-train/online-serve split, same as the pinned IVF
-    quantizer."""
+    rank order) to every lowercase word. Merge pairs must be
+    separator-free, lowercase, and pairwise distinct (validated): they
+    are a TRAINED VOCABULARY shipped as constants — the
+    offline-train/online-serve split, same as the pinned IVF quantizer.
+
+    Two execution paths with IDENTICAL semantics (one left-to-right
+    non-overlapping pass per merge, in rank order — parity- and
+    fuzz-tested against a reference carry-pass):
+
+    - ``impl="replace"``: each word becomes its wrapped-token encoding
+      (above), then one literal ``replace`` per merge — pure codegen
+      string ops, zero Python. The right path for small vocabularies;
+      compile cost grows linearly with the merge count.
+    - ``impl="scan"``: the large-vocabulary serving path (10k+ merges,
+      where a 10k-deep chained expression stops compiling well). ONE
+      hash-aggregation first reduces the corpus to DISTINCT words with
+      counts (the Python stage then runs per unique word, not per
+      occurrence), then an Arrow-batched ``mapInPandas`` applies the
+      merges via a pair→rank hash index and a rank min-heap: only the
+      merges whose pair is actually adjacent in the word are ever
+      touched, so per-word cost is O(len + fired·len), INDEPENDENT of
+      the vocabulary size. Index and ranks are bound by closure
+      (ships by value — the factory-closure pickling contract,
+      jpegcodec._make_jpeg_codec is the template).
+    - ``impl="auto"``: "replace" up to ``BPE_REPLACE_MAX_MERGES``
+      merges, "scan" beyond.
+    """
+    if impl not in ("auto", "replace", "scan"):
+        raise ValueError(f"impl must be auto|replace|scan, got {impl!r}")
+    seen_pairs = set()
     for a, b in merges:
         if not a or not b or BPE_SEP in a + b or (a + b) != (a + b).lower():
             raise ValueError(f"invalid merge pair: {(a, b)!r}")
+        if (a, b) in seen_pairs:
+            # a trained BPE list cannot contain the same pair twice (each
+            # merge mints a new symbol); a duplicate would also break the
+            # scan path's first-rank-wins pair index
+            raise ValueError(f"duplicate merge pair: {(a, b)!r}")
+        seen_pairs.add((a, b))
+    if impl == "auto":
+        impl = "replace" if len(merges) <= BPE_REPLACE_MAX_MERGES else "scan"
     words = documents.select(
         F.explode(tokens_col(F.col(text_col))).alias("w")
     ).where(F.col("w").rlike("^[a-z]+$"))
+    if impl == "scan":
+        return _bpe_apply_scan(words, merges)
     # 'the' -> '<S>t<S><S>h<S><S>e<S>' (each char wrapped SEP..SEP)
     chars = F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit(""))
     seg = F.concat_ws(
@@ -997,4 +1039,176 @@ def bpe_apply_tokens(
         words.select(F.explode(tokens).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _make_bpe_word_segmenter():
+    """Factory for the per-word BPE kernel. Defined INSIDE a factory so
+    cloudpickle ships it BY VALUE into mapInPandas closures (a plain
+    module-level function pickles by reference and raises
+    ModuleNotFoundError on executors when the driver runs outside the
+    repo — jpegcodec._make_jpeg_codec is the template)."""
+
+    def bpe_segment_word(word, merges):
+        """Sequential-pass BPE segmentation of ONE word — the scan
+        path's kernel. Exactly the chained-replace semantics: for each
+        merge in rank order, one left-to-right non-overlapping pass.
+        The pair→rank index + min-heap skips merges whose pair never
+        occurs, so cost is O(len + fired·len) regardless of vocabulary
+        size: pop the smallest APPLICABLE rank (stale ranks ≤ the last
+        processed one are duplicates — skip), run its pass, then
+        re-index the word's pairs and push ranks still ahead of the
+        cursor. Pushing the conservative superset (all current pairs
+        with rank > r, not just newly created ones) keeps the
+        bookkeeping trivial; a popped rank whose pair has since been
+        destroyed fires a no-op pass, same as the sequential scan
+        would."""
+        import heapq
+
+        rank = {p: i for i, p in enumerate(merges)}
+        toks = list(word)
+        heap = sorted({rank[p] for p in zip(toks, toks[1:]) if p in rank})
+        last = -1
+        while heap:
+            r = heapq.heappop(heap)
+            if r <= last:
+                continue
+            last = r
+            a, b = merges[r]
+            out = []
+            i, n, fired = 0, len(toks), False
+            while i < n:
+                if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                    fired = True
+                else:
+                    out.append(toks[i])
+                    i += 1
+            if not fired:
+                continue
+            toks = out
+            for p in zip(toks, toks[1:]):
+                rp = rank.get(p)
+                if rp is not None and rp > r:
+                    heapq.heappush(heap, rp)
+        return toks
+
+    return bpe_segment_word
+
+
+bpe_segment_word = _make_bpe_word_segmenter()
+
+
+def _bpe_apply_scan(words: DataFrame, merges: "list[tuple[str, str]]") -> DataFrame:
+    """Large-vocabulary BPE apply: distinct-word rollup → mapInPandas
+    segmentation → token-count aggregation. The Python stage sees each
+    DISTINCT word once (Zipf makes that a small fraction of
+    occurrences); counts re-weight the emitted tokens."""
+    distinct_words = words.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("wn")
+    )
+
+    def _make_segmenter(merges=tuple(merges), seg_word=bpe_segment_word):
+        ms = [tuple(p) for p in merges]
+
+        def segment(batches):
+            from collections import Counter
+
+            import pandas as pd
+
+            for pdf in batches:
+                counts: Counter = Counter()
+                for w, wn in zip(pdf["w"], pdf["wn"]):
+                    for tok in seg_word(w, ms):
+                        counts[tok] += int(wn)
+                if counts:
+                    yield pd.DataFrame(
+                        {"token": list(counts), "n": list(counts.values())}
+                    )
+
+        return segment
+
+    partial = distinct_words.mapInPandas(
+        _make_segmenter(), schema="token string, n long"
+    )
+    return partial.groupBy("token").agg(F.sum("n").cast("long").alias("n"))
+
+
+# x138: the feature catalog for the pinned linear quality model, in the
+# FIXED fold order both engines must use. Each feature is a ratio of
+# exact integer counts (one correctly-rounded IEEE division), so the
+# weighted sum is bit-identical across engines as long as the fold
+# order and the weight constants match — the same determinism argument
+# as text_stats' composite quality_score (x6, oracle-green since r1).
+QUALITY_MODEL_FEATURES = (
+    "length_norm",     # min(n_words, 100) / 100
+    "punct_ratio",     # punct chars / max(n_chars, 1)
+    "stopword_ratio",  # stopword hits / max(n_words, 1)
+    "digit_ratio",     # digit chars / max(n_chars, 1)
+    "caps_ratio",      # uppercase chars / max(n_chars, 1)
+)
+
+
+def quality_model_score(
+    documents: DataFrame,
+    weights: "dict[str, float]",
+    bias: float = 0.0,
+    threshold: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Linear quality-model SERVING: score every document with a PINNED
+    weight vector over the fixed feature catalog above — the fasttext-
+    style quality-classifier step of an LLM data pipeline, reduced to
+    its engine-exact linear core (weights are trained OFFLINE and ship
+    as constants; the pinned-model split, same as ivf/SQ8/PQ/the frozen
+    MinHash index). The reported score is the raw LOGIT
+    ``bias + Σ w_f · f`` — deliberately NOT a sigmoid: IEEE exp() is
+    not correctly rounded and would hang cross-engine exactness on
+    libm; the logit is monotone in the probability, so thresholding it
+    is the same classifier.
+
+    ``keep = score >= threshold`` is an exact double comparison — both
+    engines compute the identical double, so the gate never diverges.
+
+    One projection, zero shuffles — scales with the scan."""
+    unknown = set(weights) - set(QUALITY_MODEL_FEATURES)
+    if unknown:
+        raise ValueError(
+            f"quality_model_score: unknown features {sorted(unknown)}; "
+            f"catalog is {list(QUALITY_MODEL_FEATURES)}"
+        )
+    import math as _math
+
+    for name, w in list(weights.items()) + [("bias", bias), ("threshold", threshold)]:
+        if not _math.isfinite(float(w)):
+            raise ValueError(f"quality_model_score: {name} is non-finite")
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks).cast("long")
+    c = F.greatest(F.length(text).cast("long"), F.lit(1))
+    t = F.greatest(n_words, F.lit(1))
+    feats = {
+        "length_norm": F.least(n_words, F.lit(100)) / F.lit(100.0),
+        "punct_ratio": F.length(
+            F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+        ).cast("long") / c,
+        "stopword_ratio": F.size(
+            F.filter(toks, lambda x: x.isin(STOPWORDS))
+        ).cast("long") / t,
+        "digit_ratio": F.length(
+            F.regexp_replace(text, r"[^0-9]", "")
+        ).cast("long") / c,
+        "caps_ratio": F.length(
+            F.regexp_replace(text, r"[^A-Z]", "")
+        ).cast("long") / c,
+    }
+    score = F.lit(float(bias))
+    for name in QUALITY_MODEL_FEATURES:  # catalog order = fold order
+        if name in weights:
+            score = score + F.lit(float(weights[name])) * feats[name]
+    return documents.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
     )

@@ -67,6 +67,21 @@ Remaining backfill debt after r7: the rest of the round-4 window (x44,
 x63, x73, x74, x70, x83–x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/x87,
 extensions x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75), then
 the round-5 window.
+
+Round-8 rotation (VERDICT r7 items 2/6): the round-7 window came back
+50/50 full-green, so all 45 rotated-in entries moved to
+``AUX_QUERIES``. The first two freed slots go to q29/q30 — the ONLY
+queries whose driver rows predate their oracle graduation (their sole
+rows are round-1 ``no_oracle`` stubs; q29 gained the est_ok gate in
+r3, q30 the sampling contract in r6 — this gives both their first
+full-green hash row). The next 40 slots clear the ENTIRE remaining
+round-4-window backfill (listed above, in r4 order), after which the
+oldest single-green debt is the round-5 window. The final slots hold
+the round-8 additions (standing policy: new queries enter the current
+window before it pins). x42/q59 rotate to AUX per VERDICT item 6 —
+their bench suite position changes (CONTRACT entries run first), which
+is the deliberate re-attestation of the suite-context hypothesis for
+their r7 slowdown.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -88,67 +103,67 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Round-7 rotation (VERDICT r6 item 1, now standing policy: new
-# queries enter the NEXT window before any backfill). The round-6
-# window came back 50/50 full-green, so all 45 rotated-in entries
-# moved to ``AUX_QUERIES``. The freed slots hold the 9 round-6
-# additions that were born after the r6 window was pinned and so have
-# never had a driver row (x121–x127, q98, q99), then 28 backfill slots
-# with the oldest single-green rows (the 23 round-3-window entries the
-# r6 backfill did not reach, then the 5 oldest round-4-window entries
-# in r4 order), then the 8 round-7 additions.
+# Round-8 rotation (VERDICT r7 items 2/6; the round-7 window came back
+# 50/50 full-green, so all 45 rotated-in entries moved to
+# ``AUX_QUERIES``): q29/q30's first post-graduation driver rows, then
+# the ENTIRE remaining round-4-window backfill (40 queries — after this
+# the oldest single-green debt is the round-5 window), then the
+# round-8 additions.
 _ROTATED_IN = [
-    # round-6 additions — never driver-checked (VERDICT r6 item 1)
-    "x121_sliding_distinct_auto",
-    "x122_bloom_ingest",
-    "x123_kmv_set_ops",
-    "x124_k_core",
-    "x125_benford",
-    "x126_acf",
-    "x127_inclusion_profile",
-    "q98_sql_udf",
-    "q99_scd2",
-    # backfill: remaining round-3-window single-green rows (r3 order)
-    "x36_token_budget_cap",
-    "x37_norm_stats",
-    "x38_search_topk",
-    "x39_skew_profile",
-    "x40_funnel",
-    "x41_retention_cohorts",
-    "x42_wav_roundtrip",
-    "x43_png_roundtrip",
-    "q48_tpch_q1",
-    "q49_tpch_q6",
-    "q50_tpch_q3",
-    "q51_stream_static_join",
-    "q52_integrity_audit",
-    "q53_provenance_counts",
-    "q54_skew_window",
-    "q55_asof_forward",
-    "q56_tpch_q18",
-    "q57_tpch_q14",
-    "q58_tpch_q5",
-    "q59_transitive_lineage",
-    "q60_tpch_q10",
-    "q61_tpch_q16",
-    "q62_column_lineage",
-    # backfill: oldest round-4-window single-green rows (r4 order)
-    "q73_stream_cdc",
-    "q78_stateful_processor",
-    "q83_watermark_dedup",
-    "q84_chained_stateful",
-    "q85_stream_outer_join",
-    # round-7 additions — in-window immediately (standing policy: new
-    # queries before backfill; the window was not yet pinned when these
-    # were built, so they need not wait for round 8)
-    "x128_jpeg_pixel_pipeline",
-    "x129_length_bucket_packing",
-    "x130_temperature_mixture",
-    "x131_chi_square_screen",
-    "x132_common_substring_pairs",
-    "x133_theil_sen",
-    "x134_int8_ann",
-    "x135_bpe_apply",
+    # VERDICT r7 item 2: q29/q30's only driver rows are round-1
+    # no_oracle stubs predating their oracle graduation (q29 -> r3
+    # est_ok gate, q30 -> r6 sampling contract) — first full-green rows
+    "q29_approx_count_distinct",
+    "q30_sample_by",
+    # backfill: the ENTIRE remaining round-4-window single-green debt,
+    # in r4 order (codecs, Spark-4 surface, TPC-H completion, r3
+    # sketches, extensions)
+    "x44_png_pixel_pipeline",
+    "x63_avro_roundtrip",
+    "x73_audio_frames",
+    "x74_mp4_boxes",
+    "x70_variant_extract",
+    "x83_python_datasource",
+    "x84_observed_metrics",
+    "x85_arrow_stats",
+    "x86_arrow_cogroup",
+    "q77_recursive_cte",
+    "q79_pipe_sql",
+    "q80_collation",
+    "q81_try_functions",
+    "q82_sql_scripting",
+    "q63_tpch_q4",
+    "q64_tpch_q7",
+    "q65_tpch_q8",
+    "q66_tpch_q12",
+    "q67_tpch_q13",
+    "q68_tpch_q15",
+    "q69_tpch_q17",
+    "q70_tpch_q19",
+    "q71_tpch_q21",
+    "q72_tpch_q22",
+    "x80_hll_rollup",
+    "x81_approx_topk",
+    "x82_bitmap_distinct",
+    "x87_sketch_persistence",
+    "x48_bloom_dedup",
+    "x49_scd2_history",
+    "x53_parquet_manifest",
+    "x55_triangle_count",
+    "x60_rare_token_pairs",
+    "x65_covariance_matrix",
+    "x71_incremental_agg",
+    "x72_udtf_leading_tokens",
+    "x75_bpe_merge_round",
+    "x77_scd2_lookup",
+    "x79_stratified_split",
+    "q75_run_diff",
+    # round-8 additions (new-before-backfill policy): the serving-mode
+    # trio — PQ ADC top-k with the deterministic sample quantizer,
+    # frozen-index MinHash probe, pinned linear quality model
+    "x136_pq_ann",
+    "x137_minhash_probe",
+    "x138_quality_model",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

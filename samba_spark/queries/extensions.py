@@ -5247,7 +5247,245 @@ FROM tok GROUP BY 1 ORDER BY n DESC, token LIMIT 40
 """
 
 
+def x_pq_ann(spark, sf_dir):
+    """Product-quantization ADC top-k (simsearch.pq_topk): m=8 subspaces
+    × 16 centroids — 4 B/vector codes, 64× smaller than float32 — with
+    the deterministic sample quantizer (centroid c of subspace j = the
+    j-th subvector of the (c+1)-smallest vec_id; one 16-row driver
+    collect, oracle-replayable). Query scoring is asymmetric: the query
+    stays exact, scores are ADC COSINE (reconstructed corpus norm),
+    every float fold sequential — hash-exact across engines. Top-10
+    per query over the standard 5-query fixture."""
+    embs = _embs(spark, sf_dir)
+    return S.pq_topk(
+        embs, _queries_df(embs), k=10, m=8, n_centroids=16
+    ).orderBy("query_id", "rank")
+
+
+X136_PQ_ANN_SQL = """
+WITH cbsrc AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS (
+  SELECT u.j, c, emb[u.j*8+1 : u.j*8+8] AS cvec
+  FROM cbsrc, UNNEST(range(0, 8)) AS u(j)),
+corp AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+diffs AS (
+  SELECT v.vec_id, b.j, b.c,
+         list_transform(list_zip(v.emb[b.j*8+1 : b.j*8+8], b.cvec),
+                        p -> p[1] - p[2]) AS dv
+  FROM corp v CROSS JOIN cb b),
+dl AS (
+  SELECT vec_id, j, list(list_dot_product(dv, dv) ORDER BY c) AS dists
+  FROM diffs GROUP BY vec_id, j),
+code AS (
+  SELECT vec_id, j, list_position(dists, list_min(dists)) - 1 AS code
+  FROM dl),
+cent AS (
+  SELECT e.vec_id, e.j, b.cvec
+  FROM code e JOIN cb b ON b.j = e.j AND b.c = e.code),
+rs AS (
+  SELECT vec_id,
+         list_reduce(
+           list_prepend(0.0, list(list_dot_product(cvec, cvec) ORDER BY j)),
+           (a, b) -> a + b) AS rssq
+  FROM cent GROUP BY vec_id),
+qn AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)))
+           AS q_ssq
+  FROM embeddings WHERE vec_id < 5),
+terms AS (
+  SELECT c.vec_id, q.query_id, c.j,
+         list_dot_product(q.qe[c.j*8+1 : c.j*8+8], c.cvec) AS term
+  FROM cent c CROSS JOIN qn q),
+adc AS (
+  SELECT query_id, vec_id,
+         list_reduce(list_prepend(0.0, list(term ORDER BY j)),
+                     (a, b) -> a + b) AS adc
+  FROM terms GROUP BY query_id, vec_id),
+scored AS (
+  SELECT a.query_id, a.vec_id,
+         ROUND(a.adc / (sqrt(q.q_ssq) * sqrt(r.rssq)), 6) AS sim_pq
+  FROM adc a JOIN qn q USING (query_id) JOIN rs r USING (vec_id)),
+ranked AS (
+  SELECT query_id, vec_id, sim_pq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_pq DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, sim_pq, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def x_minhash_probe(spark, sf_dir):
+    """Frozen-index MinHash probe (dedup.minhash_probe_frozen): the
+    whole documents table is the FROZEN corpus (persisted band table +
+    signatures); the probe batch is exact copies (doc_id%7==0, +1M ids)
+    and suffix-mutated copies (doc_id%7==3, +2M ids). Per probe doc:
+    best corpus match by signature agreement (n_agree of 64 positions,
+    est_jaccard = n_agree/64), candidates from the frozen (band,
+    band_hash) join, min_agree=8. Read-only serving: the corpus is
+    never re-signatured — the admission-control question 'is this
+    incoming doc already in the corpus?'."""
+    from samba_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_probe_frozen,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    frozen_bands = lsh_band_index(docs)
+    frozen_sigs = minhash_signatures(docs)
+    d_exact = docs.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d_fuzzy = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
+            "text"
+        ),
+    )
+    return minhash_probe_frozen(
+        frozen_bands,
+        frozen_sigs,
+        d_exact.unionByName(d_fuzzy),
+        min_agree=8,
+    ).orderBy("doc_id")
+
+
+X137_MINHASH_PROBE_SQL = rf"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' probe suffix tokens appended'
+  FROM documents WHERE doc_id % 7 = 3),
+toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM alldocs),
+sh AS (
+  SELECT doc_id, array_to_string(toks[i+1 : i+3], ' ') AS shingle
+  FROM toked, UNNEST(range(0, greatest(len(toks)-3, 0) + 1)) AS u(i)),
+base AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0
+  FROM sh),
+hj AS (
+  SELECT doc_id, j,
+         MIN((({_A})[j+1] * h0 + ({_B})[j+1]) % {D.MINHASH_P}) AS hj
+  FROM base, UNNEST(range(0, 64)) AS r(j)
+  GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id, list(hj ORDER BY j) AS sig FROM hj GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id, b,
+         md5(array_to_string(
+               list_transform(sig[b*4+1 : b*4+4], x -> x::VARCHAR),
+               ',')) AS band_hash
+  FROM sig, UNNEST(range(0, 16)) AS rb(b)),
+bounded AS (
+  SELECT doc_id, b, band_hash FROM bandkeys WHERE doc_id < 1000000
+  QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= 1000),
+dband AS (
+  SELECT doc_id, b, band_hash FROM bandkeys WHERE doc_id >= 1000000),
+cand AS (
+  SELECT DISTINCT d.doc_id, i.doc_id AS match_id
+  FROM dband d JOIN bounded i
+    ON d.b = i.b AND d.band_hash = i.band_hash),
+agree AS (
+  SELECT c.doc_id, c.match_id,
+         len(list_filter(list_zip(ds.sig, ms.sig),
+                         p -> p[1] = p[2]))::BIGINT AS n_agree
+  FROM cand c
+  JOIN sig ds ON ds.doc_id = c.doc_id
+  JOIN sig ms ON ms.doc_id = c.match_id),
+best AS (
+  SELECT doc_id, match_id, n_agree
+  FROM agree WHERE n_agree >= 8
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY n_agree DESC, match_id) = 1)
+SELECT doc_id, match_id, n_agree,
+       CAST(n_agree AS DOUBLE) / CAST(64.0 AS DOUBLE) AS est_jaccard
+FROM best ORDER BY doc_id
+"""
+
+
+# x138: the pinned quality-model weights (trained offline in a real
+# deployment; the pinned-model split — these fire on the synthetic
+# corpus's feature spread).
+X138_WEIGHTS = {
+    "length_norm": 1.5,
+    "punct_ratio": -4.0,
+    "stopword_ratio": 2.0,
+    "digit_ratio": -1.0,
+    "caps_ratio": -0.5,
+}
+X138_BIAS = -0.25
+X138_THRESHOLD = 0.9
+
+
+def x_quality_model(spark, sf_dir):
+    """Pinned linear quality-model serving (textual.quality_model_score):
+    logit = bias + Σ w·feature over the fixed 5-feature catalog (length
+    norm, punct/stopword/digit/caps ratios — each one exact-integer
+    counts and one IEEE division), keep = logit >= threshold. The
+    fasttext-style quality-filter step with offline-trained weights
+    shipped as constants; raw logit (no sigmoid — libm exp() is not
+    correctly rounded across engines, the logit is the same
+    classifier)."""
+    from samba_spark.operators.textual import quality_model_score
+
+    return quality_model_score(
+        _docs(spark, sf_dir),
+        X138_WEIGHTS,
+        bias=X138_BIAS,
+        threshold=X138_THRESHOLD,
+    ).orderBy("doc_id")
+
+
+X138_QUALITY_MODEL_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS w,
+         greatest(length(text), 1)::BIGINT AS c,
+         greatest(len(toks), 1)::BIGINT AS tt,
+         length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))::BIGINT AS p,
+         len(list_filter(toks, x -> list_contains({_STOP}, x)))::BIGINT AS s,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS d,
+         length(regexp_replace(text, '[^A-Z]', '', 'g'))::BIGINT AS u
+  FROM t),
+scored AS (
+  SELECT doc_id,
+         CAST(-0.25 AS DOUBLE)
+           + CAST(1.5 AS DOUBLE) * (least(w, 100) / CAST(100.0 AS DOUBLE))
+           + CAST(-4.0 AS DOUBLE) * (p / c)
+           + CAST(2.0 AS DOUBLE) * (s / tt)
+           + CAST(-1.0 AS DOUBLE) * (d / c)
+           + CAST(-0.5 AS DOUBLE) * (u / c) AS score
+  FROM f)
+SELECT doc_id, score, score >= CAST(0.9 AS DOUBLE) AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
+    "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
+    "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),
     "x133_theil_sen": QuerySpec(x_theil_sen, X133_THEIL_SEN_SQL),
     "x135_bpe_apply": QuerySpec(x_bpe_apply, _x135_sql()),
     "x134_int8_ann": QuerySpec(x_int8_ann, X134_INT8_ANN_SQL),

@@ -153,10 +153,17 @@ class GitHttpServer:
     @property
     def url(self) -> str:
         """Clone URL (``git clone <url> <dest>`` — the repo is served at
-        the server ROOT, so pass an explicit destination)."""
+        the server ROOT, so pass an explicit destination). A wildcard
+        bind (0.0.0.0 / ::) is not a routable address — substitute the
+        machine's hostname so the returned URL is actually connectable
+        (ADVICE r7)."""
+        import socket
+
         if self._httpd is None:
             raise RuntimeError("server not started")
         host, port = self._httpd.server_address[:2]
+        if host in ("0.0.0.0", "::", ""):
+            host = socket.gethostname() or "127.0.0.1"
         return f"http://{host}:{port}/"
 
     def refresh(self) -> None:
@@ -178,8 +185,43 @@ class GitHttpServer:
         root = self.backend.bare
 
         class _Handler(SimpleHTTPRequestHandler):
+            # The dumb protocol only ever GETs the repository LAYOUT:
+            # HEAD, packed-refs, info/refs, objects/*, refs/*. Serving
+            # anything else from the bare dir (config with its URLs,
+            # hooks/, description) leaks repo-local configuration over
+            # HTTP for no protocol benefit — allowlist the layout
+            # (ADVICE r7).
+            _ALLOWED_FILES = ("/HEAD", "/packed-refs")
+            _ALLOWED_DIRS = ("/info", "/objects", "/refs")
+
+            def _allowed(self) -> bool:
+                # normalize BEFORE checking: a percent-encoded
+                # "/objects/%2e%2e/config" would pass a raw-prefix check
+                # and then be collapsed by translate_path into serving
+                # the config file
+                import posixpath
+                from urllib.parse import unquote, urlsplit
+
+                path = posixpath.normpath(unquote(urlsplit(self.path).path))
+                return path in self._ALLOWED_FILES or any(
+                    path == d or path.startswith(d + "/")
+                    for d in self._ALLOWED_DIRS
+                )
+
             def log_message(self, *args):  # quiet: tests and pipelines
                 pass
+
+            def do_GET(self):
+                if not self._allowed():
+                    self.send_error(404, "not part of the git dumb-HTTP layout")
+                    return
+                super().do_GET()
+
+            def do_HEAD(self):
+                if not self._allowed():
+                    self.send_error(404, "not part of the git dumb-HTTP layout")
+                    return
+                super().do_HEAD()
 
             def do_POST(self):  # dumb HTTP is GET-only; no receive-pack
                 self.send_error(405, "read-only dumb-HTTP git transport")

@@ -76,6 +76,9 @@ ALLOWED: dict[str, set[str]] = {
     # brute scoring against the broadcast ≤5-row query-code set (the x10
     # family) — SQ8 corpus codes are the big side, queries broadcast
     "x134_int8_ann": {"cartesian"},
+    # ADC scoring against the broadcast ≤5-row query set (the x10
+    # family) — PQ corpus codes are the big side, queries broadcast
+    "x136_pq_ann": {"cartesian"},
 }
 
 

@@ -59,11 +59,10 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-7 rotation (VERDICT r6 item 1, standing policy): the sentinel
-    core, every round-6 addition (x121–x127, q98, q99 — the only queries
-    without a driver row at the r6 close), every round-7 addition
-    (x128–x132, built before this window was pinned), and the
-    oldest-single-green backfills must all be in-window."""
+    Round-8 rotation (VERDICT r7 items 2/6): the sentinel core, q29/q30
+    (their only driver rows predate their oracle graduation), the entire
+    remaining round-4-window backfill, and the round-8 additions must
+    all be in-window."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
@@ -75,13 +74,9 @@ def test_contract_window_invariant():
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
-    # every never-driver-checked query, pinned in-window (VERDICT r6
-    # item 1 + the round-7 additions).
-    must_have_x = (
-        "x121", "x122", "x123", "x124", "x125", "x126", "x127",  # r6
-        "x128", "x129", "x130", "x131", "x132",                  # r7
-    )
-    for x in must_have_x:
-        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"
-    for q in ("q98", "q99"):
+    # VERDICT r7 item 2: q29/q30's first post-graduation driver rows,
+    # plus the round-8 additions (new-before-backfill standing policy).
+    for q in ("q29", "q30"):
         assert any(n.startswith(f"{q}_") for n in in_window), f"{q} outside window"
+    for x in ("x136", "x137", "x138"):
+        assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -1474,6 +1474,22 @@ def test_theil_sen_shrugs_off_outliers(spark):
     )
 
 
+def test_theil_sen_rejects_duplicate_x(spark):
+    """ADVICE r7: non-rolled-up input (duplicate (group, x) rows) used to
+    be SILENTLY dropped by the a.x < b.x pair filter, skewing the median
+    — now a plan-folded raise_error fires loudly, consistent with the
+    dtype ValueError."""
+    from samba_spark.operators.sessionize import theil_sen_trend
+
+    rows = [("a", x, 3 * x) for x in range(5)] + [("a", 2, 999)]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    # AQE can wrap USER_RAISED_EXCEPTION in a multi-failure SparkException
+    # (both the slope and intercept branches hit the guard) — match the
+    # message, not the wrapper type
+    with pytest.raises(Exception, match="ROLLED UP"):
+        theil_sen_trend(df, "g", "x", "y").collect()
+
+
 def test_int8_quantized_topk_recall_and_exactness(spark, sf_smoke):
     """x134: SQ8 codes are engine-exact integers in [-127, 127]; each
     query's own vector ranks first (self-similarity survives
@@ -1524,6 +1540,62 @@ def test_int8_quantized_topk_recall_and_exactness(spark, sf_smoke):
     assert rec >= 0.7, f"SQ8 recall@10 too low: {rec}"
 
 
+def test_int8_pinned_scales_parity_and_clamp(spark, sf_smoke):
+    """x134 serving mode (VERDICT r7 item 4 / ADVICE r7): pinned
+    ``scales=`` skips the eager calibration scan and reproduces the
+    recalibrated output EXACTLY when given the same calibration
+    constants; out-of-envelope queries saturate to ±127 instead of
+    emitting invalid int8 codes; bad scale vectors fail loudly."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators import simsearch as S
+    from samba_spark.queries.extensions import _embs, _queries_df
+
+    embs = _embs(spark, sf_smoke)
+    qs = _queries_df(embs)
+    # calibrate once in Python with the training-mode formula (per-dim
+    # max |x|, float comparisons only — exact)
+    vecs = [r.embedding for r in embs.select("embedding").collect()]
+    ndim = len(vecs[0])
+    scales = [
+        max(abs(float(v[d])) for v in vecs) or 1.0 for d in range(ndim)
+    ]
+    trained = sorted(
+        tuple(r) for r in S.int8_quantize_topk(embs, qs, k=10).collect()
+    )
+    pinned = sorted(
+        tuple(r)
+        for r in S.int8_quantize_topk(embs, qs, k=10, scales=scales).collect()
+    )
+    assert pinned == trained, "pinned scales must replay training codes"
+
+    # out-of-envelope query saturates in pinned mode (the fixture
+    # queries are corpus rows, so scale them up 10x to leave the
+    # calibration envelope)
+    hot = qs.limit(1).select(
+        "query_id",
+        F.transform("q_embedding", lambda x: x * 10.0).alias("q_embedding"),
+    )
+    hot_codes = (
+        S.int8_quantize_topk(embs, hot, k=1, scales=scales)
+        .select("qscore")
+        .collect()
+    )
+    assert hot_codes, "saturated query must still rank"
+    # saturation bound: |dot| <= ndim * 127 * 127
+    assert abs(hot_codes[0].qscore) <= ndim * 127 * 127
+
+    # validation: empty / non-positive / NaN scales and dim mismatch
+    with pytest.raises(ValueError, match="non-empty"):
+        S.int8_quantize_topk(embs, qs, scales=[])
+    with pytest.raises(ValueError, match="positive"):
+        S.int8_quantize_topk(embs, qs, scales=[1.0, -2.0] + [1.0] * (ndim - 2))
+    with pytest.raises(ValueError, match="positive"):
+        S.int8_quantize_topk(embs, qs, scales=[float("nan")] * ndim)
+    with pytest.raises(Exception, match="does not match"):
+        S.int8_quantize_topk(embs, qs, k=1, scales=[1.0] * (ndim + 3)).collect()
+
+
 def test_bpe_apply_matches_reference_tokenizer(spark):
     """x135: the chained-replace tokenizer over the wrapped-token
     encoding equals a reference carry-pass BPE on adversarial words
@@ -1567,3 +1639,278 @@ def test_bpe_apply_matches_reference_tokenizer(spark):
         bpe_apply_tokens(docs, [("A", "b")])
     with _pytest.raises(ValueError, match="invalid merge"):
         bpe_apply_tokens(docs, [("", "b")])
+    with _pytest.raises(ValueError, match="duplicate merge"):
+        bpe_apply_tokens(docs, [("a", "b"), ("c", "d"), ("a", "b")])
+    with _pytest.raises(ValueError, match="impl"):
+        bpe_apply_tokens(docs, [("a", "b")], impl="vectorized")
+
+
+def _bpe_ref_carry_pass(word, ms):
+    """Reference sequential BPE: one left-to-right non-overlapping
+    carry-pass per merge, in rank order — the ground truth both
+    execution paths must match."""
+    syms = list(word)
+    for a, b in ms:
+        out, p = [], None
+        for x in syms:
+            if p == a and x == b:
+                out.append(a + b)
+                p = None
+            else:
+                if p is not None:
+                    out.append(p)
+                p = x
+        if p is not None:
+            out.append(p)
+        syms = out
+    return syms
+
+
+def test_bpe_segment_word_fuzz_vs_reference():
+    """x135 scan path (VERDICT r7 item 5): the pair-index + rank-heap
+    kernel is bit-identical to the reference carry-pass over 20k random
+    words against a CHAINED random vocabulary (merges whose outputs feed
+    later merges — the case where heap bookkeeping could diverge from
+    strict rank order)."""
+    import random
+
+    from samba_spark.operators.textual import bpe_segment_word
+
+    rng = random.Random(135)
+    for trial in range(20):
+        symbols = ["a", "b", "c"]
+        merges = []
+        seen = set()
+        while len(merges) < 30:
+            a, b = rng.choice(symbols), rng.choice(symbols)
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            merges.append((a, b))
+            symbols.append(a + b)  # chained: later merges can use it
+        for _ in range(1000):
+            w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 14)))
+            assert bpe_segment_word(w, merges) == _bpe_ref_carry_pass(
+                w, merges
+            ), (w, merges)
+
+
+def test_bpe_scan_path_matches_replace_path(spark):
+    """Both execution paths produce identical (token, n) tables on the
+    fixture vocabulary and adversarial text; auto dispatch picks scan
+    past BPE_REPLACE_MAX_MERGES (visible as a MapInPandas node)."""
+    from collections import Counter
+
+    from samba_spark.operators.textual import (
+        BPE_REPLACE_MAX_MERGES,
+        bpe_apply_tokens,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("aa", "a"),
+              ("e", "r"), ("a", "n")]
+    text = ("the theater then aan aaa aaaa ran randy hetraanenan "
+            "abab anan thethe er era")
+    docs = spark.createDataFrame([(1, text), (2, text + " thee eraan")],
+                                 ["doc_id", "text"])
+    rep = {r.token: r.n for r in
+           bpe_apply_tokens(docs, merges, impl="replace").collect()}
+    scan = {r.token: r.n for r in
+            bpe_apply_tokens(docs, merges, impl="scan").collect()}
+    assert scan == rep
+    exp = Counter()
+    for w in (text + " " + text + " thee eraan").split():
+        exp.update(_bpe_ref_carry_pass(w, merges))
+    assert rep == dict(exp)
+
+    # large-vocabulary auto dispatch: >512 merges routes to mapInPandas
+    big = list(merges)
+    seen = set(big)
+    for i in range(BPE_REPLACE_MAX_MERGES + 10):
+        # padding pairs over symbols that never occur adjacently enough
+        # to matter — the dispatch is what's under test, plus end-to-end
+        # equality with the reference at a >512-merge vocabulary
+        a, b = f"q{i}x", f"z{i}y"
+        big.append((a, b))
+        seen.add((a, b))
+    auto = bpe_apply_tokens(docs, big, impl="auto")
+    assert "mapinpandas" in auto._jdf.queryExecution().toString().lower()
+    assert {r.token: r.n for r in auto.collect()} == rep
+
+
+def test_pq_topk_pinned_codebooks_parity_and_selfmatch(spark, sf_smoke):
+    """x136: pinned ``codebooks=`` replays the training-mode output
+    exactly (the serving split); queries that ARE codebook seeds
+    reconstruct losslessly, so self-match ranks first; bad codebook
+    shapes fail loudly."""
+    from samba_spark.operators import simsearch as S
+    from samba_spark.queries.extensions import _embs, _queries_df
+
+    embs = _embs(spark, sf_smoke)
+    qs = _queries_df(embs)
+    trained = sorted(
+        tuple(r) for r in S.pq_topk(embs, qs, k=10, m=8, n_centroids=16).collect()
+    )
+    # derive the same deterministic codebook in Python (subvectors of
+    # the 16 smallest vec_ids) and pin it
+    seeds = embs.orderBy("vec_id").limit(16).collect()
+    dsub = len(seeds[0].embedding) // 8
+    cb = [
+        [[float(r.embedding[j * dsub + t]) for t in range(dsub)] for r in seeds]
+        for j in range(8)
+    ]
+    pinned = sorted(
+        tuple(r) for r in S.pq_topk(embs, qs, k=10, m=8, codebooks=cb).collect()
+    )
+    assert pinned == trained, "pinned codebooks must replay training output"
+    # queries 0-4 are codebook seeds: their codes reconstruct exactly,
+    # so ADC cosine(q, recon(q)) = 1 and self ranks first (ties break
+    # to the lowest vec_id, which is the query itself)
+    top = {
+        r.query_id: r.vec_id
+        for r in S.pq_topk(embs, qs, k=1, m=8, codebooks=cb).collect()
+    }
+    assert top == {q: q for q in range(5)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="subspaces"):
+        S.pq_topk(embs, qs, m=8, codebooks=cb[:4])
+    with _pytest.raises(ValueError, match="centroids"):
+        S.pq_topk(embs, qs, m=8, codebooks=[b[:1] for b in cb])
+    ragged = [list(b) for b in cb]
+    ragged[3] = [cv[:-1] for cv in ragged[3]]
+    with _pytest.raises(ValueError, match="dim"):
+        S.pq_topk(embs, qs, m=8, codebooks=ragged)
+    bad = [[list(cv) for cv in b] for b in cb]
+    bad[0][0][0] = float("inf")
+    with _pytest.raises(ValueError, match="non-finite"):
+        S.pq_topk(embs, qs, m=8, codebooks=bad)
+    with _pytest.raises(Exception, match="does not match"):
+        S.pq_topk(embs, qs, k=1, m=8,
+                  codebooks=[[cv + [0.0] for cv in b] for b in cb]).collect()
+
+
+def test_minhash_probe_frozen_semantics(spark):
+    """x137: an exact-copy probe matches its corpus source with all 64
+    positions agreeing; a mutated probe still matches with partial
+    agreement; an unrelated probe is absent; delta<->delta pairs are out
+    of scope (ingest is x111's job); bad parameters fail loudly."""
+    from samba_spark.operators.dedup import (
+        lsh_band_index,
+        minhash_probe_frozen,
+        minhash_signatures,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs for the long winter"),
+        (3, "sphinx of black quartz judge my vow said the tired examiner"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    frozen_bands = lsh_band_index(corpus)
+    frozen_sigs = minhash_signatures(corpus)
+    delta = spark.createDataFrame(
+        [
+            (101, corpus_rows[0][1]),                       # exact copy of 1
+            (102, corpus_rows[1][1].replace("five", "six")),  # near copy of 2
+            (103, "completely unrelated text about spark catalyst plans"),
+            (104, corpus_rows[0][1]),                       # delta dup of 101
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in minhash_probe_frozen(
+            frozen_bands, frozen_sigs, delta, min_agree=8
+        ).collect()
+    }
+    assert out[101].match_id == 1
+    assert out[101].n_agree == 64 and out[101].est_jaccard == 1.0
+    # md5 family: positions are CORRELATED (monotone linear permutations
+    # — see the operator docstring), so a near-dup sharing the smallest
+    # shingle hash can agree on all 64 positions; assert the match, not
+    # a partial-agreement band
+    assert out[102].match_id == 2 and out[102].n_agree >= 8
+    assert 103 not in out, "unrelated probe must not match"
+    # 104 matches corpus doc 1 (via the same signature), NOT delta doc 101
+    assert out[104].match_id == 1
+
+    # xxhash64 family: independent per-position hashes — est_jaccard is
+    # the calibrated MinHash estimate, so the mutated probe agrees on
+    # SOME but not all positions (true jaccard ~0.5 over 13 shingles)
+    # 32 bands × 2 rows: at jaccard ~0.5 a 4-row band only matches with
+    # p≈0.08 each (≈24% chance of NO candidate across 16 bands); 2-row
+    # bands make candidate recall ~certain for this assertion
+    fb_x = lsh_band_index(corpus, bands=32, hash_family="xxhash64")
+    fs_x = minhash_signatures(corpus, hash_family="xxhash64")
+    out_x = {
+        r.doc_id: r
+        for r in minhash_probe_frozen(
+            fb_x, fs_x, delta, bands=32, min_agree=8, hash_family="xxhash64"
+        ).collect()
+    }
+    assert out_x[101].n_agree == 64
+    assert out_x[102].match_id == 2 and 8 <= out_x[102].n_agree < 64
+    assert 103 not in out_x
+
+    with pytest.raises(ValueError, match="divide"):
+        minhash_probe_frozen(frozen_bands, frozen_sigs, delta, bands=7)
+    with pytest.raises(ValueError, match="min_agree"):
+        minhash_probe_frozen(frozen_bands, frozen_sigs, delta, min_agree=0)
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_probe_frozen(frozen_bands, frozen_sigs, delta, max_bucket=0)
+
+
+def test_quality_model_score_exact_and_validation(spark):
+    """x138: the logit equals the hand-computed weighted feature sum on
+    a known document; absent features are skipped (not zero-weighted);
+    unknown features and non-finite weights fail loudly."""
+    from samba_spark.operators.textual import (
+        QUALITY_MODEL_FEATURES,
+        quality_model_score,
+    )
+
+    text = "The quick brown fox, it is 42 YEARS old! And the end."
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    toks = text.lower().strip().split()
+    n_words = len(toks)
+    c = max(len(text), 1)
+    stop = {"the", "and", "of", "to", "a", "in", "is", "on", "for", "it"}
+    import re as _re
+
+    p = len(_re.sub(r"[a-zA-Z0-9\s]", "", text))
+    s = sum(1 for w in toks if w in stop)
+    d = len(_re.sub(r"[^0-9]", "", text))
+    u = len(_re.sub(r"[^A-Z]", "", text))
+    weights = {
+        "length_norm": 1.5,
+        "punct_ratio": -4.0,
+        "stopword_ratio": 2.0,
+        "digit_ratio": -1.0,
+        "caps_ratio": -0.5,
+    }
+    # fold in catalog order, exactly as the operator does
+    exp = -0.25
+    feats = {
+        "length_norm": min(n_words, 100) / 100.0,
+        "punct_ratio": p / c,
+        "stopword_ratio": s / max(n_words, 1),
+        "digit_ratio": d / c,
+        "caps_ratio": u / c,
+    }
+    for name in QUALITY_MODEL_FEATURES:
+        exp = exp + weights[name] * feats[name]
+    row = quality_model_score(docs, weights, bias=-0.25, threshold=0.9).collect()[0]
+    assert row.score == exp
+    assert row.keep == (exp >= 0.9)
+
+    # subset weights: only the named features contribute
+    row2 = quality_model_score(docs, {"punct_ratio": -4.0}, bias=1.0).collect()[0]
+    assert row2.score == 1.0 + -4.0 * feats["punct_ratio"]
+
+    with pytest.raises(ValueError, match="unknown features"):
+        quality_model_score(docs, {"sentiment": 1.0})
+    with pytest.raises(ValueError, match="non-finite"):
+        quality_model_score(docs, {"punct_ratio": float("nan")})
+    with pytest.raises(ValueError, match="non-finite"):
+        quality_model_score(docs, {"punct_ratio": 1.0}, bias=float("inf"))

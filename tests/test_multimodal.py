@@ -821,6 +821,30 @@ def test_jpeg_rejects_progressive_and_garbage():
         parse_jpeg_header(b"not a jpeg")
 
 
+def test_jpeg_tolerates_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF FILL bytes before a marker
+    code; a spec-legal file padded that way must parse and decode
+    identically to the unpadded one (ADVICE r7: the strict scan raised a
+    spurious 'lost marker sync', and image_pixel_stats has no PIL
+    fallback to hide behind)."""
+    from samba_spark.operators.jpegcodec import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+        parse_jpeg_header,
+    )
+
+    jp = encode_jpeg_baseline(16, 16, 1, bytes([100]) * 256)
+    # pad the DQT and SOF0 markers with fill bytes (first occurrences are
+    # header segments: entropy data never contains FF DB / FF C0 — 0xFF is
+    # stuffed as FF 00 or an RST marker there)
+    padded = jp.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xc0", b"\xff\xff\xc0", 1
+    )
+    assert padded != jp
+    assert parse_jpeg_header(padded) == parse_jpeg_header(jp) == (16, 16, 1)
+    assert decode_jpeg_pixels(padded) == decode_jpeg_pixels(jp)
+
+
 def test_jpeg_wired_into_decode_and_resize_paths(spark):
     """decode_images reads baseline-JPEG dims via the REAL SOF0 header
     parse (no PIL, no stub); resize_images full-decodes the JPEG and

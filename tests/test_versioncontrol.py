@@ -129,5 +129,37 @@ def test_git_http_serve_clone_round_trip(engine, group_src, tmp_path):
         # while in-repo files still are
         with urllib.request.urlopen(server.url + "info/refs") as resp:
             assert branch.encode() in resp.read()
+
+        # ADVICE r7: only the dumb-protocol LAYOUT is served — the bare
+        # repo's own config/hooks/description (and traversal attempts
+        # into them) 404 instead of leaking over HTTP
+        for leak in ("config", "hooks/", "description",
+                     "objects/%2e%2e/config"):
+            try:
+                urllib.request.urlopen(server.url + leak)
+                raise AssertionError(f"{leak} must not be served")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404, leak
+        with urllib.request.urlopen(server.url + "HEAD") as resp:
+            assert resp.read().startswith(b"ref:")
+    finally:
+        server.stop()
+
+
+def test_git_http_url_substitutes_routable_host_for_wildcard_bind(
+    engine, group_src, tmp_path
+):
+    """ADVICE r7: binding to 0.0.0.0 must not produce the unconnectable
+    http://0.0.0.0:port/ clone URL — the reported URL substitutes the
+    machine hostname and stays fetchable."""
+    import urllib.request
+
+    backend = GitArtifactBackend(str(tmp_path / "vcs"))
+    backend.commit_groups(group_src, task_desc="load")
+    server = backend.serve_http(host="0.0.0.0")
+    try:
+        assert "0.0.0.0" not in server.url
+        with urllib.request.urlopen(server.url + "info/refs") as resp:
+            assert resp.status == 200
     finally:
         server.stop()

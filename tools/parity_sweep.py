@@ -6,9 +6,14 @@ this artifact attests the rest with the same comparison (row count, column
 names, order-insensitive multiset of normalized values vs the DuckDB
 oracle). Run from the repo root:
 
-    python tools/parity_sweep.py [sf_dir] [out.json]
+    python tools/parity_sweep.py [sf_dir] [out.json] [--only n1,n2,...]
 
 Defaults: /root/testdata/sf0.01 → PARITY_r05.json
+
+``--only`` restricts the sweep to a comma-separated subset — the
+targeted-family use case (VERDICT r7 item 1: the sf0.1 sweep of the
+iterative/fixed-point operators, where small-SF parity hid the k-core
+24-round under-peel).
 
 Per-round CI invocation (VERDICT r3 item 8 — both SFs, committed):
 
@@ -28,10 +33,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "PARITY_r05.json"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    out = argv[1] if len(argv) > 1 else "PARITY_r05.json"
 
     from samba_spark.queries import ALL_QUERIES
+
+    if only is not None:
+        unknown = only - set(ALL_QUERIES)
+        if unknown:
+            raise SystemExit(f"--only names not in ALL_QUERIES: {sorted(unknown)}")
     from samba_spark.session import get_spark
     from tests.oracle_util import duckdb_conn, normalize_rows
 
@@ -42,6 +58,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     t0 = time.time()
     for name, spec in ALL_QUERIES.items():
+        if only is not None and name not in only:
+            continue
         entry: dict = {}
         try:
             df = spec.fn(spark, sf_dir)

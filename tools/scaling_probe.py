@@ -93,6 +93,15 @@ PROBES = [
     "x132_common_substring_pairs",
     "x133_theil_sen",
     "x134_int8_ann",
+    # round-8 additions: PQ ADC top-k (two embeddings scans: encode +
+    # broadcast-query scoring — embeddings scale with SF), frozen
+    # MinHash probe (corpus signature/band build + delta-only probe —
+    # documents scale with SF; at production scale the build half is
+    # amortized, the probe half is the serving cost). x138 quality
+    # model is deliberately absent: a single zero-shuffle projection,
+    # nothing to probe beyond the scan itself.
+    "x136_pq_ann",
+    "x137_minhash_probe",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
