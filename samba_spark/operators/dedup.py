@@ -192,6 +192,19 @@ def band_keys_from_signatures(
     ).select("doc_id", "bk.band", "bk.band_hash")
 
 
+def _cap_buckets(band_entries: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop degenerate (band, band_hash) buckets — the 100 TB skew guard
+    shared by every banded-LSH consumer. Bucket-size cap via a window
+    over the same shuffle key — one exchange (vs groupBy+join-back =
+    two) and the entries stay partitioned by (band, band_hash) for the
+    join that follows. The ``_bucket_n`` column is left in place for
+    callers that project it away themselves."""
+    w = Window.partitionBy("band", "band_hash")
+    return band_entries.withColumn(
+        "_bucket_n", F.count(F.lit(1)).over(w)
+    ).where(F.col("_bucket_n") <= max_bucket)
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -208,13 +221,7 @@ def lsh_candidate_pairs(
     band_entries = lsh_band_index(
         documents, n, num_hashes, bands, hash_family
     )
-    # bucket-size cap via a window over the same shuffle key — one exchange
-    # (vs groupBy+join-back = two) and the band entries stay partitioned by
-    # (band, band_hash) for the self-join that follows
-    w = Window.partitionBy("band", "band_hash")
-    bounded = band_entries.withColumn(
-        "_bucket_n", F.count(F.lit(1)).over(w)
-    ).where(F.col("_bucket_n") <= max_bucket)
+    bounded = _cap_buckets(band_entries, max_bucket)
     a = bounded.alias("a")
     b = bounded.alias("b")
     return (
@@ -776,10 +783,7 @@ def dedup_incremental_lsh(
         delta_docs, n, num_hashes, bands, hash_family
     )
     full = index.unionByName(delta_keys)
-    w = Window.partitionBy("band", "band_hash")
-    bounded = full.withColumn(
-        "_bucket_n", F.count(F.lit(1)).over(w)
-    ).where(F.col("_bucket_n") <= max_bucket)
+    bounded = _cap_buckets(full, max_bucket)
     delta_ids = delta_docs.select("doc_id").distinct()
     delta_bounded = bounded.join(F.broadcast(delta_ids), "doc_id")
     d = delta_bounded.alias("d")
@@ -1119,6 +1123,25 @@ def minhash_probe_frozen(
     bucket is dropped for every probe — at serving time the index is
     immutable, so unlike x111 there is no index∪delta cap to evaluate;
     ship the index pre-capped or let the probe enforce it, same result).
+    The cap window runs AFTER a BROADCAST left-semi join against the
+    delta's distinct band keys, so the frozen table is stream-scanned
+    (never exchanged) and only PROBED buckets shuffle — per-batch cost
+    never touches the unprobed bulk of the index (bucket counts are
+    bucket-local, so capping the probed subset is identical to capping
+    the whole table). The broadcast pins the contract that probe
+    batches are ADMISSION-sized (≤ millions of band keys); bulk
+    reprocessing of a whole corpus is x111's shuffle-join shape, not
+    this op's.
+
+    Layout guards: the probe's ``num_hashes``/``bands``/``n``/
+    ``hash_family`` MUST match the values the index was built with.
+    Plan-folded assertions catch the detectable mismatches loudly —
+    an index signature whose length ≠ ``num_hashes`` (zip_with would
+    otherwise null-pad and silently deflate n_agree) and index band
+    ids outside [0, bands). An index built with FEWER bands than the
+    probe (same num_hashes) is structurally indistinguishable from
+    "no candidates" — persist the build parameters alongside the index
+    (x87-style) and validate at load time.
 
     100 TB posture: per-batch cost is O(delta × bands) signature rows +
     one equi-join against the bucket table + signature joins keyed on
@@ -1138,12 +1161,37 @@ def minhash_probe_frozen(
         raise ValueError("minhash_probe_frozen: max_bucket must be >= 1")
     dsig = minhash_signatures(delta_docs, n, num_hashes, hash_family)
     dband = band_keys_from_signatures(dsig, num_hashes, bands, hash_family)
-    w = Window.partitionBy("band", "band_hash")
-    bounded = (
-        index_bands.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
-        .where(F.col("_bucket_n") <= max_bucket)
-        .drop("_bucket_n")
+    # plan-folded layout guard, applied BEFORE the semi-join (after it a
+    # mismatched band id can never survive the join, so the guard would
+    # be dead code and the mismatch would read as "no candidates"): an
+    # index band id outside [0, bands) means the index was banded
+    # differently than this probe. Rides the scan as a projection — no
+    # extra pass, no shuffle.
+    guarded = index_bands.withColumn(
+        "band",
+        F.when(
+            (F.col("band") < 0) | (F.col("band") >= bands),
+            F.raise_error(
+                F.concat(
+                    F.lit("minhash_probe_frozen: index band id "),
+                    F.col("band").cast("string"),
+                    F.lit(
+                        f" outside [0, {bands}) — the frozen index was "
+                        "built with a different band layout"
+                    ),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("band")),
     )
+    # only PROBED buckets shuffle: semi-join the frozen table down to
+    # the delta's band keys BEFORE the cap window, so the per-batch
+    # shuffle is bounded by probed-bucket volume, not index size
+    probed = guarded.join(
+        F.broadcast(dband.select("band", "band_hash").distinct()),
+        ["band", "band_hash"],
+        "left_semi",
+    )
+    bounded = _cap_buckets(probed, max_bucket).drop("_bucket_n")
     cand = (
         dband.alias("d")
         .join(
@@ -1157,11 +1205,33 @@ def minhash_probe_frozen(
         )
         .distinct()
     )
+
+    def _sig_guard(col):
+        # an index/delta signature of the wrong length would be silently
+        # null-padded by zip_with and deflate n_agree — assert instead
+        return F.when(
+            F.size(col) != F.lit(num_hashes),
+            F.raise_error(
+                F.concat(
+                    F.lit("minhash_probe_frozen: signature length "),
+                    F.size(col).cast("string"),
+                    F.lit(
+                        f" != num_hashes={num_hashes} — the frozen index "
+                        "was built with different minhash parameters"
+                    ),
+                )
+            ),
+        ).otherwise(col)
+
     verified = (
-        cand.join(dsig.select("doc_id", F.col("sig").alias("d_sig")), "doc_id")
+        cand.join(
+            dsig.select("doc_id", _sig_guard(F.col("sig")).alias("d_sig")),
+            "doc_id",
+        )
         .join(
             index_sigs.select(
-                F.col("doc_id").alias("match_id"), F.col("sig").alias("m_sig")
+                F.col("doc_id").alias("match_id"),
+                _sig_guard(F.col("sig")).alias("m_sig"),
             ),
             "match_id",
         )

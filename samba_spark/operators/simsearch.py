@@ -48,6 +48,25 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _dim_guard(col: Column, ndim: int, msg: str) -> Column:
+    """Plan-folded dimension assertion (the kmv k-guard pattern): passes
+    ``col`` through unchanged when its array length is ``ndim``, raises
+    at execution time otherwise. A mismatched vector would otherwise
+    read past the quantizer constants (ANSI element_at error) or
+    silently truncate. ``msg`` is the operator-specific suffix appended
+    after the observed dimension."""
+    return F.when(
+        F.size(col) != F.lit(ndim),
+        F.raise_error(
+            F.concat(
+                F.lit("embedding dimension "),
+                F.size(col).cast("string"),
+                F.lit(" " + msg),
+            )
+        ),
+    ).otherwise(col)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -521,22 +540,12 @@ def int8_quantize_topk(
     sarr = F.array(*[F.lit(s) for s in svals])
 
     def codes(col):
-        # plan-folded dimension guard (the kmv k-guard pattern): a vector
-        # whose length disagrees with the scale vector would otherwise
-        # read past the array (ANSI element_at error) or silently
-        # truncate — fail loudly with the contract instead
-        checked = F.when(
-            F.size(col) != F.lit(ndim),
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "int8_quantize_topk: embedding dimension "
-                    ),
-                    F.size(col).cast("string"),
-                    F.lit(f" does not match the {ndim} quantizer scales"),
-                )
-            ),
-        ).otherwise(col)
+        checked = _dim_guard(
+            col,
+            ndim,
+            f"does not match the {ndim} quantizer scales "
+            "(int8_quantize_topk)",
+        )
         raw = F.transform(
             checked,
             lambda x, i: F.round(
@@ -603,7 +612,7 @@ def pq_topk(
     queries: DataFrame,
     k: int = 10,
     m: int = 8,
-    n_centroids: int = 16,
+    n_centroids: "int | None" = None,
     codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """Product-quantization (PQ) similarity top-k — the compression leg
@@ -641,9 +650,18 @@ def pq_topk(
     codebook arrays; scoring joins the BROADCAST queries (allowlisted
     x10 pattern); per-query top-k via one window. Scales with the
     corpus scan, never pairwise."""
-    if m <= 0 or n_centroids <= 1:
-        raise ValueError("pq_topk: need m >= 1 subspaces and >= 2 centroids")
+    if m <= 0:
+        raise ValueError("pq_topk: need m >= 1 subspaces")
     if codebooks is not None:
+        # the ivf_topk argument contract: n_centroids parameterizes
+        # TRAINING and would be silently dead next to pinned codebooks
+        # (whose length defines K) — passing both raises
+        if n_centroids is not None:
+            raise ValueError(
+                "pq_topk: n_centroids parameterizes quantizer training and "
+                "is ignored when codebooks pins the quantizer — pass one or "
+                "the other, not both"
+            )
         if len(codebooks) != m:
             raise ValueError(
                 f"pq_topk: codebooks has {len(codebooks)} subspaces, m={m}"
@@ -670,6 +688,9 @@ def pq_topk(
             raise ValueError("pq_topk: codebooks need >= 2 centroids")
         cb = [[[float(v) for v in cv] for cv in book] for book in codebooks]
     else:
+        n_centroids = 16 if n_centroids is None else n_centroids
+        if n_centroids <= 1:
+            raise ValueError("pq_topk: need >= 2 centroids")
         seeds = (
             embeddings.select("vec_id", "embedding")
             .orderBy("vec_id")
@@ -705,19 +726,13 @@ def pq_topk(
         return F.transform(col, lambda x: x.cast("double"))
 
     def _checked(col):
-        # plan-folded dimension guard (the kmv k-guard / x134 pattern)
-        return F.when(
-            F.size(col) != F.lit(ndim),
-            F.raise_error(
-                F.concat(
-                    F.lit("pq_topk: embedding dimension "),
-                    F.size(col).cast("string"),
-                    F.lit(
-                        f" does not match the {m}x{dsub} codebook layout"
-                    ),
-                )
-            ),
-        ).otherwise(_as_double(col))
+        return _as_double(
+            _dim_guard(
+                col,
+                ndim,
+                f"does not match the {m}x{dsub} codebook layout (pq_topk)",
+            )
+        )
 
     def _sub(col, j):
         return F.slice(col, j * dsub + 1, dsub)

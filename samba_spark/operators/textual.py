@@ -1049,7 +1049,9 @@ def _make_bpe_word_segmenter():
     ModuleNotFoundError on executors when the driver runs outside the
     repo — jpegcodec._make_jpeg_codec is the template)."""
 
-    def bpe_segment_word(word, merges):
+    import heapq
+
+    def bpe_segment_word(word, merges, rank=None):
         """Sequential-pass BPE segmentation of ONE word — the scan
         path's kernel. Exactly the chained-replace semantics: for each
         merge in rank order, one left-to-right non-overlapping pass.
@@ -1062,10 +1064,15 @@ def _make_bpe_word_segmenter():
         with rank > r, not just newly created ones) keeps the
         bookkeeping trivial; a popped rank whose pair has since been
         destroyed fires a no-op pass, same as the sequential scan
-        would."""
-        import heapq
+        would.
 
-        rank = {p: i for i, p in enumerate(merges)}
+        ``rank`` is the prebuilt pair→rank index ({(a, b): i}); callers
+        segmenting MANY words against one vocabulary must build it once
+        and pass it in — rebuilding it per word would reintroduce the
+        O(|merges|) per-word setup this path exists to avoid (the
+        convenience default builds it on the fly for one-off calls)."""
+        if rank is None:
+            rank = {p: i for i, p in enumerate(merges)}
         toks = list(word)
         heap = sorted({rank[p] for p in zip(toks, toks[1:]) if p in rank})
         last = -1
@@ -1117,10 +1124,14 @@ def _bpe_apply_scan(words: DataFrame, merges: "list[tuple[str, str]]") -> DataFr
 
             import pandas as pd
 
+            # pair->rank index built ONCE per task, shared by every word
+            # (per-word rebuild would cost O(|merges|) setup per word —
+            # exactly the vocabulary-size term the scan path eliminates)
+            rank = {p: i for i, p in enumerate(ms)}
             for pdf in batches:
                 counts: Counter = Counter()
                 for w, wn in zip(pdf["w"], pdf["wn"]):
-                    for tok in seg_word(w, ms):
+                    for tok in seg_word(w, ms, rank):
                         counts[tok] += int(wn)
                 if counts:
                     yield pd.DataFrame(

@@ -163,7 +163,16 @@ class GitHttpServer:
             raise RuntimeError("server not started")
         host, port = self._httpd.server_address[:2]
         if host in ("0.0.0.0", "::", ""):
-            host = socket.gethostname() or "127.0.0.1"
+            # the machine hostname is only useful if it actually
+            # resolves (minimal containers often lack an /etc/hosts
+            # entry for it) — otherwise loopback is the one address
+            # guaranteed reachable by the caller that started us
+            name = socket.gethostname()
+            try:
+                socket.getaddrinfo(name, port)
+                host = name
+            except (OSError, TypeError):
+                host = "127.0.0.1"
         return f"http://{host}:{port}/"
 
     def refresh(self) -> None:

@@ -1773,6 +1773,10 @@ def test_pq_topk_pinned_codebooks_parity_and_selfmatch(spark, sf_smoke):
 
     import pytest as _pytest
 
+    # ivf_topk argument contract: training knobs are mutually exclusive
+    # with the pinned quantizer (a silently-dead n_centroids hid bugs)
+    with _pytest.raises(ValueError, match="one or the other"):
+        S.pq_topk(embs, qs, m=8, n_centroids=16, codebooks=cb)
     with _pytest.raises(ValueError, match="subspaces"):
         S.pq_topk(embs, qs, m=8, codebooks=cb[:4])
     with _pytest.raises(ValueError, match="centroids"):
@@ -1859,6 +1863,27 @@ def test_minhash_probe_frozen_semantics(spark):
         minhash_probe_frozen(frozen_bands, frozen_sigs, delta, min_agree=0)
     with pytest.raises(ValueError, match="max_bucket"):
         minhash_probe_frozen(frozen_bands, frozen_sigs, delta, max_bucket=0)
+
+    # layout guards fire LOUDLY instead of silently deflating n_agree /
+    # returning empty: a frozen signature of the wrong length (index
+    # built with different num_hashes) and an index band id outside the
+    # probe's band layout
+    from pyspark.sql import functions as F
+
+    truncated_sigs = frozen_sigs.select(
+        "doc_id", F.slice("sig", 1, 32).alias("sig")
+    )
+    with pytest.raises(Exception, match="different minhash parameters"):
+        minhash_probe_frozen(
+            frozen_bands, truncated_sigs, delta, min_agree=8
+        ).collect()
+    shifted_bands = frozen_bands.select(
+        "doc_id", (F.col("band") + 16).alias("band"), "band_hash"
+    )
+    with pytest.raises(Exception, match="different band layout"):
+        minhash_probe_frozen(
+            shifted_bands, frozen_sigs, delta, min_agree=8
+        ).collect()
 
 
 def test_quality_model_score_exact_and_validation(spark):

@@ -37,6 +37,8 @@ def main() -> None:
     only: set[str] | None = None
     if "--only" in argv:
         i = argv.index("--only")
+        if i + 1 >= len(argv):
+            raise SystemExit("--only requires a comma-separated name list")
         only = set(argv[i + 1].split(","))
         del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
