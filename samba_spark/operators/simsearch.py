@@ -607,6 +607,171 @@ def int8_quantize_topk(
     )
 
 
+def _pq_prepare(embeddings, m, n_centroids, codebooks, op):
+    """Validate / derive a PQ codebook. Returns (cb, kc, dsub): the
+    nested [subspace][centroid][dim] float lists, the centroid count,
+    and the subvector width. Shared by pq_topk and ivf_pq_topk — the
+    training default is the deterministic sample quantizer (subvectors
+    of the n_centroids smallest vec_ids; one driver collect, exact and
+    oracle-replayable)."""
+    if m <= 0:
+        raise ValueError(f"{op}: need m >= 1 subspaces")
+    if codebooks is not None:
+        # the ivf_topk argument contract: n_centroids parameterizes
+        # TRAINING and would be silently dead next to pinned codebooks
+        # (whose length defines K) — passing both raises
+        if n_centroids is not None:
+            raise ValueError(
+                f"{op}: n_centroids parameterizes quantizer training and "
+                "is ignored when codebooks pins the quantizer — pass one or "
+                "the other, not both"
+            )
+        if len(codebooks) != m:
+            raise ValueError(
+                f"{op}: codebooks has {len(codebooks)} subspaces, m={m}"
+            )
+        kc = len(codebooks[0])
+        dsub = len(codebooks[0][0]) if kc else 0
+        for j, book in enumerate(codebooks):
+            if len(book) != kc:
+                raise ValueError(
+                    f"{op}: subspace {j} has {len(book)} centroids, "
+                    f"subspace 0 has {kc} — all must agree"
+                )
+            for c, cv in enumerate(book):
+                if len(cv) != dsub:
+                    raise ValueError(
+                        f"{op}: centroid ({j},{c}) has dim {len(cv)}, "
+                        f"expected {dsub}"
+                    )
+                if any(not math.isfinite(float(v)) for v in cv):
+                    raise ValueError(
+                        f"{op}: centroid ({j},{c}) has a non-finite value"
+                    )
+        if kc < 2:
+            raise ValueError(f"{op}: codebooks need >= 2 centroids")
+        cb = [[[float(v) for v in cv] for cv in book] for book in codebooks]
+    else:
+        n_centroids = 16 if n_centroids is None else n_centroids
+        if n_centroids <= 1:
+            raise ValueError(f"{op}: need >= 2 centroids")
+        seeds = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_centroids)
+            .collect()
+        )
+        if len(seeds) < n_centroids:
+            raise ValueError(
+                f"{op}: corpus has only {len(seeds)} rows; "
+                f"n_centroids={n_centroids}"
+            )
+        dim = len(seeds[0].embedding)
+        if dim % m != 0:
+            raise ValueError(f"{op}: dim {dim} not divisible by m={m}")
+        dsub = dim // m
+        cb = [
+            [
+                [float(r.embedding[j * dsub + t]) for t in range(dsub)]
+                for r in seeds
+            ]
+            for j in range(m)
+        ]
+        kc = n_centroids
+    return cb, kc, dsub
+
+
+def _fold_dot(a, b):
+    """Sequential left fold of elementwise products from 0.0 — the
+    engine-exact dot (DuckDB list_dot_product computes the identical
+    sequence)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _fold_dist2(a, b):
+    """Sequential left fold of squared differences from 0.0."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_exprs(cb, m, kc, dsub, op):
+    """Column-expression builders over a pinned codebook: ``checked``
+    (dim guard + double cast), ``codes`` (per-subspace argmin, ties to
+    the lowest centroid index via first-position-of-min), ``rssq``
+    (reconstructed squared norm from a codes column), ``adc`` (ADC dot
+    of an exact query against a codes column) — every float op a
+    sequential fold, identical in DuckDB."""
+    ndim = m * dsub
+    cb_col = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in cv]) for cv in book])
+            for book in cb
+        ]
+    )
+
+    def _as_double(col):
+        return F.transform(col, lambda x: x.cast("double"))
+
+    def checked(col):
+        return _as_double(
+            _dim_guard(
+                col,
+                ndim,
+                f"does not match the {m}x{dsub} codebook layout ({op})",
+            )
+        )
+
+    def sub(col, j):
+        return F.slice(col, j * dsub + 1, dsub)
+
+    def cvec(j, code):
+        return F.element_at(F.element_at(cb_col, j + 1), code + 1)
+
+    def codes(col):
+        def one(j):
+            dists = F.transform(
+                F.sequence(F.lit(0), F.lit(kc - 1)),
+                lambda c: _fold_dist2(sub(col, j), cvec(j, c)),
+            )
+            return (
+                F.array_position(dists, F.array_min(dists)) - 1
+            ).cast("int")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), one)
+
+    def rssq(codes_col):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + _fold_dot(
+                cvec(j, F.element_at(codes_col, j + 1)),
+                cvec(j, F.element_at(codes_col, j + 1)),
+            ),
+        )
+
+    def adc(qd_col, codes_col):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + _fold_dot(
+                sub(qd_col, j),
+                cvec(j, F.element_at(codes_col, j + 1)),
+            ),
+        )
+
+    return checked, codes, rssq, adc
+
+
+
 def pq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -650,157 +815,26 @@ def pq_topk(
     codebook arrays; scoring joins the BROADCAST queries (allowlisted
     x10 pattern); per-query top-k via one window. Scales with the
     corpus scan, never pairwise."""
-    if m <= 0:
-        raise ValueError("pq_topk: need m >= 1 subspaces")
-    if codebooks is not None:
-        # the ivf_topk argument contract: n_centroids parameterizes
-        # TRAINING and would be silently dead next to pinned codebooks
-        # (whose length defines K) — passing both raises
-        if n_centroids is not None:
-            raise ValueError(
-                "pq_topk: n_centroids parameterizes quantizer training and "
-                "is ignored when codebooks pins the quantizer — pass one or "
-                "the other, not both"
-            )
-        if len(codebooks) != m:
-            raise ValueError(
-                f"pq_topk: codebooks has {len(codebooks)} subspaces, m={m}"
-            )
-        kc = len(codebooks[0])
-        dsub = len(codebooks[0][0]) if kc else 0
-        for j, book in enumerate(codebooks):
-            if len(book) != kc:
-                raise ValueError(
-                    f"pq_topk: subspace {j} has {len(book)} centroids, "
-                    f"subspace 0 has {kc} — all must agree"
-                )
-            for c, cv in enumerate(book):
-                if len(cv) != dsub:
-                    raise ValueError(
-                        f"pq_topk: centroid ({j},{c}) has dim {len(cv)}, "
-                        f"expected {dsub}"
-                    )
-                if any(not math.isfinite(float(v)) for v in cv):
-                    raise ValueError(
-                        f"pq_topk: centroid ({j},{c}) has a non-finite value"
-                    )
-        if kc < 2:
-            raise ValueError("pq_topk: codebooks need >= 2 centroids")
-        cb = [[[float(v) for v in cv] for cv in book] for book in codebooks]
-    else:
-        n_centroids = 16 if n_centroids is None else n_centroids
-        if n_centroids <= 1:
-            raise ValueError("pq_topk: need >= 2 centroids")
-        seeds = (
-            embeddings.select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .limit(n_centroids)
-            .collect()
-        )
-        if len(seeds) < n_centroids:
-            raise ValueError(
-                f"pq_topk: corpus has only {len(seeds)} rows; "
-                f"n_centroids={n_centroids}"
-            )
-        dim = len(seeds[0].embedding)
-        if dim % m != 0:
-            raise ValueError(f"pq_topk: dim {dim} not divisible by m={m}")
-        dsub = dim // m
-        cb = [
-            [
-                [float(r.embedding[j * dsub + t]) for t in range(dsub)]
-                for r in seeds
-            ]
-            for j in range(m)
-        ]
-        kc = n_centroids
-    ndim = m * dsub
-    cb_col = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in cv]) for cv in book])
-            for book in cb
-        ]
-    )
-
-    def _as_double(col):
-        return F.transform(col, lambda x: x.cast("double"))
-
-    def _checked(col):
-        return _as_double(
-            _dim_guard(
-                col,
-                ndim,
-                f"does not match the {m}x{dsub} codebook layout (pq_topk)",
-            )
-        )
-
-    def _sub(col, j):
-        return F.slice(col, j * dsub + 1, dsub)
-
-    def _fold_dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def _dist2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def _cvec(j, code):
-        return F.element_at(F.element_at(cb_col, j + 1), code + 1)
-
-    def _codes(col):
-        # per subspace: first index of the minimum distance (ties -> the
-        # lowest centroid index, identical in DuckDB's list_position)
-        def one(j):
-            dists = F.transform(
-                F.sequence(F.lit(0), F.lit(kc - 1)),
-                lambda c: _dist2(_sub(col, j), _cvec(j, c)),
-            )
-            return (
-                F.array_position(dists, F.array_min(dists)) - 1
-            ).cast("int")
-
-        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), one)
+    cb, kc, dsub = _pq_prepare(embeddings, m, n_centroids, codebooks, "pq_topk")
+    _checked, _codes, _rssq, _adc = _pq_exprs(cb, m, kc, dsub, "pq_topk")
 
     corpus = embeddings.select(
         "vec_id", _codes(_checked(F.col("embedding"))).alias("codes")
     ).withColumn(
         # reconstructed squared norm: sum over subspaces of the coded
         # centroid's squared norm, folded in subspace order from 0.0
-        "rssq",
-        F.aggregate(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            F.lit(0.0),
-            lambda acc, j: acc
-            + _fold_dot(
-                _cvec(j, F.element_at(F.col("codes"), j + 1)),
-                _cvec(j, F.element_at(F.col("codes"), j + 1)),
-            ),
-        ),
+        "rssq", _rssq(F.col("codes"))
     )
     qs = queries.select(
         "query_id", _checked(F.col("q_embedding")).alias("qd")
     ).withColumn("q_ssq", _fold_dot(F.col("qd"), F.col("qd")))
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + _fold_dot(
-            _sub(F.col("qd"), j),
-            _cvec(j, F.element_at(F.col("codes"), j + 1)),
-        ),
-    )
     scored = corpus.crossJoin(F.broadcast(qs)).select(
         "query_id",
         "vec_id",
         F.round(
-            adc / (F.sqrt(F.col("q_ssq")) * F.sqrt(F.col("rssq"))), 6
+            _adc(F.col("qd"), F.col("codes"))
+            / (F.sqrt(F.col("q_ssq")) * F.sqrt(F.col("rssq"))),
+            6,
         ).alias("sim_pq"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col("vec_id"))
@@ -808,4 +842,301 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim_pq", "rank")
+    )
+
+
+def truncated_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefilter_dim: int = 16,
+    shortlist: int = 50,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-stage (Matryoshka-style) retrieval: stage 1 ranks the WHOLE
+    corpus by cosine over only the first ``prefilter_dim`` dimensions
+    and keeps a per-query ``shortlist``; stage 2 re-ranks the shortlist
+    with the exact full-dimension cosine and returns top-k. The standard
+    cheap-prefilter/exact-rerank split used with truncation-trained
+    (MRL) embeddings: at serving scale stage 1 reads a ``prefilter_dim/
+    dim`` slice of the vector bytes (with a column-pruned prefix
+    column, 4× less I/O at 16/64) and stage 2 touches full vectors for
+    only ``shortlist`` rows per query.
+
+    Engine-exactness: both stages are the same sequential-fold cosine
+    as ``cosine_topk`` over sliced vs full arrays, both rounded to
+    ``round_to`` BEFORE ranking, ties to the lowest vec_id — the
+    composition is hash-exact across engines. Output carries both
+    scores (``sim_pre`` for diagnosis of prefilter quality, ``sim`` for
+    the final ranking).
+
+    Plan shape: one corpus scan; stage 1 computes ONLY the prefix
+    cosine per corpus row and the shortlist window's partial
+    per-partition top-N keeps ≤ shortlist×queries rows per partition
+    before the exchange (the full vector rides those few surviving
+    rows — no join back, no second scan); stage 2's full-dimension
+    cosine is a projection AFTER the shortlist filter, so the exact dot
+    runs on shortlist×queries rows, never the corpus. Scales with the
+    scan, never pairwise."""
+    if prefilter_dim < 1:
+        raise ValueError("truncated_rerank_topk: prefilter_dim must be >= 1")
+    if shortlist < k:
+        raise ValueError(
+            f"truncated_rerank_topk: shortlist={shortlist} must be >= k={k}"
+        )
+    pre = F.slice(F.col("embedding"), 1, prefilter_dim)
+    qpre = F.slice(F.col("q_embedding"), 1, prefilter_dim)
+    scored = embeddings.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(qpre, pre), round_to).alias("sim_pre"),
+        "q_embedding",
+        "embedding",
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_pre"), F.col("vec_id")
+    )
+    short = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= shortlist)
+        .select(
+            "query_id",
+            "vec_id",
+            "sim_pre",
+            F.round(
+                cosine(F.col("q_embedding"), F.col("embedding")), round_to
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        short.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim_pre", "sim", "rank")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_cells: "int | None" = None,
+    n_probe: int = 2,
+    cell_centroids: "list[list[float]] | None" = None,
+    n_centroids: "int | None" = None,
+    codebooks: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """IVF-PQ similarity top-k — the composed serving stack (the shape
+    FAISS calls IVFPQ, here the NON-RESIDUAL variant: PQ codes are
+    global, cells only GATE which corpus rows get scored; residual
+    encoding would buy recall at the same plan shape and is documented
+    out of scope). The two scale levers multiply: the IVF gate prunes
+    the scan's scoring work to ~n_probe/n_cells of the corpus, and the
+    PQ codes shrink the resident index 64× — candidate generation and
+    compression, composed.
+
+    Quantizers follow the pinned-serving contract of their parents:
+    ``cell_centroids`` pins the coarse quantizer (else the deterministic
+    sample: the full vectors of the ``n_cells`` smallest vec_ids,
+    default 4) and ``codebooks``/``n_centroids`` pin/train PQ exactly as
+    in :func:`pq_topk`. Training knobs are mutually exclusive with
+    their pinned counterparts.
+
+    Engine-exactness: cell assignment is the same first-position-of-min
+    argmin as PQ encoding; query probing keeps the ``n_probe`` cells
+    with the smallest (distance, cell_id) — an array_sort over structs,
+    the same lexicographic tie-break DuckDB's ORDER BY (dist, c)
+    replays; scoring is pq_topk's ADC cosine. Hash-exact end to end.
+
+    Plan shape: one corpus scan (cell + codes are zero-shuffle array
+    transforms over literal quantizers); the probed-cells equi-join
+    against the BROADCAST exploded query set prunes before any ADC
+    work; per-query top-k via one window."""
+    if n_probe < 1:
+        raise ValueError("ivf_pq_topk: n_probe must be >= 1")
+    if cell_centroids is not None:
+        if n_cells is not None:
+            raise ValueError(
+                "ivf_pq_topk: n_cells parameterizes coarse-quantizer "
+                "training and is ignored when cell_centroids pins it — "
+                "pass one or the other, not both"
+            )
+        cells = [[float(v) for v in c] for c in cell_centroids]
+        if len(cells) < 1:
+            raise ValueError("ivf_pq_topk: cell_centroids is empty")
+        cdim = len(cells[0])
+        for i, c in enumerate(cells):
+            if len(c) != cdim:
+                raise ValueError(
+                    f"ivf_pq_topk: cell centroid {i} has dim {len(c)}, "
+                    f"centroid 0 has {cdim}"
+                )
+            if any(not math.isfinite(v) for v in c):
+                raise ValueError(
+                    f"ivf_pq_topk: cell centroid {i} has a non-finite value"
+                )
+    else:
+        n_cells = 4 if n_cells is None else n_cells
+        if n_cells < 1:
+            raise ValueError("ivf_pq_topk: need >= 1 cells")
+        seeds = (
+            embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(n_cells)
+            .collect()
+        )
+        if len(seeds) < n_cells:
+            raise ValueError(
+                f"ivf_pq_topk: corpus has only {len(seeds)} rows; "
+                f"n_cells={n_cells}"
+            )
+        cells = [[float(v) for v in r.embedding] for r in seeds]
+        cdim = len(cells[0])
+    n_total_cells = len(cells)
+    if n_probe > n_total_cells:
+        raise ValueError(
+            f"ivf_pq_topk: n_probe={n_probe} must be <= the "
+            f"{n_total_cells} cells"
+        )
+    cb, kc, dsub = _pq_prepare(
+        embeddings, m, n_centroids, codebooks, "ivf_pq_topk"
+    )
+    if m * dsub != cdim:
+        raise ValueError(
+            f"ivf_pq_topk: cell centroids are {cdim}-dim but the PQ "
+            f"layout is {m}x{dsub}"
+        )
+    _checked, _codes, _rssq, _adc = _pq_exprs(cb, m, kc, dsub, "ivf_pq_topk")
+    cells_col = F.array(
+        *[F.array(*[F.lit(v) for v in c]) for c in cells]
+    )
+
+    def _cell_dists(col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_total_cells - 1)),
+            lambda c: _fold_dist2(col, F.element_at(cells_col, c + 1)),
+        )
+
+    def _cell_of(col):
+        d = _cell_dists(col)
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    corpus = embeddings.select(
+        "vec_id",
+        _cell_of(_checked(F.col("embedding"))).alias("cell"),
+        _codes(_checked(F.col("embedding"))).alias("codes"),
+    ).withColumn("rssq", _rssq(F.col("codes")))
+    # probe set: the n_probe cells with the smallest (distance, cell_id)
+    # — array_sort over structs is the lexicographic order DuckDB's
+    # ORDER BY (dist, c) replays
+    probe_cells = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_total_cells - 1)),
+                    lambda c: F.struct(
+                        F.element_at(
+                            _cell_dists(F.col("qd")), c + 1
+                        ).alias("d"),
+                        c.cast("int").alias("c"),
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["c"],
+    )
+    qs = (
+        queries.select(
+            "query_id", _checked(F.col("q_embedding")).alias("qd")
+        )
+        .withColumn("q_ssq", _fold_dot(F.col("qd"), F.col("qd")))
+        .withColumn("cell", F.explode(probe_cells))
+    )
+    scored = corpus.join(F.broadcast(qs), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _adc(F.col("qd"), F.col("codes"))
+            / (F.sqrt(F.col("q_ssq")) * F.sqrt(F.col("rssq"))),
+            6,
+        ).alias("sim_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim_pq", "rank")
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Retrieval-quality evaluation: per-query recall@k and reciprocal
+    rank of an APPROXIMATE results table against an exact ground-truth
+    table (both (query_id, vec_id, rank)) — the eval harness every ANN
+    serving stack needs next to its operators (brute/LSH/IVF/SQ8/PQ/
+    two-stage all produce this shape). Truth defines the query universe:
+    one output row per truth query, zero-filled when the approximate arm
+    found nothing.
+
+    Engine-exactness: hits are an integer equi-join count, recall@k is
+    ONE division of exact integers, and the reciprocal rank is 1.0/rank
+    (0.0 when no relevant item was retrieved — the standard MRR
+    convention, and it keeps the column non-null). Deliberately NO
+    macro-average row: a cross-group float sum has no deterministic
+    order in either engine — average downstream with exact integers
+    (sum n_hits / sum n_relevant) if a single number is needed.
+
+    Plan shape: two filters, one equi-join on (query_id, vec_id), three
+    metadata-scale aggregations keyed by query_id. Scales with the
+    results tables, which are O(queries × k)."""
+    if k < 1:
+        raise ValueError("retrieval_metrics: k must be >= 1")
+    r = results.where(F.col("rank") <= k).select(
+        "query_id", "vec_id", "rank"
+    )
+    t = truth.where(F.col("rank") <= k).select("query_id", "vec_id")
+    rel = t.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_relevant")
+    )
+    got = r.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved")
+    )
+    hits = (
+        r.join(t, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("rank").cast("long").alias("first_hit_rank"),
+        )
+    )
+    return (
+        rel.join(got, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_relevant",
+            F.coalesce(F.col("n_retrieved"), F.lit(0)).cast("long").alias(
+                "n_retrieved"
+            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_relevant").cast("double")
+            ).alias("recall_at_k"),
+            F.col("first_hit_rank"),
+            F.when(
+                F.col("first_hit_rank").isNotNull(),
+                F.lit(1.0) / F.col("first_hit_rank").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("reciprocal_rank"),
+        )
     )

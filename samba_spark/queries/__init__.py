@@ -74,14 +74,15 @@ Round-8 rotation (VERDICT r7 items 2/6): the round-7 window came back
 queries whose driver rows predate their oracle graduation (their sole
 rows are round-1 ``no_oracle`` stubs; q29 gained the est_ok gate in
 r3, q30 the sampling contract in r6 — this gives both their first
-full-green hash row). The next 40 slots clear the ENTIRE remaining
-round-4-window backfill (listed above, in r4 order), after which the
-oldest single-green debt is the round-5 window. The final slots hold
-the round-8 additions (standing policy: new queries enter the current
-window before it pins). x42/q59 rotate to AUX per VERDICT item 6 —
-their bench suite position changes (CONTRACT entries run first), which
-is the deliberate re-attestation of the suite-context hypothesis for
-their r7 slowdown.
+full-green hash row). The next 37 slots take the round-4-window
+backfill in r4 order; the 6 round-8 additions (x136–x141, the
+serving-mode wave) take the final slots per the new-before-backfill
+standing policy, displacing the 3 newest r4 backfills (x77, x79, q75)
+to round 9 — after which the single-green debt is those 3 plus the
+round-5 window. x42/q59 rotate to AUX per VERDICT item 6 — their bench
+suite position changes (CONTRACT entries run first), which is the
+deliberate re-attestation of the suite-context hypothesis for their r7
+slowdown.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -106,9 +107,9 @@ _SENTINELS = [
 # Round-8 rotation (VERDICT r7 items 2/6; the round-7 window came back
 # 50/50 full-green, so all 45 rotated-in entries moved to
 # ``AUX_QUERIES``): q29/q30's first post-graduation driver rows, then
-# the ENTIRE remaining round-4-window backfill (40 queries — after this
-# the oldest single-green debt is the round-5 window), then the
-# round-8 additions.
+# 37 round-4-window backfills in r4 order, then the 6 round-8
+# additions (displacing backfills x77/x79/q75 to round 9 — standing
+# new-before-backfill policy).
 _ROTATED_IN = [
     # VERDICT r7 item 2: q29/q30's only driver rows are round-1
     # no_oracle stubs predating their oracle graduation (q29 -> r3
@@ -155,15 +156,18 @@ _ROTATED_IN = [
     "x71_incremental_agg",
     "x72_udtf_leading_tokens",
     "x75_bpe_merge_round",
-    "x77_scd2_lookup",
-    "x79_stratified_split",
-    "q75_run_diff",
-    # round-8 additions (new-before-backfill policy): the serving-mode
-    # trio — PQ ADC top-k with the deterministic sample quantizer,
-    # frozen-index MinHash probe, pinned linear quality model
+    # round-8 additions (new-before-backfill standing policy; their 6
+    # slots displace the 3 newest r4 backfills x77/x79/q75 to round 9):
+    # the serving-mode wave — PQ ADC top-k with the deterministic
+    # sample quantizer, frozen-index MinHash probe, pinned linear
+    # quality model, two-stage truncated-prefix rerank, retrieval-
+    # quality metrics, composed IVF-PQ
     "x136_pq_ann",
     "x137_minhash_probe",
     "x138_quality_model",
+    "x139_truncated_rerank",
+    "x140_retrieval_metrics",
+    "x141_ivf_pq_ann",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

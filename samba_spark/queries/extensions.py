@@ -5419,6 +5419,226 @@ FROM best ORDER BY doc_id
 """
 
 
+def x_truncated_rerank(spark, sf_dir):
+    """Two-stage Matryoshka-style retrieval (simsearch.
+    truncated_rerank_topk): stage 1 shortlists 50 per query by cosine
+    over the FIRST 16 of 64 dimensions (4× less vector I/O with a
+    prefix column at scale), stage 2 re-ranks the shortlist with the
+    exact full-dimension cosine — computed only AFTER the shortlist
+    filter. Both stages hash-exact; output carries both scores."""
+    embs = _embs(spark, sf_dir)
+    return S.truncated_rerank_topk(
+        embs, _queries_df(embs), k=10, prefilter_dim=16, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
+X139_TRUNCATED_RERANK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < 5),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+s1 AS (
+  SELECT q.query_id, c.vec_id, q.qe, c.emb,
+         ROUND(list_dot_product(q.qe[1:16], c.emb[1:16]) /
+               (sqrt(list_dot_product(q.qe[1:16], q.qe[1:16])) *
+                sqrt(list_dot_product(c.emb[1:16], c.emb[1:16]))),
+               6) AS sim_pre
+  FROM c CROSS JOIN q),
+short AS (
+  SELECT * FROM s1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim_pre DESC, vec_id) <= 50),
+s2 AS (
+  SELECT query_id, vec_id, sim_pre,
+         ROUND(list_dot_product(qe, emb) /
+               (sqrt(list_dot_product(qe, qe)) *
+                sqrt(list_dot_product(emb, emb))), 6) AS sim
+  FROM short),
+ranked AS (
+  SELECT query_id, vec_id, sim_pre, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM s2)
+SELECT query_id, vec_id, sim_pre, sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def x_retrieval_metrics(spark, sf_dir):
+    """ANN eval harness (simsearch.retrieval_metrics): per-query
+    recall@10 and reciprocal rank of the two-stage truncated-prefix
+    retriever (prefilter_dim=8, shortlist=20 — deliberately lossy)
+    against exact-cosine ground truth. Integer hits, one division per
+    metric; no macro-average row (a cross-group float sum has no
+    deterministic order — average the integer columns downstream)."""
+    embs = _embs(spark, sf_dir)
+    qs = _queries_df(embs)
+    truth = S.cosine_topk(embs, qs, k=10)
+    results = S.truncated_rerank_topk(
+        embs, qs, k=10, prefilter_dim=8, shortlist=20
+    )
+    return S.retrieval_metrics(results, truth, k=10).orderBy("query_id")
+
+
+X140_RETRIEVAL_METRICS_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < 5),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+s1 AS (
+  SELECT q.query_id, c.vec_id,
+         ROUND(list_dot_product(q.qe[1:8], c.emb[1:8]) /
+               (sqrt(list_dot_product(q.qe[1:8], q.qe[1:8])) *
+                sqrt(list_dot_product(c.emb[1:8], c.emb[1:8]))),
+               6) AS sim_pre,
+         ROUND(list_dot_product(q.qe, c.emb) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+  FROM c CROSS JOIN q),
+truth AS (
+  SELECT query_id, vec_id FROM s1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id) <= 10),
+short AS (
+  SELECT query_id, vec_id, sim FROM s1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY sim_pre DESC, vec_id) <= 20),
+res AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM short
+  QUALIFY rank <= 10),
+rel AS (SELECT query_id, COUNT(*) AS n_relevant FROM truth GROUP BY 1),
+got AS (SELECT query_id, COUNT(*) AS n_retrieved FROM res GROUP BY 1),
+hits AS (
+  SELECT r.query_id, COUNT(*) AS n_hits, MIN(r.rank) AS first_hit_rank
+  FROM res r JOIN truth t
+    ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+  GROUP BY 1)
+SELECT rel.query_id,
+       rel.n_relevant::BIGINT AS n_relevant,
+       COALESCE(got.n_retrieved, 0)::BIGINT AS n_retrieved,
+       COALESCE(hits.n_hits, 0)::BIGINT AS n_hits,
+       CAST(COALESCE(hits.n_hits, 0) AS DOUBLE)
+         / CAST(rel.n_relevant AS DOUBLE) AS recall_at_k,
+       hits.first_hit_rank::BIGINT AS first_hit_rank,
+       CASE WHEN hits.first_hit_rank IS NOT NULL
+            THEN CAST(1.0 AS DOUBLE) / CAST(hits.first_hit_rank AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS reciprocal_rank
+FROM rel
+LEFT JOIN got USING (query_id)
+LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""
+
+
+def x_ivf_pq_ann(spark, sf_dir):
+    """Composed IVF-PQ serving stack (simsearch.ivf_pq_topk,
+    non-residual): 4 deterministic-sample cells gate the corpus, each
+    query probes its 2 nearest cells, survivors are scored with the
+    x136 PQ ADC cosine — candidate pruning × 64× code compression, the
+    FAISS-IVFPQ shape with every float fold engine-exact."""
+    embs = _embs(spark, sf_dir)
+    return S.ivf_pq_topk(
+        embs, _queries_df(embs), k=10, m=8
+    ).orderBy("query_id", "rank")
+
+
+X141_IVF_PQ_SQL = """
+WITH cells AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
+corp AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+celldiff AS (
+  SELECT v.vec_id, ce.c,
+         list_transform(list_zip(v.emb, ce.cv), p -> p[1] - p[2]) AS dv
+  FROM corp v CROSS JOIN cells ce),
+cdl AS (
+  SELECT vec_id, list(list_dot_product(dv, dv) ORDER BY c) AS dists
+  FROM celldiff GROUP BY vec_id),
+vcell AS (
+  SELECT vec_id, list_position(dists, list_min(dists)) - 1 AS cell
+  FROM cdl),
+cbsrc AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+cb AS (
+  SELECT u.j, c, emb[u.j*8+1 : u.j*8+8] AS cvec
+  FROM cbsrc, UNNEST(range(0, 8)) AS u(j)),
+diffs AS (
+  SELECT v.vec_id, b.j, b.c,
+         list_transform(list_zip(v.emb[b.j*8+1 : b.j*8+8], b.cvec),
+                        p -> p[1] - p[2]) AS dv
+  FROM corp v CROSS JOIN cb b),
+dl AS (
+  SELECT vec_id, j, list(list_dot_product(dv, dv) ORDER BY c) AS dists
+  FROM diffs GROUP BY vec_id, j),
+code AS (
+  SELECT vec_id, j, list_position(dists, list_min(dists)) - 1 AS code
+  FROM dl),
+cent AS (
+  SELECT e.vec_id, e.j, b.cvec
+  FROM code e JOIN cb b ON b.j = e.j AND b.c = e.code),
+rs AS (
+  SELECT vec_id,
+         list_reduce(
+           list_prepend(0.0, list(list_dot_product(cvec, cvec) ORDER BY j)),
+           (a, b) -> a + b) AS rssq
+  FROM cent GROUP BY vec_id),
+qn AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)))
+           AS q_ssq
+  FROM embeddings WHERE vec_id < 5),
+qcelldiff AS (
+  SELECT q.query_id, ce.c,
+         list_transform(list_zip(q.qe, ce.cv), p -> p[1] - p[2]) AS dv
+  FROM qn q CROSS JOIN cells ce),
+probe AS (
+  SELECT query_id, c AS cell
+  FROM (SELECT query_id, c, list_dot_product(dv, dv) AS d FROM qcelldiff)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, c) <= 2),
+cand AS (
+  SELECT p.query_id, v.vec_id
+  FROM vcell v JOIN probe p ON p.cell = v.cell),
+terms AS (
+  SELECT cd.query_id, ct.vec_id, ct.j,
+         list_dot_product(q.qe[ct.j*8+1 : ct.j*8+8], ct.cvec) AS term
+  FROM cand cd
+  JOIN cent ct ON ct.vec_id = cd.vec_id
+  JOIN qn q ON q.query_id = cd.query_id),
+adc AS (
+  SELECT query_id, vec_id,
+         list_reduce(list_prepend(0.0, list(term ORDER BY j)),
+                     (a, b) -> a + b) AS adc
+  FROM terms GROUP BY query_id, vec_id),
+scored AS (
+  SELECT a.query_id, a.vec_id,
+         ROUND(a.adc / (sqrt(q.q_ssq) * sqrt(r.rssq)), 6) AS sim_pq
+  FROM adc a JOIN qn q USING (query_id) JOIN rs r USING (vec_id)),
+ranked AS (
+  SELECT query_id, vec_id, sim_pq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim_pq DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, sim_pq, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 # x138: the pinned quality-model weights (trained offline in a real
 # deployment; the pinned-model split — these fire on the synthetic
 # corpus's feature spread).
@@ -5486,6 +5706,13 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),
+    "x139_truncated_rerank": QuerySpec(
+        x_truncated_rerank, X139_TRUNCATED_RERANK_SQL
+    ),
+    "x140_retrieval_metrics": QuerySpec(
+        x_retrieval_metrics, X140_RETRIEVAL_METRICS_SQL
+    ),
+    "x141_ivf_pq_ann": QuerySpec(x_ivf_pq_ann, X141_IVF_PQ_SQL),
     "x133_theil_sen": QuerySpec(x_theil_sen, X133_THEIL_SEN_SQL),
     "x135_bpe_apply": QuerySpec(x_bpe_apply, _x135_sql()),
     "x134_int8_ann": QuerySpec(x_int8_ann, X134_INT8_ANN_SQL),

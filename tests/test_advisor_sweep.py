@@ -79,6 +79,12 @@ ALLOWED: dict[str, set[str]] = {
     # ADC scoring against the broadcast ≤5-row query set (the x10
     # family) — PQ corpus codes are the big side, queries broadcast
     "x136_pq_ann": {"cartesian"},
+    # stage-1 prefix scoring against the broadcast ≤5-row query set
+    # (x10 family); stage 2 runs on the shortlist only
+    "x139_truncated_rerank": {"cartesian"},
+    # composes two x10-family broadcast-query scorers (exact truth arm
+    # + two-stage results arm); the metric joins are O(queries × k)
+    "x140_retrieval_metrics": {"cartesian", "single_partition"},
 }
 
 

@@ -78,5 +78,5 @@ def test_contract_window_invariant():
     # plus the round-8 additions (new-before-backfill standing policy).
     for q in ("q29", "q30"):
         assert any(n.startswith(f"{q}_") for n in in_window), f"{q} outside window"
-    for x in ("x136", "x137", "x138"):
+    for x in ("x136", "x137", "x138", "x139", "x140", "x141"):
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -1939,3 +1939,111 @@ def test_quality_model_score_exact_and_validation(spark):
         quality_model_score(docs, {"punct_ratio": float("nan")})
     with pytest.raises(ValueError, match="non-finite"):
         quality_model_score(docs, {"punct_ratio": 1.0}, bias=float("inf"))
+
+
+def test_truncated_rerank_degenerate_equals_brute_force(spark, sf_smoke):
+    """x139: with shortlist >= corpus size the prefilter cannot drop
+    anything, so the two-stage output equals exact cosine_topk rows
+    (minus the extra sim_pre column); self-match ranks first; parameter
+    validation is loud."""
+    from samba_spark.operators import simsearch as S
+    from samba_spark.queries.extensions import _embs, _queries_df
+
+    embs = _embs(spark, sf_smoke)
+    qs = _queries_df(embs)
+    n = embs.count()
+    two = S.truncated_rerank_topk(
+        embs, qs, k=10, prefilter_dim=8, shortlist=n
+    )
+    brute = S.cosine_topk(embs, qs, k=10)
+    assert sorted(
+        (r.query_id, r.vec_id, r.sim, r.rank) for r in two.collect()
+    ) == sorted(tuple(r) for r in brute.collect())
+    # lossy shortlist still keeps the self-match at rank 1 (prefix
+    # cosine of a vector with itself is 1.0 -> always shortlisted)
+    lossy = S.truncated_rerank_topk(embs, qs, k=1, prefilter_dim=8, shortlist=5)
+    assert {r.query_id: r.vec_id for r in lossy.collect()} == {
+        q: q for q in range(5)
+    }
+    with pytest.raises(ValueError, match="shortlist"):
+        S.truncated_rerank_topk(embs, qs, k=10, shortlist=5)
+    with pytest.raises(ValueError, match="prefilter_dim"):
+        S.truncated_rerank_topk(embs, qs, prefilter_dim=0)
+
+
+def test_retrieval_metrics_hand_fixture(spark):
+    """x140: recall@k / reciprocal-rank arithmetic on a hand-checked
+    fixture, including the no-hit and missing-from-results queries."""
+    from samba_spark.operators.simsearch import retrieval_metrics
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (3, 30, 1)],
+        ["query_id", "vec_id", "rank"],
+    )
+    results = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2), (2, 21, 1)],
+        ["query_id", "vec_id", "rank"],
+    )
+    out = {r.query_id: r for r in retrieval_metrics(results, truth, k=2).collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert (r1.n_relevant, r1.n_retrieved, r1.n_hits) == (2, 2, 1)
+    assert r1.recall_at_k == 0.5
+    assert r1.first_hit_rank == 1 and r1.reciprocal_rank == 1.0
+    r2 = out[2]  # retrieved 1 wrong item: zero hits
+    assert (r2.n_relevant, r2.n_retrieved, r2.n_hits) == (1, 1, 0)
+    assert r2.recall_at_k == 0.0
+    assert r2.first_hit_rank is None and r2.reciprocal_rank == 0.0
+    r3 = out[3]  # query absent from results entirely
+    assert (r3.n_relevant, r3.n_retrieved, r3.n_hits) == (1, 0, 0)
+
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval_metrics(results, truth, k=0)
+
+
+def test_ivf_pq_pinned_parity_and_full_probe_equivalence(spark, sf_smoke):
+    """x141: probing ALL cells removes the gate, so ivf_pq_topk equals
+    pq_topk exactly (same codebooks -> same ADC cosine ranking); pinned
+    quantizers replay training mode; the training-vs-pinned knobs are
+    mutually exclusive and layout mismatches fail loudly."""
+    from samba_spark.operators import simsearch as S
+    from samba_spark.queries.extensions import _embs, _queries_df
+
+    embs = _embs(spark, sf_smoke)
+    qs = _queries_df(embs)
+    full_probe = S.ivf_pq_topk(embs, qs, k=10, m=8, n_cells=4, n_probe=4)
+    flat = S.pq_topk(embs, qs, k=10, m=8)
+    assert sorted(tuple(r) for r in full_probe.collect()) == sorted(
+        tuple(r) for r in flat.collect()
+    )
+    # pinned quantizers replay the trained defaults
+    seeds = embs.orderBy("vec_id").limit(16).collect()
+    dsub = len(seeds[0].embedding) // 8
+    cb = [
+        [[float(r.embedding[j * dsub + t]) for t in range(dsub)] for r in seeds]
+        for j in range(8)
+    ]
+    cells = [[float(v) for v in r.embedding] for r in seeds[:4]]
+    trained = sorted(
+        tuple(r) for r in S.ivf_pq_topk(embs, qs, k=10, m=8).collect()
+    )
+    pinned = sorted(
+        tuple(r)
+        for r in S.ivf_pq_topk(
+            embs, qs, k=10, m=8, cell_centroids=cells, codebooks=cb
+        ).collect()
+    )
+    assert pinned == trained
+
+    with pytest.raises(ValueError, match="one or the other"):
+        S.ivf_pq_topk(embs, qs, n_cells=4, cell_centroids=cells)
+    with pytest.raises(ValueError, match="one or the other"):
+        S.ivf_pq_topk(embs, qs, n_centroids=16, codebooks=cb)
+    with pytest.raises(ValueError, match="n_probe"):
+        S.ivf_pq_topk(embs, qs, n_cells=2, n_probe=5)
+    with pytest.raises(ValueError, match="n_probe"):
+        S.ivf_pq_topk(embs, qs, n_probe=0)
+    with pytest.raises(ValueError, match="PQ"):
+        S.ivf_pq_topk(
+            embs, qs, cell_centroids=[c[:32] for c in cells], codebooks=cb
+        )

@@ -102,6 +102,12 @@ PROBES = [
     # nothing to probe beyond the scan itself.
     "x136_pq_ann",
     "x137_minhash_probe",
+    # composed IVF-PQ (cell gate + ADC over probed cells) and the
+    # two-stage truncated rerank (prefix scoring + post-shortlist exact
+    # dot) — both scale with the embeddings scan. x140 metrics is
+    # absent: its inputs are O(queries × k) tables at every SF.
+    "x139_truncated_rerank",
+    "x141_ivf_pq_ann",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
