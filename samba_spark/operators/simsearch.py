@@ -607,13 +607,15 @@ def int8_quantize_topk(
     )
 
 
-def _pq_prepare(embeddings, m, n_centroids, codebooks, op):
+def _pq_prepare(embeddings, m, n_centroids, codebooks, op, seed_rows=None):
     """Validate / derive a PQ codebook. Returns (cb, kc, dsub): the
     nested [subspace][centroid][dim] float lists, the centroid count,
     and the subvector width. Shared by pq_topk and ivf_pq_topk — the
     training default is the deterministic sample quantizer (subvectors
     of the n_centroids smallest vec_ids; one driver collect, exact and
-    oracle-replayable)."""
+    oracle-replayable). ``seed_rows`` passes in an already-collected
+    vec_id-ordered row prefix so a caller training TWO quantizers
+    (ivf_pq_topk) collects once, not twice."""
     if m <= 0:
         raise ValueError(f"{op}: need m >= 1 subspaces")
     if codebooks is not None:
@@ -655,12 +657,15 @@ def _pq_prepare(embeddings, m, n_centroids, codebooks, op):
         n_centroids = 16 if n_centroids is None else n_centroids
         if n_centroids <= 1:
             raise ValueError(f"{op}: need >= 2 centroids")
-        seeds = (
-            embeddings.select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .limit(n_centroids)
-            .collect()
-        )
+        if seed_rows is not None and len(seed_rows) >= n_centroids:
+            seeds = list(seed_rows[:n_centroids])
+        else:
+            seeds = (
+                embeddings.select("vec_id", "embedding")
+                .orderBy("vec_id")
+                .limit(n_centroids)
+                .collect()
+            )
         if len(seeds) < n_centroids:
             raise ValueError(
                 f"{op}: corpus has only {len(seeds)} rows; "
@@ -885,8 +890,28 @@ def truncated_rerank_topk(
         raise ValueError(
             f"truncated_rerank_topk: shortlist={shortlist} must be >= k={k}"
         )
-    pre = F.slice(F.col("embedding"), 1, prefilter_dim)
-    qpre = F.slice(F.col("q_embedding"), 1, prefilter_dim)
+
+    def _pre_guard(col):
+        # slice() silently CLAMPS when prefilter_dim exceeds the vector
+        # dimension, which would turn the cheap prefilter into the full
+        # cosine computed twice with a misleading sim_pre — fail loudly
+        # instead (the _dim_guard family's contract)
+        return F.when(
+            F.size(col) < F.lit(prefilter_dim),
+            F.raise_error(
+                F.concat(
+                    F.lit("truncated_rerank_topk: embedding dimension "),
+                    F.size(col).cast("string"),
+                    F.lit(
+                        f" is smaller than prefilter_dim={prefilter_dim} — "
+                        "the prefix slice would clamp to the full vector"
+                    ),
+                )
+            ),
+        ).otherwise(col)
+
+    pre = F.slice(_pre_guard(F.col("embedding")), 1, prefilter_dim)
+    qpre = F.slice(_pre_guard(F.col("q_embedding")), 1, prefilter_dim)
     scored = embeddings.crossJoin(F.broadcast(queries)).select(
         "query_id",
         "vec_id",
@@ -981,10 +1006,17 @@ def ivf_pq_topk(
         n_cells = 4 if n_cells is None else n_cells
         if n_cells < 1:
             raise ValueError("ivf_pq_topk: need >= 1 cells")
+        # when the PQ codebooks also train, ONE collect serves both
+        # quantizers (the cell seeds are a prefix of the PQ seeds) —
+        # two separate ordered-limit collects would run the scan twice
+        # at plan-build time
+        n_seed = n_cells
+        if codebooks is None:
+            n_seed = max(n_cells, 16 if n_centroids is None else n_centroids)
         seeds = (
             embeddings.select("vec_id", "embedding")
             .orderBy("vec_id")
-            .limit(n_cells)
+            .limit(n_seed)
             .collect()
         )
         if len(seeds) < n_cells:
@@ -992,16 +1024,20 @@ def ivf_pq_topk(
                 f"ivf_pq_topk: corpus has only {len(seeds)} rows; "
                 f"n_cells={n_cells}"
             )
-        cells = [[float(v) for v in r.embedding] for r in seeds]
+        cells = [[float(v) for v in r.embedding] for r in seeds[:n_cells]]
         cdim = len(cells[0])
+        seed_rows = seeds if codebooks is None else None
     n_total_cells = len(cells)
     if n_probe > n_total_cells:
         raise ValueError(
             f"ivf_pq_topk: n_probe={n_probe} must be <= the "
             f"{n_total_cells} cells"
         )
+    if cell_centroids is not None:
+        seed_rows = None
     cb, kc, dsub = _pq_prepare(
-        embeddings, m, n_centroids, codebooks, "ivf_pq_topk"
+        embeddings, m, n_centroids, codebooks, "ivf_pq_topk",
+        seed_rows=seed_rows,
     )
     if m * dsub != cdim:
         raise ValueError(
@@ -1019,15 +1055,27 @@ def ivf_pq_topk(
             lambda c: _fold_dist2(col, F.element_at(cells_col, c + 1)),
         )
 
-    def _cell_of(col):
-        d = _cell_dists(col)
-        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
-
-    corpus = embeddings.select(
-        "vec_id",
-        _cell_of(_checked(F.col("embedding"))).alias("cell"),
-        _codes(_checked(F.col("embedding"))).alias("codes"),
-    ).withColumn("rssq", _rssq(F.col("codes")))
+    # the distance array is materialized ONCE per row via its own
+    # projection step and then referenced by name — inlining
+    # _cell_dists into every consumer (argmin uses it twice, the probe
+    # struct n_cells times) would make the expression tree O(cells²)
+    # folds, which balloons codegen at large pinned cell counts
+    corpus = (
+        embeddings.select(
+            "vec_id", _checked(F.col("embedding")).alias("_emb")
+        )
+        .withColumn("_cd", _cell_dists(F.col("_emb")))
+        .select(
+            "vec_id",
+            (
+                F.array_position(F.col("_cd"), F.array_min(F.col("_cd"))) - 1
+            )
+            .cast("int")
+            .alias("cell"),
+            _codes(F.col("_emb")).alias("codes"),
+        )
+        .withColumn("rssq", _rssq(F.col("codes")))
+    )
     # probe set: the n_probe cells with the smallest (distance, cell_id)
     # — array_sort over structs is the lexicographic order DuckDB's
     # ORDER BY (dist, c) replays
@@ -1037,9 +1085,7 @@ def ivf_pq_topk(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(n_total_cells - 1)),
                     lambda c: F.struct(
-                        F.element_at(
-                            _cell_dists(F.col("qd")), c + 1
-                        ).alias("d"),
+                        F.element_at(F.col("_qcd"), c + 1).alias("d"),
                         c.cast("int").alias("c"),
                     ),
                 )
@@ -1054,7 +1100,9 @@ def ivf_pq_topk(
             "query_id", _checked(F.col("q_embedding")).alias("qd")
         )
         .withColumn("q_ssq", _fold_dot(F.col("qd"), F.col("qd")))
+        .withColumn("_qcd", _cell_dists(F.col("qd")))
         .withColumn("cell", F.explode(probe_cells))
+        .drop("_qcd")
     )
     scored = corpus.join(F.broadcast(qs), "cell").select(
         "query_id",

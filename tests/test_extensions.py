@@ -2047,3 +2047,17 @@ def test_ivf_pq_pinned_parity_and_full_probe_equivalence(spark, sf_smoke):
         S.ivf_pq_topk(
             embs, qs, cell_centroids=[c[:32] for c in cells], codebooks=cb
         )
+
+
+def test_truncated_rerank_rejects_clamping_prefilter(spark, sf_smoke):
+    """Review finding: prefilter_dim beyond the vector dimension used to
+    clamp silently (brute force at 2x cost) — now a plan-folded error."""
+    from samba_spark.operators import simsearch as S
+    from samba_spark.queries.extensions import _embs, _queries_df
+
+    embs = _embs(spark, sf_smoke)
+    qs = _queries_df(embs)
+    with pytest.raises(Exception, match="smaller than prefilter_dim"):
+        S.truncated_rerank_topk(
+            embs, qs, k=10, prefilter_dim=999, shortlist=50
+        ).collect()
