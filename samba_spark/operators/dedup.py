@@ -1263,3 +1263,91 @@ def minhash_probe_frozen(
             ),
         )
     )
+
+
+def save_minhash_index(
+    documents: DataFrame,
+    path: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    hash_family: str = "md5",
+) -> None:
+    """Build and PERSIST the frozen MinHash index under ``path`` — the
+    offline half of :func:`minhash_probe_frozen`'s serving story. ONE
+    signature pass feeds both tables (bands are derived from the
+    signature DataFrame, not re-shingled); three parquet datasets are
+    written: ``bands/`` (doc_id, band, band_hash), ``sigs/``
+    (doc_id, sig), and ``meta/`` — a single row recording the build
+    parameters, so :func:`probe_minhash_index` can NEVER probe with a
+    mismatched layout (the structurally-undetectable fewer-bands case
+    in the probe docstring is closed by construction here)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"save_minhash_index: bands={bands} must divide "
+            f"num_hashes={num_hashes}"
+        )
+    spark = documents.sparkSession
+    sig = minhash_signatures(documents, n, num_hashes, hash_family)
+    sig.write.mode("overwrite").parquet(f"{path}/sigs")
+    band_keys_from_signatures(sig, num_hashes, bands, hash_family).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    spark.createDataFrame(
+        [(int(n), int(num_hashes), int(bands), hash_family)],
+        "n int, num_hashes int, bands int, hash_family string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_minhash_index(spark, path: str):
+    """(bands_df, sigs_df, meta dict) from a :func:`save_minhash_index`
+    directory. Raises with the layout contract spelled out when the
+    meta dataset is absent (an index persisted without its build
+    parameters cannot be safely probed)."""
+    try:
+        meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"load_minhash_index: {path}/meta is missing or unreadable — "
+            "a frozen index must carry its build parameters "
+            "(save_minhash_index writes them); probing with guessed "
+            "n/num_hashes/bands silently returns no candidates on "
+            "mismatch"
+        ) from exc
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"load_minhash_index: expected exactly 1 meta row at "
+            f"{path}/meta, found {len(meta_rows)}"
+        )
+    meta = meta_rows[0].asDict()
+    return (
+        spark.read.parquet(f"{path}/bands"),
+        spark.read.parquet(f"{path}/sigs"),
+        meta,
+    )
+
+
+def probe_minhash_index(
+    spark,
+    path: str,
+    delta_docs: DataFrame,
+    min_agree: int = 13,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Admission-control probe against a PERSISTED frozen index: loads
+    ``path`` (written by :func:`save_minhash_index`) and runs
+    :func:`minhash_probe_frozen` with the layout parameters the index
+    was BUILT with — the path-based API that makes a layout mismatch
+    impossible rather than merely loud."""
+    bands_df, sigs_df, meta = load_minhash_index(spark, path)
+    return minhash_probe_frozen(
+        bands_df,
+        sigs_df,
+        delta_docs,
+        n=int(meta["n"]),
+        num_hashes=int(meta["num_hashes"]),
+        bands=int(meta["bands"]),
+        min_agree=min_agree,
+        max_bucket=max_bucket,
+        hash_family=meta["hash_family"],
+    )

@@ -2061,3 +2061,44 @@ def test_truncated_rerank_rejects_clamping_prefilter(spark, sf_smoke):
         S.truncated_rerank_topk(
             embs, qs, k=10, prefilter_dim=999, shortlist=50
         ).collect()
+
+
+def test_minhash_index_persistence_roundtrip(spark, tmp_path):
+    """save/load/probe triple: the persisted index carries its build
+    parameters, probe_minhash_index replays them (a layout mismatch is
+    impossible via the path API), and an index without meta is rejected
+    with the contract spelled out."""
+    from samba_spark.operators.dedup import (
+        load_minhash_index,
+        minhash_probe_frozen,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs for the long winter"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    path = str(tmp_path / "idx")
+    # non-default layout: 32 hashes, 8 bands
+    save_minhash_index(corpus, path, num_hashes=32, bands=8)
+    bands_df, sigs_df, meta = load_minhash_index(spark, path)
+    assert meta == {"n": 3, "num_hashes": 32, "bands": 8, "hash_family": "md5"}
+    assert bands_df.count() == 2 * 8
+    assert sigs_df.select(F.size("sig")).distinct().collect()[0][0] == 32
+
+    delta = spark.createDataFrame(
+        [(101, corpus_rows[0][1])], ["doc_id", "text"]
+    )
+    out = probe_minhash_index(spark, path, delta, min_agree=8).collect()
+    assert len(out) == 1 and out[0].match_id == 1 and out[0].n_agree == 32
+    # the same probe through the raw API with DEFAULT (wrong) layout
+    # params trips the sig-length guard instead of silently missing
+    with pytest.raises(Exception, match="different minhash parameters"):
+        minhash_probe_frozen(bands_df, sigs_df, delta, min_agree=8).collect()
+
+    with pytest.raises(ValueError, match="build parameters"):
+        load_minhash_index(spark, str(tmp_path / "nowhere"))
+    with pytest.raises(ValueError, match="divide"):
+        save_minhash_index(corpus, path, num_hashes=64, bands=7)
