@@ -27,6 +27,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from samba_spark.operators.guards import plan_assert
+
 _NORM = r"\s+"
 
 # --- md5 hash family (oracle-reproducible) --------------------------------
@@ -1169,19 +1171,15 @@ def minhash_probe_frozen(
     # extra pass, no shuffle.
     guarded = index_bands.withColumn(
         "band",
-        F.when(
+        plan_assert(
+            F.col("band"),
             (F.col("band") < 0) | (F.col("band") >= bands),
-            F.raise_error(
-                F.concat(
-                    F.lit("minhash_probe_frozen: index band id "),
-                    F.col("band").cast("string"),
-                    F.lit(
-                        f" outside [0, {bands}) — the frozen index was "
-                        "built with a different band layout"
-                    ),
-                )
-            ).cast("int"),
-        ).otherwise(F.col("band")),
+            "minhash_probe_frozen: index band id ",
+            F.col("band").cast("string"),
+            f" outside [0, {bands}) — the frozen index was "
+            "built with a different band layout",
+            cast="int",
+        ),
     )
     # only PROBED buckets shuffle: semi-join the frozen table down to
     # the delta's band keys BEFORE the cap window, so the per-batch
@@ -1209,19 +1207,14 @@ def minhash_probe_frozen(
     def _sig_guard(col):
         # an index/delta signature of the wrong length would be silently
         # null-padded by zip_with and deflate n_agree — assert instead
-        return F.when(
+        return plan_assert(
+            col,
             F.size(col) != F.lit(num_hashes),
-            F.raise_error(
-                F.concat(
-                    F.lit("minhash_probe_frozen: signature length "),
-                    F.size(col).cast("string"),
-                    F.lit(
-                        f" != num_hashes={num_hashes} — the frozen index "
-                        "was built with different minhash parameters"
-                    ),
-                )
-            ),
-        ).otherwise(col)
+            "minhash_probe_frozen: signature length ",
+            F.size(col).cast("string"),
+            f" != num_hashes={num_hashes} — the frozen index "
+            "was built with different minhash parameters",
+        )
 
     verified = (
         cand.join(
@@ -1290,9 +1283,14 @@ def save_minhash_index(
     spark = documents.sparkSession
     sig = minhash_signatures(documents, n, num_hashes, hash_family)
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
-    band_keys_from_signatures(sig, num_hashes, bands, hash_family).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/bands")
+    # derive the band table from the WRITTEN signatures, not the lazy
+    # plan — two separate actions on the same plan would shingle and
+    # signature the whole corpus twice (review finding; cross-job plans
+    # are re-executed, exchange reuse is intra-query only)
+    persisted_sig = spark.read.parquet(f"{path}/sigs")
+    band_keys_from_signatures(
+        persisted_sig, num_hashes, bands, hash_family
+    ).write.mode("overwrite").parquet(f"{path}/bands")
     spark.createDataFrame(
         [(int(n), int(num_hashes), int(bands), hash_family)],
         "n int, num_hashes int, bands int, hash_family string",

@@ -989,26 +989,22 @@ def theil_sen_trend(
     # the loud dtype ValueError above. Plan-folded raise_error riding a
     # (g, x) window (the kmv k-guard pattern: fires at execution on the
     # first duplicate, no eager second run of the plan).
+    from samba_spark.operators.guards import plan_assert
+
     dup_w = Window.partitionBy("g", "x")
     pts = pts.withColumn(
         "y",
-        F.when(
+        plan_assert(
+            F.col("y"),
             F.count(F.lit(1)).over(dup_w) > 1,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "theil_sen_trend: duplicate (group, x) row at group="
-                    ),
-                    F.col("g").cast("string"),
-                    F.lit(", x="),
-                    F.col("x").cast("string"),
-                    F.lit(
-                        " — input must be ROLLED UP to one row per "
-                        "(group, x); aggregate the series first"
-                    ),
-                )
-            ).cast("long"),
-        ).otherwise(F.col("y")),
+            "theil_sen_trend: duplicate (group, x) row at group=",
+            F.col("g").cast("string"),
+            ", x=",
+            F.col("x").cast("string"),
+            " — input must be ROLLED UP to one row per "
+            "(group, x); aggregate the series first",
+            cast="long",
+        ),
     )
     pairs = (
         pts.alias("a")

@@ -23,6 +23,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from samba_spark.operators.guards import plan_assert
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision, strictly left-to-right — deterministic
@@ -49,22 +51,19 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _dim_guard(col: Column, ndim: int, msg: str) -> Column:
-    """Plan-folded dimension assertion (the kmv k-guard pattern): passes
+    """Plan-folded dimension assertion (guards.plan_assert): passes
     ``col`` through unchanged when its array length is ``ndim``, raises
     at execution time otherwise. A mismatched vector would otherwise
     read past the quantizer constants (ANSI element_at error) or
     silently truncate. ``msg`` is the operator-specific suffix appended
     after the observed dimension."""
-    return F.when(
+    return plan_assert(
+        col,
         F.size(col) != F.lit(ndim),
-        F.raise_error(
-            F.concat(
-                F.lit("embedding dimension "),
-                F.size(col).cast("string"),
-                F.lit(" " + msg),
-            )
-        ),
-    ).otherwise(col)
+        "embedding dimension ",
+        F.size(col).cast("string"),
+        " " + msg,
+    )
 
 
 def cosine_topk(
@@ -686,17 +685,6 @@ def _pq_prepare(embeddings, m, n_centroids, codebooks, op, seed_rows=None):
     return cb, kc, dsub
 
 
-def _fold_dot(a, b):
-    """Sequential left fold of elementwise products from 0.0 — the
-    engine-exact dot (DuckDB list_dot_product computes the identical
-    sequence)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _fold_dist2(a, b):
     """Sequential left fold of squared differences from 0.0."""
     return F.aggregate(
@@ -756,7 +744,7 @@ def _pq_exprs(cb, m, kc, dsub, op):
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),
             lambda acc, j: acc
-            + _fold_dot(
+            + _dot(
                 cvec(j, F.element_at(codes_col, j + 1)),
                 cvec(j, F.element_at(codes_col, j + 1)),
             ),
@@ -767,7 +755,7 @@ def _pq_exprs(cb, m, kc, dsub, op):
             F.sequence(F.lit(0), F.lit(m - 1)),
             F.lit(0.0),
             lambda acc, j: acc
-            + _fold_dot(
+            + _dot(
                 sub(qd_col, j),
                 cvec(j, F.element_at(codes_col, j + 1)),
             ),
@@ -775,6 +763,26 @@ def _pq_exprs(cb, m, kc, dsub, op):
 
     return checked, codes, rssq, adc
 
+
+
+def _adc_cosine_topk(joined, adc, k):
+    """Shared PQ scoring tail (pq_topk and ivf_pq_topk — review finding:
+    a verbatim duplicate would let the ADC-cosine contract silently
+    fork): round the ADC cosine to 6 BEFORE ranking, ties to the lowest
+    vec_id, top-k per query."""
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            adc / (F.sqrt(F.col("q_ssq")) * F.sqrt(F.col("rssq"))), 6
+        ).alias("sim_pq"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim_pq", "rank")
+    )
 
 
 def pq_topk(
@@ -832,21 +840,11 @@ def pq_topk(
     )
     qs = queries.select(
         "query_id", _checked(F.col("q_embedding")).alias("qd")
-    ).withColumn("q_ssq", _fold_dot(F.col("qd"), F.col("qd")))
-    scored = corpus.crossJoin(F.broadcast(qs)).select(
-        "query_id",
-        "vec_id",
-        F.round(
-            _adc(F.col("qd"), F.col("codes"))
-            / (F.sqrt(F.col("q_ssq")) * F.sqrt(F.col("rssq"))),
-            6,
-        ).alias("sim_pq"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim_pq", "rank")
+    ).withColumn("q_ssq", _dot(F.col("qd"), F.col("qd")))
+    return _adc_cosine_topk(
+        corpus.crossJoin(F.broadcast(qs)),
+        _adc(F.col("qd"), F.col("codes")),
+        k,
     )
 
 
@@ -896,19 +894,14 @@ def truncated_rerank_topk(
         # dimension, which would turn the cheap prefilter into the full
         # cosine computed twice with a misleading sim_pre — fail loudly
         # instead (the _dim_guard family's contract)
-        return F.when(
+        return plan_assert(
+            col,
             F.size(col) < F.lit(prefilter_dim),
-            F.raise_error(
-                F.concat(
-                    F.lit("truncated_rerank_topk: embedding dimension "),
-                    F.size(col).cast("string"),
-                    F.lit(
-                        f" is smaller than prefilter_dim={prefilter_dim} — "
-                        "the prefix slice would clamp to the full vector"
-                    ),
-                )
-            ),
-        ).otherwise(col)
+            "truncated_rerank_topk: embedding dimension ",
+            F.size(col).cast("string"),
+            f" is smaller than prefilter_dim={prefilter_dim} — "
+            "the prefix slice would clamp to the full vector",
+        )
 
     pre = F.slice(_pre_guard(F.col("embedding")), 1, prefilter_dim)
     qpre = F.slice(_pre_guard(F.col("q_embedding")), 1, prefilter_dim)
@@ -1099,25 +1092,15 @@ def ivf_pq_topk(
         queries.select(
             "query_id", _checked(F.col("q_embedding")).alias("qd")
         )
-        .withColumn("q_ssq", _fold_dot(F.col("qd"), F.col("qd")))
+        .withColumn("q_ssq", _dot(F.col("qd"), F.col("qd")))
         .withColumn("_qcd", _cell_dists(F.col("qd")))
         .withColumn("cell", F.explode(probe_cells))
         .drop("_qcd")
     )
-    scored = corpus.join(F.broadcast(qs), "cell").select(
-        "query_id",
-        "vec_id",
-        F.round(
-            _adc(F.col("qd"), F.col("codes"))
-            / (F.sqrt(F.col("q_ssq")) * F.sqrt(F.col("rssq"))),
-            6,
-        ).alias("sim_pq"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim_pq"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "sim_pq", "rank")
+    return _adc_cosine_topk(
+        corpus.join(F.broadcast(qs), "cell"),
+        _adc(F.col("qd"), F.col("codes")),
+        k,
     )
 
 

@@ -5334,14 +5334,20 @@ def x_minhash_probe(spark, sf_dir):
     never re-signatured — the admission-control question 'is this
     incoming doc already in the corpus?'."""
     from samba_spark.operators.dedup import (
-        lsh_band_index,
+        band_keys_from_signatures,
         minhash_probe_frozen,
         minhash_signatures,
     )
 
     docs = _docs(spark, sf_dir)
-    frozen_bands = lsh_band_index(docs)
-    frozen_sigs = minhash_signatures(docs)
+    # ONE signature pass feeds both index tables: localCheckpoint
+    # materializes the signatures so banding and verification reuse
+    # them (lsh_band_index + minhash_signatures separately would
+    # shingle+signature the corpus twice; the persisted-index serving
+    # path reads both tables from parquet — this is its in-query
+    # analogue, per-run, no cross-run cache)
+    frozen_sigs = minhash_signatures(docs).localCheckpoint()
+    frozen_bands = band_keys_from_signatures(frozen_sigs)
     d_exact = docs.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
