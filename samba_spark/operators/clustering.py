@@ -1,0 +1,221 @@
+"""Integer-exact Lloyd k-means over embedding columns.
+
+The missing clustering family: every embedding operator so far either
+seeds centroids from fixed rows (simsearch.ivf_topk / _pq_prepare) or
+buckets by sign-LSH (semantic_prune) — none RE-ESTIMATES centers from
+assignments. ``kmeans_integer`` runs true Lloyd iterations (assign →
+re-center), the workhorse of topic-clustering / SemDeDup-style corpus
+curation, in a form a DuckDB oracle can replay bit-for-bit:
+
+* vectors are quantized to a fixed-point integer grid once
+  (``floor(x * quant)`` per element — the x21_label_centroids trick),
+  so every distance is an exact BIGINT and every per-cluster sum is
+  associative: partial aggregation order cannot change the result;
+* centroid update is integer floor-division (Python ``//`` on exact
+  ints driver-side; ``floor(sum/cnt)`` in the oracle — identical while
+  ``|sum| < 2**53``, which holds by construction at any SF where a
+  cluster's member count times the quant grid stays under 2**53; the
+  guard below raises loudly past it);
+* ties in the argmin break to the LOWEST centroid id (struct-ordered
+  array_sort, the ivf_topk idiom), deterministically in both engines.
+
+Iteration count is FIXED (like q41 PageRank's 10 rounds), not
+run-to-convergence: the output contract is "T Lloyd rounds from the
+deterministic seed", so small-SF parity proves the same computation the
+large-SF run performs — no hidden fixed point for scale to expose (the
+x124 k-core lesson inverted: fixed-T is the contract, so there is no
+under-convergence to hide).
+
+Scale posture (100 TB): each round is one map-side argmin over literal
+centroids (k×dim ints folded into the plan — no join, no shuffle for
+assignment) plus ONE hash aggregation over the posexploded (cluster,
+dim, value) triples — 64× row inflation feeding an immediately
+partial-aggregated shuffle of k×dim rows per partition. The driver
+collects k×dim+k numbers per round (metadata scale, the _pq_prepare
+seed-rows family). T rounds = T such jobs. No iteration touches the
+raw text; the only data-bearing pass is the quantized-vector scan,
+which Catalyst prunes to (id, vector).
+
+Reference parity note: SAMbA has no clustering surface at all
+(br/uff/spark core is provenance capture); this extends the engine the
+direction its LLM-pipeline mandate points.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from samba_spark.operators.guards import plan_assert
+
+# past this bound the oracle's floor(sum/cnt) double division is no
+# longer exact; the operator raises rather than silently diverging
+_EXACT_SUM_BOUND = 2**53
+
+
+def _quantize(vec: Column, quant: int) -> Column:
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast("long")
+    )
+
+
+def _dist2_int(vec: Column, center: list[int]) -> Column:
+    """Exact squared L2 distance between an integer vector column and a
+    literal integer center — a single zip_with/aggregate fold, no UDF."""
+    lit_c = F.array(*[F.lit(int(v)).cast("long") for v in center])
+    return F.aggregate(
+        F.zip_with(vec, lit_c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Argmin over literal centroids; ties break to the lowest cid via
+    struct-ordered array_sort (the ivf_topk coarse-quantizer idiom)."""
+    cells = F.array(
+        *[
+            F.struct(
+                _dist2_int(F.col("v"), c).alias("d"), F.lit(i).alias("cid")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_sort(cells)[0]
+    return q.select(
+        "vec_id",
+        "v",
+        best["cid"].cast("long").alias("cluster"),
+        best["d"].alias("dist2"),
+    )
+
+
+def kmeans_integer(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """T-round Lloyd k-means on the integer grid.
+
+    Seeds are the quantized vectors of the ``k`` smallest ids (the
+    deterministic _pq_prepare seed-rows contract); each round assigns
+    every vector to its nearest centroid and re-centers as the
+    per-dimension integer floor-mean; a cluster that loses all members
+    keeps its previous centroid. Returns the assignment against the
+    FINAL centroids: (vec_id, cluster, dist2, cluster_size), ordered by
+    vec_id.
+    """
+    if k < 1:
+        raise ValueError(f"kmeans_integer: k={k} must be >= 1")
+    if iters < 0:
+        raise ValueError(f"kmeans_integer: iters={iters} must be >= 0")
+    if quant < 1:
+        raise ValueError(f"kmeans_integer: quant={quant} must be >= 1")
+
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e")
+    )
+    q = base.select("vec_id", _quantize(F.col("e"), quant).alias("v"))
+
+    seeds = q.orderBy("vec_id").limit(k).collect()  # k rows: metadata scale
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans_integer: corpus has {len(seeds)} rows < k={k}"
+        )
+    dim = len(seeds[0]["v"])
+    # a ragged vector would silently zip_with-truncate the distance;
+    # assert instead (plan-folded, fires on the first offending row)
+    q = q.select(
+        "vec_id",
+        plan_assert(
+            F.col("v"),
+            F.size("v") != F.lit(dim),
+            "kmeans_integer: vector length ",
+            F.size("v").cast("string"),
+            f" != expected dim {dim}",
+        ).alias("v"),
+    )
+    centroids = [list(r["v"]) for r in seeds]
+
+    for _ in range(iters):
+        assigned = _assign(q, centroids)
+        # ONE hash agg over (cluster, dim, value); partial aggregation
+        # shrinks the shuffle to k*dim rows per map partition
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dimn", "val"))
+            .groupBy("cluster", "dimn")
+            .agg(F.sum("val").alias("s"), F.count("val").alias("n"))
+            .collect()  # k*dim rows: metadata scale
+        )
+        by_cluster: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            if abs(r["s"]) >= _EXACT_SUM_BOUND:
+                raise ValueError(
+                    "kmeans_integer: per-cluster coordinate sum "
+                    f"{r['s']} exceeds the 2**53 exact-division bound — "
+                    "lower quant or raise k"
+                )
+            by_cluster.setdefault(int(r["cluster"]), []).append(
+                (int(r["dimn"]), int(r["s"]), int(r["n"]))
+            )
+        centroids = [
+            # empty cluster keeps its previous centroid
+            [s // n for _, s, n in sorted(by_cluster[cid])]
+            if cid in by_cluster
+            else centroids[cid]
+            for cid in range(k)
+        ]
+
+    final = _assign(q, centroids)
+    sizes = final.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        final.join(F.broadcast(sizes), "cluster")
+        .select("vec_id", "cluster", "dist2", "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-mode assignment against PINNED integer centroids (the
+    ivf_topk ``centroids=`` contract applied to clustering): no
+    training scan, one map-side argmin, no shuffle. Centroids must be
+    the integer-grid values a prior ``kmeans_integer`` run produced at
+    the same ``quant``."""
+    if not centroids:
+        raise ValueError("kmeans_assign: centroids must be non-empty")
+    dim = len(centroids[0])
+    for i, c in enumerate(centroids):
+        if len(c) != dim:
+            raise ValueError(
+                f"kmeans_assign: centroid {i} has dim {len(c)}, expected {dim}"
+            )
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e")
+    )
+    q = base.select("vec_id", _quantize(F.col("e"), quant).alias("v"))
+    q = q.select(
+        "vec_id",
+        plan_assert(
+            F.col("v"),
+            F.size("v") != F.lit(dim),
+            "kmeans_assign: vector length ",
+            F.size("v").cast("string"),
+            f" != centroid dim {dim}",
+        ).alias("v"),
+    )
+    return (
+        _assign(q, [list(map(int, c)) for c in centroids])
+        .select("vec_id", "cluster", "dist2")
+        .orderBy("vec_id")
+    )

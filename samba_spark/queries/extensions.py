@@ -5708,7 +5708,87 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_kmeans(spark, sf_dir):
+    """Integer-exact Lloyd k-means (operators/clustering.kmeans_integer):
+    2 assign/re-center rounds from the k=8 smallest-vec_id seeds on the
+    floor(x*1e6) integer grid, then the assignment against the final
+    centroids. Every distance and centroid is an exact integer, so the
+    unrolled-CTE oracle replays the identical computation — the
+    clustering family the embedding surface lacked (ivf/pq only SEED
+    centroids; this RE-ESTIMATES them)."""
+    from samba_spark.operators.clustering import kmeans_integer
+
+    return kmeans_integer(_embs(spark, sf_dir), k=8, iters=2)
+
+
+X142_KMEANS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8)),
+d1 AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN c0 c),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d1) WHERE rn = 1),
+s1 AS (
+  SELECT a1.cluster, u.i AS dimn, SUM(q.v[u.i+1]) AS s, COUNT(*) AS n
+  FROM a1 JOIN q USING (vec_id), UNNEST(range(0, 64)) AS u(i)
+  GROUP BY a1.cluster, u.i),
+c1 AS (
+  SELECT c0.cid, COALESCE(m.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (
+    SELECT cluster AS cid,
+           list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY dimn) AS cv
+    FROM s1 GROUP BY cluster) m USING (cid)),
+d2r AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN c1 c),
+a2 AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2r) WHERE rn = 1),
+s2 AS (
+  SELECT a2.cluster, u.i AS dimn, SUM(q.v[u.i+1]) AS s, COUNT(*) AS n
+  FROM a2 JOIN q USING (vec_id), UNNEST(range(0, 64)) AS u(i)
+  GROUP BY a2.cluster, u.i),
+c2 AS (
+  SELECT c1.cid, COALESCE(m.cv, c1.cv) AS cv
+  FROM c1 LEFT JOIN (
+    SELECT cluster AS cid,
+           list(CAST(floor(CAST(s AS DOUBLE)/n) AS BIGINT) ORDER BY dimn) AS cv
+    FROM s2 GROUP BY cluster) m USING (cid)),
+df AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(list_zip(q.v, c.cv),
+              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d2
+  FROM q CROSS JOIN c2 c),
+af AS (
+  SELECT vec_id, cid AS cluster, d2 FROM (
+    SELECT vec_id, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM df) WHERE rn = 1)
+SELECT af.vec_id, af.cluster, af.d2 AS dist2, cnt.cluster_size
+FROM af JOIN (SELECT cluster, COUNT(*) AS cluster_size
+              FROM af GROUP BY cluster) cnt USING (cluster)
+ORDER BY vec_id
+"""
+
+
 EXTENSIONS: dict[str, QuerySpec] = {
+    "x142_kmeans": QuerySpec(x_kmeans, X142_KMEANS_SQL),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),
