@@ -1349,3 +1349,103 @@ def probe_minhash_index(
         max_bucket=max_bucket,
         hash_family=meta["hash_family"],
     )
+
+
+def segment_dedup(
+    documents: DataFrame,
+    seg_tokens: int = 16,
+    max_docs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level exact dedup with document reassembly —
+    the RefinedWeb "remove duplicated lines, keep the rest of the
+    document" semantic. x1/x2 drop whole documents and x35 only REPORTS
+    duplicated spans; this is the third granularity: cut the repeated
+    boilerplate out of every document and stitch the remainder back
+    together in order.
+
+    Segments are disjoint ``seg_tokens``-token windows of the
+    normalized token stream (the fixture corpus has no newlines, so a
+    fixed token window plays the role a line break plays on web text —
+    the operator's segmentation is positional, which also makes it
+    robust to documents that ARE one long line). A segment kept by at
+    most ``max_docs`` distinct documents survives; segments above the
+    threshold are cut from EVERY document holding them (the RefinedWeb
+    rule: boilerplate is removed globally, not deduplicated to one
+    winner).
+
+    Returns (doc_id, clean_text, n_segments, n_dropped) ordered by id.
+
+    Scale posture (100 TB): segment explosion is tokens/seg_tokens rows
+    (LESS than the shingle explosion x3 already pays); the violator set
+    — distinct segments seen in >max_docs documents — is the boilerplate
+    population, orders of magnitude smaller than the segment stream, so
+    the removal join is a broadcast-able LEFT ANTI on md5 keys (AQE
+    picks broadcast when it fits); reassembly is one shuffle keyed by
+    doc_id carrying only surviving segments. Three total exchanges, all
+    partial-aggregated or anti-join-pruned; nothing quadratic anywhere.
+    """
+    if seg_tokens < 1:
+        raise ValueError(f"segment_dedup: seg_tokens={seg_tokens} must be >= 1")
+    if max_docs < 1:
+        raise ValueError(f"segment_dedup: max_docs={max_docs} must be >= 1")
+
+    toked = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(_normalized(F.col(text_col)), " "), lambda x: x != F.lit("")
+        ).alias("_toks"),
+    )
+    nseg = F.ceil(F.size("_toks") / F.lit(float(seg_tokens))).cast("int")
+    # guard the empty document: sequence(0, -1) would DESCEND in Spark
+    seg_arr = F.when(F.size("_toks") == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("_toks"), i * seg_tokens + 1, seg_tokens), " "
+            ),
+        )
+    )
+    segs = toked.select(
+        "doc_id", F.posexplode(seg_arr).alias("pos", "seg")
+    ).withColumn("h", F.md5(F.col("seg")))
+
+    # the boilerplate population: segments in > max_docs distinct docs.
+    # Exact distinct count on md5 keys — one partial-aggregated shuffle.
+    violators = (
+        segs.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > max_docs)
+        .select("h")
+    )
+    kept = segs.join(violators, "h", "left_anti")
+
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_segments"))
+    base = toked.select("doc_id")
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_segments"), F.lit(0)).cast("long").alias(
+                "n_segments"
+            ),
+            (
+                F.coalesce(F.col("n_segments"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )

@@ -5708,6 +5708,52 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_segment_dedup(spark, sf_dir):
+    """Corpus-wide segment-level dedup with reassembly
+    (operators/dedup.segment_dedup): disjoint 8-token windows of the
+    normalized token stream; windows present in >1 distinct document are
+    cut from EVERY document and the survivors are stitched back in
+    order — the RefinedWeb line-dedup semantic at the third granularity
+    (x1/x2 drop whole docs, x35 only reports spans)."""
+    return D.segment_dedup(_docs(spark, sf_dir), seg_tokens=8)
+
+
+X143_SEGMENT_DEDUP_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents),
+segs AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS seg
+  FROM toked, UNNEST(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS u(i)),
+viol AS (
+  SELECT md5(seg) AS h
+  FROM segs GROUP BY md5(seg)
+  HAVING COUNT(DISTINCT doc_id) > 1),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg
+  FROM segs s ANTI JOIN viol v ON md5(s.seg) = v.h),
+reass AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT t0.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(t.n_segments, 0) AS n_segments,
+       COALESCE(t.n_segments, 0) - COALESCE(r.n_kept, 0) AS n_dropped
+FROM toked t0
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN reass r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def x_kmeans(spark, sf_dir):
     """Integer-exact Lloyd k-means (operators/clustering.kmeans_integer):
     2 assign/re-center rounds from the k=8 smallest-vec_id seeds on the
@@ -5789,6 +5835,7 @@ ORDER BY vec_id
 
 EXTENSIONS: dict[str, QuerySpec] = {
     "x142_kmeans": QuerySpec(x_kmeans, X142_KMEANS_SQL),
+    "x143_segment_dedup": QuerySpec(x_segment_dedup, X143_SEGMENT_DEDUP_SQL),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),
