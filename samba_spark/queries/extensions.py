@@ -5708,6 +5708,67 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_random_projection(spark, sf_dir):
+    """Two-stage retrieval through a derived ±1 Johnson–Lindenstrauss
+    projection (simsearch.random_projection_topk): stage 1 shortlists
+    50 per query by cosine over 16 projected coordinates (the sign
+    matrix is md5-derived from (i, j) — no stored quantizer state at
+    all), stage 2 re-ranks with the exact 64-dim cosine. The third
+    compression leg: SQ8 quantizes values, PQ quantizes subspaces, JL
+    reduces dimensionality."""
+    embs = _embs(spark, sf_dir)
+    return S.random_projection_topk(
+        embs, _queries_df(embs), k=10, dim=64, out_dim=16, shortlist=50
+    ).orderBy("query_id", "rank")
+
+
+X144_RANDOM_PROJECTION_SQL = """
+WITH s AS (
+  SELECT jj.j,
+         list(CASE WHEN ('0x' || substr(md5('jl_' || ii.i || '_' || jj.j),
+                                        1, 8))::BIGINT % 2 = 0
+                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+              ORDER BY ii.i) AS sv
+  FROM UNNEST(range(0, 16)) AS jj(j), UNNEST(range(0, 64)) AS ii(i)
+  GROUP BY jj.j),
+c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings),
+cp AS (
+  SELECT c.vec_id, list(list_dot_product(c.emb, s.sv) ORDER BY s.j) AS pv
+  FROM c CROSS JOIN s GROUP BY c.vec_id),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM c WHERE vec_id < 5),
+qp AS (
+  SELECT q.query_id, list(list_dot_product(q.qe, s.sv) ORDER BY s.j) AS qv
+  FROM q CROSS JOIN s GROUP BY q.query_id),
+st1 AS (
+  SELECT qp.query_id, cp.vec_id,
+         ROUND(list_dot_product(qp.qv, cp.pv) /
+               (sqrt(list_dot_product(qp.qv, qp.qv)) *
+                sqrt(list_dot_product(cp.pv, cp.pv))), 6) AS sim_proj
+  FROM cp CROSS JOIN qp),
+short AS (
+  SELECT query_id, vec_id, sim_proj FROM (
+    SELECT query_id, vec_id, sim_proj,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY sim_proj DESC, vec_id) AS rn
+    FROM st1) WHERE rn <= 50),
+st2 AS (
+  SELECT sh.query_id, sh.vec_id, sh.sim_proj,
+         ROUND(list_dot_product(q.qe, c.emb) /
+               (sqrt(list_dot_product(q.qe, q.qe)) *
+                sqrt(list_dot_product(c.emb, c.emb))), 6) AS sim
+  FROM short sh JOIN q USING (query_id) JOIN c ON c.vec_id = sh.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, sim_proj, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM st2)
+SELECT query_id, vec_id, sim_proj, sim, rank::BIGINT AS rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
 def x_segment_dedup(spark, sf_dir):
     """Corpus-wide segment-level dedup with reassembly
     (operators/dedup.segment_dedup): disjoint 8-token windows of the
@@ -5836,6 +5897,9 @@ ORDER BY vec_id
 EXTENSIONS: dict[str, QuerySpec] = {
     "x142_kmeans": QuerySpec(x_kmeans, X142_KMEANS_SQL),
     "x143_segment_dedup": QuerySpec(x_segment_dedup, X143_SEGMENT_DEDUP_SQL),
+    "x144_random_projection": QuerySpec(
+        x_random_projection, X144_RANDOM_PROJECTION_SQL
+    ),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

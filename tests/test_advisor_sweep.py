@@ -85,6 +85,9 @@ ALLOWED: dict[str, set[str]] = {
     # composes two x10-family broadcast-query scorers (exact truth arm
     # + two-stage results arm); the metric joins are O(queries × k)
     "x140_retrieval_metrics": {"cartesian", "single_partition"},
+    # stage-1 JL-projected scoring against the broadcast ≤5-row query
+    # set (x10 family); stage 2 runs on the shortlist only
+    "x144_random_projection": {"cartesian"},
 }
 
 
