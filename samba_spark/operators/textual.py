@@ -1223,3 +1223,98 @@ def quality_model_score(
         score.alias("score"),
         (score >= F.lit(float(threshold))).alias("keep"),
     )
+
+
+def char_entropy_profile(
+    documents: DataFrame,
+    gate_bits: float = 4.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy — the gibberish/spam gate
+    the quality family lacked: length/punct/stopword ratios (x6),
+    repetition (x18), and LM fluency (x93) all miss low-entropy
+    degenerate text (one repeated character, base64 blobs at the OTHER
+    extreme) that a character distribution catches directly.
+
+    Engine-exactness: character counts are exact integers from a
+    positional substring explode (no regex-split edge cases); the
+    entropy sum folds the per-character terms in CHARACTER ORDER
+    (sort_array → left-to-right aggregate), so both engines add the
+    same IEEE doubles in the same sequence — the x136 list_reduce
+    contract. ``keep`` compares the ROUNDED bits against the gate so
+    the flag is a pure function of the reported value.
+
+    Scale posture (100 TB): the char explode is the corpus in rows,
+    but per-doc histograms complete MAP-SIDE (partial aggregation on
+    (doc, char) — documents are never split across partitions), so the
+    shuffle carries only histogram rows (≤ alphabet size per doc); the
+    fold then runs on one array per document. One data-bearing pass.
+    """
+    if gate_bits < 0:
+        raise ValueError(
+            f"char_entropy_profile: gate_bits={gate_bits} must be >= 0"
+        )
+    norm = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias(
+            "t"
+        ),
+    )
+    # empty docs: sequence(1, 0) would DESCEND in Spark — explode only
+    # non-empty text and re-attach empties through the final left join
+    chars = norm.where(F.length("t") > 0).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t")),
+                lambda i: F.substring(F.col("t"), i, 1),
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    hist = counts.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("ch", "c"))).alias("hist"),
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+    )
+    n = F.col("n_chars").cast("double")
+    ent_nats = F.aggregate(
+        F.transform(
+            F.col("hist"),
+            lambda s: (s["c"].cast("double") / n)
+            * F.log(s["c"].cast("double") / n),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    bits = F.round(-ent_nats / F.log(F.lit(2.0)), 6)
+    profiled = hist.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+        bits.alias("entropy_bits"),
+    )
+    # whitespace-only/empty docs carry zero entropy and fail any
+    # positive gate — they are exactly the degenerate text the gate is for
+    return (
+        norm.select("doc_id")
+        .join(profiled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias(
+                "n_chars"
+            ),
+            F.coalesce(F.col("n_distinct_chars"), F.lit(0))
+            .cast("long")
+            .alias("n_distinct_chars"),
+            F.coalesce(F.col("entropy_bits"), F.lit(0.0)).alias(
+                "entropy_bits"
+            ),
+            (
+                F.coalesce(F.col("entropy_bits"), F.lit(0.0))
+                >= F.lit(float(gate_bits))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -5708,6 +5708,51 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_char_entropy(spark, sf_dir):
+    """Per-document Shannon character entropy with a keep gate at 4.0
+    bits (textual.char_entropy_profile): the degenerate-text screen the
+    quality family lacked — x6/x18/x93 measure ratios, repetition and
+    fluency but not the character distribution itself. Counts are exact
+    integers from a positional substring explode; the entropy sum folds
+    per-character terms in character order so both engines add the same
+    doubles in the same sequence."""
+    return X.char_entropy_profile(_docs(spark, sf_dir), gate_bits=4.0)
+
+
+X145_CHAR_ENTROPY_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents),
+chars AS (
+  SELECT doc_id, substr(t, CAST(u.i AS INTEGER), 1) AS ch
+  FROM norm, UNNEST(range(1, length(t) + 1)) AS u(i)
+  WHERE length(t) > 0),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch),
+tot AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd FROM cnt GROUP BY doc_id),
+prof AS (
+  SELECT c.doc_id,
+         ROUND(
+           -list_reduce(
+              list_prepend(CAST(0 AS DOUBLE),
+                list((c.c / CAST(t.n AS DOUBLE))
+                     * ln(c.c / CAST(t.n AS DOUBLE)) ORDER BY c.ch)),
+              (a, b) -> a + b) / ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits
+  FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+SELECT n0.doc_id,
+       COALESCE(t.n, 0) AS n_chars,
+       COALESCE(t.nd, 0) AS n_distinct_chars,
+       COALESCE(p.entropy_bits, CAST(0 AS DOUBLE)) AS entropy_bits,
+       COALESCE(p.entropy_bits, CAST(0 AS DOUBLE)) >= CAST(4.0 AS DOUBLE)
+         AS keep
+FROM norm n0
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN prof p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def x_random_projection(spark, sf_dir):
     """Two-stage retrieval through a derived ±1 Johnson–Lindenstrauss
     projection (simsearch.random_projection_topk): stage 1 shortlists
@@ -5900,6 +5945,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x144_random_projection": QuerySpec(
         x_random_projection, X144_RANDOM_PROJECTION_SQL
     ),
+    "x145_char_entropy": QuerySpec(x_char_entropy, X145_CHAR_ENTROPY_SQL),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

@@ -105,3 +105,58 @@ def test_benford_profile_counts_and_shares(spark):
         if r.digit == 1
     ]
     assert benford_1 == [301029] * len(benford_1)
+
+
+# --- char_entropy_profile (x145) -------------------------------------------
+def test_char_entropy_degenerate_text_fails_gate(spark):
+    from samba_spark.operators.textual import char_entropy_profile
+
+    rows = [
+        (1, "aaaaaaaaaaaaaaaaaaaa"),          # one symbol: 0 bits
+        (2, "abababababababababab"),          # two symbols: ~1 bit
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, ""),                               # empty: 0 bits by contract
+        (5, "     "),                          # whitespace-only: 0 bits
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in char_entropy_profile(docs, gate_bits=3.0).collect()
+    }
+    assert out[1]["entropy_bits"] == 0.0 and not out[1]["keep"]
+    assert 0.9 < out[2]["entropy_bits"] < 1.1 and not out[2]["keep"]
+    assert out[3]["entropy_bits"] > 3.5 and out[3]["keep"]
+    for d in (4, 5):
+        assert out[d]["n_chars"] == 0
+        assert out[d]["entropy_bits"] == 0.0 and not out[d]["keep"]
+
+
+def test_char_entropy_partitioning_independent(spark, sf_smoke):
+    from samba_spark.operators.textual import char_entropy_profile
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = char_entropy_profile(docs).collect()
+    b = char_entropy_profile(docs.repartition(13)).collect()
+    assert a == b
+
+
+def test_char_entropy_case_and_whitespace_normalized(spark):
+    from samba_spark.operators.textual import char_entropy_profile
+
+    docs = spark.createDataFrame(
+        [(1, "AB ab"), (2, "ab   ab")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in char_entropy_profile(docs).collect()}
+    # both normalize to "ab ab": identical histograms
+    assert out[1]["entropy_bits"] == out[2]["entropy_bits"]
+    assert out[1]["n_chars"] == out[2]["n_chars"] == 5
+
+
+def test_char_entropy_gate_validation(spark, sf_smoke):
+    import pytest as _pytest
+
+    from samba_spark.operators.textual import char_entropy_profile
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    with _pytest.raises(ValueError, match="gate_bits=-1"):
+        char_entropy_profile(docs, gate_bits=-1)
