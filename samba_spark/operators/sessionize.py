@@ -1057,3 +1057,76 @@ def theil_sen_trend(
             F.round("intercept", 6).alias("intercept"),
         )
     )
+
+
+def holt_linear_trend(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Integer-exact Holt double exponential smoothing per group — the
+    trend-aware sibling of :func:`ewma`: EWMA tracks a level but lags
+    any sustained drift; Holt carries an explicit trend state, so the
+    one-step forecast extrapolates instead of trailing. The α=β=1/2
+    halving fold keeps the whole recursion in 64-bit integers (every
+    halving is one arithmetic shift, floor semantics in both engines —
+    verified ``(-3) >> 1 = -2`` on Spark and DuckDB), so no float
+    accumulation order can diverge.
+
+    Recursion over the per-group daily-count series ordered by day
+    (OBSERVED days; absent days are not zero-filled — the declared
+    contract, matching ewma's event-series semantics):
+
+        l_0 = y_0,  tr_0 = 0
+        l_t  = (y_t + l_{t-1} + tr_{t-1}) >> 1          (α = 1/2)
+        tr_t = ((l_t − l_{t-1}) + tr_{t-1}) >> 1        (β = 1/2)
+
+    Returns (group, n_days, last_count, level, trend, forecast_next =
+    level + trend), all BIGINT, ordered by group.
+
+    Scale posture: the daily rollup is one partial-aggregated hash agg
+    (the data-bearing pass); the recursion folds a calendar-bounded
+    per-group array (≤ days-of-history elements) inside one codegen'd
+    higher-order function — one further shuffle of O(groups × days)
+    rows, no iterative jobs, no window over a global sort.
+    """
+    daily = (
+        events.select(
+            F.col(group_col).alias("g"), F.to_date(F.col(ts_col)).alias("d")
+        )
+        .groupBy("g", "d")
+        .agg(F.count("*").alias("y"))
+    )
+    per_group = daily.groupBy("g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("vals")
+    )
+    state = F.expr(
+        """
+        aggregate(
+          slice(vals, 2, size(vals) - 1),
+          named_struct('l', element_at(vals, 1), 'tr', CAST(0 AS BIGINT)),
+          (acc, x) -> named_struct(
+            'l', shiftright(x + acc.l + acc.tr, 1),
+            'tr', shiftright(
+                    shiftright(x + acc.l + acc.tr, 1) - acc.l + acc.tr, 1)))
+        """
+    )
+    return (
+        per_group.select(
+            F.col("g").alias(group_col),
+            F.size("vals").cast("long").alias("n_days"),
+            F.element_at("vals", -1).cast("long").alias("last_count"),
+            state.alias("_s"),
+        )
+        .select(
+            group_col,
+            "n_days",
+            "last_count",
+            F.col("_s.l").alias("level"),
+            F.col("_s.tr").alias("trend"),
+            (F.col("_s.l") + F.col("_s.tr")).alias("forecast_next"),
+        )
+        .orderBy(group_col)
+    )

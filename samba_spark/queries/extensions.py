@@ -5708,6 +5708,51 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_holt_trend(spark, sf_dir):
+    """Integer-exact Holt double exponential smoothing per event type
+    (sessionize.holt_linear_trend): EWMA (x98) tracks a level but lags
+    sustained drift; Holt carries an explicit trend state and its
+    one-step forecast extrapolates. α=β=1/2 halving keeps the whole
+    recursion in 64-bit integers (arithmetic shifts, floor semantics in
+    both engines), replayed by the oracle as a recursive CTE over the
+    day-indexed series."""
+    from samba_spark.operators.sessionize import holt_linear_trend
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return holt_linear_trend(events)
+
+
+X146_HOLT_TREND_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS y
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS t
+  FROM daily),
+r AS (
+  SELECT event_type, t, y AS l, CAST(0 AS BIGINT) AS tr
+  FROM idx WHERE t = 1
+  UNION ALL
+  SELECT i.event_type, i.t,
+         (i.y + r.l + r.tr) >> 1,
+         (((i.y + r.l + r.tr) >> 1) - r.l + r.tr) >> 1
+  FROM r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1),
+fin AS (
+  SELECT event_type, l AS level, tr AS trend FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY t DESC) AS rn
+    FROM r) WHERE rn = 1),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days, arg_max(y, t) AS last_count
+  FROM idx GROUP BY event_type)
+SELECT s.event_type, s.n_days, s.last_count, f.level, f.trend,
+       f.level + f.trend AS forecast_next
+FROM stats s JOIN fin f USING (event_type)
+ORDER BY s.event_type
+"""
+
+
 def x_char_entropy(spark, sf_dir):
     """Per-document Shannon character entropy with a keep gate at 4.0
     bits (textual.char_entropy_profile): the degenerate-text screen the
@@ -5946,6 +5991,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_random_projection, X144_RANDOM_PROJECTION_SQL
     ),
     "x145_char_entropy": QuerySpec(x_char_entropy, X145_CHAR_ENTROPY_SQL),
+    "x146_holt_trend": QuerySpec(x_holt_trend, X146_HOLT_TREND_SQL),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

@@ -206,3 +206,73 @@ def test_autocorrelation_known_series(spark):
     assert float(out[2].acf) > 0.75
     assert int(out[1].den_str) == int(out[2].den_str) > 0
     assert int(out[1].num_str) < 0 < int(out[2].num_str)
+
+
+# --- holt_linear_trend (x146) ----------------------------------------------
+def test_holt_known_series(spark):
+    """Hand-computed recursion on a 4-day rising series."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sessionize import holt_linear_trend
+
+    rows = []
+    eid = 0
+    # day 1: 2 events, day 2: 4, day 3: 8, day 4: 10
+    for day, n in [(1, 2), (2, 4), (3, 8), (4, 10)]:
+        for _ in range(n):
+            rows.append((eid, f"2024-01-0{day} 12:00:00", "a"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = holt_linear_trend(df).collect()[0]
+    # l0=2,tr0=0; t2: l=(4+2+0)>>1=3, tr=((3-2)+0)>>1=0
+    # t3: l=(8+3+0)>>1=5, tr=((5-3)+0)>>1=1
+    # t4: l=(10+5+1)>>1=8, tr=((8-5)+1)>>1=2
+    assert (out["level"], out["trend"], out["forecast_next"]) == (8, 2, 10)
+    assert out["n_days"] == 4 and out["last_count"] == 10
+
+
+def test_holt_negative_trend_floor_semantics(spark):
+    """A collapsing series drives trend negative; the arithmetic-shift
+    halving must FLOOR (−3 >> 1 = −2), matching the oracle's >>."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sessionize import holt_linear_trend
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 20), (2, 2), (3, 1), (4, 1)]:
+        for _ in range(n):
+            rows.append((eid, f"2024-02-0{day} 00:00:00", "b"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = holt_linear_trend(df).collect()[0]
+    # l0=20,tr0=0; t2: l=(2+20)>>1=11, tr=((11-20)+0)>>1=(-9)>>1=-5
+    # t3: l=(1+11-5)>>1=3, tr=((3-11)-5)>>1=(-13)>>1=-7
+    # t4: l=(1+3-7)>>1=(-3)>>1=-2, tr=((-2-3)-7)>>1=(-12)>>1=-6
+    assert (out["level"], out["trend"]) == (-2, -6)
+
+
+def test_holt_single_day_group(spark):
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.sessionize import holt_linear_trend
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 01:00:00", "solo"), (2, "2024-01-01 02:00:00", "solo")],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = holt_linear_trend(df).collect()[0]
+    assert (out["level"], out["trend"], out["forecast_next"]) == (2, 0, 2)
+
+
+def test_holt_partitioning_independent(spark, sf_smoke):
+    from samba_spark.operators.sessionize import holt_linear_trend
+
+    events = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    a = holt_linear_trend(events).collect()
+    b = holt_linear_trend(events.repartition(13)).collect()
+    assert a == b
