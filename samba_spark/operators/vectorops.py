@@ -334,3 +334,118 @@ def linear_model_2f(
             b2n.cast("double") / det.cast("double"),
         ).alias("slope2"),
     )
+
+
+def pca_power_iteration(
+    sums: dict, dims: int, iters: int
+) -> list[float]:
+    """Driver-side power iteration on the exact-integer centered
+    scatter matrix — the metadata-scale half of :func:`pca_power_scores`
+    (the k-means-centroid split: data-bearing aggregation distributed,
+    O(dims²) linear algebra on the driver, exactly how MLlib's
+    RowMatrix collects the Gram matrix).
+
+    ``sums`` carries the one-row aggregates (``n``, ``s_i``,
+    ``p_i_j`` for i ≤ j) as Python ints, so the centered scatter
+    ``C[i][j] = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ`` is computed in ARBITRARY-PRECISION
+    integers (no 2⁶³ overflow at any row count) and converted to double
+    once — the same exact-then-round the oracle does in HUGEINT. The
+    iteration itself is plain IEEE doubles with EXPLICIT left-to-right
+    accumulation, mirroring the generated SQL's left-associative ``+``
+    chains term for term, so both engines produce bit-identical
+    vectors. Sign is canonicalized (the component with the largest
+    magnitude — lowest index on ties — is made positive)."""
+    import math
+
+    n = int(sums["n"])
+    c = [[0.0] * dims for _ in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            cij = float(
+                n * int(sums[f"p_{i}_{j}"])
+                - int(sums[f"s_{i}"]) * int(sums[f"s_{j}"])
+            )
+            c[i][j] = cij
+            c[j][i] = cij
+    v = [1.0] * dims
+    for _ in range(iters):
+        u = []
+        for i in range(dims):
+            acc = 0.0
+            for j in range(dims):
+                acc = acc + c[i][j] * v[j]
+            u.append(acc)
+        ss = 0.0
+        for i in range(dims):
+            ss = ss + u[i] * u[i]
+        nt = math.sqrt(ss)
+        if nt == 0.0:
+            raise ValueError(
+                "pca_power_iteration: iteration collapsed to the zero "
+                "vector — degenerate scatter matrix"
+            )
+        v = [u[i] / nt for i in range(dims)]
+    mx = 0.0
+    for i in range(dims):
+        if abs(v[i]) > mx:
+            mx = abs(v[i])
+    lead = next(v[i] for i in range(dims) if abs(v[i]) == mx)
+    if lead < 0.0:
+        v = [-x for x in v]
+    return v
+
+
+def pca_power_scores(
+    embs: DataFrame,
+    dims: int = 16,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10**6,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-principal-component score per vector via power iteration —
+    the eigen-decomposition step the linear-algebra family lacked: x65
+    computes the covariance matrix and stops; this extracts its dominant
+    eigenvector and projects every row onto it (PCA coordinate 1: the
+    embedding-drift / outlier axis used for corpus diagnostics).
+
+    Architecture: the ONLY data-bearing pass is the covariance_matrix-
+    style single aggregation of exact scale-quantized integer sums
+    (order-independent at any parallelism; int64 bound: rows × scale²
+    < 2⁶³, same as x65); the 16×16 eigen-iteration runs on the driver
+    in arbitrary-precision-then-double arithmetic
+    (:func:`pca_power_iteration`), and the final projection is one
+    map-side fold of the RAW double components against the plan-folded
+    eigenvector literals — O(1)-magnitude outputs, rounded before
+    ranking. Iteration count is FIXED (the q41-PageRank contract).
+
+    Returns (id, pc1_score) ordered by id."""
+    if dims < 2:
+        raise ValueError(f"pca_power_scores: dims={dims} must be >= 2")
+    if iters < 1:
+        raise ValueError(f"pca_power_scores: iters={iters} must be >= 1")
+    q = [
+        F.round(F.col(vec_col)[i].cast("double") * scale).cast("long")
+        for i in range(dims)
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(dims):
+        aggs.append(F.sum(q[i]).cast("long").alias(f"s_{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(q[i] * q[j]).cast("long").alias(f"p_{i}_{j}"))
+    sums = embs.agg(*aggs).collect()[0].asDict()  # one metadata-scale row
+    v = pca_power_iteration(sums, dims, iters)
+
+    score = F.lit(0.0)
+    for i in range(dims):
+        score = score + F.col(vec_col)[i].cast("double") * F.lit(v[i])
+    return (
+        embs.select(
+            F.col(id_col).alias(id_col),
+            F.round(score, round_to).alias("pc1_score"),
+        )
+        .orderBy(id_col)
+    )

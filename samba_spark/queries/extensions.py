@@ -5708,6 +5708,85 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_pca_power(spark, sf_dir):
+    """First-principal-component scores via power iteration
+    (vectorops.pca_power_scores): the eigen-decomposition step x65's
+    covariance matrix stops short of. The data-bearing pass is one
+    exact-integer scatter aggregation; the 16×16 iteration runs on the
+    driver in arbitrary-precision-then-double arithmetic with explicit
+    left-to-right accumulation, and the oracle replays every operation
+    in the same order (HUGEINT centered scatter, left-associative
+    double chains), so the eigenvector — and the per-row projection —
+    is bit-identical."""
+    from samba_spark.operators.vectorops import pca_power_scores
+
+    return pca_power_scores(_embs(spark, sf_dir), dims=16, iters=8)
+
+
+def _x147_sql(dims: int = 16, iters: int = 8, scale: int = 10**6) -> str:
+    """Generate the unrolled power-iteration oracle — the same symbolic
+    recipe pca_power_iteration executes, term for term."""
+    xs = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * {scale}) "
+        f"AS BIGINT) AS x_{i}"
+        for i in range(dims)
+    )
+    sums = ", ".join(
+        [f"CAST(COUNT(*) AS HUGEINT) AS n"]
+        + [f"CAST(SUM(x_{i}) AS HUGEINT) AS s_{i}" for i in range(dims)]
+        + [
+            f"CAST(SUM(x_{i} * x_{j}) AS HUGEINT) AS p_{i}_{j}"
+            for i in range(dims)
+            for j in range(i, dims)
+        ]
+    )
+    cells = ", ".join(
+        f"CAST(n * p_{min(i, j)}_{max(i, j)} - s_{i} * s_{j} AS DOUBLE) "
+        f"AS c_{i}_{j}"
+        for i in range(dims)
+        for j in range(dims)
+    )
+    v0 = ", ".join(f"CAST(1 AS DOUBLE) AS v_{i}" for i in range(dims))
+    its = []
+    for t in range(1, iters + 1):
+        prev = "v0" if t == 1 else f"vt{t - 1}"
+        us = ", ".join(
+            f"({' + '.join(f'm.c_{i}_{j} * p.v_{j}' for j in range(dims))})"
+            f" AS u_{i}"
+            for i in range(dims)
+        )
+        ss = " + ".join(f"u_{i} * u_{i}" for i in range(dims))
+        vs = ", ".join(f"u_{i} / nt AS v_{i}" for i in range(dims))
+        its.append(
+            f"vt{t} AS (SELECT {vs} FROM (SELECT *, sqrt({ss}) AS nt "
+            f"FROM (SELECT {us} FROM m, {prev} p)))"
+        )
+    mx = f"GREATEST({', '.join(f'abs(v_{i})' for i in range(dims))})"
+    lead = "CASE " + " ".join(
+        f"WHEN abs(v_{i}) = mx THEN v_{i}" for i in range(dims)
+    ) + " END"
+    dot = " + ".join(
+        f"CAST(e.embedding[{i + 1}] AS DOUBLE) * f.fv_{i}"
+        for i in range(dims)
+    )
+    fvs = ", ".join(f"flip * v_{i} AS fv_{i}" for i in range(dims))
+    return f"""
+WITH qr AS (SELECT vec_id, {xs} FROM embeddings),
+agg AS (SELECT {sums} FROM qr),
+m AS (SELECT {cells} FROM agg),
+v0 AS (SELECT {v0}),
+{', '.join(its)},
+sgn AS (SELECT *, CASE WHEN ({lead}) < CAST(0 AS DOUBLE)
+                       THEN CAST(-1 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END
+                  AS flip
+        FROM (SELECT *, {mx} AS mx FROM vt{iters})),
+fv AS (SELECT {fvs} FROM sgn)
+SELECT e.vec_id, ROUND(CAST(0 AS DOUBLE) + {dot}, 6) AS pc1_score
+FROM embeddings e, fv f
+ORDER BY e.vec_id
+"""
+
+
 def x_holt_trend(spark, sf_dir):
     """Integer-exact Holt double exponential smoothing per event type
     (sessionize.holt_linear_trend): EWMA (x98) tracks a level but lags
@@ -5992,6 +6071,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     ),
     "x145_char_entropy": QuerySpec(x_char_entropy, X145_CHAR_ENTROPY_SQL),
     "x146_holt_trend": QuerySpec(x_holt_trend, X146_HOLT_TREND_SQL),
+    "x147_pca_power": QuerySpec(x_pca_power, _x147_sql()),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

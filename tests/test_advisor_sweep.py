@@ -88,6 +88,9 @@ ALLOWED: dict[str, set[str]] = {
     # stage-1 JL-projected scoring against the broadcast ≤5-row query
     # set (x10 family); stage 2 runs on the shortlist only
     "x144_random_projection": {"cartesian"},
+    # the x65-family 1-row global scatter aggregate (the only shuffle;
+    # the eigen-iteration runs on the driver over that metadata row)
+    "x147_pca_power": {"single_partition"},
 }
 
 
