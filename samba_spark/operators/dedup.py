@@ -85,14 +85,19 @@ def dedup_normalized(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+def shingles(
+    documents: DataFrame, n: int = 3, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(doc_id, shingle) pairs: word n-grams over normalized tokens.
+    ``carry_cols`` rides extra document columns (e.g. ``source``)
+    through the explode so downstream attribution needs no join back.
 
     Tokenization is bound to a column *before* the per-position slice —
     inlining it would make Catalyst re-evaluate the split for every shingle
     position (O(len²) per document; measured 12× slower)."""
     toked = documents.select(
         "doc_id",
+        *carry_cols,
         F.filter(
             F.split(_normalized(F.col("text")), " "), lambda x: x != F.lit("")
         ).alias("_toks"),
@@ -101,7 +106,9 @@ def shingles(documents: DataFrame, n: int = 3) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
     )
-    return toked.select("doc_id", F.explode(sh).alias("shingle"))
+    return toked.select(
+        "doc_id", *carry_cols, F.explode(sh).alias("shingle")
+    )
 
 
 def minhash_signatures(

@@ -1318,3 +1318,65 @@ def char_entropy_profile(
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    n: int = 3,
+    source_col: str = "source",
+) -> DataFrame:
+    """Marginal n-gram novelty per source — the data-valuation signal
+    for mixture design: when sources are admitted in a declared order
+    (lexicographic on the source key), how many DISTINCT n-grams does
+    each source introduce that no earlier source already covered? A
+    source that is large but low-novelty is redundant with what came
+    before it (a downweight candidate in x130-style mixing); x31/x34
+    measure pairwise/two-corpus overlap but nothing attributes first
+    coverage under an ordering.
+
+    Attribution rule: an n-gram is NOVEL for the lexicographically
+    smallest source containing it (min(source) per shingle — the
+    declared admission order; callers wanting a different order encode
+    it in the key). Returns (source, n_occurrences, n_distinct,
+    n_novel, novelty_ratio = novel/distinct rounded) ordered by source.
+
+    Scale posture: shingle explode (the x3 cost, shared shape), then
+    three partial-aggregated hash shuffles — (source, shingle) distinct,
+    min-source per shingle, per-source counts. Nothing pairwise; the
+    shuffle keys are md5-narrow shingle strings and the final tables are
+    O(sources) rows.
+    """
+    from samba_spark.operators.dedup import shingles
+
+    pairs = shingles(documents, n, carry_cols=(source_col,))
+    occ = pairs.groupBy(source_col).agg(
+        F.count("*").alias("n_occurrences")
+    )
+    distinct_pairs = pairs.select(source_col, "shingle").distinct()
+    dist = distinct_pairs.groupBy(source_col).agg(
+        F.count("*").alias("n_distinct")
+    )
+    novel = (
+        distinct_pairs.groupBy("shingle")
+        .agg(F.min(source_col).alias(source_col))
+        .groupBy(source_col)
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return (
+        occ.join(dist, source_col)
+        .join(novel, source_col, "left")
+        .select(
+            source_col,
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_distinct").cast("double"),
+                6,
+            ).alias("novelty_ratio"),
+        )
+        .orderBy(source_col)
+    )

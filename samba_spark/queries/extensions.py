@@ -5708,6 +5708,44 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_ngram_novelty(spark, sf_dir):
+    """Marginal n-gram novelty per source (textual.ngram_novelty): under
+    the declared lexicographic admission order, how many distinct
+    3-grams does each source introduce that no earlier source covers —
+    the data-valuation signal for x130-style mixture design (a large but
+    low-novelty source is a downweight candidate). x31/x34 measure
+    pairwise/two-corpus overlap; nothing attributed first coverage
+    under an ordering."""
+    return X.ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+X148_NGRAM_NOVELTY_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT source, array_to_string(toks[u.i+1 : u.i+3], ' ') AS shingle
+  FROM toked, UNNEST(range(0, greatest(len(toks)-3, 0) + 1)) AS u(i)),
+occ AS (SELECT source, COUNT(*) AS n_occurrences FROM sh GROUP BY source),
+dp AS (SELECT DISTINCT source, shingle FROM sh),
+dist AS (SELECT source, COUNT(*) AS n_distinct FROM dp GROUP BY source),
+novel AS (
+  SELECT source, COUNT(*) AS n_novel
+  FROM (SELECT shingle, MIN(source) AS source FROM dp GROUP BY shingle)
+  GROUP BY source)
+SELECT o.source, o.n_occurrences, d.n_distinct,
+       COALESCE(nv.n_novel, 0) AS n_novel,
+       ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE)
+             / CAST(d.n_distinct AS DOUBLE), 6) AS novelty_ratio
+FROM occ o
+JOIN dist d USING (source)
+LEFT JOIN novel nv USING (source)
+ORDER BY o.source
+"""
+
+
 def x_pca_power(spark, sf_dir):
     """First-principal-component scores via power iteration
     (vectorops.pca_power_scores): the eigen-decomposition step x65's
@@ -6072,6 +6110,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x145_char_entropy": QuerySpec(x_char_entropy, X145_CHAR_ENTROPY_SQL),
     "x146_holt_trend": QuerySpec(x_holt_trend, X146_HOLT_TREND_SQL),
     "x147_pca_power": QuerySpec(x_pca_power, _x147_sql()),
+    "x148_ngram_novelty": QuerySpec(x_ngram_novelty, X148_NGRAM_NOVELTY_SQL),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

@@ -2102,3 +2102,51 @@ def test_minhash_index_persistence_roundtrip(spark, tmp_path):
         load_minhash_index(spark, str(tmp_path / "nowhere"))
     with pytest.raises(ValueError, match="divide"):
         save_minhash_index(corpus, path, num_hashes=64, bands=7)
+
+
+# --- ngram_novelty (x148) ---------------------------------------------------
+def test_ngram_novelty_attribution_order(spark):
+    """First-coverage attribution under the lexicographic order: a
+    shingle shared by srcA and srcB is novel only for srcA."""
+    from samba_spark.operators.textual import ngram_novelty
+
+    rows = [
+        (1, "alpha beta gamma delta", "srcA"),
+        (2, "alpha beta gamma epsilon", "srcB"),   # 'alpha beta gamma' seen
+        (3, "zeta eta theta iota", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out["srcA"]["n_distinct"] == out["srcA"]["n_novel"] == 2
+    assert out["srcA"]["novelty_ratio"] == 1.0
+    # srcB: doc2 has 2 shingles (1 shared), doc3 has 2 — distinct 4, novel 3
+    assert out["srcB"]["n_distinct"] == 4 and out["srcB"]["n_novel"] == 3
+    assert out["srcB"]["novelty_ratio"] == 0.75
+
+
+def test_ngram_novelty_totals_conserve(spark, sf_smoke):
+    """Σ n_novel over sources = global distinct shingle count."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.dedup import shingles
+    from samba_spark.operators.textual import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = ngram_novelty(docs, n=3).collect()
+    total_novel = sum(r["n_novel"] for r in out)
+    global_distinct = (
+        shingles(docs, 3).select("shingle").distinct().count()
+    )
+    assert total_novel == global_distinct
+    # first source in the order is all-novel by construction
+    first = min(out, key=lambda r: r["source"])
+    assert first["n_novel"] == first["n_distinct"]
+
+
+def test_ngram_novelty_partitioning_independent(spark, sf_smoke):
+    from samba_spark.operators.textual import ngram_novelty
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = ngram_novelty(docs).collect()
+    b = ngram_novelty(docs.repartition(13)).collect()
+    assert a == b
