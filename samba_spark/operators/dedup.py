@@ -1398,6 +1398,26 @@ def segment_dedup(
     if max_docs < 1:
         raise ValueError(f"segment_dedup: max_docs={max_docs} must be >= 1")
 
+    toked, segs = _disjoint_segments(documents, seg_tokens, id_col, text_col)
+
+    # the boilerplate population: segments in > max_docs distinct docs.
+    # Exact distinct count on md5 keys — one partial-aggregated shuffle.
+    violators = (
+        segs.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") > max_docs)
+        .select("h")
+    )
+    kept = segs.join(violators, "h", "left_anti")
+    return _reassemble(toked, segs, kept)
+
+
+def _disjoint_segments(
+    documents: DataFrame, seg_tokens: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared segmentation half of segment_dedup/decontaminate_spans:
+    the tokenized base and the (doc_id, pos, seg, h) disjoint-window
+    table."""
     toked = documents.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
@@ -1417,17 +1437,14 @@ def segment_dedup(
     segs = toked.select(
         "doc_id", F.posexplode(seg_arr).alias("pos", "seg")
     ).withColumn("h", F.md5(F.col("seg")))
+    return toked, segs
 
-    # the boilerplate population: segments in > max_docs distinct docs.
-    # Exact distinct count on md5 keys — one partial-aggregated shuffle.
-    violators = (
-        segs.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") > max_docs)
-        .select("h")
-    )
-    kept = segs.join(violators, "h", "left_anti")
 
+def _reassemble(
+    toked: DataFrame, segs: DataFrame, kept: DataFrame
+) -> DataFrame:
+    """Shared reassembly half: stitch surviving segments back in
+    position order; docs whose every segment was cut come back empty."""
     reassembled = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -1456,3 +1473,56 @@ def segment_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    seg_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level decontamination with reassembly: cut every disjoint
+    ``seg_tokens``-token window of a corpus document whose n-gram
+    appears ANYWHERE in the benchmark (stride-1 benchmark windows, so a
+    match is alignment-independent), then stitch the survivors back in
+    order — x16 only REPORTS benchmark overlap; this removes it the way
+    production pretraining pipelines scrub eval sets, while keeping the
+    rest of the document (whole-doc dropping throws away clean text).
+
+    Returns (doc_id, clean_text, n_segments, n_dropped) over the CORPUS
+    (ordered by id) — the same reassembly contract as segment_dedup.
+
+    Scale posture: the benchmark side explodes stride-1 n-grams (eval
+    sets are small — typically ≪1% of corpus); its DISTINCT hash set is
+    broadcast-able, so the removal is a map-side LEFT ANTI; corpus-side
+    cost is the disjoint-window explode (tokens/seg_tokens rows) plus
+    the reassembly shuffle. Nothing pairwise.
+    """
+    if seg_tokens < 1:
+        raise ValueError(
+            f"decontaminate_spans: seg_tokens={seg_tokens} must be >= 1"
+        )
+    toked, segs = _disjoint_segments(corpus, seg_tokens, id_col, text_col)
+    bench_toked = benchmark.select(
+        F.filter(
+            F.split(_normalized(F.col(text_col)), " "), lambda x: x != F.lit("")
+        ).alias("_toks"),
+    ).where(F.size("_toks") >= seg_tokens)
+    bench_grams = bench_toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - seg_tokens),
+                lambda i: F.array_join(
+                    F.slice(F.col("_toks"), i + 1, seg_tokens), " "
+                ),
+            )
+        ).alias("seg")
+    ).select(F.md5("seg").alias("h")).distinct()
+    # a trailing partial corpus window (< seg_tokens tokens) can also be
+    # contaminated if it appears verbatim inside the benchmark — but a
+    # stride-1 window table at length seg_tokens cannot see shorter
+    # spans; the declared contract matches FULL windows only (the same
+    # boundary x16's fixed-n overlap counting has)
+    kept = segs.join(F.broadcast(bench_grams), "h", "left_anti")
+    return _reassemble(toked, segs, kept)

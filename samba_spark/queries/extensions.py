@@ -5708,6 +5708,60 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination with reassembly
+    (dedup.decontaminate_spans): src0 plays the eval set (the x16
+    convention); every disjoint 8-token window of the other sources'
+    documents that appears ANYWHERE in src0 (stride-1 benchmark
+    windows — alignment-independent) is cut, and the survivors are
+    stitched back in order. x16 reports contamination; this removes it
+    without throwing away the clean remainder of the document."""
+    docs = _docs(spark, sf_dir)
+    return D.decontaminate_spans(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        seg_tokens=8,
+    )
+
+
+X149_DECONTAMINATE_SPANS_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, source,
+         list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents),
+corp AS (SELECT doc_id, toks FROM toked WHERE source <> 'src0'),
+segs AS (
+  SELECT doc_id, u.i AS pos,
+         array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS seg
+  FROM corp, UNNEST(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS u(i)),
+bg AS (
+  SELECT DISTINCT
+         md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS h
+  FROM toked, UNNEST(range(0, len(toks) - 8 + 1)) AS u(i)
+  WHERE source = 'src0' AND len(toks) >= 8),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg
+  FROM segs s ANTI JOIN bg v ON md5(s.seg) = v.h),
+reass AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT c.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       COALESCE(t.n_segments, 0) AS n_segments,
+       COALESCE(t.n_segments, 0) - COALESCE(r.n_kept, 0) AS n_dropped
+FROM corp c
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN reass r USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
 def x_ngram_novelty(spark, sf_dir):
     """Marginal n-gram novelty per source (textual.ngram_novelty): under
     the declared lexicographic admission order, how many distinct
@@ -6111,6 +6165,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x146_holt_trend": QuerySpec(x_holt_trend, X146_HOLT_TREND_SQL),
     "x147_pca_power": QuerySpec(x_pca_power, _x147_sql()),
     "x148_ngram_novelty": QuerySpec(x_ngram_novelty, X148_NGRAM_NOVELTY_SQL),
+    "x149_decontaminate_spans": QuerySpec(
+        x_decontaminate_spans, X149_DECONTAMINATE_SPANS_SQL
+    ),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

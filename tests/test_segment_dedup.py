@@ -89,3 +89,60 @@ def test_argument_validation(spark, sf_smoke):
         segment_dedup(docs, seg_tokens=0)
     with pytest.raises(ValueError, match="max_docs=0"):
         segment_dedup(docs, max_docs=0)
+
+
+# --- decontaminate_spans (x149) ---------------------------------------------
+def test_decontaminate_cuts_benchmark_spans_any_alignment(spark):
+    """A benchmark 4-gram buried mid-document is cut from the corpus doc
+    even though the corpus segmentation is disjoint (stride-1 benchmark
+    windows make the match alignment-independent)."""
+    from samba_spark.operators.dedup import decontaminate_spans
+
+    bench = spark.createDataFrame(
+        [(100, "prefix words here alpha beta gamma delta suffix words")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta keep these four words"),
+            (2, "totally clean document with eight safe tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_spans(corpus, bench, seg_tokens=4).collect()
+    }
+    assert out[1]["clean_text"] == "keep these four words"
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "totally clean document with eight safe tokens"
+
+
+def test_decontaminate_short_benchmark_no_windows(spark):
+    """A benchmark shorter than seg_tokens contributes no windows —
+    nothing is cut."""
+    from samba_spark.operators.dedup import decontaminate_spans
+
+    bench = spark.createDataFrame(
+        [(100, "too short")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "too short but this corpus doc stays whole")],
+        "doc_id long, text string",
+    )
+    out = decontaminate_spans(corpus, bench, seg_tokens=8).collect()[0]
+    assert out["n_dropped"] == 0
+
+
+def test_decontaminate_partitioning_independent(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.dedup import decontaminate_spans
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    corpus = docs.where(F.col("source") != "src0")
+    bench = docs.where(F.col("source") == "src0")
+    a = decontaminate_spans(corpus, bench).collect()
+    b = decontaminate_spans(corpus.repartition(13), bench.repartition(7)).collect()
+    assert a == b
