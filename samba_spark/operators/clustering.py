@@ -219,3 +219,78 @@ def kmeans_assign(
         .select("vec_id", "cluster", "dist2")
         .orderBy("vec_id")
     )
+
+
+def clustering_metrics(
+    assignments: DataFrame,
+    labels: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """External clustering-quality evaluation — purity and Adjusted
+    Rand Index of a cluster assignment against gold labels: the
+    clustering sibling of x140's retrieval metrics (x142 produces
+    partitions; nothing scored them). Everything up to the final two
+    divisions is EXACT integer pair-counting on the contingency table
+    (all C(n,2) terms are BIGINT, products even by construction), so
+    both engines reach the same two IEEE divisions:
+
+        purity = Σ_c max_j n_cj / N
+        ARI    = (idx − exp) / (max − exp),  idx = Σ C(n_ij,2),
+                 exp = ΣC(a_i,2)·ΣC(b_j,2)/C(N,2),
+                 max = (ΣC(a_i,2)+ΣC(b_j,2))/2
+
+    Degenerate contract: when max == exp (both partitions trivial) the
+    denominator is zero and ARI is defined as 1.0 — the partitions are
+    then identical up to relabeling.
+
+    Returns ONE row: (n_rows, n_clusters, n_labels, purity_num, purity,
+    ari), floats rounded to 6.
+
+    Scale posture: the only data-bearing pass is the (cluster, label)
+    contingency aggregation (partial-aggregated, ≤ k×|labels| result
+    rows — metadata scale); every metric is an aggregate over that tiny
+    table (the x131 cells-table family).
+    """
+    j = assignments.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("c")
+    ).join(
+        labels.select(F.col(id_col).alias("_id"), F.col(label_col).alias("l")),
+        "_id",
+    )
+    ct = j.groupBy("c", "l").agg(F.count("*").alias("n"))
+    pair = F.expr("n * (n - 1) div 2")
+    row_sums = ct.groupBy("c").agg(F.sum("n").alias("a"))
+    col_sums = ct.groupBy("l").agg(F.sum("n").alias("b"))
+    stats = (
+        ct.agg(
+            F.sum("n").alias("n_rows"),
+            F.sum(pair).alias("idx"),
+            F.count_distinct("c").alias("n_clusters"),
+            F.count_distinct("l").alias("n_labels"),
+        )
+        .crossJoin(
+            ct.groupBy("c")
+            .agg(F.max("n").alias("mx"))
+            .agg(F.sum("mx").alias("purity_num"))
+        )
+        .crossJoin(row_sums.agg(F.sum(F.expr("a * (a - 1) div 2")).alias("sa")))
+        .crossJoin(col_sums.agg(F.sum(F.expr("b * (b - 1) div 2")).alias("sb")))
+    )
+    n = F.col("n_rows").cast("double")
+    cn2 = F.expr("n_rows * (n_rows - 1) div 2").cast("double")
+    exp = F.col("sa").cast("double") * F.col("sb").cast("double") / cn2
+    mx = (F.col("sa").cast("double") + F.col("sb").cast("double")) / F.lit(2.0)
+    num = F.col("idx").cast("double") - exp
+    den = mx - exp
+    return stats.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_clusters").cast("long").alias("n_clusters"),
+        F.col("n_labels").cast("long").alias("n_labels"),
+        F.col("purity_num").cast("long").alias("purity_num"),
+        F.round(F.col("purity_num").cast("double") / n, 6).alias("purity"),
+        F.round(
+            F.when(den != F.lit(0.0), num / den).otherwise(F.lit(1.0)), 6
+        ).alias("ari"),
+    )

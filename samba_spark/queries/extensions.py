@@ -5708,6 +5708,69 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_clustering_metrics(spark, sf_dir):
+    """Purity + Adjusted Rand Index of the x142 k-means assignment
+    against the gold label column (clustering.clustering_metrics): the
+    clustering sibling of x140's retrieval metrics. All pair counting
+    is exact integer arithmetic on the contingency table; the two final
+    divisions are the only floats, identical in both engines. The
+    oracle re-derives the assignment from the shared x142 CTE chain and
+    scores it in SQL."""
+    from samba_spark.operators.clustering import (
+        clustering_metrics,
+        kmeans_integer,
+    )
+
+    embs = _embs(spark, sf_dir)
+    assign = kmeans_integer(embs, k=8, iters=2).select("vec_id", "cluster")
+    return clustering_metrics(assign, embs.select("vec_id", "label"))
+
+
+# NOTE: the SQL for this query is defined AFTER _X142_CORE below (it
+# concatenates the shared Lloyd CTE chain) — see X150_CLUSTERING_METRICS_SQL.
+_X150_METRICS_TAIL = """,
+lab AS (
+  SELECT af.cluster AS c, e.label AS l, COUNT(*) AS n
+  FROM af JOIN embeddings e USING (vec_id)
+  GROUP BY af.cluster, e.label),
+tots AS (
+  SELECT SUM(n) AS n_rows,
+         SUM(n * (n - 1) // 2) AS idx,
+         COUNT(DISTINCT c) AS n_clusters,
+         COUNT(DISTINCT l) AS n_labels
+  FROM lab),
+pur AS (
+  SELECT SUM(mx) AS purity_num
+  FROM (SELECT c, MAX(n) AS mx FROM lab GROUP BY c)),
+ra AS (
+  SELECT SUM(a * (a - 1) // 2) AS sa
+  FROM (SELECT c, SUM(n) AS a FROM lab GROUP BY c)),
+rb AS (
+  SELECT SUM(b * (b - 1) // 2) AS sb
+  FROM (SELECT l, SUM(n) AS b FROM lab GROUP BY l))
+SELECT CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(t.n_clusters AS BIGINT) AS n_clusters,
+       CAST(t.n_labels AS BIGINT) AS n_labels,
+       CAST(p.purity_num AS BIGINT) AS purity_num,
+       ROUND(CAST(p.purity_num AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6)
+         AS purity,
+       ROUND(CASE WHEN (CAST(a.sa AS DOUBLE) + CAST(b.sb AS DOUBLE))
+                       / CAST(2 AS DOUBLE)
+                     - CAST(a.sa AS DOUBLE) * CAST(b.sb AS DOUBLE)
+                       / CAST(t.n_rows * (t.n_rows - 1) // 2 AS DOUBLE)
+                     <> CAST(0 AS DOUBLE)
+                  THEN (CAST(t.idx AS DOUBLE)
+                        - CAST(a.sa AS DOUBLE) * CAST(b.sb AS DOUBLE)
+                          / CAST(t.n_rows * (t.n_rows - 1) // 2 AS DOUBLE))
+                       / ((CAST(a.sa AS DOUBLE) + CAST(b.sb AS DOUBLE))
+                          / CAST(2 AS DOUBLE)
+                          - CAST(a.sa AS DOUBLE) * CAST(b.sb AS DOUBLE)
+                            / CAST(t.n_rows * (t.n_rows - 1) // 2 AS DOUBLE))
+                  ELSE CAST(1 AS DOUBLE) END, 6) AS ari
+FROM tots t, pur p, ra a, rb b
+"""
+
+
 def x_decontaminate_spans(spark, sf_dir):
     """Span-level decontamination with reassembly
     (dedup.decontaminate_spans): src0 plays the eval set (the x16
@@ -6089,7 +6152,10 @@ def x_kmeans(spark, sf_dir):
     return kmeans_integer(_embs(spark, sf_dir), k=8, iters=2)
 
 
-X142_KMEANS_SQL = """
+# shared by x142 (assignment output) and x150 (metrics over the same
+# assignment): the unrolled 2-round Lloyd chain through the final
+# argmin CTE ``af``
+_X142_CORE = """
 WITH q AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -6148,11 +6214,16 @@ af AS (
     SELECT vec_id, cid, d2,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
     FROM df) WHERE rn = 1)
+"""
+
+X142_KMEANS_SQL = _X142_CORE + """
 SELECT af.vec_id, af.cluster, af.d2 AS dist2, cnt.cluster_size
 FROM af JOIN (SELECT cluster, COUNT(*) AS cluster_size
               FROM af GROUP BY cluster) cnt USING (cluster)
 ORDER BY vec_id
 """
+
+X150_CLUSTERING_METRICS_SQL = _X142_CORE + _X150_METRICS_TAIL
 
 
 EXTENSIONS: dict[str, QuerySpec] = {
@@ -6167,6 +6238,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x148_ngram_novelty": QuerySpec(x_ngram_novelty, X148_NGRAM_NOVELTY_SQL),
     "x149_decontaminate_spans": QuerySpec(
         x_decontaminate_spans, X149_DECONTAMINATE_SPANS_SQL
+    ),
+    "x150_clustering_metrics": QuerySpec(
+        x_clustering_metrics, X150_CLUSTERING_METRICS_SQL
     ),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),

@@ -91,6 +91,9 @@ ALLOWED: dict[str, set[str]] = {
     # the x65-family 1-row global scatter aggregate (the only shuffle;
     # the eigen-iteration runs on the driver over that metadata row)
     "x147_pca_power": {"single_partition"},
+    # metric aggregates over the k×|labels| contingency table (the x131
+    # cells-table family): 1-row final aggregates crossJoined together
+    "x150_clustering_metrics": {"cartesian", "single_partition"},
 }
 
 

@@ -135,3 +135,70 @@ def test_kmeans_no_single_partition_exchange(spark, sf_smoke):
     plan = _assign(q, seeds)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
     assert "Exchange" not in plan.split("\n")[0]
+
+
+# --- clustering_metrics (x150) ----------------------------------------------
+def test_metrics_perfect_clustering(spark):
+    """Clusters identical to labels up to relabeling: purity 1, ARI 1."""
+    from samba_spark.operators.clustering import clustering_metrics
+
+    assign = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)], "vec_id long, cluster long"
+    )
+    labels = spark.createDataFrame(
+        [(i, (i % 3) + 10) for i in range(9)], "vec_id long, label int"
+    )
+    out = clustering_metrics(assign, labels).collect()[0]
+    assert out["purity"] == 1.0 and out["ari"] == 1.0
+    assert out["n_rows"] == 9 and out["n_clusters"] == 3 and out["n_labels"] == 3
+
+
+def test_metrics_hand_computed_contingency(spark):
+    """2 clusters × 2 labels with contingency [[3,1],[1,3]]:
+    purity = 6/8; ARI = (idx−exp)/(max−exp) with
+    idx = ΣC(n_ij,2) = 3+0+0+3 = 6, sa = sb = 2·C(4,2) = 12,
+    C(8,2) = 28 → exp = 144/28 = 36/7, max = 12 →
+    ARI = (6−36/7)/(12−36/7) = (6/7)/(48/7) = 1/8."""
+    from samba_spark.operators.clustering import clustering_metrics
+
+    pairs = [(0, 0)] * 3 + [(0, 1)] + [(1, 0)] + [(1, 1)] * 3
+    assign = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(pairs)], "vec_id long, cluster long"
+    )
+    labels = spark.createDataFrame(
+        [(i, l) for i, (_, l) in enumerate(pairs)], "vec_id long, label int"
+    )
+    out = clustering_metrics(assign, labels).collect()[0]
+    assert out["purity_num"] == 6
+    assert out["purity"] == 0.75
+    assert out["ari"] == 0.125
+
+
+def test_metrics_single_cluster_single_label_degenerate(spark):
+    """One cluster, one label: max == exp, denominator 0 → ARI = 1.0
+    by the declared contract (trivially identical partitions)."""
+    from samba_spark.operators.clustering import clustering_metrics
+
+    assign = spark.createDataFrame(
+        [(i, 0) for i in range(5)], "vec_id long, cluster long"
+    )
+    labels = spark.createDataFrame(
+        [(i, 7) for i in range(5)], "vec_id long, label int"
+    )
+    out = clustering_metrics(assign, labels).collect()[0]
+    assert out["ari"] == 1.0 and out["purity"] == 1.0
+
+
+def test_metrics_partitioning_independent(spark, sf_smoke):
+    from samba_spark.operators.clustering import (
+        clustering_metrics,
+        kmeans_integer,
+    )
+
+    embs = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    assign = kmeans_integer(embs, k=4, iters=1).select("vec_id", "cluster")
+    a = clustering_metrics(assign, embs.select("vec_id", "label")).collect()
+    b = clustering_metrics(
+        assign.repartition(13), embs.select("vec_id", "label").repartition(7)
+    ).collect()
+    assert a == b
