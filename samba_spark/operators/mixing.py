@@ -294,3 +294,82 @@ def temperature_mixture(
         .cast("long")
         .alias("epochs_bp"),
     )
+
+
+def mixture_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    token_budget: int = 1_000_000,
+) -> DataFrame:
+    """Exact token-budget apportionment over temperature weights — the
+    planning step :func:`temperature_mixture` stops short of: its floor
+    allocation silently loses up to (sources−1) tokens of the budget.
+    This applies the Hamilton largest-remainder method so the per-source
+    targets sum EXACTLY to ``token_budget``: every source gets
+    ``floor(B·w/Σw)``, and the ``B − Σfloor`` leftover tokens go one
+    each to the sources with the largest remainders (ties to the
+    lexicographically smallest source — fully deterministic).
+
+    Also emits the two numbers a training-data config actually consumes:
+    ``epochs`` (integer ceiling — how many passes of the source fill its
+    target) and ``rate`` (the oversampling factor, rounded).
+
+    All apportionment arithmetic is exact integers (α is pinned to 0.5
+    for the same isqrt engine-exactness reason as x130; int64 bound:
+    ``token_budget · isqrt(max n_tokens) < 2⁶³``). Returns (source,
+    n_tokens, w_num, target_tokens, epochs, rate) ordered by source;
+    Σ target_tokens == token_budget by construction (test-pinned).
+
+    Scale posture: one data-bearing hash aggregation (per-source token
+    counts); everything after runs on the O(sources) metadata table —
+    the x130 broadcast-denominator family, including its documented
+    1-row crossJoins and the rank window over the tiny per-source table.
+    """
+    if token_budget < 0:
+        raise ValueError(
+            f"mixture_plan: token_budget={token_budget} must be >= 0"
+        )
+    from samba_spark.operators.textual import tokens_col
+
+    toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    per = (
+        df.select(F.col(group_col).alias("source"), toks.alias("_t"))
+        .groupBy("source")
+        .agg(F.sum("_t").cast("long").alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .withColumn("w_num", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+    )
+    den = per.agg(F.sum("w_num").cast("long").alias("w_den"))
+    j = (
+        per.crossJoin(F.broadcast(den))
+        .withColumn("base", F.expr(f"({int(token_budget)} * w_num) div w_den"))
+        .withColumn("rem", F.expr(f"({int(token_budget)} * w_num) % w_den"))
+    )
+    tot = j.agg(F.sum("base").cast("long").alias("tot_base"))
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    ranked = j.crossJoin(F.broadcast(tot)).withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    target = F.col("base") + F.when(
+        F.col("rk") <= F.lit(int(token_budget)) - F.col("tot_base"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ranked.withColumn("target_tokens", target.cast("long"))
+        .select(
+            "source",
+            "n_tokens",
+            "w_num",
+            "target_tokens",
+            # integer ceiling — exact, no float division boundary
+            F.expr("(target_tokens + n_tokens - 1) div n_tokens")
+            .cast("long")
+            .alias("epochs"),
+            F.round(
+                F.col("target_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("rate"),
+        )
+        .orderBy("source")
+    )

@@ -5708,6 +5708,50 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_mixture_plan(spark, sf_dir):
+    """Hamilton largest-remainder apportionment of a 1M-token budget
+    over α=0.5 temperature weights (mixing.mixture_plan): x130's floor
+    allocation silently loses up to (sources−1) tokens; this
+    redistributes the leftover one token each to the largest remainders
+    (ties to the smallest source), so Σ target_tokens == budget exactly
+    — plus the integer epoch ceiling and oversampling rate a training
+    config consumes. All apportionment arithmetic exact integers."""
+    from samba_spark.operators.mixing import mixture_plan
+
+    return mixture_plan(_docs(spark, sf_dir), token_budget=1_000_000)
+
+
+X151_MIXTURE_PLAN_SQL = r"""
+WITH per AS (
+  SELECT source,
+         SUM(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+pos AS (SELECT * FROM per WHERE n_tokens > 0),
+w AS (SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS w_num FROM pos),
+d AS (SELECT SUM(w_num)::BIGINT AS w_den FROM w),
+j AS (
+  SELECT w.*, ((1000000 * w_num) // w_den)::BIGINT AS base,
+         ((1000000 * w_num) % w_den)::BIGINT AS rem
+  FROM w, d),
+t AS (SELECT SUM(base)::BIGINT AS tot_base FROM j),
+r AS (
+  SELECT j.*, t.tot_base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+  FROM j, t),
+f AS (
+  SELECT source, n_tokens, w_num,
+         (base + CASE WHEN rk <= 1000000 - tot_base THEN 1 ELSE 0 END)::BIGINT
+           AS target_tokens
+  FROM r)
+SELECT source, n_tokens, w_num, target_tokens,
+       ((target_tokens + n_tokens - 1) // n_tokens)::BIGINT AS epochs,
+       ROUND(CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS rate
+FROM f ORDER BY source
+"""
+
+
 def x_clustering_metrics(spark, sf_dir):
     """Purity + Adjusted Rand Index of the x142 k-means assignment
     against the gold label column (clustering.clustering_metrics): the
@@ -6242,6 +6286,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x150_clustering_metrics": QuerySpec(
         x_clustering_metrics, X150_CLUSTERING_METRICS_SQL
     ),
+    "x151_mixture_plan": QuerySpec(x_mixture_plan, X151_MIXTURE_PLAN_SQL),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

@@ -94,6 +94,9 @@ ALLOWED: dict[str, set[str]] = {
     # metric aggregates over the k×|labels| contingency table (the x131
     # cells-table family): 1-row final aggregates crossJoined together
     "x150_clustering_metrics": {"cartesian", "single_partition"},
+    # the x130 broadcast-denominator family plus the largest-remainder
+    # rank window over the O(sources) per-group table
+    "x151_mixture_plan": {"cartesian", "single_partition"},
 }
 
 

@@ -2150,3 +2150,63 @@ def test_ngram_novelty_partitioning_independent(spark, sf_smoke):
     a = ngram_novelty(docs).collect()
     b = ngram_novelty(docs.repartition(13)).collect()
     assert a == b
+
+
+# --- mixture_plan (x151) ------------------------------------------------------
+def test_mixture_plan_conserves_budget_exactly(spark, sf_smoke):
+    """Σ target_tokens == budget for budgets that do and don't divide
+    evenly — the Hamilton largest-remainder property x130's floor
+    allocation lacks."""
+    from samba_spark.operators.mixing import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    for budget in (1_000_000, 999_983, 7):
+        out = mixture_plan(docs, token_budget=budget).collect()
+        assert sum(r["target_tokens"] for r in out) == budget, budget
+
+
+def test_mixture_plan_epochs_ceiling_and_rate(spark):
+    from samba_spark.operators.mixing import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "e f g h i j k l m n o p", "s2")],
+        "doc_id long, text string, source string",
+    )
+    # tokens: s1=4, s2=12; weights isqrt: 2, 3; budget 10:
+    # base: 10*2//5=4, 10*3//5=6; rem 0,0 -> no bonus; targets 4, 6
+    out = {r["source"]: r for r in mixture_plan(docs, token_budget=10).collect()}
+    assert out["s1"]["target_tokens"] == 4 and out["s2"]["target_tokens"] == 6
+    assert out["s1"]["epochs"] == 1   # ceil(4/4)
+    assert out["s2"]["epochs"] == 1   # ceil(6/12)
+    assert out["s1"]["rate"] == 1.0 and out["s2"]["rate"] == 0.5
+    # budget 11: one leftover token; remainders (11*2)%5=2, (11*3)%5=3
+    # -> s2 gets the bonus
+    out = {r["source"]: r for r in mixture_plan(docs, token_budget=11).collect()}
+    assert out["s1"]["target_tokens"] == 4 and out["s2"]["target_tokens"] == 7
+
+
+def test_mixture_plan_remainder_tie_breaks_to_smallest_source(spark):
+    """Equal remainders: the lexicographically smallest source wins the
+    leftover token."""
+    from samba_spark.operators.mixing import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "sA"), (2, "e f g h", "sB")],
+        "doc_id long, text string, source string",
+    )
+    # both sources: 4 tokens, w=2, den=4; budget 5: base 2 each, rem 2
+    # each, one leftover -> sA
+    out = {r["source"]: r for r in mixture_plan(docs, token_budget=5).collect()}
+    assert out["sA"]["target_tokens"] == 3 and out["sB"]["target_tokens"] == 2
+
+
+def test_mixture_plan_zero_budget_and_validation(spark, sf_smoke):
+    import pytest as _pytest
+
+    from samba_spark.operators.mixing import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    out = mixture_plan(docs, token_budget=0).collect()
+    assert all(r["target_tokens"] == 0 and r["epochs"] == 0 for r in out)
+    with _pytest.raises(ValueError, match="token_budget=-1"):
+        mixture_plan(docs, token_budget=-1)
