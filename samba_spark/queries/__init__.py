@@ -74,15 +74,16 @@ Round-8 rotation (VERDICT r7 items 2/6): the round-7 window came back
 queries whose driver rows predate their oracle graduation (their sole
 rows are round-1 ``no_oracle`` stubs; q29 gained the est_ok gate in
 r3, q30 the sampling contract in r6 — this gives both their first
-full-green hash row). The next 37 slots take the round-4-window
-backfill in r4 order; the 6 round-8 additions (x136–x141, the
-serving-mode wave) take the final slots per the new-before-backfill
-standing policy, displacing the 3 newest r4 backfills (x77, x79, q75)
-to round 9 — after which the single-green debt is those 3 plus the
-round-5 window. x42/q59 rotate to AUX per VERDICT item 6 — their bench
-suite position changes (CONTRACT entries run first), which is the
-deliberate re-attestation of the suite-context hypothesis for their r7
-slowdown.
+full-green hash row). The next 27 slots take the round-4-window
+backfill in r4 order; the 16 round-8 additions (x136–x141, the
+serving-mode wave, then x142–x151, the curation/analytics wave) take
+the final slots per the new-before-backfill standing policy,
+displacing the 13 newest r4 backfills (x87, x48, x49, x53, x55, x60,
+x65, x71, x72, x75, x77, x79, q75) to round 9 — after which the
+single-green debt is those 13 plus the round-5 window. x42/q59 rotate
+to AUX per VERDICT item 6 — their bench suite position changes
+(CONTRACT entries run first), which is the deliberate re-attestation
+of the suite-context hypothesis for their r7 slowdown.
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -146,28 +147,33 @@ _ROTATED_IN = [
     "x80_hll_rollup",
     "x81_approx_topk",
     "x82_bitmap_distinct",
-    "x87_sketch_persistence",
-    "x48_bloom_dedup",
-    "x49_scd2_history",
-    "x53_parquet_manifest",
-    "x55_triangle_count",
-    "x60_rare_token_pairs",
-    "x65_covariance_matrix",
-    "x71_incremental_agg",
-    "x72_udtf_leading_tokens",
-    "x75_bpe_merge_round",
-    # round-8 additions (new-before-backfill standing policy; their 6
-    # slots displace the 3 newest r4 backfills x77/x79/q75 to round 9):
-    # the serving-mode wave — PQ ADC top-k with the deterministic
-    # sample quantizer, frozen-index MinHash probe, pinned linear
-    # quality model, two-stage truncated-prefix rerank, retrieval-
-    # quality metrics, composed IVF-PQ
+    # round-8 additions (new-before-backfill standing policy; the 16
+    # addition slots displace the 13 newest r4 backfills — x87, x48,
+    # x49, x53, x55, x60, x65, x71, x72, x75, x77, x79, q75 — to
+    # round 9): first the serving-mode wave — PQ ADC top-k with the
+    # deterministic sample quantizer, frozen-index MinHash probe,
+    # pinned linear quality model, two-stage truncated-prefix rerank,
+    # retrieval-quality metrics, composed IVF-PQ
     "x136_pq_ann",
     "x137_minhash_probe",
     "x138_quality_model",
     "x139_truncated_rerank",
     "x140_retrieval_metrics",
     "x141_ivf_pq_ann",
+    # then the curation/analytics wave — integer-exact Lloyd k-means,
+    # segment dedup with reassembly, JL two-stage retrieval, char
+    # entropy gate, Holt trend, power-iteration PCA, n-gram novelty,
+    # span decontamination, clustering metrics, budget apportionment
+    "x142_kmeans",
+    "x143_segment_dedup",
+    "x144_random_projection",
+    "x145_char_entropy",
+    "x146_holt_trend",
+    "x147_pca_power",
+    "x148_ngram_novelty",
+    "x149_decontaminate_spans",
+    "x150_clustering_metrics",
+    "x151_mixture_plan",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

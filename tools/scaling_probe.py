@@ -108,6 +108,22 @@ PROBES = [
     # absent: its inputs are O(queries × k) tables at every SF.
     "x139_truncated_rerank",
     "x141_ivf_pq_ann",
+    # round-8 curation/analytics wave: Lloyd k-means (T assignment +
+    # update jobs over the embeddings scan), segment dedup + span
+    # decontamination (segment explode + anti join + reassembly —
+    # documents scale with SF), JL two-stage retrieval (map-side
+    # projection + broadcast-query scoring), char entropy (positional
+    # char explode — the corpus in rows), n-gram novelty (shingle
+    # explode + three hash aggs). x146/x147/x150/x151 are deliberately
+    # absent: their data-bearing pass is one partial-aggregated hash
+    # agg (daily rollup / scatter row / contingency / per-source
+    # counts) and everything after runs on metadata-scale tables.
+    "x142_kmeans",
+    "x143_segment_dedup",
+    "x144_random_projection",
+    "x145_char_entropy",
+    "x148_ngram_novelty",
+    "x149_decontaminate_spans",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
