@@ -5708,6 +5708,70 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_reshard_plan(spark, sf_dir):
+    """Consistent-hash vs mod-hash reshard movement matrix
+    (sharding.reshard_plan): growing the orders layout 4 → 6 shards,
+    exact per-(strategy, old, new) key counts. The md5-derived vnode
+    ring moves ~1/3 of keys (the consistent-hashing guarantee); mod
+    moves ~2/3 — the data-movement answer a 100 TB repartition decision
+    needs in counts, not folklore. Ring positions are disambiguated to
+    strict uniqueness ((md5<<10) | vnode index) so the first-position-≥
+    lookup is total in both engines."""
+    from samba_spark.operators.sharding import reshard_plan
+
+    t = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return reshard_plan(t, "o_orderkey", old_shards=4, new_shards=6)
+
+
+def _x152_sql(old: int = 4, new: int = 6, vnodes: int = 16) -> str:
+    def ring(name: str, shards: int) -> str:
+        return (
+            f"{name} AS (SELECT ((('0x' || substr(md5('shard_' || s.s || "
+            f"'_vnode_' || v.v), 1, 8))::BIGINT << 10) "
+            f"| (s.s * {vnodes} + v.v)) AS pos, s.s AS shard "
+            f"FROM UNNEST(range(0, {shards})) s(s), "
+            f"UNNEST(range(0, {vnodes})) v(v))"
+        )
+
+    def assign(name: str, ring_name: str) -> str:
+        return (
+            f"{name}_sel AS (SELECT k.o_orderkey, k.h32, "
+            f"COALESCE(MIN(CASE WHEN r.pos >= k.kp THEN r.pos END), "
+            f"MIN(r.pos)) AS cp "
+            f"FROM keys k CROSS JOIN {ring_name} r "
+            f"GROUP BY k.o_orderkey, k.h32), "
+            f"{name} AS (SELECT s.o_orderkey, s.h32, r.shard "
+            f"FROM {name}_sel s JOIN {ring_name} r ON r.pos = s.cp)"
+        )
+
+    return f"""
+WITH {ring('r_old', old)},
+{ring('r_new', new)},
+keys AS (
+  SELECT o_orderkey,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           AS h32,
+         (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           << 10) AS kp
+  FROM orders),
+{assign('a_old', 'r_old')},
+{assign('a_new', 'r_new')},
+ring_m AS (
+  SELECT 'ring' AS strategy, o.shard AS old_shard, n.shard AS new_shard,
+         COUNT(*) AS n_keys
+  FROM a_old o JOIN a_new n USING (o_orderkey)
+  GROUP BY o.shard, n.shard),
+mod_m AS (
+  SELECT 'mod' AS strategy, h32 % {old} AS old_shard,
+         h32 % {new} AS new_shard, COUNT(*) AS n_keys
+  FROM keys GROUP BY h32 % {old}, h32 % {new})
+SELECT strategy, old_shard, new_shard,
+       old_shard <> new_shard AS moved, n_keys
+FROM (SELECT * FROM ring_m UNION ALL SELECT * FROM mod_m)
+ORDER BY strategy, old_shard, new_shard
+"""
+
+
 def x_mixture_plan(spark, sf_dir):
     """Hamilton largest-remainder apportionment of a 1M-token budget
     over α=0.5 temperature weights (mixing.mixture_plan): x130's floor
@@ -6287,6 +6351,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_clustering_metrics, X150_CLUSTERING_METRICS_SQL
     ),
     "x151_mixture_plan": QuerySpec(x_mixture_plan, X151_MIXTURE_PLAN_SQL),
+    "x152_reshard_plan": QuerySpec(x_reshard_plan, _x152_sql()),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),
