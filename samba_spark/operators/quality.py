@@ -394,3 +394,70 @@ def chi_square_screen(
         .alias("expected_milli"),
         contrib.alias("contrib"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    score: Column,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source score calibration by quantile normalization: replace
+    each document's raw score with the GLOBAL score at the same
+    within-source quantile, so one global threshold means the same
+    thing for every source. Per-source quality scores are not
+    comparable raw — a source whose scorer runs hot would dominate any
+    global cut; rank-based remapping is the standard fix before x26-
+    style quantile gates are applied globally.
+
+    Exact nearest-rank contract (all integer arithmetic): a document at
+    within-source rank r of n_s (ascending score, ties by id) is mapped
+    to the global value at sorted index ``ceil(r·N/n_s) − 1``. Scores
+    must be integer-typed so rank arithmetic and the mapped values are
+    engine-exact.
+
+    Scale posture: the within-source rank is a window partitioned by
+    source (parallel); the global order comes from
+    :func:`relational.zip_with_index` — range-partition + two-pass
+    offsets, NO single-partition window anywhere (a bare
+    ``Window.orderBy`` funnels 100 TB through one task); the final
+    mapping is an equi-join on the target index. Three shuffles, all
+    keyed and parallel.
+    """
+    from samba_spark.operators.relational import zip_with_index
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_g"),
+        score.cast("long").alias("_s"),
+    )
+    w = Window.partitionBy("_g").orderBy("_s", "_id")
+    ranked = base.withColumn("_r", F.row_number().over(w).cast("long"))
+    sizes = base.groupBy("_g").agg(F.count("*").alias("_n"))
+    n_total = base.count()  # one scalar: metadata
+    g = zip_with_index(
+        base.select(F.col("_s").alias("_gs"), F.col("_id").alias("_gid")),
+        ["_gs", "_gid"],
+        "_gidx",
+    ).select("_gidx", "_gs")
+    target = (
+        ranked.join(F.broadcast(sizes), "_g")
+        .withColumn(
+            "_tidx",
+            (
+                F.expr(f"(_r * CAST({int(n_total)} AS BIGINT) + _n - 1) div _n")
+                - F.lit(1)
+            ).cast("long"),
+        )
+    )
+    return (
+        target.join(g, target["_tidx"] == g["_gidx"])
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.col("_s").alias("raw_score"),
+            F.col("_r").alias("src_rank"),
+            F.col("_gs").alias("calibrated_score"),
+        )
+        .orderBy(id_col)
+    )

@@ -5708,6 +5708,41 @@ FROM scored ORDER BY doc_id
 """
 
 
+def x_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of the n_chars quality score
+    (quality.quantile_normalize): each document's score is replaced by
+    the GLOBAL score at the same within-source quantile (exact
+    nearest-rank, all integer arithmetic), so one global threshold
+    means the same thing for every source. The global order comes from
+    zip_with_index's two-pass offsets — no single-partition window
+    anywhere."""
+    from samba_spark.operators.quality import quantile_normalize
+
+    return quantile_normalize(_docs(spark, sf_dir), F.col("n_chars"))
+
+
+X153_QUANTILE_NORMALIZE_SQL = """
+WITH base AS (
+  SELECT doc_id, source, n_chars::BIGINT AS s FROM documents),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY s, doc_id) AS r
+  FROM base),
+sizes AS (SELECT source, COUNT(*) AS n FROM base GROUP BY source),
+tot AS (SELECT COUNT(*) AS nt FROM base),
+g AS (
+  SELECT s AS gs, ROW_NUMBER() OVER (ORDER BY s, doc_id) - 1 AS gidx
+  FROM base),
+t AS (
+  SELECT r.doc_id, r.source, r.s, r.r,
+         ((r.r * tot.nt + z.n - 1) // z.n) - 1 AS tidx
+  FROM ranked r JOIN sizes z USING (source), tot)
+SELECT t.doc_id, t.source, t.s AS raw_score, t.r AS src_rank,
+       g.gs AS calibrated_score
+FROM t JOIN g ON g.gidx = t.tidx
+ORDER BY t.doc_id
+"""
+
+
 def x_reshard_plan(spark, sf_dir):
     """Consistent-hash vs mod-hash reshard movement matrix
     (sharding.reshard_plan): growing the orders layout 4 → 6 shards,
@@ -6352,6 +6387,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     ),
     "x151_mixture_plan": QuerySpec(x_mixture_plan, X151_MIXTURE_PLAN_SQL),
     "x152_reshard_plan": QuerySpec(x_reshard_plan, _x152_sql()),
+    "x153_quantile_normalize": QuerySpec(
+        x_quantile_normalize, X153_QUANTILE_NORMALIZE_SQL
+    ),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

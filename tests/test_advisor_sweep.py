@@ -97,6 +97,9 @@ ALLOWED: dict[str, set[str]] = {
     # the x130 broadcast-denominator family plus the largest-remainder
     # rank window over the O(sources) per-group table
     "x151_mixture_plan": {"cartesian", "single_partition"},
+    # zip_with_index's prefix-sum window over #partitions rows (the q28
+    # two-pass offset family — data rows never pass through it)
+    "x153_quantile_normalize": {"single_partition"},
 }
 
 

@@ -160,3 +160,69 @@ def test_char_entropy_gate_validation(spark, sf_smoke):
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     with _pytest.raises(ValueError, match="gate_bits=-1"):
         char_entropy_profile(docs, gate_bits=-1)
+
+
+# --- quantile_normalize (x153) -----------------------------------------------
+def test_quantile_normalize_identical_distributions_fixed_point(spark):
+    """Two sources with THE SAME score multiset: calibration is (close
+    to) the identity — each rank maps back to the same value."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.quality import quantile_normalize
+
+    rows = []
+    for i, v in enumerate([10, 20, 30, 40]):
+        rows.append((i, "sA", v))
+        rows.append((100 + i, "sB", v))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = quantile_normalize(docs, F.col("n")).collect()
+    for r in out:
+        assert r["calibrated_score"] == r["raw_score"]
+
+
+def test_quantile_normalize_hot_scorer_recalibrated(spark):
+    """A source whose scorer runs 10x hot gets mapped onto the global
+    scale: its top document no longer outranks every other source's."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.quality import quantile_normalize
+
+    rows = [(i, "cool", v) for i, v in enumerate([1, 2, 3, 4])]
+    rows += [(10 + i, "hot", v) for i, v in enumerate([10, 20, 30, 40])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = {r["doc_id"]: r for r in quantile_normalize(docs, F.col("n")).collect()}
+    # both top-ranked docs calibrate to the same global value (rank 4/4
+    # -> global index 7 -> value 40)
+    assert out[3]["calibrated_score"] == out[13]["calibrated_score"] == 40
+    # and both bottom-ranked docs to the same value (idx 1 -> 2)
+    assert out[0]["calibrated_score"] == out[10]["calibrated_score"]
+
+
+def test_quantile_normalize_partitioning_independent(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.quality import quantile_normalize
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = quantile_normalize(docs, F.col("n_chars")).collect()
+    b = quantile_normalize(docs.repartition(13), F.col("n_chars")).collect()
+    assert a == b
+
+
+def test_quantile_normalize_no_global_data_window(spark, sf_smoke):
+    """The plan must not funnel data rows through a single-partition
+    window — global order comes from zip_with_index's two-pass offsets
+    (the only un-partitioned window runs over #partitions rows)."""
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.quality import quantile_normalize
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    plan = (
+        quantile_normalize(docs, F.col("n_chars"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the row_number window over data must be partitioned by source
+    assert "row_number" in plan
