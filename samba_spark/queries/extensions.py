@@ -6163,8 +6163,8 @@ prof AS (
               (a, b) -> a + b) / ln(CAST(2 AS DOUBLE)), 6) AS entropy_bits
   FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
 SELECT n0.doc_id,
-       COALESCE(t.n, 0) AS n_chars,
-       COALESCE(t.nd, 0) AS n_distinct_chars,
+       CAST(COALESCE(t.n, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(t.nd, 0) AS BIGINT) AS n_distinct_chars,
        COALESCE(p.entropy_bits, CAST(0 AS DOUBLE)) AS entropy_bits,
        COALESCE(p.entropy_bits, CAST(0 AS DOUBLE)) >= CAST(4.0 AS DOUBLE)
          AS keep
