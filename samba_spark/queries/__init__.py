@@ -74,13 +74,13 @@ Round-8 rotation (VERDICT r7 items 2/6): the round-7 window came back
 queries whose driver rows predate their oracle graduation (their sole
 rows are round-1 ``no_oracle`` stubs; q29 gained the est_ok gate in
 r3, q30 the sampling contract in r6 — this gives both their first
-full-green hash row). The next 27 slots take the round-4-window
-backfill in r4 order; the 16 round-8 additions (x136–x141, the
-serving-mode wave, then x142–x151, the curation/analytics wave) take
+full-green hash row). The next 25 slots take the round-4-window
+backfill in r4 order; the 18 round-8 additions (x136–x141, the
+serving-mode wave, then x142–x153, the curation/analytics wave) take
 the final slots per the new-before-backfill standing policy,
-displacing the 13 newest r4 backfills (x87, x48, x49, x53, x55, x60,
-x65, x71, x72, x75, x77, x79, q75) to round 9 — after which the
-single-green debt is those 13 plus the round-5 window. x42/q59 rotate
+displacing the 15 newest r4 backfills (x81, x82, x87, x48, x49, x53,
+x55, x60, x65, x71, x72, x75, x77, x79, q75) to round 9 — after which
+the single-green debt is those 15 plus the round-5 window. x42/q59 rotate
 to AUX per VERDICT item 6 — their bench suite position changes
 (CONTRACT entries run first), which is the deliberate re-attestation
 of the suite-context hypothesis for their r7 slowdown.
@@ -108,9 +108,9 @@ _SENTINELS = [
 # Round-8 rotation (VERDICT r7 items 2/6; the round-7 window came back
 # 50/50 full-green, so all 45 rotated-in entries moved to
 # ``AUX_QUERIES``): q29/q30's first post-graduation driver rows, then
-# 37 round-4-window backfills in r4 order, then the 6 round-8
-# additions (displacing backfills x77/x79/q75 to round 9 — standing
-# new-before-backfill policy).
+# 25 round-4-window backfills in r4 order, then the 18 round-8
+# additions (displacing the 15 newest r4 backfills to round 9 —
+# standing new-before-backfill policy).
 _ROTATED_IN = [
     # VERDICT r7 item 2: q29/q30's only driver rows are round-1
     # no_oracle stubs predating their oracle graduation (q29 -> r3
@@ -145,15 +145,13 @@ _ROTATED_IN = [
     "q71_tpch_q21",
     "q72_tpch_q22",
     "x80_hll_rollup",
-    "x81_approx_topk",
-    "x82_bitmap_distinct",
-    # round-8 additions (new-before-backfill standing policy; the 16
-    # addition slots displace the 13 newest r4 backfills — x87, x48,
-    # x49, x53, x55, x60, x65, x71, x72, x75, x77, x79, q75 — to
-    # round 9): first the serving-mode wave — PQ ADC top-k with the
-    # deterministic sample quantizer, frozen-index MinHash probe,
-    # pinned linear quality model, two-stage truncated-prefix rerank,
-    # retrieval-quality metrics, composed IVF-PQ
+    # round-8 additions (new-before-backfill standing policy; the 18
+    # addition slots displace the 15 newest r4 backfills — x81, x82,
+    # x87, x48, x49, x53, x55, x60, x65, x71, x72, x75, x77, x79,
+    # q75 — to round 9): first the serving-mode wave — PQ ADC top-k
+    # with the deterministic sample quantizer, frozen-index MinHash
+    # probe, pinned linear quality model, two-stage truncated-prefix
+    # rerank, retrieval-quality metrics, composed IVF-PQ
     "x136_pq_ann",
     "x137_minhash_probe",
     "x138_quality_model",
@@ -174,6 +172,8 @@ _ROTATED_IN = [
     "x149_decontaminate_spans",
     "x150_clustering_metrics",
     "x151_mixture_plan",
+    "x152_reshard_plan",
+    "x153_quantile_normalize",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
