@@ -189,7 +189,10 @@ def kmeans_assign(
 ) -> DataFrame:
     """Serving-mode assignment against PINNED integer centroids (the
     ivf_topk ``centroids=`` contract applied to clustering): no
-    training scan, one map-side argmin, no shuffle. Centroids must be
+    training scan; the argmin itself is map-side with no shuffle, and
+    the only exchange is the final ``orderBy(vec_id)`` range sort that
+    makes the output order deterministic (drop it downstream if the
+    consumer doesn't need ordered rows). Centroids must be
     the integer-grid values a prior ``kmeans_integer`` run produced at
     the same ``quant``."""
     if not centroids:
@@ -279,18 +282,25 @@ def clustering_metrics(
         .crossJoin(col_sums.agg(F.sum(F.expr("b * (b - 1) div 2")).alias("sb")))
     )
     n = F.col("n_rows").cast("double")
-    cn2 = F.expr("n_rows * (n_rows - 1) div 2").cast("double")
+    cn2i = F.expr("n_rows * (n_rows - 1) div 2")
+    cn2 = cn2i.cast("double")
     exp = F.col("sa").cast("double") * F.col("sb").cast("double") / cn2
     mx = (F.col("sa").cast("double") + F.col("sb").cast("double")) / F.lit(2.0)
     num = F.col("idx").cast("double") - exp
     den = mx - exp
+    # n_rows < 2 ⇒ C(N,2) = 0 and exp would divide by zero (a hard
+    # ANSI error, not NaN — confirmed by repro): a one-row table has no
+    # pairs to disagree on, so ARI is 1.0 by the same trivial-partition
+    # contract as the den == 0 branch. CASE short-circuits, so the
+    # division never executes on that branch.
+    ari = F.when(cn2i == F.lit(0), F.lit(1.0)).otherwise(
+        F.when(den != F.lit(0.0), num / den).otherwise(F.lit(1.0))
+    )
     return stats.select(
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_clusters").cast("long").alias("n_clusters"),
         F.col("n_labels").cast("long").alias("n_labels"),
         F.col("purity_num").cast("long").alias("purity_num"),
         F.round(F.col("purity_num").cast("double") / n, 6).alias("purity"),
-        F.round(
-            F.when(den != F.lit(0.0), num / den).otherwise(F.lit(1.0)), 6
-        ).alias("ari"),
+        F.round(ari, 6).alias("ari"),
     )

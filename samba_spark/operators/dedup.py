@@ -1523,6 +1523,11 @@ def decontaminate_spans(
     # contaminated if it appears verbatim inside the benchmark — but a
     # stride-1 window table at length seg_tokens cannot see shorter
     # spans; the declared contract matches FULL windows only (the same
-    # boundary x16's fixed-n overlap counting has)
-    kept = segs.join(F.broadcast(bench_grams), "h", "left_anti")
+    # boundary x16's fixed-n overlap counting has).
+    # No forced broadcast: typical eval sets fit and AQE picks the
+    # broadcast anti-join on its own, but a multi-GB benchmark's
+    # stride-1 n-gram set must be allowed to fall back to a shuffle
+    # join instead of OOMing the driver (review finding — the same
+    # reason segment_dedup's violator anti-join is unhinted)
+    kept = segs.join(bench_grams, "h", "left_anti")
     return _reassemble(toked, segs, kept)

@@ -414,16 +414,21 @@ def quantile_normalize(
     within-source rank r of n_s (ascending score, ties by id) is mapped
     to the global value at sorted index ``ceil(r·N/n_s) − 1``. Scores
     must be integer-typed so rank arithmetic and the mapped values are
-    engine-exact.
+    engine-exact. The rank product r·N bounds the corpus at
+    N < isqrt(2⁶³) ≈ 3.04·10⁹ rows — past that the int64 arithmetic
+    (and the DuckDB oracle's) would overflow, so a plan-folded guard
+    raises loudly instead (the kmeans 2⁵³ precedent).
 
     Scale posture: the within-source rank is a window partitioned by
     source (parallel); the global order comes from
     :func:`relational.zip_with_index` — range-partition + two-pass
     offsets, NO single-partition window anywhere (a bare
-    ``Window.orderBy`` funnels 100 TB through one task); the final
-    mapping is an equi-join on the target index. Three shuffles, all
-    keyed and parallel.
+    ``Window.orderBy`` funnels 100 TB through one task); N rides the
+    plan as a broadcast 1-row aggregate (the x130 denominator pattern —
+    no extra driver-side scan); the final mapping is an equi-join on
+    the target index. Three shuffles, all keyed and parallel.
     """
+    from samba_spark.operators.guards import plan_assert
     from samba_spark.operators.relational import zip_with_index
 
     base = df.select(
@@ -434,7 +439,7 @@ def quantile_normalize(
     w = Window.partitionBy("_g").orderBy("_s", "_id")
     ranked = base.withColumn("_r", F.row_number().over(w).cast("long"))
     sizes = base.groupBy("_g").agg(F.count("*").alias("_n"))
-    n_total = base.count()  # one scalar: metadata
+    tot = base.agg(F.count("*").alias("_nt"))
     g = zip_with_index(
         base.select(F.col("_s").alias("_gs"), F.col("_id").alias("_gid")),
         ["_gs", "_gid"],
@@ -442,12 +447,21 @@ def quantile_normalize(
     ).select("_gidx", "_gs")
     target = (
         ranked.join(F.broadcast(sizes), "_g")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_nt",
+            plan_assert(
+                F.col("_nt"),
+                F.col("_nt") > F.lit(3_037_000_499),
+                "quantile_normalize: corpus has ",
+                F.col("_nt").cast("string"),
+                " rows — past isqrt(2^63) the r*N rank arithmetic "
+                "overflows int64",
+            ),
+        )
         .withColumn(
             "_tidx",
-            (
-                F.expr(f"(_r * CAST({int(n_total)} AS BIGINT) + _n - 1) div _n")
-                - F.lit(1)
-            ).cast("long"),
+            (F.expr("(_r * _nt + _n - 1) div _n") - F.lit(1)).cast("long"),
         )
     )
     return (

@@ -30,6 +30,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from samba_spark.operators.dedup import _md5_base32
+
 _VNODE_BITS = 10  # S*V <= 1024 keeps the disambiguated positions unique
 
 
@@ -73,15 +75,6 @@ def _ring_assign(key_pos: Column, ring: list[tuple[int, int]]) -> Column:
     return F.coalesce(nxt["shard"], F.lit(int(ring[0][1]))).cast("long")
 
 
-def _key_pos(key: Column) -> Column:
-    # the key's 32-bit md5 grid position, lifted onto the same
-    # disambiguated scale as the ring (low vnode bits zero)
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-        "long"
-    )
-    return F.shiftleft(h, _VNODE_BITS)
-
-
 def reshard_plan(
     df: DataFrame,
     key_col: str,
@@ -94,18 +87,18 @@ def reshard_plan(
     key count and a moved flag, ordered. The ring rows demonstrate the
     consistent-hashing guarantee (only keys between a new vnode and its
     predecessor move); the mod rows are the cautionary baseline."""
-    key = F.col(key_col)
-    kp = _key_pos(key)
-    h32 = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
-        "long"
+    # _md5_base32 carries the DuckDB-equivalence contract (dedup.py);
+    # hash once per row, derive the ring position by shifting onto the
+    # disambiguated scale (low vnode bits zero)
+    keyed = df.select(
+        _md5_base32(F.col(key_col).cast("string")).alias("_h32")
     )
-    ring_old = _ring_assign(kp, make_ring(old_shards, vnodes))
-    ring_new = _ring_assign(kp, make_ring(new_shards, vnodes))
-    base = df.select(
-        ring_old.alias("ring_old"),
-        ring_new.alias("ring_new"),
-        (h32 % old_shards).alias("mod_old"),
-        (h32 % new_shards).alias("mod_new"),
+    kp = F.shiftleft(F.col("_h32"), _VNODE_BITS)
+    base = keyed.select(
+        _ring_assign(kp, make_ring(old_shards, vnodes)).alias("ring_old"),
+        _ring_assign(kp, make_ring(new_shards, vnodes)).alias("ring_new"),
+        (F.col("_h32") % old_shards).alias("mod_old"),
+        (F.col("_h32") % new_shards).alias("mod_new"),
     )
     ring_m = (
         base.groupBy(

@@ -194,6 +194,25 @@ def norm_stats(
     )
 
 
+def _scatter_aggs(dims: int, vec_col: str, scale: int) -> list:
+    """The one definition of the quantized scatter aggregation shared
+    by covariance_matrix and pca_power_scores (review finding: two
+    verbatim copies could drift): per-component exact integer sums
+    ``n``, ``s_i``, and cross-products ``p_i_j`` (i ≤ j) over
+    ``round(x·scale)`` — order-independent at any parallelism."""
+    q = [
+        F.round(F.col(vec_col)[i].cast("double") * scale).cast("long")
+        for i in range(dims)
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(dims):
+        aggs.append(F.sum(q[i]).cast("long").alias(f"s_{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(q[i] * q[j]).cast("long").alias(f"p_{i}_{j}"))
+    return aggs
+
+
 def covariance_matrix(
     embs: DataFrame,
     dims: int = 8,
@@ -216,17 +235,7 @@ def covariance_matrix(
     rows × scale² < 2⁶³ (~9·10⁶ rows at scale 10⁶ worst-case; unit-norm
     embeddings give ~100× more headroom).
     """
-    q = [
-        F.round(F.col(vec_col)[i].cast("double") * scale).cast("long")
-        for i in range(dims)
-    ]
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-    for i in range(dims):
-        aggs.append(F.sum(q[i]).cast("long").alias(f"s_{i}"))
-    for i in range(dims):
-        for j in range(i, dims):
-            aggs.append(F.sum(q[i] * q[j]).cast("long").alias(f"p_{i}_{j}"))
-    row = embs.agg(*aggs)
+    row = embs.agg(*_scatter_aggs(dims, vec_col, scale))
     cells = F.array(
         *[
             F.struct(
@@ -426,17 +435,9 @@ def pca_power_scores(
         raise ValueError(f"pca_power_scores: dims={dims} must be >= 2")
     if iters < 1:
         raise ValueError(f"pca_power_scores: iters={iters} must be >= 1")
-    q = [
-        F.round(F.col(vec_col)[i].cast("double") * scale).cast("long")
-        for i in range(dims)
-    ]
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-    for i in range(dims):
-        aggs.append(F.sum(q[i]).cast("long").alias(f"s_{i}"))
-    for i in range(dims):
-        for j in range(i, dims):
-            aggs.append(F.sum(q[i] * q[j]).cast("long").alias(f"p_{i}_{j}"))
-    sums = embs.agg(*aggs).collect()[0].asDict()  # one metadata-scale row
+    sums = embs.agg(*_scatter_aggs(dims, vec_col, scale)).collect()[
+        0
+    ].asDict()  # one metadata-scale row
     v = pca_power_iteration(sums, dims, iters)
 
     score = F.lit(0.0)

@@ -5897,7 +5897,8 @@ SELECT CAST(t.n_rows AS BIGINT) AS n_rows,
        CAST(p.purity_num AS BIGINT) AS purity_num,
        ROUND(CAST(p.purity_num AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6)
          AS purity,
-       ROUND(CASE WHEN (CAST(a.sa AS DOUBLE) + CAST(b.sb AS DOUBLE))
+       ROUND(CASE WHEN t.n_rows < 2 THEN CAST(1 AS DOUBLE)
+                  WHEN (CAST(a.sa AS DOUBLE) + CAST(b.sb AS DOUBLE))
                        / CAST(2 AS DOUBLE)
                      - CAST(a.sa AS DOUBLE) * CAST(b.sb AS DOUBLE)
                        / CAST(t.n_rows * (t.n_rows - 1) // 2 AS DOUBLE)

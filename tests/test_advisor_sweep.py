@@ -98,8 +98,9 @@ ALLOWED: dict[str, set[str]] = {
     # rank window over the O(sources) per-group table
     "x151_mixture_plan": {"cartesian", "single_partition"},
     # zip_with_index's prefix-sum window over #partitions rows (the q28
-    # two-pass offset family — data rows never pass through it)
-    "x153_quantile_normalize": {"single_partition"},
+    # two-pass offset family — data rows never pass through it) plus
+    # the broadcast 1-row N denominator (the x130 scalar family)
+    "x153_quantile_normalize": {"cartesian", "single_partition"},
 }
 
 

@@ -202,3 +202,15 @@ def test_metrics_partitioning_independent(spark, sf_smoke):
         assign.repartition(13), embs.select("vec_id", "label").repartition(7)
     ).collect()
     assert a == b
+
+
+def test_metrics_single_row_no_divide_by_zero(spark):
+    """One joined row: C(N,2)=0 — the exp division must not execute
+    (ANSI DIVIDE_BY_ZERO, review-confirmed repro); ARI is 1.0 by the
+    trivial-partition contract."""
+    from samba_spark.operators.clustering import clustering_metrics
+
+    assign = spark.createDataFrame([(1, 0)], "vec_id long, cluster long")
+    labels = spark.createDataFrame([(1, 5)], "vec_id long, label int")
+    out = clustering_metrics(assign, labels).collect()[0]
+    assert out["n_rows"] == 1 and out["ari"] == 1.0 and out["purity"] == 1.0

@@ -211,8 +211,10 @@ def test_quantile_normalize_partitioning_independent(spark, sf_smoke):
 
 def test_quantile_normalize_no_global_data_window(spark, sf_smoke):
     """The plan must not funnel data rows through a single-partition
-    window — global order comes from zip_with_index's two-pass offsets
-    (the only un-partitioned window runs over #partitions rows)."""
+    window: every row_number window over DATA rows is partitioned by
+    source (`windowspecdefinition(_g#...`); the only un-partitioned
+    window is zip_with_index's prefix sum over #partitions rows, which
+    computes sum(_n), never row_number."""
     from pyspark.sql import functions as F
 
     from samba_spark.operators.quality import quantile_normalize
@@ -224,5 +226,10 @@ def test_quantile_normalize_no_global_data_window(spark, sf_smoke):
         .executedPlan()
         .toString()
     )
-    # the row_number window over data must be partitioned by source
-    assert "row_number" in plan
+    rn_lines = [ln for ln in plan.split("\n") if "row_number()" in ln]
+    assert rn_lines, "expected a row_number window in the plan"
+    for ln in rn_lines:
+        assert "windowspecdefinition(_g#" in ln, (
+            "row_number window over data rows is not partitioned by "
+            f"source — the 100 TB single-task funnel: {ln}"
+        )
