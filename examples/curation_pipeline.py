@@ -67,7 +67,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> None:
     # 4. cross-source calibrated length gate: keep the global top half
     # by the CALIBRATED score, so no source dominates on a hot scale
     calibrated = quantile_normalize(gated, F.col("n_chars"))
-    cutoff = calibrated.approxQuantile("calibrated_score", [0.5], 0.0)[0]
+    quantiles = calibrated.approxQuantile("calibrated_score", [0.5], 0.0)
+    if not quantiles:
+        raise SystemExit(
+            "curation_pipeline: no documents survived dedup/"
+            "decontamination/entropy gating — nothing to calibrate"
+        )
+    cutoff = quantiles[0]
     kept = (
         calibrated.where(F.col("calibrated_score") >= cutoff)
         .select("doc_id", "source")
