@@ -501,3 +501,86 @@ def k_core(
         deg.where(F.col("degree") >= k)
         .select(F.col("v").alias("vertex"), "degree")
     )
+
+
+def modularity_contributions(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    community_col: str = "community",
+) -> DataFrame:
+    """Per-community modularity contributions of a partition — the
+    graph sibling of x150's clustering metrics: LPA (x105) produces
+    communities, nothing scored them. For an undirected graph with m
+    edges, community c's contribution is
+
+        Q_c = L_c/m − (d_c/(2m))²
+
+    (L_c intra-community edges, d_c degree sum); Σ Q_c is Newman
+    modularity. The output is the CONTRIBUTION TABLE, one row per
+    community (the x131 cells-table design: no cross-row float sum
+    whose order an engine could pick — callers sum exactly if they
+    want the scalar). L_c, d_c, m are exact integers; each
+    contribution is one per-row double expression, identical in both
+    engines.
+
+    ``edges`` is the undirected edge list stored once per edge (no
+    reverse duplicates, no self-loops); ``communities`` is
+    (vertex, community) covering every endpoint — a missing vertex
+    would silently drop its edges from L_c, so membership is
+    inner-joined and the caller owns completeness (LPA output covers
+    every vertex by construction).
+
+    Scale posture: degrees are one partial-aggregated union explode;
+    L_c is two hash joins on vertex keys + one agg; d_c one join +
+    agg; m rides as a broadcast 1-row aggregate (the x130 scalar
+    family). Output is O(communities) rows.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    comm = communities.select(
+        F.col(vertex_col).alias("_v"), F.col(community_col).alias("_c")
+    )
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    deg = (
+        e.select(F.col("_s").alias("_v"))
+        .unionAll(e.select(F.col("_d").alias("_v")))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+    )
+    intra = (
+        e.join(comm.withColumnRenamed("_v", "_s"), "_s")
+        .withColumnRenamed("_c", "_cs")
+        .join(comm.withColumnRenamed("_v", "_d"), "_d")
+        .where(F.col("_cs") == F.col("_c"))
+        .groupBy(F.col("_c").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    dsum = (
+        deg.join(comm, "_v")
+        .groupBy(F.col("_c").alias("community"))
+        .agg(F.sum("_deg").cast("long").alias("degree_sum"))
+    )
+    md = F.col("_m").cast("double")
+    half = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.coalesce(F.col("intra_edges"), F.lit(0))
+            .cast("long")
+            .alias("intra_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce(
+                    F.col("intra_edges").cast("double"), F.lit(0.0)
+                )
+                / md
+                - half * half,
+                6,
+            ).alias("contribution"),
+        )
+        .orderBy("community")
+    )

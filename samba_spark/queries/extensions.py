@@ -3621,7 +3621,9 @@ l{i} AS (
     FROM v{i}) WHERE rn = 1)"""
 
 
-X_LPA_SQL = (
+# shared by x105 (community sizes) and x154 (modularity contributions):
+# the trading-graph build + unrolled 4-round LPA chain through ``l4``
+_X105_CORE = (
     """
 WITH pairs AS (
   SELECT CAST(o_custkey AS BIGINT) AS src,
@@ -3634,13 +3636,75 @@ edges AS (SELECT s, d FROM und
           UNION SELECT DISTINCT s, s FROM und),
 l0 AS (SELECT DISTINCT s AS v, s AS label FROM edges),"""
     + ",".join(_lpa_round_sql(i) for i in (1, 2, 3, 4))
-    + """
+)
+
+X_LPA_SQL = _X105_CORE + """
 SELECT label AS community, COUNT(*)::BIGINT AS n_members,
        MIN(v)::BIGINT AS min_vertex
 FROM l4 GROUP BY label
 ORDER BY n_members DESC, community LIMIT 50
 """
-)
+
+X154_MODULARITY_SQL = _X105_CORE + """,
+m AS (SELECT COUNT(*)::BIGINT AS m FROM pairs),
+deg AS (
+  SELECT v, COUNT(*)::BIGINT AS d
+  FROM (SELECT src AS v FROM pairs UNION ALL SELECT dst FROM pairs)
+  GROUP BY v),
+vcomm AS (SELECT v, label AS community FROM l4),
+intra AS (
+  SELECT c1.community, COUNT(*)::BIGINT AS l_c
+  FROM pairs p
+  JOIN vcomm c1 ON c1.v = p.src
+  JOIN vcomm c2 ON c2.v = p.dst
+  WHERE c1.community = c2.community
+  GROUP BY c1.community),
+dsum AS (
+  SELECT c.community, SUM(d)::BIGINT AS d_c
+  FROM deg JOIN vcomm c ON c.v = deg.v
+  GROUP BY c.community)
+SELECT ds.community,
+       CAST(COALESCE(i.l_c, 0) AS BIGINT) AS intra_edges,
+       ds.d_c AS degree_sum,
+       ROUND(CAST(COALESCE(i.l_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+             - (CAST(ds.d_c AS DOUBLE)
+                / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+               * (CAST(ds.d_c AS DOUBLE)
+                  / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE))), 6)
+         AS contribution
+FROM dsum ds LEFT JOIN intra i USING (community), m
+ORDER BY ds.community
+"""
+
+
+def x_modularity(spark, sf_dir):
+    """Per-community modularity contributions of the x105 LPA partition
+    over the trading graph (graph.modularity_contributions): the graph
+    sibling of x150's clustering metrics — LPA produces communities,
+    nothing scored the partition. One row per community with exact
+    integer L_c/d_c and the per-row double contribution Q_c = L_c/m −
+    (d_c/2m)² (the x131 cells-table design: no cross-row float sum)."""
+    from samba_spark.operators.graph import (
+        label_propagation,
+        modularity_contributions,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 3)
+        .select("src", "dst")
+    )
+    comm = label_propagation(pairs, iterations=4)
+    return modularity_contributions(pairs, comm)
 
 
 def x_strip_boilerplate(spark, sf_dir):
@@ -6391,6 +6455,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x153_quantile_normalize": QuerySpec(
         x_quantile_normalize, X153_QUANTILE_NORMALIZE_SQL
     ),
+    "x154_modularity": QuerySpec(x_modularity, X154_MODULARITY_SQL),
     "x136_pq_ann": QuerySpec(x_pq_ann, X136_PQ_ANN_SQL),
     "x137_minhash_probe": QuerySpec(x_minhash_probe, X137_MINHASH_PROBE_SQL),
     "x138_quality_model": QuerySpec(x_quality_model, X138_QUALITY_MODEL_SQL),

@@ -227,3 +227,79 @@ def test_k_core_empty_edges(spark):
     out = k_core(edges, k=1)
     assert out.columns == ["vertex", "degree"]
     assert out.count() == 0
+
+
+# --- modularity_contributions (x154) -----------------------------------------
+def test_modularity_two_triangles_hand_computed(spark):
+    """Two triangles bridged by one edge, communities = the triangles:
+    m=7, L_c=3 each, d_c=7 each -> Q_c = 3/7 - (7/14)^2 = 0.178571."""
+    from samba_spark.operators.graph import modularity_contributions
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    comm = spark.createDataFrame(
+        [(v, 100 if v <= 3 else 200) for v in range(1, 7)],
+        "vertex long, community long",
+    )
+    out = {r["community"]: r for r in modularity_contributions(edges, comm).collect()}
+    for c in (100, 200):
+        assert out[c]["intra_edges"] == 3
+        assert out[c]["degree_sum"] == 7
+        assert out[c]["contribution"] == 0.178571
+
+
+def test_modularity_single_community_is_zero(spark):
+    """Everything in one community: L_c = m, d_c = 2m -> Q = 1 - 1 = 0."""
+    from samba_spark.operators.graph import modularity_contributions
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    comm = spark.createDataFrame(
+        [(v, 9) for v in (1, 2, 3)], "vertex long, community long"
+    )
+    out = modularity_contributions(edges, comm).collect()
+    assert len(out) == 1 and out[0]["contribution"] == 0.0
+
+
+def test_modularity_anti_community_negative(spark):
+    """A partition that cuts every edge (bipartition of a path) scores
+    negative: intra_edges = 0 for both sides."""
+    from samba_spark.operators.graph import modularity_contributions
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    comm = spark.createDataFrame(
+        [(1, 0), (3, 0), (2, 1)], "vertex long, community long"
+    )
+    out = {r["community"]: r for r in modularity_contributions(edges, comm).collect()}
+    assert out[0]["intra_edges"] == 0 and out[1]["intra_edges"] == 0
+    assert out[0]["contribution"] < 0 and out[1]["contribution"] < 0
+
+
+def test_modularity_partitioning_independent(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.graph import (
+        label_propagation,
+        modularity_contributions,
+    )
+    from samba_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_smoke, ["orders", "lineitem"])
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 3)
+        .select("src", "dst")
+    )
+    comm = label_propagation(pairs, iterations=2)
+    a = modularity_contributions(pairs, comm).collect()
+    b = modularity_contributions(pairs.repartition(13), comm).collect()
+    assert a == b
