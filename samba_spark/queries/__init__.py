@@ -74,13 +74,13 @@ Round-8 rotation (VERDICT r7 items 2/6): the round-7 window came back
 queries whose driver rows predate their oracle graduation (their sole
 rows are round-1 ``no_oracle`` stubs; q29 gained the est_ok gate in
 r3, q30 the sampling contract in r6 — this gives both their first
-full-green hash row). The next 25 slots take the round-4-window
-backfill in r4 order; the 18 round-8 additions (x136–x141, the
-serving-mode wave, then x142–x153, the curation/analytics wave) take
+full-green hash row). The next 24 slots take the round-4-window
+backfill in r4 order; the 19 round-8 additions (x136–x141, the
+serving-mode wave, then x142–x154, the curation/analytics wave) take
 the final slots per the new-before-backfill standing policy,
-displacing the 15 newest r4 backfills (x81, x82, x87, x48, x49, x53,
-x55, x60, x65, x71, x72, x75, x77, x79, q75) to round 9 — after which
-the single-green debt is those 15 plus the round-5 window. x42/q59 rotate
+displacing the 16 newest r4 backfills (x80, x81, x82, x87, x48, x49,
+x53, x55, x60, x65, x71, x72, x75, x77, x79, q75) to round 9 — after
+which the single-green debt is those 16 plus the round-5 window. x42/q59 rotate
 to AUX per VERDICT item 6 — their bench suite position changes
 (CONTRACT entries run first), which is the deliberate re-attestation
 of the suite-context hypothesis for their r7 slowdown.
@@ -108,8 +108,8 @@ _SENTINELS = [
 # Round-8 rotation (VERDICT r7 items 2/6; the round-7 window came back
 # 50/50 full-green, so all 45 rotated-in entries moved to
 # ``AUX_QUERIES``): q29/q30's first post-graduation driver rows, then
-# 25 round-4-window backfills in r4 order, then the 18 round-8
-# additions (displacing the 15 newest r4 backfills to round 9 —
+# 24 round-4-window backfills in r4 order, then the 19 round-8
+# additions (displacing the 16 newest r4 backfills to round 9 —
 # standing new-before-backfill policy).
 _ROTATED_IN = [
     # VERDICT r7 item 2: q29/q30's only driver rows are round-1
@@ -144,11 +144,10 @@ _ROTATED_IN = [
     "q70_tpch_q19",
     "q71_tpch_q21",
     "q72_tpch_q22",
-    "x80_hll_rollup",
-    # round-8 additions (new-before-backfill standing policy; the 18
-    # addition slots displace the 15 newest r4 backfills — x81, x82,
-    # x87, x48, x49, x53, x55, x60, x65, x71, x72, x75, x77, x79,
-    # q75 — to round 9): first the serving-mode wave — PQ ADC top-k
+    # round-8 additions (new-before-backfill standing policy; the 19
+    # addition slots displace the 16 newest r4 backfills — x80, x81,
+    # x82, x87, x48, x49, x53, x55, x60, x65, x71, x72, x75, x77,
+    # x79, q75 — to round 9): first the serving-mode wave — PQ ADC top-k
     # with the deterministic sample quantizer, frozen-index MinHash
     # probe, pinned linear quality model, two-stage truncated-prefix
     # rerank, retrieval-quality metrics, composed IVF-PQ
@@ -161,7 +160,8 @@ _ROTATED_IN = [
     # then the curation/analytics wave — integer-exact Lloyd k-means,
     # segment dedup with reassembly, JL two-stage retrieval, char
     # entropy gate, Holt trend, power-iteration PCA, n-gram novelty,
-    # span decontamination, clustering metrics, budget apportionment
+    # span decontamination, clustering metrics, budget apportionment,
+    # reshard planning, quantile normalization, LPA modularity
     "x142_kmeans",
     "x143_segment_dedup",
     "x144_random_projection",
@@ -174,6 +174,7 @@ _ROTATED_IN = [
     "x151_mixture_plan",
     "x152_reshard_plan",
     "x153_quantile_normalize",
+    "x154_modularity",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
