@@ -101,6 +101,10 @@ ALLOWED: dict[str, set[str]] = {
     # two-pass offset family — data rows never pass through it) plus
     # the broadcast 1-row N denominator (the x130 scalar family)
     "x153_quantile_normalize": {"cartesian", "single_partition"},
+    # the broadcast 1-row edge-count m (the x130 scalar family); the
+    # LPA rounds feeding it localCheckpoint, so their aggregates are
+    # metadata-side by the time the metric plan is analyzed
+    "x154_modularity": {"cartesian", "single_partition"},
 }
 
 
