@@ -4127,7 +4127,8 @@ sk AS (
     FROM h) WHERE rn <= 256),
 est_g AS (
   SELECT g, CASE WHEN COUNT(*) < 256 THEN COUNT(*)
-                 ELSE CAST(FLOOR(255.0 * 4503599627370496.0 / MAX(h))
+                 ELSE CAST(FLOOR(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                                 / CAST(MAX(h) AS DOUBLE))
                            AS BIGINT) END AS est
   FROM sk GROUP BY g),
 gs AS (SELECT DISTINCT g FROM sk),
@@ -4150,7 +4151,8 @@ pp AS (
 es AS (
   SELECT ga, gb, n_comb, n_both,
          CASE WHEN n_comb < 256 THEN n_comb
-              ELSE CAST(FLOOR(255.0 * 4503599627370496.0 / kth)
+              ELSE CAST(FLOOR(CAST(255 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                              / CAST(kth AS DOUBLE))
                         AS BIGINT) END AS est_union
   FROM pp)
 SELECT e.ga, e.gb, a.est::BIGINT AS est_a, b.est::BIGINT AS est_b,

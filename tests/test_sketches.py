@@ -626,3 +626,36 @@ def test_ivf_topk_validates_quantizer_args(spark):
         S.ivf_topk(embs, qs, k=2, centroids=cents, n_probe=3)
     # the valid pinned call still runs
     assert S.ivf_topk(embs, qs, k=2, centroids=cents, n_probe=2).count() > 0
+
+
+def test_kmv_estimator_branch_matches_formula_and_truth(spark):
+    """Force the ESTIMATOR regime (>k distinct keys per group) — the
+    branch small-SF parity never exercised (the sf0.1 full sweep caught
+    the oracle's DECIMAL overflow there, round 8): est must equal
+    floor((k-1)·2⁵² / kth) exactly and land within 25% of truth."""
+    from samba_spark.operators.sketches import (
+        KMV_HASH_SPACE,
+        kmv_set_ops_pairwise,
+        kmv_sketch,
+    )
+
+    rows = [(i, "ga") for i in range(1000)] + [
+        (i, "gb") for i in range(500, 1500)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    sk = kmv_sketch(df, group_col="event_type", key_col="user_id", k=256)
+    per = {
+        r["g"]: r
+        for r in sk.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+        .collect()
+    }
+    out = kmv_set_ops_pairwise(sk, k=256).collect()[0]
+    for g, est in (("ga", out["est_a"]), ("gb", out["est_b"])):
+        assert per[g]["n"] == 256  # the estimator regime, not exact
+        expected = int(255.0 * KMV_HASH_SPACE / per[g]["kth"])
+        assert est == expected
+        assert abs(est - 1000) <= 250, f"{g}: {est} vs truth 1000"
+    # union truth 1500, intersection truth 500
+    assert abs(out["est_union"] - 1500) <= 375
+    assert abs(out["est_inter"] - 500) <= 250
