@@ -538,7 +538,12 @@ def modularity_contributions(
     agg; m rides as a broadcast 1-row aggregate (the x130 scalar
     family). Output is O(communities) rows.
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # materialize the normalized edges once: the caller's edge lineage
+    # would otherwise re-execute under all three subplans (m, degrees,
+    # intra) — the module's standing localCheckpoint pattern
+    e = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d")
+    ).localCheckpoint()
     comm = communities.select(
         F.col(vertex_col).alias("_v"), F.col(community_col).alias("_c")
     )
@@ -568,7 +573,10 @@ def modularity_contributions(
         dsum.join(intra, "community", "left")
         .crossJoin(F.broadcast(m))
         .select(
-            F.col("community").cast("long").alias("community"),
+            # community keeps the LABEL'S OWN TYPE: label_propagation is
+            # deliberately type-agnostic (string vertex ids work), and a
+            # hard long cast would silently null non-numeric labels
+            "community",
             F.coalesce(F.col("intra_edges"), F.lit(0))
             .cast("long")
             .alias("intra_edges"),

@@ -3574,6 +3574,28 @@ FROM filled ORDER BY user_id, day LIMIT 365
 
 
 
+def _trading_pairs(t, min_trades: int):
+    """Customer–supplier repeat-trade edge list shared by the graph
+    queries (x105 LPA / x124 k-core / x154 modularity): one Python
+    definition so the builders cannot drift from each other or from the
+    shared _X105_CORE oracle (the SQL side was deduplicated for the
+    same reason). ``min_trades`` is each query's declared sparsity
+    threshold."""
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_trades)
+        .select("src", "dst")
+    )
+
+
 def x_lpa_communities(spark, sf_dir):
     """Deterministic synchronous label propagation (graph.
     label_propagation, 4 rounds, ties to the smallest label) over the
@@ -3584,19 +3606,8 @@ def x_lpa_communities(spark, sf_dir):
     from samba_spark.operators.graph import label_propagation
 
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
-                "dst"
-            ),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 3)  # repeat-trade edges: sparse enough for
-        .select("src", "dst")     # community structure, not one giant blob
-    )
+    # min_trades=3: sparse enough for community structure, not one blob
+    pairs = _trading_pairs(t, 3)
     comm = label_propagation(pairs, iterations=4)
     return (
         comm.groupBy(F.col("community").cast("long").alias("community"))
@@ -3690,19 +3701,7 @@ def x_modularity(spark, sf_dir):
     )
 
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
-                "dst"
-            ),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 3)
-        .select("src", "dst")
-    )
+    pairs = _trading_pairs(t, 3)  # the x105 graph, scored
     comm = label_propagation(pairs, iterations=4)
     return modularity_contributions(pairs, comm)
 
@@ -4182,19 +4181,7 @@ def x_k_core(spark, sf_dir):
     from samba_spark.operators.graph import k_core
 
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias(
-                "dst"
-            ),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 2)
-        .select("src", "dst")
-    )
+    pairs = _trading_pairs(t, 2)
     return (
         k_core(pairs, k=3)
         .orderBy(F.desc("degree"), "vertex")

@@ -279,26 +279,15 @@ def test_modularity_anti_community_negative(spark):
 
 
 def test_modularity_partitioning_independent(spark, sf_smoke):
-    from pyspark.sql import functions as F
-
     from samba_spark.operators.graph import (
         label_propagation,
         modularity_contributions,
     )
+    from samba_spark.queries.extensions import _trading_pairs
     from samba_spark.sources.tables import load_tables
 
     t = load_tables(spark, sf_smoke, ["orders", "lineitem"])
-    pairs = (
-        t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey").cast("long") + F.lit(10_000_000)).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") >= 3)
-        .select("src", "dst")
-    )
+    pairs = _trading_pairs(t, 3)
     comm = label_propagation(pairs, iterations=2)
     a = modularity_contributions(pairs, comm).collect()
     b = modularity_contributions(pairs.repartition(13), comm).collect()
