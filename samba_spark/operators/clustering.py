@@ -90,6 +90,73 @@ def _assign(q: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
+def _prep_quantized(
+    embeddings: DataFrame,
+    k: int,
+    quant: int,
+    id_col: str,
+    vec_col: str,
+    op: str,
+):
+    """Shared training prep: quantize, seed from the ``k`` smallest ids,
+    guard raggedness, then localCheckpoint ONCE (ADVICE r8: without it
+    the seed collect, every per-round aggregation, and the final
+    assignment each re-execute the full upstream lineage — costly when
+    fed a derived DataFrame like a joined/filtered embeddings view; the
+    graph module's per-round checkpoint pattern). Returns
+    (checkpointed_q, seed_centroids)."""
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e")
+    )
+    q = base.select("vec_id", _quantize(F.col("e"), quant).alias("v"))
+
+    seeds = q.orderBy("vec_id").limit(k).collect()  # k rows: metadata scale
+    if len(seeds) < k:
+        raise ValueError(f"{op}: corpus has {len(seeds)} rows < k={k}")
+    dim = len(seeds[0]["v"])
+    # a ragged vector would silently zip_with-truncate the distance;
+    # assert instead (plan-folded, fires on the first offending row —
+    # here at checkpoint time, before any Lloyd round runs)
+    q = q.select(
+        "vec_id",
+        plan_assert(
+            F.col("v"),
+            F.size("v") != F.lit(dim),
+            f"{op}: vector length ",
+            F.size("v").cast("string"),
+            f" != expected dim {dim}",
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+    return q, [list(r["v"]) for r in seeds]
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    quant: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """The OFFLINE half of the clustering serving split (the ivf_topk
+    ``centroids=`` / pq_topk ``codebooks=`` contract): run T Lloyd
+    rounds and return the FINAL integer-grid centroids, to be pinned
+    into :func:`kmeans_assign` (or persisted via
+    indexstore.save_kmeans_index) for serving. Identical training
+    computation to :func:`kmeans_integer` — same seeds, same rounds,
+    same empty-cluster rule."""
+    if k < 1:
+        raise ValueError(f"kmeans_train: k={k} must be >= 1")
+    if iters < 0:
+        raise ValueError(f"kmeans_train: iters={iters} must be >= 0")
+    if quant < 1:
+        raise ValueError(f"kmeans_train: quant={quant} must be >= 1")
+    q, centroids = _prep_quantized(
+        embeddings, k, quant, id_col, vec_col, "kmeans_train"
+    )
+    return _lloyd_rounds(q, centroids, k, iters)
+
+
 def kmeans_integer(
     embeddings: DataFrame,
     k: int = 8,
@@ -114,32 +181,24 @@ def kmeans_integer(
         raise ValueError(f"kmeans_integer: iters={iters} must be >= 0")
     if quant < 1:
         raise ValueError(f"kmeans_integer: quant={quant} must be >= 1")
-
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("e")
+    q, centroids = _prep_quantized(
+        embeddings, k, quant, id_col, vec_col, "kmeans_integer"
     )
-    q = base.select("vec_id", _quantize(F.col("e"), quant).alias("v"))
-
-    seeds = q.orderBy("vec_id").limit(k).collect()  # k rows: metadata scale
-    if len(seeds) < k:
-        raise ValueError(
-            f"kmeans_integer: corpus has {len(seeds)} rows < k={k}"
-        )
-    dim = len(seeds[0]["v"])
-    # a ragged vector would silently zip_with-truncate the distance;
-    # assert instead (plan-folded, fires on the first offending row)
-    q = q.select(
-        "vec_id",
-        plan_assert(
-            F.col("v"),
-            F.size("v") != F.lit(dim),
-            "kmeans_integer: vector length ",
-            F.size("v").cast("string"),
-            f" != expected dim {dim}",
-        ).alias("v"),
+    centroids = _lloyd_rounds(q, centroids, k, iters)
+    final = _assign(q, centroids)
+    sizes = final.groupBy("cluster").agg(
+        F.count("*").alias("cluster_size")
     )
-    centroids = [list(r["v"]) for r in seeds]
+    return (
+        final.join(F.broadcast(sizes), "cluster")
+        .select("vec_id", "cluster", "dist2", "cluster_size")
+        .orderBy("vec_id")
+    )
 
+
+def _lloyd_rounds(
+    q: DataFrame, centroids: list[list[int]], k: int, iters: int
+) -> list[list[int]]:
     for _ in range(iters):
         assigned = _assign(q, centroids)
         # ONE hash agg over (cluster, dim, value); partial aggregation
@@ -154,7 +213,7 @@ def kmeans_integer(
         for r in sums:
             if abs(r["s"]) >= _EXACT_SUM_BOUND:
                 raise ValueError(
-                    "kmeans_integer: per-cluster coordinate sum "
+                    "kmeans Lloyd round: per-cluster coordinate sum "
                     f"{r['s']} exceeds the 2**53 exact-division bound — "
                     "lower quant or raise k"
                 )
@@ -168,16 +227,7 @@ def kmeans_integer(
             else centroids[cid]
             for cid in range(k)
         ]
-
-    final = _assign(q, centroids)
-    sizes = final.groupBy("cluster").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return (
-        final.join(F.broadcast(sizes), "cluster")
-        .select("vec_id", "cluster", "dist2", "cluster_size")
-        .orderBy("vec_id")
-    )
+    return centroids
 
 
 def kmeans_assign(
@@ -247,6 +297,15 @@ def clustering_metrics(
     Degenerate contract: when max == exp (both partitions trivial) the
     denominator is zero and ARI is defined as 1.0 — the partitions are
     then identical up to relabeling.
+
+    Label-coverage contract (ADVICE r8): assignments join labels INNER
+    on the id, so assignment ids absent from the labels table are
+    silently excluded — n_rows and the purity/ARI denominators then
+    cover only the LABELED subset, which is the standard external-
+    evaluation convention (score where gold exists). If partial label
+    coverage should fail loudly instead, compare the returned n_rows
+    against the assignment count upstream — the metric itself cannot
+    distinguish "unlabeled" from "absent by design".
 
     Returns ONE row: (n_rows, n_clusters, n_labels, purity_num, purity,
     ari), floats rounded to 6.

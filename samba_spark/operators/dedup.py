@@ -1298,10 +1298,13 @@ def save_minhash_index(
     band_keys_from_signatures(
         persisted_sig, num_hashes, bands, hash_family
     ).write.mode("overwrite").parquet(f"{path}/bands")
-    spark.createDataFrame(
+    from samba_spark.operators.guards import tiny_df
+
+    tiny_df(
+        spark,
         [(int(n), int(num_hashes), int(bands), hash_family)],
         "n int, num_hashes int, bands int, hash_family string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_minhash_index(spark, path: str):
@@ -1484,11 +1487,23 @@ def decontaminate_spans(
 ) -> DataFrame:
     """Span-level decontamination with reassembly: cut every disjoint
     ``seg_tokens``-token window of a corpus document whose n-gram
-    appears ANYWHERE in the benchmark (stride-1 benchmark windows, so a
-    match is alignment-independent), then stitch the survivors back in
-    order — x16 only REPORTS benchmark overlap; this removes it the way
-    production pretraining pipelines scrub eval sets, while keeping the
-    rest of the document (whole-doc dropping throws away clean text).
+    appears ANYWHERE in the benchmark (stride-1 benchmark windows, so
+    MATCHING a full corpus window is alignment-independent), then
+    stitch the survivors back in order — x16 only REPORTS benchmark
+    overlap; this removes it the way production pretraining pipelines
+    scrub eval sets, while keeping the rest of the document (whole-doc
+    dropping throws away clean text).
+
+    Removal-granularity contract (ADVICE r8): only FULL disjoint corpus
+    windows are compared, so a contaminated span that straddles two
+    corpus windows (or sits inside a trailing partial window) without
+    covering either fully SURVIVES. Removal is guaranteed only for
+    contaminated runs of >= ``2*seg_tokens - 1`` tokens — any such run
+    fully covers at least one disjoint window regardless of alignment.
+    Cutting corpus windows at stride 1 instead would buy full recall at
+    ``seg_tokens``× the corpus explode plus an overlapping-survivor
+    reassembly problem; this operator deliberately takes the
+    disjoint-window trade (the same one segment_dedup documents).
 
     Returns (doc_id, clean_text, n_segments, n_dropped) over the CORPUS
     (ordered by id) — the same reassembly contract as segment_dedup.
@@ -1531,3 +1546,114 @@ def decontaminate_spans(
     # reason segment_dedup's violator anti-join is unhinted)
     kept = segs.join(bench_grams, "h", "left_anti")
     return _reassemble(toked, segs, kept)
+
+
+def exact_substring_dedup(
+    corpus: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication at the Lee et al. 2022 semantic
+    ("Deduplicating Training Data Makes Language Models Better",
+    the ExactSubstr / suffix-array standard for pretraining dedup):
+    every token position covered by SOME ``min_tokens``-token window
+    whose normalized text occurs MORE THAN ONCE in the entire corpus is
+    cut, and the surviving tokens are stitched back in order. x132's
+    winnowing APPROXIMATES this with sampled fingerprints; this is the
+    exact form — stride-1 windows on the corpus itself, so removal is
+    alignment-independent down to single-token granularity (unlike
+    decontaminate_spans' disjoint-window trade): a duplicated run of
+    exactly ``min_tokens`` tokens is removed wherever it sits.
+
+    Variant note (documented deviation): the published ExactSubstr
+    keeps ONE canonical occurrence of each duplicated substring; that
+    needs a global survivor election per duplicate CLASS, and
+    overlapping classes make the survivor set order-dependent. This
+    operator removes ALL occurrences — the conservative variant several
+    production pipelines run — so the output is a pure function of the
+    corpus with no tie-break policy to pin. Docs shorter than
+    ``min_tokens`` tokens have no windows and pass through untouched.
+
+    Returns (doc_id, clean_text, n_tokens, n_removed), ordered by id.
+
+    Spark-first shape instead of a suffix array: a suffix array is a
+    single-machine construction; the distributed equivalent of "find
+    every substring of length >= L occurring twice" is (1) stride-1
+    window hashes — n_tokens rows, one narrow md5 per window, (2) ONE
+    partial-aggregated count per distinct window hash (the duplicated
+    set: count > 1), (3) an inner join of each doc's windows against
+    that set (skew-safe: the set is typically tiny relative to the
+    corpus and AQE broadcasts it when it fits), (4) per-doc interval
+    coverage via sequence-explode of ONLY the duplicated windows
+    (bounded by L x duplicated positions, not L x corpus), (5) LEFT
+    ANTI of token positions against covered positions, (6) the shared
+    reassembly shuffle. Every stage is linear in tokens; nothing is
+    pairwise; the only L-factor inflation rides the DUPLICATED subset.
+    """
+    if min_tokens < 1:
+        raise ValueError(
+            f"exact_substring_dedup: min_tokens={min_tokens} must be >= 1"
+        )
+    toks = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(_normalized(F.col(text_col)), " "), lambda x: x != F.lit("")
+        ).alias("_toks"),
+    )
+    tokens = toks.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    n_tok = toks.select(
+        "doc_id", F.size("_toks").cast("long").alias("n_tokens")
+    )
+    # stride-1 windows: (doc_id, wpos, h) for wpos in [0, n - L]
+    wins = toks.where(F.size("_toks") >= min_tokens).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - min_tokens),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i + 1, min_tokens), " ")
+                ),
+            )
+        ).alias("wpos", "h"),
+    )
+    # the duplicated-window set: global occurrence count > 1 (same doc
+    # twice counts — a self-repeat is a duplicate too, per the paper)
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("h")
+    )
+    dup_wins = wins.join(dup_h, "h").select("doc_id", "wpos")
+    covered = dup_wins.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.lit(min_tokens - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        n_tok.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )

@@ -35,3 +35,18 @@ def plan_assert(
     if cast is not None:
         branch = branch.cast(cast)
     return F.when(bad, branch).otherwise(col)
+
+
+def tiny_df(spark, rows, schema: str):
+    """Driver-side metadata as a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(list, ...)`` splits even a 4-row list into
+    ``defaultParallelism`` Python partitions; any downstream
+    ``coalesce(1).write`` then runs every partition's Python-worker
+    handshake SEQUENTIALLY inside one task — measured ~0.12 s × 32
+    threads ≈ 4 s per tiny artifact write on local[32] (round-9 bench
+    forensics; prov/store.py dodged the same cost with raw pyarrow).
+    One explicit slice keeps a metadata write a metadata write."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )

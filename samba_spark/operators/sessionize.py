@@ -1130,3 +1130,81 @@ def holt_linear_trend(
         )
         .orderBy(group_col)
     )
+
+
+def session_dedup(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Conversation/session-level deduplication — the SFT-data analogue
+    of document dedup (VERDICT r8 item 7b): an interaction log dedupes
+    at the TRAJECTORY level, not the event level, because two users (or
+    one user twice) replaying the same action sequence is one behavior,
+    and training on every replay overweights it exactly the way
+    duplicated documents do.
+
+    Construction: gap-sessionize per user (:func:`sessionize`), fold
+    each session into its canonical trajectory — the ``type_col``
+    sequence in exact (ts, event_id) order — and elect ONE canonical
+    session per identical trajectory: the lexicographically smallest
+    (user_id, session_id), the dedup_exact lowest-id convention.
+
+    Returns one row per SESSION: (user_id, session_id, s_start,
+    n_events, sig, dup_count, kept), ordered by (user_id, session_id) —
+    ``kept`` marks the canonical survivor, ``dup_count`` the trajectory
+    class size, so the caller can either filter kept or downweight by
+    1/dup_count (the soft-dedup a loss-weighted pipeline prefers).
+
+    Exactness: the trajectory fold sorts (ts, event_id, type) structs —
+    a total order even under duplicate timestamps — and the signature
+    is md5 over the '|'-joined sequence; election is a deterministic
+    (user_id, session_id) ROW_NUMBER. Engine-exact end to end.
+
+    Scale posture: sessionize's user-hash exchange carries the
+    trajectory fold (groupBy keys ⊇ window partition key — no second
+    exchange); the only new shuffle is the signature-hash window for
+    election, whose input is one ROW PER SESSION (orders of magnitude
+    smaller than events). A viral trajectory class skews that window's
+    key, but the per-row payload is already aggregated — no
+    event-level data rides it.
+    """
+    s = sessionize(events, user_col, ts_col, gap_seconds)
+    per = s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("s_start"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(ts_col, id_col, type_col)
+                        )
+                    ),
+                    lambda r: r[type_col],
+                ),
+                "|",
+            )
+        ).alias("sig"),
+    )
+    by_sig = Window.partitionBy("sig")
+    rk = F.row_number().over(
+        by_sig.orderBy(user_col, "session_id")
+    )
+    return (
+        per.withColumn("dup_count", F.count(F.lit(1)).over(by_sig))
+        .withColumn("kept", rk == F.lit(1))
+        .select(
+            user_col,
+            "session_id",
+            "s_start",
+            "n_events",
+            "sig",
+            F.col("dup_count").cast("long").alias("dup_count"),
+            "kept",
+        )
+        .orderBy(user_col, "session_id")
+    )

@@ -22,6 +22,7 @@ from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from samba_spark.prov import model
@@ -116,6 +117,10 @@ class ProvStore:
         # disjoint future snapshots could otherwise drain concurrently and
         # race two append jobs on one directory's _temporary staging dir.
         self._drain_mutex = threading.Lock()
+        # run_id → (name, start_time) for executions whose OPEN row may
+        # already have been flushed; lets finish_execution append a
+        # completed row instead of silently dropping the end_time
+        self._open_execs: dict[str, tuple] = {}
         if enabled:
             os.makedirs(prov_dir, exist_ok=True)
 
@@ -125,6 +130,9 @@ class ProvStore:
             return
         with self._lock:
             self._buffers["executions"].append((run_id, name, start_time, None))
+            # remembered past flush so finish_execution can still record
+            # the end_time after the open row left the buffer (see below)
+            self._open_execs[run_id] = (name, start_time)
 
     def finish_execution(self, run_id: str, end_time: float) -> None:
         if not self.enabled:
@@ -134,6 +142,19 @@ class ProvStore:
             for i, r in enumerate(rows):
                 if r[0] == run_id:
                     rows[i] = (r[0], r[1], r[2], end_time)
+                    self._open_execs.pop(run_id, None)
+                    return
+            # The open row was already flushed to parquet (any mid-run
+            # flush() — including the implicit one every table() read
+            # performs — used to make the later stop()'s end_time update
+            # a silent no-op: the row left the buffer with end_time NULL
+            # and nothing ever completed it). Append a COMPLETED row for
+            # the same run instead; table("executions") dedupes per
+            # run_id preferring the completed row, so DAO readers see
+            # exactly one row per run either way.
+            meta = self._open_execs.pop(run_id, None)
+            if meta is not None:
+                rows.append((run_id, meta[0], meta[1], end_time))
 
     def write_task(
         self,
@@ -481,7 +502,23 @@ class ProvStore:
         path = os.path.join(self.prov_dir, name)
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema=model.TABLES[name])
-        return self.spark.read.schema(model.TABLES[name]).parquet(path)
+        df = self.spark.read.schema(model.TABLES[name]).parquet(path)
+        if name == "executions":
+            # one row per run: a run whose open (end_time NULL) row was
+            # flushed mid-run gets a second, COMPLETED row at stop()
+            # (finish_execution above) — prefer it. No-op for the normal
+            # single-row-per-run lifecycle.
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("run_id").orderBy(
+                F.col("end_time").desc_nulls_last()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        return df
 
     def export_graph_distributed(self, run_id: str, out_dir: str) -> None:
         """A16 at scale: stream the element graph as JSON-lines directories

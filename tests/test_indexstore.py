@@ -1,0 +1,187 @@
+"""Unified frozen-index persistence (operators/indexstore.py).
+
+The x155 declared query oracle-checks the loaded-IVF probe end to end;
+these tests pin the store contracts the oracle can't see: bit-exact
+round-trips for every family, the kind gate (cross-family loads fail
+loudly), version/meta integrity, and probe-equivalence — a probe from
+a LOADED index is row-identical to the same probe with in-memory
+state, for each of the five families.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.operators import indexstore as ix
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries_df(embs):
+    return embs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+
+
+CENTS = [[((i * 7 + j * 3) % 11 - 5) / 4.0 for j in range(64)] for i in range(4)]
+SCALES = [0.5 + (d % 7) / 8.0 for d in range(64)]
+BOOKS = [
+    [[((j * 31 + c * 5 + d) % 13 - 6) / 5.0 for d in range(8)] for c in range(4)]
+    for j in range(8)
+]
+KCENTS = [[(i * 1000 + j * 37 - 500) for j in range(64)] for i in range(3)]
+
+
+def test_ivf_roundtrip_exact(spark, tmp_path):
+    p = str(tmp_path / "ivf")
+    ix.save_ivf_index(spark, p, CENTS, {"note": "test"})
+    loaded, params = ix.load_ivf_index(spark, p)
+    assert loaded == CENTS  # bit-exact: parquet doubles are lossless
+    assert params["n_cells"] == 4 and params["dim"] == 64
+    assert params["note"] == "test"
+
+
+def test_sq8_roundtrip_exact(spark, tmp_path):
+    p = str(tmp_path / "sq8")
+    ix.save_sq8_index(spark, p, SCALES)
+    loaded, params = ix.load_sq8_index(spark, p)
+    assert loaded == SCALES
+    assert params["dim"] == 64
+
+
+def test_pq_roundtrip_exact(spark, tmp_path):
+    p = str(tmp_path / "pq")
+    ix.save_pq_index(spark, p, BOOKS)
+    loaded, params = ix.load_pq_index(spark, p)
+    assert loaded == BOOKS
+    assert (params["m"], params["n_centroids"], params["dsub"]) == (8, 4, 8)
+
+
+def test_ivf_pq_roundtrip_exact(spark, tmp_path):
+    p = str(tmp_path / "ivfpq")
+    ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    cents, books, params = ix.load_ivf_pq_index(spark, p)
+    assert cents == CENTS and books == BOOKS
+    assert params["n_cells"] == 4 and params["m"] == 8
+
+
+def test_kmeans_roundtrip_exact(spark, tmp_path):
+    p = str(tmp_path / "km")
+    ix.save_kmeans_index(spark, p, KCENTS, quant=1_000_000)
+    cents, quant, params = ix.load_kmeans_index(spark, p)
+    assert cents == KCENTS
+    assert quant == 1_000_000 and params["k"] == 3
+
+
+def test_kind_gate_cross_family_load_fails(spark, tmp_path):
+    p = str(tmp_path / "ivf2")
+    ix.save_ivf_index(spark, p, CENTS)
+    with pytest.raises(ValueError, match="holds a 'ivf' index"):
+        ix.load_sq8_index(spark, p)
+    with pytest.raises(ValueError, match="holds a 'ivf' index"):
+        ix.load_pq_index(spark, p)
+    with pytest.raises(ValueError, match="holds a 'ivf' index"):
+        ix.load_kmeans_index(spark, p)
+
+
+def test_missing_meta_fails_loudly(spark, tmp_path):
+    with pytest.raises(ValueError, match="meta is missing"):
+        ix.load_ivf_index(spark, str(tmp_path / "nope"))
+
+
+def test_validation_rejects_bad_state(spark, tmp_path):
+    with pytest.raises(ValueError, match="empty"):
+        ix.save_ivf_index(spark, str(tmp_path / "a"), [])
+    with pytest.raises(ValueError, match="dim"):
+        ix.save_ivf_index(spark, str(tmp_path / "b"), [[1.0, 2.0], [3.0]])
+    with pytest.raises(ValueError, match="finite positive"):
+        ix.save_sq8_index(spark, str(tmp_path / "c"), [1.0, -2.0])
+    with pytest.raises(ValueError, match="non-finite"):
+        ix.save_ivf_index(spark, str(tmp_path / "d"), [[float("nan")] * 4])
+    with pytest.raises(ValueError, match="quant"):
+        ix.save_kmeans_index(spark, str(tmp_path / "e"), KCENTS, quant=0)
+
+
+def test_loaded_ivf_probe_equals_inmemory(spark, sf_smoke, tmp_path):
+    from samba_spark.operators.simsearch import ivf_topk
+
+    embs = _embs(spark, sf_smoke)
+    p = str(tmp_path / "ivf3")
+    ix.save_ivf_index(spark, p, CENTS)
+    loaded, _ = ix.load_ivf_index(spark, p)
+    mem = ivf_topk(
+        embs, _queries_df(embs), k=5, n_probe=2, centroids=CENTS
+    ).collect()
+    disk = ivf_topk(
+        embs, _queries_df(embs), k=5, n_probe=2, centroids=loaded
+    ).collect()
+    assert mem == disk
+
+
+def test_loaded_sq8_probe_equals_inmemory(spark, sf_smoke, tmp_path):
+    from samba_spark.operators.simsearch import int8_quantize_topk
+
+    embs = _embs(spark, sf_smoke)
+    p = str(tmp_path / "sq82")
+    ix.save_sq8_index(spark, p, SCALES)
+    loaded, _ = ix.load_sq8_index(spark, p)
+    mem = int8_quantize_topk(embs, _queries_df(embs), k=5, scales=SCALES)
+    disk = int8_quantize_topk(embs, _queries_df(embs), k=5, scales=loaded)
+    assert mem.collect() == disk.collect()
+
+
+def test_loaded_pq_probe_equals_inmemory(spark, sf_smoke, tmp_path):
+    from samba_spark.operators.simsearch import pq_topk
+
+    embs = _embs(spark, sf_smoke)
+    p = str(tmp_path / "pq2")
+    ix.save_pq_index(spark, p, BOOKS)
+    loaded, _ = ix.load_pq_index(spark, p)
+    mem = pq_topk(embs, _queries_df(embs), k=5, m=8, codebooks=BOOKS)
+    disk = pq_topk(embs, _queries_df(embs), k=5, m=8, codebooks=loaded)
+    assert mem.collect() == disk.collect()
+
+
+def test_loaded_ivf_pq_probe_equals_inmemory(spark, sf_smoke, tmp_path):
+    from samba_spark.operators.simsearch import ivf_pq_topk
+
+    embs = _embs(spark, sf_smoke)
+    p = str(tmp_path / "ivfpq2")
+    ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    cents, books, _ = ix.load_ivf_pq_index(spark, p)
+    mem = ivf_pq_topk(
+        embs, _queries_df(embs), k=5, m=8,
+        cell_centroids=CENTS, codebooks=BOOKS,
+    )
+    disk = ivf_pq_topk(
+        embs, _queries_df(embs), k=5, m=8,
+        cell_centroids=cents, codebooks=books,
+    )
+    assert mem.collect() == disk.collect()
+
+
+def test_loaded_kmeans_assign_equals_training_final(spark, sf_smoke, tmp_path):
+    """Full offline→persist→serve loop: train, save, load, assign —
+    identical to the training run's final assignment."""
+    from samba_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_integer,
+        kmeans_train,
+    )
+
+    embs = _embs(spark, sf_smoke)
+    cents = kmeans_train(embs, k=4, iters=2)
+    p = str(tmp_path / "km2")
+    ix.save_kmeans_index(spark, p, cents, quant=1_000_000)
+    loaded, quant, _ = ix.load_kmeans_index(spark, p)
+    served = kmeans_assign(embs, loaded, quant=quant).collect()
+    trained = (
+        kmeans_integer(embs, k=4, iters=2)
+        .select("vec_id", "cluster", "dist2")
+        .collect()
+    )
+    assert served == trained

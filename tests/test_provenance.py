@@ -378,3 +378,23 @@ def test_column_lineage_union_maps_both_branches(spark, sf_smoke):
     assert got3["name"] == {
         ("nation", "n_name"), ("region", "r_name"), ("customer", "c_name")
     }
+
+
+def test_end_time_survives_midrun_flush(spark, sf_smoke, tmp_path):
+    """A mid-run flush() (or any table() read, which flushes implicitly)
+    used to make stop()'s end_time update a silent no-op: the open
+    executions row left the buffer with end_time NULL and nothing ever
+    completed it (found by the round-9 /verify pass — bench.py's
+    prov-overhead probe flushes before stop on every run). The store now
+    appends a completed row and table("executions") dedupes per run."""
+    from samba_spark.session import ProvSession
+
+    ps = ProvSession(spark, name="midflush", prov_dir=str(tmp_path / "p"))
+    ps.read_parquet(f"{sf_smoke}/region.parquet").select("r_name").collect()
+    ps.store.flush()  # open row leaves the buffer with end_time NULL
+    mid = ps.store.table("executions").collect()  # also flushes
+    assert len(mid) == 1 and mid[0]["end_time"] is None
+    ps.stop()
+    fin = ps.store.table("executions").collect()
+    assert len(fin) == 1, "dedup must keep exactly one row per run"
+    assert fin[0]["end_time"] is not None

@@ -1,0 +1,175 @@
+"""Round-9 LLM-pipeline legs: exact-substring dedup (Lee-et-al
+ExactSubstr semantic, dedup.exact_substring_dedup) and session-level
+trajectory dedup (sessionize.session_dedup).
+
+Oracle parity for x156/x157 runs in test_declared_queries.py; these pin
+the operator contracts the oracle can't see: alignment independence,
+the remove-ALL-occurrences variant, short-doc passthrough, gap
+splitting, and trajectory-class election.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from samba_spark.operators.dedup import exact_substring_dedup
+from samba_spark.operators.sessionize import session_dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_substring_removes_all_occurrences(spark):
+    dup = "a b c d e f g h"  # exactly 8 tokens
+    df = _docs(
+        spark,
+        [
+            (1, f"start {dup} end one"),
+            (2, f"{dup} trailer two"),
+            (3, "totally unique text with no repeats here at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, 8).collect()}
+    # the duplicated run is cut from BOTH docs (conservative variant),
+    # wherever it sits (alignment-independent: offset 1 vs offset 0)
+    assert "a b c" not in out[1]["clean_text"]
+    assert "a b c" not in out[2]["clean_text"]
+    assert out[3]["clean_text"] == (
+        "totally unique text with no repeats here at all"
+    )
+    assert out[3]["n_removed"] == 0
+    assert out[1]["n_removed"] == 8 and out[2]["n_removed"] == 8
+    # the non-duplicated context survives in order
+    assert out[1]["clean_text"] == "start end one"
+    assert out[2]["clean_text"] == "trailer two"
+
+
+def test_exact_substring_short_docs_pass_through(spark):
+    df = _docs(spark, [(1, "too short"), (2, "too short")])
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, 8).collect()}
+    # identical docs, but no 8-token window exists: untouched
+    assert out[1]["clean_text"] == "too short"
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+
+def test_exact_substring_long_overlap_removes_whole_run(spark):
+    # a 10-token duplicated run: overlapping 8-grams cover all 10
+    run = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = _docs(spark, [(1, f"u1 {run} u2"), (2, f"v1 v2 {run}")])
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, 8).collect()}
+    assert out[1]["clean_text"] == "u1 u2"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == "v1 v2"
+    assert out[2]["n_removed"] == 10
+
+
+def test_exact_substring_self_repeat_counts(spark):
+    # the same 8-gram twice in ONE doc is a duplicate too (global
+    # occurrence count, per the paper) — both occurrences cut
+    dup = "a b c d e f g h"
+    df = _docs(
+        spark,
+        [(1, f"{dup} mid1 mid2 {dup}"), (2, "other text entirely here")],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, 8).collect()}
+    assert out[1]["clean_text"] == "mid1 mid2"
+    assert out[1]["n_removed"] == 16
+
+
+def test_exact_substring_normalization(spark):
+    # case/whitespace-insensitive matching (the _normalized contract
+    # every dedup operator shares)
+    df = _docs(
+        spark,
+        [(1, "A  B c d E f g H tail"), (2, "a b C D e F G h coda")],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, 8).collect()}
+    assert out[1]["clean_text"] == "tail"
+    assert out[2]["clean_text"] == "coda"
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+def _t(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_session_dedup_elects_lowest(spark):
+    # two users, identical click|buy trajectories → user 1 keeps
+    df = _events(
+        spark,
+        [
+            (1, _t(0), 1, "click"),
+            (2, _t(1), 1, "buy"),
+            (3, _t(0), 2, "click"),
+            (4, _t(1), 2, "buy"),
+        ],
+    )
+    out = {
+        (r["user_id"], r["session_id"]): r
+        for r in session_dedup(df, gap_seconds=1800).collect()
+    }
+    assert out[(1, 1)]["kept"] is True
+    assert out[(2, 1)]["kept"] is False
+    assert out[(1, 1)]["dup_count"] == 2 == out[(2, 1)]["dup_count"]
+    assert out[(1, 1)]["sig"] == out[(2, 1)]["sig"]
+    assert out[(1, 1)]["n_events"] == 2
+
+
+def test_session_dedup_gap_splits_sessions(spark):
+    # 31-minute silence breaks the session; the two singleton "click"
+    # sessions are the SAME trajectory class, first one survives
+    df = _events(
+        spark,
+        [(1, _t(0), 1, "click"), (2, _t(31), 1, "click")],
+    )
+    rows = session_dedup(df, gap_seconds=1800).collect()
+    assert len(rows) == 2
+    by_sid = {r["session_id"]: r for r in rows}
+    assert by_sid[1]["kept"] is True and by_sid[2]["kept"] is False
+    assert by_sid[1]["dup_count"] == 2
+
+
+def test_session_dedup_order_within_session_is_exact(spark):
+    # click|buy and buy|click are DIFFERENT trajectories — both kept
+    df = _events(
+        spark,
+        [
+            (1, _t(0), 1, "click"),
+            (2, _t(1), 1, "buy"),
+            (3, _t(0), 2, "buy"),
+            (4, _t(1), 2, "click"),
+        ],
+    )
+    rows = session_dedup(df, gap_seconds=1800).collect()
+    assert all(r["kept"] for r in rows)
+    assert all(r["dup_count"] == 1 for r in rows)
+
+
+def test_session_dedup_partitioning_independent(spark):
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        minute = 0
+        for _ in range(rng.randint(2, 8)):
+            minute += rng.choice([1, 2, 40])
+            rows.append(
+                (eid, base + dt.timedelta(minutes=minute), u,
+                 rng.choice(["a", "b", "c"]))
+            )
+            eid += 1
+    df = _events(spark, rows)
+    a = session_dedup(df).collect()
+    b = session_dedup(df.repartition(13)).collect()
+    assert a == b
