@@ -5,12 +5,40 @@
 
 Execution is forced with the noop sink (full pipeline runs, no driver
 collect cost). One untimed warmup amortizes JVM/codegen startup.
+
+Position-robustness flags (VERDICT r8 what's-wrong #2: suite-position
+sensitivity was the dominant source of false bench signals five rounds
+running — per-query numbers were only interpretable with per-round
+isolated probes):
+
+* ``--order=declared`` (default) runs ALL_QUERIES in registration
+  order (CONTRACT window first) — the historical, comparable ordering.
+* ``--order=seeded-shuffle --seed N`` runs the same suite in a
+  deterministic shuffled order: two runs with DIFFERENT seeds whose
+  per-query medians agree bound the position effect empirically
+  instead of re-litigating it query by query every round.
+* ``--only q1,q2`` benches a subset — launch one process per suspect
+  query for a genuinely fresh-JVM sentinel probe (in-process "fresh
+  session" is impossible: a restarted SparkSession reuses the warm
+  JVM, JIT state, and codegen cache, which is exactly the contested
+  context).
+* ``--out NAME`` names the artifact explicitly. Without it the
+  auto-name bench_full_r{N}[_sf*][_runK].json REFUSES to overwrite an
+  existing file (appends _runK) — a degraded late-session run can no
+  longer clobber the round's canonical artifact (VERDICT r8
+  what's-wrong #1).
+
+The artifact always records ``order_mode``/``order_seed``/
+``suite_order`` (execution order) so any per-query comparison across
+artifacts can first check the positions being compared.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import random
 import re
 import sys
 import time
@@ -23,6 +51,34 @@ def force(df) -> None:
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--order", choices=["declared", "seeded-shuffle"], default="declared"
+    )
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated query names: bench only these",
+    )
+    ap.add_argument(
+        "--out", default=None,
+        help="artifact filename (default: auto bench_full_r{N}...json, "
+        "never overwriting an existing file)",
+    )
+    ap.add_argument(
+        "--skip-overhead", action="store_true",
+        help="skip the prov/element overhead probes (subset/shuffle runs "
+        "re-measure query time only)",
+    )
+    ap.add_argument(
+        "--cold", action="store_true",
+        help="skip the full untimed warm pass (pre-r9 behavior): timings "
+        "then include each query's one-time codegen-compile latency, "
+        "charged to whichever query in the suite order first uses each "
+        "expression shape",
+    )
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -59,9 +115,38 @@ def main() -> None:
     # identical isolated runs at sf0.1), so it always gets the median
     # treatment even though it exceeds the 2 s cutoff.
     always_median = {"q41_pagerank"}
+    names = list(ALL_QUERIES)
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in ALL_QUERIES]
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        names = [n for n in names if n in set(wanted)]
+    if args.order == "seeded-shuffle":
+        random.Random(args.seed).shuffle(names)
+
+    # WARM-SUITE pass (default since r9; --cold restores the old
+    # behavior): execute every query once UNTIMED before the timed
+    # pass. Root cause of five rounds of position-sensitivity noise
+    # (VERDICT r8 what's-wrong #2), established by isolated probes this
+    # round: whole-stage-codegen compilation of each expression shape
+    # is paid ONCE per JVM by the FIRST query that uses it (x44 cold
+    # 7.7 s → warm 1.0 s), so window rotation silently reassigns those
+    # costs to different queries every round; worse, when a sub-2 s
+    # query pays, its median-of-3 HIDES the cost (median of [7.7, 1.2,
+    # 1.2] = 1.2) while a ≥2 s single-sample payer keeps it — the suite
+    # TOTAL itself depended on the rotation. The warm pass charges
+    # codegen to nobody, making per-query numbers position-independent
+    # plan costs — the number a 100 TB capacity decision actually
+    # needs, where per-job codegen milliseconds amortize to nothing.
+    if not args.cold:
+        for name in names:
+            force(ALL_QUERIES[name].fn(spark, sf_dir))
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name, spec in ALL_QUERIES.items():
+    for name in names:
+        spec = ALL_QUERIES[name]
         samples = []
         t0 = time.perf_counter()
         force(spec.fn(spark, sf_dir))
@@ -75,9 +160,12 @@ def main() -> None:
         timings[name] = round(dt, 4)
         total += dt
 
-    prov_ratio = measure_prov_overhead(spark, sf_dir)
-    elem_ratio = measure_element_overhead(spark, sf_dir)
-    elem_ratio_10x = measure_element_overhead(spark, sf_dir, replicate=10)
+    if args.skip_overhead:
+        prov_ratio = elem_ratio = elem_ratio_10x = None
+    else:
+        prov_ratio = measure_prov_overhead(spark, sf_dir)
+        elem_ratio = measure_element_overhead(spark, sf_dir)
+        elem_ratio_10x = measure_element_overhead(spark, sf_dir, replicate=10)
 
     payload = {
         "metric": "declared_query_suite_wall_clock",
@@ -86,6 +174,10 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "sf": sf,
+        "warmth": "cold" if args.cold else "warm",
+        "order_mode": args.order,
+        "order_seed": args.seed if args.order == "seeded-shuffle" else None,
+        "suite_order": names,
         "prov_overhead_ratio": prov_ratio,
         "element_overhead_ratio": elem_ratio,
         # The SCALE-TRACKING element-capture number (VERDICT r7 what's-
@@ -119,15 +211,33 @@ def main() -> None:
     # executes). Ad-hoc runs at other SFs get an SF-qualified name so they
     # can never clobber the round's comparison baseline.
     suffix = "" if sf == 0.1 else f"_sf{sf}"
-    full_name = f"bench_full_r{n:02d}{suffix}.json"
+    if args.out:
+        full_name = args.out
+    else:
+        full_name = f"bench_full_r{n:02d}{suffix}.json"
+        # NEVER overwrite an existing artifact (VERDICT r8 what's-wrong
+        # #1: a degraded end-of-session run clobbered the canonical
+        # best-of-3 under the same name) — later same-round runs get
+        # distinct _runK names; promoting one to canonical is a
+        # deliberate rename, not a side effect.
+        k = 2
+        while os.path.exists(os.path.join(here, full_name)):
+            full_name = f"bench_full_r{n:02d}{suffix}_run{k}.json"
+            k += 1
     with open(os.path.join(here, full_name), "w") as fh:
         json.dump(payload, fh, indent=1)
 
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:20]
     )
+    # suite_order (252 names) would blow the driver's bounded stdout
+    # window the same way the full per-query map did in round 4
     compact = {
-        **{k: v for k, v in payload.items() if k != "queries"},
+        **{
+            k: v
+            for k, v in payload.items()
+            if k not in ("queries", "suite_order")
+        },
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "queries_shown": "20 slowest",
         "queries_full": full_name,
