@@ -63,6 +63,14 @@ chi-square screen, x132 winnowed common-substring pairs, x133
 Theil–Sen robust trend, x134 SQ8 int8 ANN, x135 BPE-apply
 tokenizer serving) — standing
 policy: new queries before backfill, and these need not wait a round.
+Round-9 rotation (VERDICT r8 item 4): the round-8 window came back
+50/50 full-green (third consecutive all-green window), so all 45
+rotated-in entries moved to ``AUX_QUERIES``. The freed slots hold the
+3 round-9 additions (x155 loaded-index IVF-PQ probe, x156 ExactSubstr
+dedup, x157 session-trajectory dedup), the 16 r4-window backfills the
+r8 additions displaced, and the 26 oldest round-5-window single-green
+rows — bringing the single-green backlog to ~99 (the r8 item-4 target
+was <= 100).
 Remaining backfill debt after r7: the rest of the round-4 window (x44,
 x63, x73, x74, x70, x83–x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/x87,
 extensions x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75), then
@@ -105,13 +113,71 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Round-8 rotation (VERDICT r7 items 2/6; the round-7 window came back
-# 50/50 full-green, so all 45 rotated-in entries moved to
-# ``AUX_QUERIES``): q29/q30's first post-graduation driver rows, then
-# 24 round-4-window backfills in r4 order, then the 19 round-8
-# additions (displacing the 16 newest r4 backfills to round 9 —
-# standing new-before-backfill policy).
+# Round-9 rotation (VERDICT r8 item 4; the round-8 window came back
+# 50/50 full-green — third consecutive all-green window — so all 45
+# rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 3
+# round-9 additions first (standing new-before-backfill policy — x155
+# loaded-index probe, x156 ExactSubstr dedup, x157 session dedup),
+# then the 16 r4-window backfills the r8 additions displaced, then the
+# 26 oldest round-5-window single-green rows in r5 order (the 22 r2/r3
+# residuals incl. q74/q76, then the first 4 of the round-5 high-risk
+# block x88-x91). Single-green backlog after this window: ~99 (<= 100,
+# the r8 item-4 target); the remaining round-5-window and
+# round-6-window rows queue for rounds 10-11.
 _ROTATED_IN = [
+    # round-9 additions (new-before-backfill)
+    "x155_index_probe",
+    "x156_exact_substring_dedup",
+    "x157_session_dedup",
+    # the 16 round-4-window backfills displaced by the r8 additions
+    "x80_hll_rollup",
+    "x81_approx_topk",
+    "x82_bitmap_distinct",
+    "x87_sketch_persistence",
+    "x48_bloom_dedup",
+    "x49_scd2_history",
+    "x53_parquet_manifest",
+    "x55_triangle_count",
+    "x60_rare_token_pairs",
+    "x65_covariance_matrix",
+    "x71_incremental_agg",
+    "x72_udtf_leading_tokens",
+    "x75_bpe_merge_round",
+    "x77_scd2_lookup",
+    "x79_stratified_split",
+    "q75_run_diff",
+    # oldest round-5-window single-green rows, r5 order
+    "x45_deep_funnel",
+    "x46_retention_monthly",
+    "x47_trailing_window",
+    "x50_quantization_stats",
+    "x51_time_rollup",
+    "x52_filtered_topk",
+    "x54_binned_quantiles",
+    "x56_attribution",
+    "x57_inverted_index",
+    "x58_anomaly",
+    "x59_concurrency",
+    "x61_transition_matrix",
+    "x62_trend_slope",
+    "x64_zorder_stats",
+    "x66_quality_audit",
+    "x67_edit_distance",
+    "x68_brand_cooccurrence",
+    "x69_gap_fill",
+    "x76_corpus_report",
+    "x78_sequence_pattern",
+    "q74_point_in_time",
+    "q76_unpivot",
+    "x88_semantic_prune",
+    "x89_phash_dedup",
+    "x90_audio_fp_dedup",
+    "x91_approx_percentile",
+]
+
+# Round-8 window (VERDICT r7 items 2/6), kept for the record — came
+# back 50/50 full-green in CORRECTNESS_r08, all entries now in AUX:
+_ROUND8_WINDOW = [
     # VERDICT r7 item 2: q29/q30's only driver rows are round-1
     # no_oracle stubs predating their oracle graduation (q29 -> r3
     # est_ok gate, q30 -> r6 sampling contract) — first full-green rows

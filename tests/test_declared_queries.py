@@ -59,10 +59,10 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-8 rotation (VERDICT r7 items 2/6): the sentinel core, q29/q30
-    (their only driver rows predate their oracle graduation), the entire
-    remaining round-4-window backfill, and the round-8 additions must
-    all be in-window."""
+    Round-9 rotation (VERDICT r8 item 4): the sentinel core, the three
+    round-9 additions (new-before-backfill standing policy), the 16
+    r4-window backfills the r8 additions displaced, and the oldest
+    round-5-window single-green rows must all be in-window."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
@@ -74,9 +74,6 @@ def test_contract_window_invariant():
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
-    # VERDICT r7 item 2: q29/q30's first post-graduation driver rows,
-    # plus the round-8 additions (new-before-backfill standing policy).
-    for q in ("q29", "q30"):
-        assert any(n.startswith(f"{q}_") for n in in_window), f"{q} outside window"
-    for x in ("x136", "x137", "x138", "x139", "x140", "x141"):
+    # round-9 additions + the displaced r4 backfills' leading block
+    for x in ("x155", "x156", "x157", "x80", "x87", "q75", "x45", "x91"):
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -124,6 +124,17 @@ PROBES = [
     "x145_char_entropy",
     "x148_ngram_novelty",
     "x149_decontaminate_spans",
+    # round-9 additions: loaded-index IVF-PQ probe (fixed-size store
+    # round-trip + the x141-shaped scoring scan — embeddings scale with
+    # SF; the save/load half is fixed cost, amortized in production),
+    # ExactSubstr dedup (stride-1 window explode + global count +
+    # covered-position explode over the DUPLICATED subset + reassembly
+    # — the heaviest new family, linear in tokens by construction),
+    # session-trajectory dedup (sessionize exchange + per-session fold
+    # + session-count-sized election window).
+    "x155_index_probe",
+    "x156_exact_substring_dedup",
+    "x157_session_dedup",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
