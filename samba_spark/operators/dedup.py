@@ -1657,3 +1657,41 @@ def exact_substring_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def append_minhash_index(documents: DataFrame, path: str) -> int:
+    """Incremental maintenance of a persisted MinHash index — the
+    missing third verb of the serving loop (save → probe → APPEND):
+    admission control without index maintenance forces a full rebuild
+    every ingestion window, which at 100 TB means re-shingling the
+    whole corpus to add a day's delta. This signatures ONLY the new
+    documents with the layout parameters the index was built with
+    (read from meta — a mismatched append would silently never match)
+    and parquet-APPENDS their sigs and band keys; the next probe sees
+    the union index with no rebuild.
+
+    Documents whose doc_id is already indexed are skipped (left-anti
+    against the persisted ids), so re-ingesting an overlapping batch is
+    idempotent. Returns the number of documents appended.
+
+    Scale posture: the delta is signatured once (localCheckpoint) and
+    feeds both appends; the only corpus-scale read is the column-pruned
+    doc_id scan for the idempotence anti-join. Bucket caps stay
+    correct: probes cap (band, band_hash) buckets over the LOADED union
+    table, so accumulation across appends behaves exactly like a
+    one-shot build (asserted by the x158 oracle, which replays the
+    union corpus in one pass)."""
+    spark = documents.sparkSession
+    _bands_df, sigs_df, meta = load_minhash_index(spark, path)
+    fresh = documents.join(sigs_df.select("doc_id"), "doc_id", "left_anti")
+    sig = minhash_signatures(
+        fresh, int(meta["n"]), int(meta["num_hashes"]), meta["hash_family"]
+    ).localCheckpoint()
+    n_new = sig.count()
+    if n_new == 0:
+        return 0
+    sig.write.mode("append").parquet(f"{path}/sigs")
+    band_keys_from_signatures(
+        sig, int(meta["num_hashes"]), int(meta["bands"]), meta["hash_family"]
+    ).write.mode("append").parquet(f"{path}/bands")
+    return int(n_new)

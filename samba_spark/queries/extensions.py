@@ -5559,14 +5559,23 @@ def x_minhash_probe(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-X137_MINHASH_PROBE_SQL = rf"""
+def _minhash_probe_sql(mod: int, exact_rem: int, fuzzy_rem: int) -> str:
+    """The x137 frozen-probe oracle, parameterized by the probe-batch
+    selectors so x158 (append-then-probe) can replay the identical
+    pipeline over its own probe set: exact copies are doc_id%mod==
+    exact_rem (+1M ids), suffix-mutated copies doc_id%mod==fuzzy_rem
+    (+2M ids). The corpus is ALL documents in both queries — x137
+    signatures it in-query, x158 reaches the same union via persisted
+    save(A)+append(B), which is exactly what the shared oracle proves
+    equivalent."""
+    return rf"""
 WITH alldocs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % {mod} = {exact_rem}
   UNION ALL
   SELECT doc_id + 2000000, text || ' probe suffix tokens appended'
-  FROM documents WHERE doc_id % 7 = 3),
+  FROM documents WHERE doc_id % {mod} = {fuzzy_rem}),
 toked AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -5617,6 +5626,44 @@ SELECT doc_id, match_id, n_agree,
        CAST(n_agree AS DOUBLE) / CAST(64.0 AS DOUBLE) AS est_jaccard
 FROM best ORDER BY doc_id
 """
+
+
+X137_MINHASH_PROBE_SQL = _minhash_probe_sql(7, 0, 3)
+
+
+def x_minhash_index_append(spark, sf_dir):
+    """x158: incremental index maintenance — the serving loop's third
+    verb (dedup.append_minhash_index): the frozen index is SAVED on the
+    src!=src0 corpus, the src0 delta is APPENDED (signatured with the
+    persisted layout params, parquet-append of sigs+bands — no
+    rebuild), and the probe batch (exact copies doc_id%5==0, mutated
+    copies doc_id%5==2) runs against the union index FROM DISK. The
+    oracle replays the union corpus in one pass — append-then-probe
+    must be indistinguishable from build-once-then-probe."""
+    import tempfile
+
+    from samba_spark.operators.dedup import (
+        append_minhash_index,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="samba_x158_mh_")
+    save_minhash_index(docs.where(F.col("source") != "src0"), path)
+    append_minhash_index(docs.where(F.col("source") == "src0"), path)
+    d_exact = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d_fuzzy = docs.where(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
+            "text"
+        ),
+    )
+    return probe_minhash_index(
+        spark, path, d_exact.unionByName(d_fuzzy), min_agree=8
+    ).orderBy("doc_id")
 
 
 def x_truncated_rerank(spark, sf_dir):
@@ -6741,6 +6788,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_exact_substring_dedup, X156_EXACT_SUBSTRING_SQL
     ),
     "x157_session_dedup": QuerySpec(x_session_dedup, X157_SESSION_DEDUP_SQL),
+    "x158_minhash_index_append": QuerySpec(
+        x_minhash_index_append, _minhash_probe_sql(5, 0, 2)
+    ),
     "x133_theil_sen": QuerySpec(x_theil_sen, X133_THEIL_SEN_SQL),
     "x135_bpe_apply": QuerySpec(x_bpe_apply, _x135_sql()),
     "x134_int8_ann": QuerySpec(x_int8_ann, X134_INT8_ANN_SQL),

@@ -185,3 +185,54 @@ def test_loaded_kmeans_assign_equals_training_final(spark, sf_smoke, tmp_path):
         .collect()
     )
     assert served == trained
+
+
+def test_minhash_append_matches_oneshot_build(spark, sf_smoke, tmp_path):
+    """save(A) + append(B) must be probe-indistinguishable from
+    save(A ∪ B) — the x158 contract, pinned here at operator level."""
+    from samba_spark.operators.dedup import (
+        append_minhash_index,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    a = docs.where(F.col("source") != "src0")
+    b = docs.where(F.col("source") == "src0")
+    p_inc = str(tmp_path / "inc")
+    p_one = str(tmp_path / "one")
+    save_minhash_index(a, p_inc)
+    n = append_minhash_index(b, p_inc)
+    assert n == b.count()
+    save_minhash_index(docs, p_one)
+    probe = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    r_inc = sorted(
+        probe_minhash_index(spark, p_inc, probe, min_agree=8).collect()
+    )
+    r_one = sorted(
+        probe_minhash_index(spark, p_one, probe, min_agree=8).collect()
+    )
+    assert r_inc == r_one
+    assert len(r_inc) > 0  # exact copies must match their originals
+
+
+def test_minhash_append_idempotent(spark, sf_smoke, tmp_path):
+    """Re-ingesting an overlapping batch appends only the new ids."""
+    from samba_spark.operators.dedup import (
+        append_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    p = str(tmp_path / "idem")
+    save_minhash_index(docs.where(F.col("doc_id") < 50), p)
+    again = append_minhash_index(docs.where(F.col("doc_id") < 50), p)
+    assert again == 0
+    n = append_minhash_index(docs.where(F.col("doc_id") < 60), p)
+    assert n == docs.where(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 60)
+    ).count()
+    sigs = spark.read.parquet(f"{p}/sigs")
+    assert sigs.count() == sigs.select("doc_id").distinct().count()
