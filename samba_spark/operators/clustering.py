@@ -185,12 +185,18 @@ def kmeans_integer(
         embeddings, k, quant, id_col, vec_col, "kmeans_integer"
     )
     centroids = _lloyd_rounds(q, centroids, k, iters)
-    final = _assign(q, centroids)
-    sizes = final.groupBy("cluster").agg(
+    return _with_sizes(_assign(q, centroids))
+
+
+def _with_sizes(assigned: DataFrame) -> DataFrame:
+    # Attach cluster_size via a broadcast of the (metadata-scale) size
+    # table -- the shared output tail of kmeans_integer and the declared
+    # x142 serving query (review finding: the copy had already forked).
+    sizes = assigned.groupBy("cluster").agg(
         F.count("*").alias("cluster_size")
     )
     return (
-        final.join(F.broadcast(sizes), "cluster")
+        assigned.join(F.broadcast(sizes), "cluster")
         .select("vec_id", "cluster", "dist2", "cluster_size")
         .orderBy("vec_id")
     )

@@ -1690,8 +1690,16 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
     n_new = sig.count()
     if n_new == 0:
         return 0
-    sig.write.mode("append").parquet(f"{path}/sigs")
+    # Bands FIRST, sigs LAST: sigs is the idempotence source of truth
+    # (the anti-join above), so a crash between the two appends must
+    # leave the batch LOOKING un-ingested. Orphan band rows from such a
+    # crash are harmless — candidates they generate drop in the probe's
+    # signature-agreement join (no sig row) — and the retry re-appends
+    # them; duplicate candidates collapse in the probe's DISTINCT. The
+    # reverse order would strand sigs-without-bands: silently
+    # unmatchable forever, and the anti-join would block the repair.
     band_keys_from_signatures(
         sig, int(meta["num_hashes"]), int(meta["bands"]), meta["hash_family"]
     ).write.mode("append").parquet(f"{path}/bands")
+    sig.write.mode("append").parquet(f"{path}/sigs")
     return int(n_new)

@@ -275,6 +275,16 @@ def save_ivf_pq_index(
     ]
     if not books:
         raise ValueError("save_ivf_pq_index: codebooks is empty")
+    kc, dsub = len(books[0]), len(books[0][0])
+    for j, b in enumerate(books):
+        # same cross-subspace agreement gate as save_pq_index: a ragged
+        # set would SAVE fine but every load would fail the m x K cell
+        # check — corrupt-on-arrival with no error at save time
+        if len(b) != kc or len(b[0]) != dsub:
+            raise ValueError(
+                f"save_ivf_pq_index: codebooks[{j}] is {len(b)}×{len(b[0])}, "
+                f"codebooks[0] is {kc}×{dsub} — all subspaces must agree"
+            )
     _write_centroids(spark, path, cents)
     _write_codebooks(spark, path, books)
     _write_meta(

@@ -22,7 +22,6 @@ from typing import Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from samba_spark.prov import model
@@ -151,7 +150,11 @@ class ProvStore:
             # and nothing ever completed it). Append a COMPLETED row for
             # the same run instead; table("executions") dedupes per
             # run_id preferring the completed row, so DAO readers see
-            # exactly one row per run either way.
+            # exactly one row per run. NOTE: readers that bypass the DAO
+            # and scan the parquet directory raw (q75's oracle must —
+            # DuckDB has no DAO) will see BOTH rows for a mid-run-flushed
+            # run and must dedupe per run_id themselves; a run with the
+            # normal open→stop lifecycle still writes exactly one row.
             meta = self._open_execs.pop(run_id, None)
             if meta is not None:
                 rows.append((run_id, meta[0], meta[1], end_time))

@@ -176,74 +176,6 @@ _ROTATED_IN = [
     "x90_audio_fp_dedup",
 ]
 
-# Round-8 window (VERDICT r7 items 2/6), kept for the record — came
-# back 50/50 full-green in CORRECTNESS_r08, all entries now in AUX:
-_ROUND8_WINDOW = [
-    # VERDICT r7 item 2: q29/q30's only driver rows are round-1
-    # no_oracle stubs predating their oracle graduation (q29 -> r3
-    # est_ok gate, q30 -> r6 sampling contract) — first full-green rows
-    "q29_approx_count_distinct",
-    "q30_sample_by",
-    # backfill: the ENTIRE remaining round-4-window single-green debt,
-    # in r4 order (codecs, Spark-4 surface, TPC-H completion, r3
-    # sketches, extensions)
-    "x44_png_pixel_pipeline",
-    "x63_avro_roundtrip",
-    "x73_audio_frames",
-    "x74_mp4_boxes",
-    "x70_variant_extract",
-    "x83_python_datasource",
-    "x84_observed_metrics",
-    "x85_arrow_stats",
-    "x86_arrow_cogroup",
-    "q77_recursive_cte",
-    "q79_pipe_sql",
-    "q80_collation",
-    "q81_try_functions",
-    "q82_sql_scripting",
-    "q63_tpch_q4",
-    "q64_tpch_q7",
-    "q65_tpch_q8",
-    "q66_tpch_q12",
-    "q67_tpch_q13",
-    "q68_tpch_q15",
-    "q69_tpch_q17",
-    "q70_tpch_q19",
-    "q71_tpch_q21",
-    "q72_tpch_q22",
-    # round-8 additions (new-before-backfill standing policy; the 19
-    # addition slots displace the 16 newest r4 backfills — x80, x81,
-    # x82, x87, x48, x49, x53, x55, x60, x65, x71, x72, x75, x77,
-    # x79, q75 — to round 9): first the serving-mode wave — PQ ADC top-k
-    # with the deterministic sample quantizer, frozen-index MinHash
-    # probe, pinned linear quality model, two-stage truncated-prefix
-    # rerank, retrieval-quality metrics, composed IVF-PQ
-    "x136_pq_ann",
-    "x137_minhash_probe",
-    "x138_quality_model",
-    "x139_truncated_rerank",
-    "x140_retrieval_metrics",
-    "x141_ivf_pq_ann",
-    # then the curation/analytics wave — integer-exact Lloyd k-means,
-    # segment dedup with reassembly, JL two-stage retrieval, char
-    # entropy gate, Holt trend, power-iteration PCA, n-gram novelty,
-    # span decontamination, clustering metrics, budget apportionment,
-    # reshard planning, quantile normalization, LPA modularity
-    "x142_kmeans",
-    "x143_segment_dedup",
-    "x144_random_projection",
-    "x145_char_entropy",
-    "x146_holt_trend",
-    "x147_pca_power",
-    "x148_ngram_novelty",
-    "x149_decontaminate_spans",
-    "x150_clustering_metrics",
-    "x151_mixture_plan",
-    "x152_reshard_plan",
-    "x153_quantile_normalize",
-    "x154_modularity",
-]
-
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
 
 _FULL = {**DECLARED, **EXTRAS, **EXTENSIONS, **TPCH, **MODERN, **PATTERNS}

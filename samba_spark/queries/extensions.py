@@ -5405,11 +5405,12 @@ def x_index_roundtrip_probe(spark, sf_dir):
     probe is hash-identical to the oracle replaying the same literals;
     any store/loader corruption (row loss, reordering, precision)
     breaks the hash."""
-    import tempfile
+    import shutil
 
     from samba_spark.operators import indexstore as IX
 
-    path = tempfile.mkdtemp(prefix="samba_x155_ivfpq_")
+    path = scratch_dir("x155_ivfpq_index")
+    shutil.rmtree(path, ignore_errors=True)
     IX.save_ivf_pq_index(
         spark, path, X155_CELLS, X155_BOOKS, {"built_for": "x155"}
     )
@@ -5640,7 +5641,7 @@ def x_minhash_index_append(spark, sf_dir):
     copies doc_id%5==2) runs against the union index FROM DISK. The
     oracle replays the union corpus in one pass — append-then-probe
     must be indistinguishable from build-once-then-probe."""
-    import tempfile
+    import shutil
 
     from samba_spark.operators.dedup import (
         append_minhash_index,
@@ -5649,7 +5650,11 @@ def x_minhash_index_append(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="samba_x158_mh_")
+    # fixed gitignored scratch (the q75 pattern), wiped per run: a
+    # mkdtemp per invocation leaked a corpus-scale index copy every
+    # warm/timed/parity execution (review finding)
+    path = scratch_dir("x158_mh_index")
+    shutil.rmtree(path, ignore_errors=True)
     save_minhash_index(docs.where(F.col("source") != "src0"), path)
     append_minhash_index(docs.where(F.col("source") == "src0"), path)
     d_exact = docs.where(F.col("doc_id") % 5 == 0).select(
@@ -6663,18 +6668,10 @@ def x_kmeans(spark, sf_dir):
     family trains ONCE per (sf, params) and serves pinned centroids
     thereafter — the offline/online split the rest of the serving
     stack (ivf centroids=/sq8 scales=/pq codebooks=) already follows."""
-    from samba_spark.operators.clustering import kmeans_assign
+    from samba_spark.operators.clustering import _with_sizes, kmeans_assign
 
     embs = _embs(spark, sf_dir)
-    assigned = kmeans_assign(embs, _kmeans_centroids(spark, sf_dir))
-    sizes = assigned.groupBy("cluster").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return (
-        assigned.join(F.broadcast(sizes), "cluster")
-        .select("vec_id", "cluster", "dist2", "cluster_size")
-        .orderBy("vec_id")
-    )
+    return _with_sizes(kmeans_assign(embs, _kmeans_centroids(spark, sf_dir)))
 
 
 # shared by x142 (assignment output) and x150 (metrics over the same

@@ -104,6 +104,11 @@ def test_validation_rejects_bad_state(spark, tmp_path):
         ix.save_ivf_index(spark, str(tmp_path / "d"), [[float("nan")] * 4])
     with pytest.raises(ValueError, match="quant"):
         ix.save_kmeans_index(spark, str(tmp_path / "e"), KCENTS, quant=0)
+    # ragged codebook set must fail AT SAVE (review finding: it used to
+    # save fine and fail on every subsequent load — corrupt-on-arrival)
+    ragged = [BOOKS[0], BOOKS[1][:3]] + BOOKS[2:]
+    with pytest.raises(ValueError, match="all subspaces must agree"):
+        ix.save_ivf_pq_index(spark, str(tmp_path / "f"), CENTS, ragged)
 
 
 def test_loaded_ivf_probe_equals_inmemory(spark, sf_smoke, tmp_path):
