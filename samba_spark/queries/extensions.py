@@ -7,6 +7,8 @@ but DuckDB has no xxhash64.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -5409,7 +5411,12 @@ def x_index_roundtrip_probe(spark, sf_dir):
 
     from samba_spark.operators import indexstore as IX
 
-    path = scratch_dir("x155_ivfpq_index")
+    # per-PID scratch: a single fixed path wiped at entry races any
+    # CONCURRENT runner (pytest + parity sweep collided on x158's —
+    # FILE_NOT_EXIST mid-probe); the pid suffix keeps the wipe-at-entry
+    # leak bound (one dir per process, reused across calls) without the
+    # cross-process hazard
+    path = scratch_dir(f"x155_ivfpq_index_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     IX.save_ivf_pq_index(
         spark, path, X155_CELLS, X155_BOOKS, {"built_for": "x155"}
@@ -5653,7 +5660,7 @@ def x_minhash_index_append(spark, sf_dir):
     # fixed gitignored scratch (the q75 pattern), wiped per run: a
     # mkdtemp per invocation leaked a corpus-scale index copy every
     # warm/timed/parity execution (review finding)
-    path = scratch_dir("x158_mh_index")
+    path = scratch_dir(f"x158_mh_index_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     save_minhash_index(docs.where(F.col("source") != "src0"), path)
     append_minhash_index(docs.where(F.col("source") == "src0"), path)
