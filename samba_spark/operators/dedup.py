@@ -1590,6 +1590,14 @@ def exact_substring_dedup(
     ANTI of token positions against covered positions, (6) the shared
     reassembly shuffle. Every stage is linear in tokens; nothing is
     pairwise; the only L-factor inflation rides the DUPLICATED subset.
+
+    Plan note (.explain audit): as one lazy plan the corpus parquet is
+    scanned 4× (tokens / windows / totals / the duplicated-set count),
+    each column-pruned to (doc_id, text). At 100 TB a production
+    pipeline materializes the tokenized corpus once (one scan + one
+    write) and feeds all four branches from it — pass the pre-tokenized
+    DataFrame as ``corpus`` with ``text_col`` pointing at a
+    space-joined token column and the operator composes unchanged.
     """
     if min_tokens < 1:
         raise ValueError(
