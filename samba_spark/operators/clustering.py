@@ -185,10 +185,10 @@ def kmeans_integer(
         embeddings, k, quant, id_col, vec_col, "kmeans_integer"
     )
     centroids = _lloyd_rounds(q, centroids, k, iters)
-    return _with_sizes(_assign(q, centroids))
+    return with_cluster_sizes(_assign(q, centroids))
 
 
-def _with_sizes(assigned: DataFrame) -> DataFrame:
+def with_cluster_sizes(assigned: DataFrame) -> DataFrame:
     # Attach cluster_size via a broadcast of the (metadata-scale) size
     # table -- the shared output tail of kmeans_integer and the declared
     # x142 serving query (review finding: the copy had already forked).

@@ -1690,24 +1690,44 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
     one-shot build (asserted by the x158 oracle, which replays the
     union corpus in one pass)."""
     spark = documents.sparkSession
-    _bands_df, sigs_df, meta = load_minhash_index(spark, path)
-    fresh = documents.join(sigs_df.select("doc_id"), "doc_id", "left_anti")
+    # meta + the two ID columns only — loading the full bands DataFrame
+    # here (review finding) paid a corpus-scale dataset listing per
+    # append just to discard it; both scans below are column-pruned to
+    # doc_id.
+    meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"append_minhash_index: expected exactly 1 meta row at "
+            f"{path}/meta, found {len(meta_rows)}"
+        )
+    meta = meta_rows[0].asDict()
+    sig_ids = spark.read.parquet(f"{path}/sigs").select("doc_id")
+    fresh = documents.join(sig_ids, "doc_id", "left_anti")
     sig = minhash_signatures(
         fresh, int(meta["n"]), int(meta["num_hashes"]), meta["hash_family"]
     ).localCheckpoint()
     n_new = sig.count()
     if n_new == 0:
         return 0
-    # Bands FIRST, sigs LAST: sigs is the idempotence source of truth
-    # (the anti-join above), so a crash between the two appends must
-    # leave the batch LOOKING un-ingested. Orphan band rows from such a
-    # crash are harmless — candidates they generate drop in the probe's
-    # signature-agreement join (no sig row) — and the retry re-appends
-    # them; duplicate candidates collapse in the probe's DISTINCT. The
-    # reverse order would strand sigs-without-bands: silently
-    # unmatchable forever, and the anti-join would block the repair.
-    band_keys_from_signatures(
+    # Crash-safety protocol — bands FIRST, sigs LAST, band append
+    # itself idempotent:
+    # * sigs is the batch-commit marker (the idempotence anti-join
+    #   above), so a crash between the appends leaves the batch
+    #   LOOKING un-ingested and the retry repairs it.
+    # * the retry must NOT re-append band rows for docs whose (fully
+    #   deterministic, hence complete) band rows survived the crash:
+    #   duplicate rows would inflate _cap_buckets counts and silently
+    #   drop legitimate buckets near the max_bucket cap (review
+    #   finding — the probe's DISTINCT collapses candidates, not cap
+    #   counts). The doc_id-pruned anti-join below keeps only docs
+    #   with no band rows at all.
+    # * the reverse order (sigs first) would strand sigs-without-bands:
+    #   silently unmatchable forever, with the anti-join blocking the
+    #   repair.
+    band_ids = spark.read.parquet(f"{path}/bands").select("doc_id").distinct()
+    delta_bands = band_keys_from_signatures(
         sig, int(meta["num_hashes"]), int(meta["bands"]), meta["hash_family"]
-    ).write.mode("append").parquet(f"{path}/bands")
+    ).join(band_ids, "doc_id", "left_anti")
+    delta_bands.write.mode("append").parquet(f"{path}/bands")
     sig.write.mode("append").parquet(f"{path}/sigs")
     return int(n_new)

@@ -105,6 +105,28 @@ def _check_matrix(name: str, op: str, mat) -> list[list[float]]:
     return out
 
 
+def _check_codebooks(op: str, codebooks):
+    """Validated codebooks + (K, dsub): per-book matrix checks plus the
+    cross-subspace agreement gate — a ragged set would SAVE fine but
+    every load would fail the m x K cell check, corrupt-on-arrival with
+    no error at save time. Shared by save_pq_index and
+    save_ivf_pq_index (review finding: the gate had forked)."""
+    books = [
+        _check_matrix(f"codebooks[{j}]", op, b)
+        for j, b in enumerate(codebooks)
+    ]
+    if not books:
+        raise ValueError(f"{op}: codebooks is empty")
+    kc, dsub = len(books[0]), len(books[0][0])
+    for j, b in enumerate(books):
+        if len(b) != kc or len(b[0]) != dsub:
+            raise ValueError(
+                f"{op}: codebooks[{j}] is {len(b)}×{len(b[0])}, "
+                f"codebooks[0] is {kc}×{dsub} — all subspaces must agree"
+            )
+    return books, kc, dsub
+
+
 def _write_centroids(spark, path: str, centroids: list[list[float]]) -> None:
     tiny_df(
         spark,
@@ -226,20 +248,7 @@ def load_sq8_index(spark, path: str):
 def save_pq_index(spark, path: str, codebooks, params: dict | None = None):
     """Persist PQ codebooks (the ``pq_topk(codebooks=)`` state:
     ``codebooks[subspace][code] = centroid subvector``)."""
-    books = [
-        _check_matrix(f"codebooks[{j}]", "save_pq_index", b)
-        for j, b in enumerate(codebooks)
-    ]
-    if not books:
-        raise ValueError("save_pq_index: codebooks is empty")
-    kc = len(books[0])
-    dsub = len(books[0][0])
-    for j, b in enumerate(books):
-        if len(b) != kc or len(b[0]) != dsub:
-            raise ValueError(
-                f"save_pq_index: codebooks[{j}] is {len(b)}×{len(b[0])}, "
-                f"codebooks[0] is {kc}×{dsub} — all subspaces must agree"
-            )
+    books, kc, dsub = _check_codebooks("save_pq_index", codebooks)
     _write_codebooks(spark, path, books)
     _write_meta(
         spark,
@@ -269,22 +278,7 @@ def save_ivf_pq_index(
     shipping the two halves separately invites serving with a coarse
     quantizer trained against different codebooks."""
     cents = _check_matrix("cell_centroids", "save_ivf_pq_index", cell_centroids)
-    books = [
-        _check_matrix(f"codebooks[{j}]", "save_ivf_pq_index", b)
-        for j, b in enumerate(codebooks)
-    ]
-    if not books:
-        raise ValueError("save_ivf_pq_index: codebooks is empty")
-    kc, dsub = len(books[0]), len(books[0][0])
-    for j, b in enumerate(books):
-        # same cross-subspace agreement gate as save_pq_index: a ragged
-        # set would SAVE fine but every load would fail the m x K cell
-        # check — corrupt-on-arrival with no error at save time
-        if len(b) != kc or len(b[0]) != dsub:
-            raise ValueError(
-                f"save_ivf_pq_index: codebooks[{j}] is {len(b)}×{len(b[0])}, "
-                f"codebooks[0] is {kc}×{dsub} — all subspaces must agree"
-            )
+    books, kc, dsub = _check_codebooks("save_ivf_pq_index", codebooks)
     _write_centroids(spark, path, cents)
     _write_codebooks(spark, path, books)
     _write_meta(
@@ -295,8 +289,8 @@ def save_ivf_pq_index(
             "n_cells": len(cents),
             "dim": len(cents[0]),
             "m": len(books),
-            "n_centroids": len(books[0]),
-            "dsub": len(books[0][0]),
+            "n_centroids": kc,
+            "dsub": dsub,
             **(params or {}),
         },
     )

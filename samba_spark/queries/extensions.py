@@ -20,6 +20,27 @@ from samba_spark.queries.declared import QuerySpec, scratch_dir
 from samba_spark.sources.tables import load_tables
 
 
+def _pid_scratch(name: str) -> str:
+    """Per-PID wiped scratch dir with atexit removal. A single fixed
+    path wiped at entry races any concurrent runner (pytest + the
+    parity sweep collided mid-probe); a bare per-PID path leaks one
+    corpus-scale index copy per process into .scaling/ (second review
+    finding). PID suffix isolates live processes; the atexit hook
+    bounds the leak to hard-killed processes."""
+    import atexit
+    import shutil
+
+    path = scratch_dir(f"{name}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    if path not in _SCRATCH_CLEANUP:
+        _SCRATCH_CLEANUP.add(path)
+        atexit.register(shutil.rmtree, path, True)
+    return path
+
+
+_SCRATCH_CLEANUP: "set[str]" = set()
+
+
 def _docs(spark, sf_dir) -> DataFrame:
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
@@ -5407,17 +5428,9 @@ def x_index_roundtrip_probe(spark, sf_dir):
     probe is hash-identical to the oracle replaying the same literals;
     any store/loader corruption (row loss, reordering, precision)
     breaks the hash."""
-    import shutil
-
     from samba_spark.operators import indexstore as IX
 
-    # per-PID scratch: a single fixed path wiped at entry races any
-    # CONCURRENT runner (pytest + parity sweep collided on x158's —
-    # FILE_NOT_EXIST mid-probe); the pid suffix keeps the wipe-at-entry
-    # leak bound (one dir per process, reused across calls) without the
-    # cross-process hazard
-    path = scratch_dir(f"x155_ivfpq_index_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _pid_scratch("x155_ivfpq_index")
     IX.save_ivf_pq_index(
         spark, path, X155_CELLS, X155_BOOKS, {"built_for": "x155"}
     )
@@ -5648,8 +5661,6 @@ def x_minhash_index_append(spark, sf_dir):
     copies doc_id%5==2) runs against the union index FROM DISK. The
     oracle replays the union corpus in one pass — append-then-probe
     must be indistinguishable from build-once-then-probe."""
-    import shutil
-
     from samba_spark.operators.dedup import (
         append_minhash_index,
         probe_minhash_index,
@@ -5657,11 +5668,7 @@ def x_minhash_index_append(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    # fixed gitignored scratch (the q75 pattern), wiped per run: a
-    # mkdtemp per invocation leaked a corpus-scale index copy every
-    # warm/timed/parity execution (review finding)
-    path = scratch_dir(f"x158_mh_index_{os.getpid()}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _pid_scratch("x158_mh_index")
     save_minhash_index(docs.where(F.col("source") != "src0"), path)
     append_minhash_index(docs.where(F.col("source") == "src0"), path)
     d_exact = docs.where(F.col("doc_id") % 5 == 0).select(
@@ -6675,10 +6682,15 @@ def x_kmeans(spark, sf_dir):
     family trains ONCE per (sf, params) and serves pinned centroids
     thereafter — the offline/online split the rest of the serving
     stack (ivf centroids=/sq8 scales=/pq codebooks=) already follows."""
-    from samba_spark.operators.clustering import _with_sizes, kmeans_assign
+    from samba_spark.operators.clustering import (
+        kmeans_assign,
+        with_cluster_sizes,
+    )
 
     embs = _embs(spark, sf_dir)
-    return _with_sizes(kmeans_assign(embs, _kmeans_centroids(spark, sf_dir)))
+    return with_cluster_sizes(
+        kmeans_assign(embs, _kmeans_centroids(spark, sf_dir))
+    )
 
 
 # shared by x142 (assignment output) and x150 (metrics over the same
