@@ -66,11 +66,12 @@ policy: new queries before backfill, and these need not wait a round.
 Round-9 rotation (VERDICT r8 item 4): the round-8 window came back
 50/50 full-green (third consecutive all-green window), so all 45
 rotated-in entries moved to ``AUX_QUERIES``. The freed slots hold the
-4 round-9 additions (x155 loaded-index IVF-PQ probe, x156 ExactSubstr
-dedup, x157 session-trajectory dedup, x158 persisted-index append),
-the 16 r4-window backfills the r8 additions displaced, and the 25
-oldest round-5-window single-green rows — bringing the single-green
-backlog to ~100 (the r8 item-4 target).
+5 round-9 additions (x155 loaded-index IVF-PQ probe, x156 ExactSubstr
+dedup, x157 session-trajectory dedup, x158 persisted-index append,
+x159 streaming admission), the 16 r4-window backfills the r8 additions
+displaced, and the 24 oldest round-5-window single-green rows —
+single-green backlog ~101 after this window (the r8 item-4 target was
+<= 100; the one-over is the price of five day-one-oracled additions).
 Remaining backfill debt after r7: the rest of the round-4 window (x44,
 x63, x73, x74, x70, x83–x86, q77, q79–q82, TPC-H q63–q72, sketches x80–x82/x87,
 extensions x48/x49/x53/x55/x60/x65/x71/x72/x75/x77/x79, q75), then
@@ -115,14 +116,14 @@ _SENTINELS = [
 
 # Round-9 rotation (VERDICT r8 item 4; the round-8 window came back
 # 50/50 full-green — third consecutive all-green window — so all 45
-# rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 4
+# rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 5
 # round-9 additions first (standing new-before-backfill policy — x155
 # loaded-index probe, x156 ExactSubstr dedup, x157 session dedup, x158
-# persisted-index append),
+# persisted-index append, x159 streaming admission),
 # then the 16 r4-window backfills the r8 additions displaced, then the
-# 25 oldest round-5-window single-green rows in r5 order (the 22 r2/r3
-# residuals incl. q74/q76, then the first 3 of the round-5 high-risk
-# block x88-x90). Single-green backlog after this window: ~100 (the r8
+# 24 oldest round-5-window single-green rows in r5 order (the 22 r2/r3
+# residuals incl. q74/q76, then the first 2 of the round-5 high-risk
+# block x88-x89). Single-green backlog after this window: ~100 (the r8
 # item-4 target); the remaining round-5-window and
 # round-6-window rows queue for rounds 10-11.
 _ROTATED_IN = [
@@ -131,6 +132,7 @@ _ROTATED_IN = [
     "x156_exact_substring_dedup",
     "x157_session_dedup",
     "x158_minhash_index_append",
+    "x159_streaming_admission",
     # the 16 round-4-window backfills displaced by the r8 additions
     "x80_hll_rollup",
     "x81_approx_topk",
@@ -173,7 +175,6 @@ _ROTATED_IN = [
     "q76_unpivot",
     "x88_semantic_prune",
     "x89_phash_dedup",
-    "x90_audio_fp_dedup",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

@@ -6972,3 +6972,178 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x68_brand_cooccurrence": QuerySpec(x_cooccurrence, X_COOCCURRENCE_SQL),
     "x69_gap_fill": QuerySpec(x_gap_fill, X_GAP_FILL_SQL),
 }
+
+
+def x_streaming_admission(spark, sf_dir):
+    """x159: streaming admission-controlled ingestion
+    (streaming/ops.run_admission_stream) — the x137/x158 serving loop
+    as a stream. Base index = src0; three micro-batches (one file per
+    trigger, mtime-ordered): batch0 = src1 + exact copies of src0
+    (doc_id%4==0, +1M ids), batch1 = src2 + exact copies of SRC1
+    (doc_id%4==1, +2M ids), batch2 = src3 + suffix-mutated copies of
+    SRC2 (doc_id%4==2, +3M ids). The cross-BATCH copies are the
+    incremental proof: they reject only because the earlier batch's
+    admissions were appended to the index between triggers. The oracle
+    unrolls the three probe-admit-append stages over the same md5
+    signature pipeline."""
+    import os
+
+    from samba_spark.operators.dedup import save_minhash_index
+    from samba_spark.streaming.ops import run_admission_stream
+
+    docs = _docs(spark, sf_dir).localCheckpoint()
+    work = _pid_scratch("x159_admission")
+    batches_dir = os.path.join(work, "batches")
+    os.makedirs(batches_dir, exist_ok=True)
+    index_path = os.path.join(work, "index")
+    save_minhash_index(docs.where(F.col("source") == "src0"), index_path)
+
+    def copies(src, rem, offset, mutate=False):
+        base = docs.where(
+            (F.col("source") == src) & (F.col("doc_id") % 4 == rem)
+        )
+        text = (
+            F.concat(F.col("text"), F.lit(" probe suffix tokens appended"))
+            if mutate
+            else F.col("text")
+        )
+        return base.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.col("source"),
+            text.alias("text"),
+        )
+
+    batches = [
+        docs.where(F.col("source") == "src1")
+        .select("doc_id", "source", "text")
+        .unionByName(copies("src0", 0, 1_000_000)),
+        docs.where(F.col("source") == "src2")
+        .select("doc_id", "source", "text")
+        .unionByName(copies("src1", 1, 2_000_000)),
+        docs.where(F.col("source") == "src3")
+        .select("doc_id", "source", "text")
+        .unionByName(copies("src2", 2, 3_000_000, mutate=True)),
+    ]
+    for k, bdf in enumerate(batches):
+        tmp = os.path.join(work, f"stage_{k}")
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(batches_dir, f"batch_{k}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        # ascending mtimes pin the micro-batch order (the FileStream
+        # source orders by modification time) — batch order IS the
+        # admission semantics
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    log = run_admission_stream(
+        spark, batches_dir, index_path, os.path.join(work, "logs")
+    )
+    return log.orderBy("doc_id")
+
+
+def _x159_sql() -> str:
+    """Three probe-admit-append stages unrolled over the shared md5
+    signature pipeline (the x137/x158 oracle machinery): idx_{k+1} =
+    idx_k UNION admitted_k, caps re-evaluated per stage over the grown
+    index — exactly what probing the appended parquet store sees."""
+    head = rf"""
+WITH alldocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE source = 'src0' AND doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents
+  WHERE source = 'src1' AND doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 3000000, text || ' probe suffix tokens appended'
+  FROM documents WHERE source = 'src2' AND doc_id % 4 = 2),
+toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS toks
+  FROM alldocs),
+sh AS (
+  SELECT doc_id, array_to_string(toks[i+1 : i+3], ' ') AS shingle
+  FROM toked, UNNEST(range(0, greatest(len(toks)-3, 0) + 1)) AS u(i)),
+base AS (
+  SELECT doc_id, shingle,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h0
+  FROM sh),
+hj AS (
+  SELECT doc_id, j,
+         MIN((({_A})[j+1] * h0 + ({_B})[j+1]) % {D.MINHASH_P}) AS hj
+  FROM base, UNNEST(range(0, 64)) AS r(j)
+  GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id, list(hj ORDER BY j) AS sig FROM hj GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id, b,
+         md5(array_to_string(
+               list_transform(sig[b*4+1 : b*4+4], x -> x::VARCHAR),
+               ',')) AS band_hash
+  FROM sig, UNNEST(range(0, 16)) AS rb(b)),
+batch0 AS (
+  SELECT doc_id FROM documents WHERE source = 'src1'
+  UNION ALL
+  SELECT doc_id + 1000000 FROM documents
+  WHERE source = 'src0' AND doc_id % 4 = 0),
+batch1 AS (
+  SELECT doc_id FROM documents WHERE source = 'src2'
+  UNION ALL
+  SELECT doc_id + 2000000 FROM documents
+  WHERE source = 'src1' AND doc_id % 4 = 1),
+batch2 AS (
+  SELECT doc_id FROM documents WHERE source = 'src3'
+  UNION ALL
+  SELECT doc_id + 3000000 FROM documents
+  WHERE source = 'src2' AND doc_id % 4 = 2),
+idx0 AS (SELECT doc_id FROM documents WHERE source = 'src0')"""
+    stages = []
+    for k in range(3):
+        stages.append(f""",
+bounded{k} AS (
+  SELECT bk.doc_id, bk.b, bk.band_hash
+  FROM bandkeys bk JOIN idx{k} USING (doc_id)
+  QUALIFY COUNT(*) OVER (PARTITION BY bk.b, bk.band_hash) <= 1000),
+cand{k} AS (
+  SELECT DISTINCT d.doc_id, i.doc_id AS match_id
+  FROM bandkeys d
+  JOIN batch{k} USING (doc_id)
+  JOIN bounded{k} i ON d.b = i.b AND d.band_hash = i.band_hash),
+agree{k} AS (
+  SELECT c.doc_id, c.match_id,
+         len(list_filter(list_zip(ds.sig, ms.sig),
+                         p -> p[1] = p[2]))::BIGINT AS n_agree
+  FROM cand{k} c
+  JOIN sig ds ON ds.doc_id = c.doc_id
+  JOIN sig ms ON ms.doc_id = c.match_id),
+best{k} AS (
+  SELECT doc_id, match_id, n_agree
+  FROM agree{k} WHERE n_agree >= 8
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY n_agree DESC, match_id) = 1),
+log{k} AS (
+  SELECT bt.doc_id, b.match_id IS NULL AS admitted,
+         b.match_id, b.n_agree,
+         CAST(b.n_agree AS DOUBLE) / CAST(64.0 AS DOUBLE) AS est_jaccard
+  FROM batch{k} bt LEFT JOIN best{k} b USING (doc_id)),
+idx{k + 1} AS (
+  SELECT doc_id FROM idx{k}
+  UNION ALL
+  SELECT doc_id FROM log{k} WHERE admitted)""")
+    tail = """
+SELECT doc_id, admitted, match_id, n_agree, est_jaccard
+FROM (SELECT * FROM log0 UNION ALL SELECT * FROM log1
+      UNION ALL SELECT * FROM log2)
+ORDER BY doc_id
+"""
+    return head + "".join(stages) + tail
+
+
+# x159 is defined below the EXTENSIONS literal (appended with the
+# round-9 streaming wave); register it here at module tail.
+EXTENSIONS["x159_streaming_admission"] = QuerySpec(
+    x_streaming_admission, _x159_sql()
+)

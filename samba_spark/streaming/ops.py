@@ -740,3 +740,84 @@ def state_partitioning(spark, n: int):
         yield
     finally:
         spark.conf.set(key, old)
+
+
+def run_admission_stream(
+    spark,
+    batches_dir: str,
+    index_path: str,
+    work_dir: str,
+    *,
+    min_agree: int = 8,
+    max_bucket: int = 1000,
+):
+    """Streaming admission-controlled ingestion — the x137/x158 serving
+    loop run as a STREAM (the production shape: new documents arrive in
+    micro-batches; each batch is probed against the persisted MinHash
+    index, novelties are admitted and APPENDED so the NEXT batch probes
+    the grown index). One parquet file per micro-batch
+    (maxFilesPerTrigger=1, availableNow replay — the q73 CDC pattern),
+    foreachBatch body = probe → anti-join → append:
+
+    * rejected: batch docs whose best index match reaches ``min_agree``
+      of 64 signature positions (dedup.probe_minhash_index);
+    * admitted: the rest, appended via dedup.append_minhash_index
+      (delta-only signatures, crash-safe bands-first protocol) —
+      bounded per-batch work, no rebuild, exactly like a 100 TB
+      ingestion window.
+
+    Batch ORDER is semantics: a doc duplicated across two batches is
+    admitted in the earlier and rejected in the later. File order
+    follows the source's (modification-time, path) order — the caller
+    controls it by writing batch files with ascending mtimes (the
+    declared x159 query sets them explicitly).
+
+    Returns the admission log: one row per streamed doc —
+    (doc_id, admitted, match_id, n_agree, est_jaccard), read back from
+    the per-batch log parquets under ``work_dir`` (crash-inspectable,
+    like run_cdc_snapshot's versioned snapshots).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from samba_spark.operators.dedup import (
+        append_minhash_index,
+        probe_minhash_index,
+    )
+
+    schema = spark.read.parquet(batches_dir).schema
+    state = {"logs": []}
+
+    def _sink(batch_df, batch_id):
+        b = batch_df.select("doc_id", "text").localCheckpoint()
+        matched = probe_minhash_index(
+            spark, index_path, b, min_agree=min_agree, max_bucket=max_bucket
+        ).localCheckpoint()
+        admitted = b.join(matched.select("doc_id"), "doc_id", "left_anti")
+        append_minhash_index(admitted, index_path)
+        log = (
+            b.select("doc_id")
+            .join(matched, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("match_id").isNull().alias("admitted"),
+                "match_id",
+                "n_agree",
+                "est_jaccard",
+            )
+        )
+        out = os.path.join(work_dir, f"log_{batch_id}")
+        log.write.mode("overwrite").parquet(out)
+        state["logs"].append(out)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batches_dir)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(*state["logs"])

@@ -75,5 +75,5 @@ def test_contract_window_invariant():
     }
     assert sentinels <= in_window
     # round-9 additions + the displaced r4 backfills' leading block
-    for x in ("x155", "x156", "x157", "x158", "x80", "x87", "q75", "x45", "x90"):
+    for x in ("x155", "x156", "x157", "x158", "x159", "x80", "x87", "q75", "x45", "x89"):
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -241,3 +241,42 @@ def test_minhash_append_idempotent(spark, sf_smoke, tmp_path):
     ).count()
     sigs = spark.read.parquet(f"{p}/sigs")
     assert sigs.count() == sigs.select("doc_id").distinct().count()
+
+
+def test_admission_stream_incremental(spark, sf_smoke, tmp_path):
+    """The x159 contract at operator level: a doc duplicated across two
+    micro-batches is admitted in the earlier batch and rejected in the
+    later one — possible only if admissions were APPENDED to the index
+    between triggers."""
+    import os
+
+    from samba_spark.operators.dedup import save_minhash_index
+    from samba_spark.streaming.ops import run_admission_stream
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    index_path = str(tmp_path / "idx")
+    save_minhash_index(docs.where(F.col("source") == "src0"), index_path)
+    batches_dir = str(tmp_path / "batches")
+    os.makedirs(batches_dir)
+    b0 = docs.where(F.col("source") == "src1").select("doc_id", "text")
+    b1 = b0.select((F.col("doc_id") + 900000).alias("doc_id"), "text")
+    for k, bdf in enumerate([b0, b1]):
+        tmp = str(tmp_path / f"stage_{k}")
+        bdf.coalesce(1).write.parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(batches_dir, f"batch_{k}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    log = run_admission_stream(
+        spark, batches_dir, index_path, str(tmp_path / "logs")
+    )
+    rows = {r["doc_id"]: r for r in log.collect()}
+    n_src1 = b0.count()
+    assert len(rows) == 2 * n_src1
+    for r in log.where(F.col("doc_id") >= 900000).collect():
+        # every batch-1 doc copies a batch-0 doc: must reject against it
+        assert r["admitted"] is False
+        assert r["match_id"] == r["doc_id"] - 900000
+        assert r["n_agree"] == 64
