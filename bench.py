@@ -26,7 +26,23 @@ isolated probes):
   auto-name bench_full_r{N}[_sf*][_runK].json REFUSES to overwrite an
   existing file (appends _runK) — a degraded late-session run can no
   longer clobber the round's canonical artifact (VERDICT r8
-  what's-wrong #1).
+  what's-wrong #1). ``--out`` itself also refuses an existing file
+  unless ``--force`` is given (ADVICE r9: --out bypassed the
+  no-clobber guard entirely).
+
+Machine-state preflight (VERDICT r9 item 1): before the timed pass,
+the suite runs a SENTINEL probe — warm median-of-3 of x3 (the dedup
+perf canary) — and compares it against the pinned clean-state value
+in ``SENTINEL_PINNED_SEC`` (source: BASELINE.md, canonical r9 warm
+artifacts; x3 read 3.6-4.1 s across four clean-state runs and
+7.2-7.6 s in the degraded late-session state). A ratio above
+``SENTINEL_MAX_RATIO`` tags the artifact ``machine_state:"degraded"``
+(always recorded either way, with the measured numbers) and, under
+``--strict-preflight``, refuses to run — so a
+canonical-vs-driver disparity is self-diagnosing in the artifact
+instead of re-litigated every round. Only applies at sf0.1 (the pin's
+scale); ``--skip-preflight`` disables it.
+
 
 The artifact always records ``order_mode``/``order_seed``/
 ``suite_order`` (execution order) so any per-query comparison across
@@ -50,6 +66,38 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Pinned clean-state warm median of the sentinel probe (x3) at sf0.1,
+# local[32]: canonical r9 artifacts read 3.617 (declared), 4.098 /
+# 3.869 (two seeded shuffles), 4.2 (fresh-process isolated) — pin 3.9.
+# The degraded late-session state reads 7.2-7.6 s, so a 1.3× gate
+# (5.07 s) separates the two populations with margin on both sides.
+SENTINEL_QUERY = "x3_minhash_lsh_dedup"
+SENTINEL_PINNED_SEC = 3.9
+SENTINEL_MAX_RATIO = 1.3
+
+
+def run_preflight(spark, sf_dir: str, all_queries) -> dict:
+    """Warm median-of-3 sentinel probe → machine-state verdict dict."""
+    fn = all_queries[SENTINEL_QUERY].fn
+    force(fn(spark, sf_dir))  # untimed: absorb codegen/caches
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        samples.append(time.perf_counter() - t0)
+    med = sorted(samples)[1]
+    ratio = med / SENTINEL_PINNED_SEC
+    return {
+        "sentinel": SENTINEL_QUERY,
+        "pinned_sec": SENTINEL_PINNED_SEC,
+        "measured_sec": round(med, 3),
+        "samples": [round(s, 3) for s in samples],
+        "ratio": round(ratio, 3),
+        "max_ratio": SENTINEL_MAX_RATIO,
+        "machine_state": "degraded" if ratio > SENTINEL_MAX_RATIO else "ok",
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
@@ -69,6 +117,19 @@ def main() -> None:
         "--skip-overhead", action="store_true",
         help="skip the prov/element overhead probes (subset/shuffle runs "
         "re-measure query time only)",
+    )
+    ap.add_argument(
+        "--force", action="store_true",
+        help="allow --out to overwrite an existing artifact",
+    )
+    ap.add_argument(
+        "--skip-preflight", action="store_true",
+        help="skip the machine-state sentinel probe",
+    )
+    ap.add_argument(
+        "--strict-preflight", action="store_true",
+        help="refuse to run (exit 3) when the sentinel probe reads "
+        "degraded, instead of tagging the artifact",
     )
     ap.add_argument(
         "--cold", action="store_true",
@@ -102,6 +163,29 @@ def main() -> None:
     for warm_q in ("q1_scan_count", "q31_stream_tumbling", "x6_text_stats"):
         if warm_q in ALL_QUERIES:
             force(ALL_QUERIES[warm_q].fn(spark, sf_dir))
+
+    # machine-state preflight (VERDICT r9 item 1): only at sf0.1 (the
+    # pin's scale) and only when the sentinel is in the suite
+    preflight = None
+    if (
+        not args.skip_preflight
+        and sf == 0.1
+        and SENTINEL_QUERY in ALL_QUERIES
+        and (not args.only or SENTINEL_QUERY in (args.only or ""))
+    ):
+        preflight = run_preflight(spark, sf_dir, ALL_QUERIES)
+        print(
+            f"preflight: {json.dumps(preflight, separators=(',', ':'))}",
+            file=sys.stderr,
+        )
+        if preflight["machine_state"] == "degraded" and args.strict_preflight:
+            print(
+                json.dumps(
+                    {"error": "preflight_degraded", "preflight": preflight},
+                    separators=(",", ":"),
+                )
+            )
+            raise SystemExit(3)
 
     # Sub-2 s queries are re-run and reported as the MEDIAN of 3 samples:
     # at that duration single-shot VM scheduling noise is ±0.3-0.5 s, which
@@ -175,6 +259,8 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
         "warmth": "cold" if args.cold else "warm",
+        "preflight": preflight,
+        "machine_state": preflight["machine_state"] if preflight else None,
         "order_mode": args.order,
         "order_seed": args.seed if args.order == "seeded-shuffle" else None,
         "suite_order": names,
@@ -213,6 +299,13 @@ def main() -> None:
     suffix = "" if sf == 0.1 else f"_sf{sf}"
     if args.out:
         full_name = args.out
+        if os.path.exists(os.path.join(here, full_name)) and not args.force:
+            # ADVICE r9: --out used to bypass the no-clobber guard —
+            # overwriting the canonical artifact is now a deliberate
+            # --force, never a side effect
+            raise SystemExit(
+                f"--out {full_name} exists; pass --force to overwrite"
+            )
     else:
         full_name = f"bench_full_r{n:02d}{suffix}.json"
         # NEVER overwrite an existing artifact (VERDICT r8 what's-wrong

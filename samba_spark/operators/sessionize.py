@@ -1161,8 +1161,14 @@ def session_dedup(
 
     Exactness: the trajectory fold sorts (ts, event_id, type) structs —
     a total order even under duplicate timestamps — and the signature
-    is md5 over the '|'-joined sequence; election is a deterministic
-    (user_id, session_id) ROW_NUMBER. Engine-exact end to end.
+    is md5 over the '|'-joined sequence of PER-ELEMENT md5 hashes:
+    hashing each event_type first makes the join injective (every
+    joined element is fixed-width hex, which never contains '|'), so
+    an event_type containing the separator cannot collide two distinct
+    trajectories (ADVICE r9: ["a|b"] vs ["a","b"] collided under the
+    raw join, and the oracle shared the flaw). Election is a
+    deterministic (user_id, session_id) ROW_NUMBER. Engine-exact end
+    to end.
 
     Scale posture: sessionize's user-hash exchange carries the
     trajectory fold (groupBy keys ⊇ window partition key — no second
@@ -1184,7 +1190,10 @@ def session_dedup(
                             F.struct(ts_col, id_col, type_col)
                         )
                     ),
-                    lambda r: r[type_col],
+                    # per-element md5 BEFORE the join: fixed-width hex
+                    # never contains the separator, so the join is
+                    # injective even when event_type contains '|'
+                    lambda r: F.md5(r[type_col]),
                 ),
                 "|",
             )

@@ -6632,7 +6632,7 @@ s AS (
 per AS (
   SELECT user_id, session_id, MIN(ts) AS s_start,
          COUNT(*)::BIGINT AS n_events,
-         md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS sig
+         md5(string_agg(md5(event_type), '|' ORDER BY ts, event_id)) AS sig
   FROM s GROUP BY user_id, session_id),
 fin AS (
   SELECT user_id, session_id, s_start, n_events, sig,

@@ -401,8 +401,21 @@ def q75_run_diff(spark, sf_dir):
     v2.stop()
 
     tasks = spark.read.parquet(f"{Q75_PROV_DIR}/tasks")
-    execs = spark.read.parquet(f"{Q75_PROV_DIR}/executions").select(
-        "run_id", F.col("name").alias("run_name")
+    # one row per run, preferring the completed (non-null end_time) row:
+    # this query reads the parquet store raw (the oracle must see the
+    # same bytes), which bypasses ProvStore.table()'s per-run dedup — a
+    # mid-run flush writes an open row AND a completed row for the same
+    # run_id, and without this both engines would double-count every
+    # task identically, keeping parity green while the numbers are
+    # wrong (ADVICE r9). The oracle applies the same QUALIFY.
+    from pyspark.sql import Window as _W
+
+    _w75 = _W.partitionBy("run_id").orderBy(F.col("end_time").desc_nulls_last())
+    execs = (
+        spark.read.parquet(f"{Q75_PROV_DIR}/executions")
+        .withColumn("_rn", F.row_number().over(_w75))
+        .where(F.col("_rn") == 1)
+        .select("run_id", F.col("name").alias("run_name"))
     )
     per = (
         tasks.join(execs, "run_id")
@@ -429,7 +442,10 @@ WITH t AS (
   SELECT run_id, transformation_type
   FROM read_parquet('{Q75_PROV_DIR}/tasks/*.parquet')),
 e AS (
-  SELECT run_id, name FROM read_parquet('{Q75_PROV_DIR}/executions/*.parquet'))
+  SELECT run_id, name
+  FROM read_parquet('{Q75_PROV_DIR}/executions/*.parquet')
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY run_id
+                             ORDER BY (end_time IS NULL), end_time DESC) = 1)
 SELECT transformation_type,
        SUM(CASE WHEN name = 'v1' THEN 1 ELSE 0 END)::BIGINT AS n_v1,
        SUM(CASE WHEN name = 'v2' THEN 1 ELSE 0 END)::BIGINT AS n_v2,

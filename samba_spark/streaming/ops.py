@@ -786,7 +786,16 @@ def run_admission_stream(
         probe_minhash_index,
     )
 
-    schema = spark.read.parquet(batches_dir).schema
+    _EMPTY_LOG_SCHEMA = (
+        "doc_id long, admitted boolean, match_id long, "
+        "n_agree long, est_jaccard double"
+    )
+    try:
+        schema = spark.read.parquet(batches_dir).schema
+    except Exception:
+        # an empty/absent batches_dir cannot even be schema-inferred;
+        # an empty stream is an empty admission log (ADVICE r9)
+        return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
     state = {"logs": []}
 
     def _sink(batch_df, batch_id):
@@ -820,4 +829,9 @@ def run_admission_stream(
         .start()
     )
     q.awaitTermination()
+    if not state["logs"]:
+        # availableNow with zero matching files fires no batches;
+        # spark.read.parquet(*[]) would raise a confusing TypeError
+        # (ADVICE r9) — an empty stream is an empty admission log.
+        return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
     return spark.read.parquet(*state["logs"])

@@ -280,3 +280,23 @@ def test_admission_stream_incremental(spark, sf_smoke, tmp_path):
         assert r["admitted"] is False
         assert r["match_id"] == r["doc_id"] - 900000
         assert r["n_agree"] == 64
+
+
+def test_admission_stream_empty_batches_dir(spark, tmp_path):
+    # ADVICE r9: zero matching files used to raise a confusing
+    # TypeError from spark.read.parquet(*[]) — an empty stream is an
+    # empty admission log with the full log schema.
+    from samba_spark.streaming.ops import run_admission_stream
+
+    empty = tmp_path / "no_batches"
+    empty.mkdir()
+    log = run_admission_stream(
+        spark,
+        str(empty),
+        str(tmp_path / "never_built_index"),
+        str(tmp_path / "work"),
+    )
+    assert log.count() == 0
+    assert [f.name for f in log.schema.fields] == [
+        "doc_id", "admitted", "match_id", "n_agree", "est_jaccard"
+    ]

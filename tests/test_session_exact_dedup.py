@@ -173,3 +173,23 @@ def test_session_dedup_partitioning_independent(spark):
     a = session_dedup(df).collect()
     b = session_dedup(df.repartition(13)).collect()
     assert a == b
+
+
+def test_session_dedup_separator_in_event_type_no_collision(spark):
+    # ADVICE r9: under the raw '|' join, ["a|b"] and ["a","b"] produced
+    # the same signature and falsely deduped; per-element hashing makes
+    # the join injective. The two trajectories must be DISTINCT classes.
+    df = _events(
+        spark,
+        [
+            (1, _t(0), 1, "a|b"),
+            (2, _t(0), 2, "a"),
+            (3, _t(1), 2, "b"),
+        ],
+    )
+    rows = session_dedup(df, gap_seconds=1800).collect()
+    assert len(rows) == 2
+    sigs = {r["user_id"]: r["sig"] for r in rows}
+    assert sigs[1] != sigs[2]
+    assert all(r["kept"] for r in rows)
+    assert all(r["dup_count"] == 1 for r in rows)
