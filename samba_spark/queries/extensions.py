@@ -5580,7 +5580,9 @@ def x_minhash_probe(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _minhash_probe_sql(mod: int, exact_rem: int, fuzzy_rem: int) -> str:
+def _minhash_probe_sql(
+    mod: int, exact_rem: int, fuzzy_rem: int, corpus_pred: str = "TRUE"
+) -> str:
     """The x137 frozen-probe oracle, parameterized by the probe-batch
     selectors so x158 (append-then-probe) can replay the identical
     pipeline over its own probe set: exact copies are doc_id%mod==
@@ -5588,7 +5590,11 @@ def _minhash_probe_sql(mod: int, exact_rem: int, fuzzy_rem: int) -> str:
     (+2M ids). The corpus is ALL documents in both queries — x137
     signatures it in-query, x158 reaches the same union via persisted
     save(A)+append(B), which is exactly what the shared oracle proves
-    equivalent."""
+    equivalent. ``corpus_pred`` restricts the INDEX side (band keys,
+    hence candidates and bucket-cap counts) to the LIVE corpus — the
+    x160/x161 lifecycle queries replay tombstone deletion this way:
+    probe-after-delete (and after compact) must be indistinguishable
+    from a one-shot build on the surviving documents."""
     return rf"""
 WITH alldocs AS (
   SELECT doc_id, text FROM documents
@@ -5623,7 +5629,8 @@ bandkeys AS (
                ',')) AS band_hash
   FROM sig, UNNEST(range(0, 16)) AS rb(b)),
 bounded AS (
-  SELECT doc_id, b, band_hash FROM bandkeys WHERE doc_id < 1000000
+  SELECT doc_id, b, band_hash FROM bandkeys
+  WHERE doc_id < 1000000 AND ({corpus_pred})
   QUALIFY COUNT(*) OVER (PARTITION BY b, band_hash) <= 1000),
 dband AS (
   SELECT doc_id, b, band_hash FROM bandkeys WHERE doc_id >= 1000000),
@@ -5675,6 +5682,85 @@ def x_minhash_index_append(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     d_fuzzy = docs.where(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
+            "text"
+        ),
+    )
+    return probe_minhash_index(
+        spark, path, d_exact.unionByName(d_fuzzy), min_agree=8
+    ).orderBy("doc_id")
+
+
+def x_index_delete(spark, sf_dir):
+    """x160: index lifecycle verb 4 — takedown / right-to-be-forgotten
+    (dedup.delete_from_minhash_index): the frozen index is SAVED on the
+    full corpus, every doc_id%7==1 document is tombstone-DELETED
+    (O(delete-size) parquet append, no rewrite), and the probe batch
+    (exact copies doc_id%4==1, mutated copies doc_id%4==3) runs against
+    the live view FROM DISK — tombstones anti-joined out of bands
+    before the bucket cap and out of sigs before verification. The
+    oracle replays a one-shot build on the SURVIVING documents:
+    probe-after-delete must be indistinguishable, and in particular a
+    deleted doc can never return as match_id."""
+    from samba_spark.operators.dedup import (
+        delete_from_minhash_index,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = _pid_scratch("x160_mh_index")
+    save_minhash_index(docs, path)
+    delete_from_minhash_index(
+        spark, path, docs.where(F.col("doc_id") % 7 == 1).select("doc_id")
+    )
+    d_exact = docs.where(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d_fuzzy = docs.where(F.col("doc_id") % 4 == 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
+            "text"
+        ),
+    )
+    return probe_minhash_index(
+        spark, path, d_exact.unionByName(d_fuzzy), min_agree=8
+    ).orderBy("doc_id")
+
+
+def x_index_compact(spark, sf_dir):
+    """x161: index lifecycle verb 5 — compaction
+    (dedup.compact_minhash_index): the full serving-loop composition.
+    The index is SAVED on the src!=src0 corpus, the src0 delta is
+    APPENDED (accumulating small files), doc_id%9==2 is tombstone-
+    DELETED, then COMPACTED — live rows rewritten into a bounded file
+    count, tombstones physically applied and cleared — and the probe
+    batch (exact copies doc_id%6==1, mutated copies doc_id%6==4) runs
+    against the compacted index FROM DISK. The oracle replays a
+    one-shot build on the surviving documents: probe(compact(delete(
+    append(save)))) ≡ probe(build-once-on-live) is the whole lifecycle
+    equivalence in one hash check."""
+    from samba_spark.operators.dedup import (
+        append_minhash_index,
+        compact_minhash_index,
+        delete_from_minhash_index,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = _pid_scratch("x161_mh_index")
+    save_minhash_index(docs.where(F.col("source") != "src0"), path)
+    append_minhash_index(docs.where(F.col("source") == "src0"), path)
+    delete_from_minhash_index(
+        spark, path, docs.where(F.col("doc_id") % 9 == 2).select("doc_id")
+    )
+    compact_minhash_index(spark, path, target_files=4)
+    d_exact = docs.where(F.col("doc_id") % 6 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    d_fuzzy = docs.where(F.col("doc_id") % 6 == 4).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
             "text"
@@ -6806,6 +6892,14 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x157_session_dedup": QuerySpec(x_session_dedup, X157_SESSION_DEDUP_SQL),
     "x158_minhash_index_append": QuerySpec(
         x_minhash_index_append, _minhash_probe_sql(5, 0, 2)
+    ),
+    "x160_index_delete": QuerySpec(
+        x_index_delete,
+        _minhash_probe_sql(4, 1, 3, corpus_pred="doc_id % 7 <> 1"),
+    ),
+    "x161_index_compact": QuerySpec(
+        x_index_compact,
+        _minhash_probe_sql(6, 1, 4, corpus_pred="doc_id % 9 <> 2"),
     ),
     "x133_theil_sen": QuerySpec(x_theil_sen, X133_THEIL_SEN_SQL),
     "x135_bpe_apply": QuerySpec(x_bpe_apply, _x135_sql()),

@@ -1,0 +1,169 @@
+"""MinHash index lifecycle verbs 4 & 5 (VERDICT r9 item 2): DELETE
+(tombstones — takedown / right-to-be-forgotten) and COMPACT (bounded
+file counts + physical tombstone removal).
+
+The x160/x161 declared queries oracle-check probe results end to end;
+these tests pin the lifecycle contracts the oracle can't see: the
+tombstone state machine (idempotence, subset-of-physical invariant,
+the delete→compact→append re-ingestion sequence), probe(compact(I)) ≡
+probe(I) row-for-row, file-count bounding, and the crash-recovery
+state machine (roll back before _COMMIT, roll forward after).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from samba_spark.operators.dedup import (
+    append_minhash_index,
+    compact_minhash_index,
+    delete_from_minhash_index,
+    probe_minhash_index,
+    save_minhash_index,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _probe_batch(docs):
+    """Exact copies (+1M ids) of every 4th doc — deterministic hits."""
+    return docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["match_id"], r["n_agree"]) for r in df.collect()
+    )
+
+
+def test_delete_hides_docs_and_matches_fresh_build(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs, p)
+    victim_ids = [r["doc_id"] for r in docs.where(
+        F.col("doc_id") % 4 == 0).select("doc_id").collect()][:5]
+    n = delete_from_minhash_index(spark, p, victim_ids)
+    assert n == 5
+    out = probe_minhash_index(spark, p, _probe_batch(docs), min_agree=8)
+    got = out.collect()
+    # a deleted doc must never come back as a match
+    assert not any(r["match_id"] in set(victim_ids) for r in got)
+    # and the probe must equal a fresh index built on the live corpus
+    p2 = str(tmp_path / "fresh")
+    save_minhash_index(
+        docs.where(~F.col("doc_id").isin(victim_ids)), p2
+    )
+    want = probe_minhash_index(spark, p2, _probe_batch(docs), min_agree=8)
+    assert _rows(out) == _rows(want)
+
+
+def test_delete_idempotent_and_absent_ids_noop(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs, p)
+    assert delete_from_minhash_index(spark, p, [0, 4]) == 2
+    # same ids again: 0 — and the tombstone set did not grow
+    assert delete_from_minhash_index(spark, p, [0, 4]) == 0
+    assert spark.read.parquet(f"{p}/deletes").count() == 2
+    # ids not in the index: never recorded (tombstones ⊆ physical ids)
+    assert delete_from_minhash_index(spark, p, [99_999_999]) == 0
+    assert spark.read.parquet(f"{p}/deletes").count() == 2
+
+
+def test_deleted_id_not_reappendable_until_compact(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs, p)
+    victim = docs.where(F.col("doc_id") == 0)
+    assert victim.count() == 1
+    delete_from_minhash_index(spark, p, [0])
+    # the documented contract: physical rows still exist, so append skips
+    assert append_minhash_index(victim, p) == 0
+    # delete → compact → append is the supported re-ingestion sequence
+    compact_minhash_index(spark, p)
+    assert append_minhash_index(victim, p) == 1
+    out = probe_minhash_index(
+        spark,
+        p,
+        victim.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"),
+        min_agree=8,
+    ).collect()
+    assert len(out) == 1 and out[0]["match_id"] == 0
+
+
+def test_compact_probe_equivalence_and_file_bound(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    # build + 3 appends: accumulate small files like a daily-append store
+    save_minhash_index(docs.where(F.col("source") == "src0"), p)
+    for k in (1, 2, 3):
+        append_minhash_index(docs.where(F.col("source") == f"src{k}"), p)
+    victim_ids = [r["doc_id"] for r in docs.where(
+        (F.col("doc_id") % 4 == 0)
+        & (F.col("source").isin("src0", "src1", "src2", "src3"))
+    ).select("doc_id").collect()][:3]
+    assert delete_from_minhash_index(spark, p, victim_ids) == 3
+    before = probe_minhash_index(spark, p, _probe_batch(docs), min_agree=8)
+    before_rows = _rows(before)
+    stats = compact_minhash_index(spark, p, target_files=4)
+    # probe(compact(I)) ≡ probe(I)
+    after = probe_minhash_index(spark, p, _probe_batch(docs), min_agree=8)
+    assert _rows(after) == before_rows
+    # file counts bounded, tombstones physically applied and cleared
+    assert stats["files_after"]["sigs"] <= 4
+    assert stats["files_after"]["bands"] <= 4
+    assert stats["rows_removed"] == 3
+    assert not os.path.isdir(f"{p}/deletes")
+    sig_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{p}/sigs").select("doc_id").collect()
+    }
+    assert not (sig_ids & set(victim_ids))
+
+
+def test_compact_crash_rollback_before_commit(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs, p)
+    want = _rows(probe_minhash_index(spark, p, _probe_batch(docs), min_agree=8))
+    # simulate a crash BEFORE the commit marker: partial staging exists
+    os.makedirs(f"{p}/_compact/sigs")
+    with open(f"{p}/_compact/sigs/part-junk.parquet", "w") as fh:
+        fh.write("incomplete")
+    out = probe_minhash_index(spark, p, _probe_batch(docs), min_agree=8)
+    assert _rows(out) == want
+    assert not os.path.isdir(f"{p}/_compact")  # rolled back
+
+
+def test_compact_crash_rollforward_after_commit(spark, sf_smoke, tmp_path):
+    import shutil
+
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs, p)
+    victim_ids = [0]
+    delete_from_minhash_index(spark, p, victim_ids)
+    # run the rewrite half of compact by hand, then "crash" mid-swap:
+    # staging committed, live sigs already removed
+    deletes = spark.read.parquet(f"{p}/deletes")
+    for name in ("sigs", "bands"):
+        live = spark.read.parquet(f"{p}/{name}")
+        live.join(deletes, "doc_id", "left_anti").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/_compact/{name}")
+    with open(f"{p}/_compact/_COMMIT", "w") as fh:
+        fh.write("committed\n")
+    shutil.rmtree(f"{p}/sigs")
+    # any verb repairs it: the next probe rolls forward and serves
+    out = probe_minhash_index(spark, p, _probe_batch(docs), min_agree=8)
+    assert not any(r["match_id"] == 0 for r in out.collect())
+    assert os.path.isdir(f"{p}/sigs")
+    assert not os.path.isdir(f"{p}/_compact")
+    assert not os.path.isdir(f"{p}/deletes")
