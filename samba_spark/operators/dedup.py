@@ -1619,29 +1619,8 @@ def exact_substring_dedup(
         raise ValueError(
             f"exact_substring_dedup: min_tokens={min_tokens} must be >= 1"
         )
-    toks = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.split(_normalized(F.col(text_col)), " "), lambda x: x != F.lit("")
-        ).alias("_toks"),
-    )
-    tokens = toks.select(
-        "doc_id", F.posexplode("_toks").alias("pos", "tok")
-    )
-    n_tok = toks.select(
-        "doc_id", F.size("_toks").cast("long").alias("n_tokens")
-    )
-    # stride-1 windows: (doc_id, wpos, h) for wpos in [0, n - L]
-    wins = toks.where(F.size("_toks") >= min_tokens).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("_toks") - min_tokens),
-                lambda i: F.md5(
-                    F.array_join(F.slice(F.col("_toks"), i + 1, min_tokens), " ")
-                ),
-            )
-        ).alias("wpos", "h"),
+    toks, tokens, n_tok, wins = _substring_windows(
+        corpus, min_tokens, id_col, text_col
     )
     # the duplicated-window set: global occurrence count > 1 (same doc
     # twice counts — a self-repeat is a duplicate too, per the paper)
@@ -1658,6 +1637,47 @@ def exact_substring_dedup(
             F.sequence(F.col("wpos"), F.col("wpos") + F.lit(min_tokens - 1))
         ).alias("pos"),
     ).distinct()
+    return _coverage_reassemble(tokens, n_tok, covered)
+
+
+def _substring_windows(
+    corpus: DataFrame, min_tokens: int, id_col: str, text_col: str
+):
+    """Shared front half of the ExactSubstr family: normalize/tokenize,
+    and derive the three views every variant needs — (doc_id, pos, tok)
+    token table, (doc_id, n_tokens) totals, and the stride-1 window
+    hash table (doc_id, wpos, h) for wpos in [0, n - L]."""
+    toks = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(_normalized(F.col(text_col)), " "), lambda x: x != F.lit("")
+        ).alias("_toks"),
+    )
+    tokens = toks.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    n_tok = toks.select(
+        "doc_id", F.size("_toks").cast("long").alias("n_tokens")
+    )
+    wins = toks.where(F.size("_toks") >= min_tokens).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_toks") - min_tokens),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_toks"), i + 1, min_tokens), " ")
+                ),
+            )
+        ).alias("wpos", "h"),
+    )
+    return toks, tokens, n_tok, wins
+
+
+def _coverage_reassemble(
+    tokens: DataFrame, n_tok: DataFrame, covered: DataFrame
+) -> DataFrame:
+    """Shared back half: LEFT ANTI token positions against the covered
+    set, stitch survivors in order, report per-doc removal counts."""
     kept = tokens.join(covered, ["doc_id", "pos"], "left_anti")
     reassembled = kept.groupBy("doc_id").agg(
         F.array_join(
@@ -1681,6 +1701,61 @@ def exact_substring_dedup(
         )
         .orderBy("doc_id")
     )
+
+
+def exact_substring_keep_one(
+    corpus: DataFrame,
+    min_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The PUBLISHED ExactSubstr semantic (Lee et al. 2022, VERDICT r9
+    item 7): where :func:`exact_substring_dedup` removes ALL
+    occurrences of every duplicated ``min_tokens``-token window, this
+    variant elects ONE canonical occurrence per duplicate window class
+    and removes only the others — the corpus keeps exactly one copy of
+    each duplicated substring instead of zero.
+
+    Tie-break (pinned, the whole point of the variant): the canonical
+    occurrence of a window-hash class is its lowest (doc_id, wpos) —
+    deterministic, repartition-stable, and identically expressible in
+    SQL (ROW_NUMBER over the class ordered by doc_id, wpos). Overlap
+    caveat, documented rather than hidden: duplicate classes OVERLAP
+    (a duplicated run of R > L tokens is R-L+1 classes), and a
+    canonical window's tokens can still be removed when a DIFFERENT
+    class's non-canonical occurrence covers them — the guarantee is
+    per-class (one occurrence's positions are exempt from ITS class's
+    coverage), not a global "longest duplicated run survives
+    somewhere" guarantee, which would need the suffix-array global
+    view this distributed shape deliberately avoids. For a duplicated
+    run shorter than 2L that sits in the lowest-(doc_id, wpos) doc,
+    per-class and global coincide — asserted in tests.
+
+    Same returns and scale posture as :func:`exact_substring_dedup`;
+    the one extra stage is a ROW_NUMBER window over the DUPLICATED
+    window occurrences only (keyed by class hash — bounded by the
+    duplicated subset, never the corpus)."""
+    if min_tokens < 1:
+        raise ValueError(
+            f"exact_substring_keep_one: min_tokens={min_tokens} must be >= 1"
+        )
+    toks, tokens, n_tok, wins = _substring_windows(
+        corpus, min_tokens, id_col, text_col
+    )
+    by_class = Window.partitionBy("h").orderBy("doc_id", "wpos")
+    dup_occurrences = (
+        wins.withColumn("_n", F.count(F.lit(1)).over(by_class))
+        .withColumn("_rk", F.row_number().over(by_class))
+        .where((F.col("_n") > 1) & (F.col("_rk") > 1))
+        .select("doc_id", "wpos")
+    )
+    covered = dup_occurrences.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.lit(min_tokens - 1))
+        ).alias("pos"),
+    ).distinct()
+    return _coverage_reassemble(tokens, n_tok, covered)
 
 
 def append_minhash_index(documents: DataFrame, path: str) -> int:

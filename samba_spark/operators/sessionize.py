@@ -1217,3 +1217,119 @@ def session_dedup(
         )
         .orderBy(user_col, "session_id")
     )
+
+
+def sft_curation(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    min_events: int = 2,
+    max_events: int = 50,
+    min_types: int = 2,
+    cap_per_first_type: int = 200,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The SFT curation chain (VERDICT r9 item 7): session dedup →
+    trajectory quality screens → per-family mixture caps, composed as
+    ONE declarative pipeline — the interaction-log analogue of the
+    document chain (dedup → quality → mixing) a training-data pipeline
+    runs before packing, over the events table.
+
+    Stages, all session-grained after the first:
+
+    1. gap-sessionize (:func:`sessionize`) and fold each session once:
+       s_start, n_events, n_types (distinct event types), the
+       (ts, event_id)-ordered trajectory signature (injective
+       per-element md5 join, same as :func:`session_dedup`), and
+       first_type — the trajectory's opening event type, the
+       "source" key the mixture cap balances over.
+    2. trajectory dedup: one canonical session per identical signature
+       (lowest user_id, session_id), dup_count retained for
+       downweighting.
+    3. quality screens on survivors: ``min_events <= n_events <=
+       max_events`` (degenerate singletons and runaway sessions are
+       both training noise) and ``n_types >= min_types`` (a
+       single-type session carries no behavioral signal).
+    4. mixture cap: at most ``cap_per_first_type`` sessions per
+       first_type, elected in md5(user_id:session_id) hash order — the
+       x19 hash-ordered WindowGroupLimit convention: deterministic,
+       repartition-stable, and unbiased by time or id locality.
+
+    Returns (user_id, session_id, s_start, n_events, n_types,
+    first_type, sig, dup_count), ordered by (user_id, session_id) —
+    the curated session roster a downstream SFT assembly joins back
+    to events on (user_id, session_id).
+
+    Scale posture: the sessionize exchange carries the per-session
+    fold (groupBy keys ⊇ window partition key); every later stage is
+    one row per SESSION — the sig-election window, the screens
+    (row-local), and the cap window (keyed by first_type; skew-safe
+    because the payload is already aggregated and the window ships
+    only capped survivors downstream). Nothing event-grained shuffles
+    twice.
+    """
+    if min_events < 1 or max_events < min_events:
+        raise ValueError(
+            f"sft_curation: need 1 <= min_events <= max_events, got "
+            f"[{min_events}, {max_events}]"
+        )
+    if cap_per_first_type < 1:
+        raise ValueError(
+            f"sft_curation: cap_per_first_type={cap_per_first_type} "
+            "must be >= 1"
+        )
+    s = sessionize(events, user_col, ts_col, gap_seconds)
+    traj = F.transform(
+        F.array_sort(F.collect_list(F.struct(ts_col, id_col, type_col))),
+        lambda r: r[type_col],
+    )
+    per = s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("s_start"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(type_col).cast("long").alias("n_types"),
+        F.md5(
+            F.array_join(F.transform(traj, lambda t: F.md5(t)), "|")
+        ).alias("sig"),
+        F.element_at(traj, 1).alias("first_type"),
+    )
+    by_sig = Window.partitionBy("sig")
+    deduped = (
+        per.withColumn("dup_count", F.count(F.lit(1)).over(by_sig))
+        .withColumn(
+            "_rk",
+            F.row_number().over(by_sig.orderBy(user_col, "session_id")),
+        )
+        .where(F.col("_rk") == 1)
+    )
+    screened = deduped.where(
+        (F.col("n_events") >= min_events)
+        & (F.col("n_events") <= max_events)
+        & (F.col("n_types") >= min_types)
+    )
+    cap_order = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(user_col).cast("string"),
+            F.col("session_id").cast("string"),
+        )
+    )
+    by_first = Window.partitionBy("first_type").orderBy(
+        cap_order.alias("_h"), user_col, "session_id"
+    )
+    return (
+        screened.withColumn("_capk", F.row_number().over(by_first))
+        .where(F.col("_capk") <= cap_per_first_type)
+        .select(
+            user_col,
+            "session_id",
+            "s_start",
+            "n_events",
+            "n_types",
+            "first_type",
+            "sig",
+            F.col("dup_count").cast("long").alias("dup_count"),
+        )
+        .orderBy(user_col, "session_id")
+    )

@@ -6685,6 +6685,58 @@ ORDER BY doc_id
 """
 
 
+def x_exact_substring_keep_one(spark, sf_dir):
+    """x162: the PUBLISHED ExactSubstr semantic
+    (dedup.exact_substring_keep_one, VERDICT r9 item 7): one canonical
+    occurrence per duplicated 8-token window class survives — elected
+    as the class's lowest (doc_id, wpos), the pinned deterministic
+    tie-break — and only the other occurrences are cut. The remove-ALL
+    sibling is x156; the delta between their n_removed columns is
+    exactly the canonical copies this variant preserves."""
+    return D.exact_substring_keep_one(_docs(spark, sf_dir), min_tokens=8)
+
+
+X162_EXACT_SUBSTRING_KEEP_ONE_SQL = r"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS toks
+  FROM documents),
+wins AS (
+  SELECT doc_id, u.i AS wpos,
+         md5(array_to_string(toks[u.i+1 : u.i+8], ' ')) AS h
+  FROM toked, UNNEST(range(0, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8),
+dupocc AS (
+  SELECT doc_id, wpos FROM wins
+  QUALIFY COUNT(*) OVER (PARTITION BY h) > 1
+      AND ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, wpos) > 1),
+cov AS (
+  SELECT DISTINCT d.doc_id, d.wpos + u.o AS pos
+  FROM dupocc d, UNNEST(range(0, 8)) AS u(o)),
+tokens AS (
+  SELECT doc_id, u.i AS pos, toks[u.i+1] AS tok
+  FROM toked, UNNEST(range(0, len(toks))) AS u(i)),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tokens t ANTI JOIN cov c
+    ON c.doc_id = t.doc_id AND c.pos = t.pos),
+reass AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM toked)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       t.n_tokens,
+       (t.n_tokens - COALESCE(r.n_kept, 0))::BIGINT AS n_removed
+FROM tot t LEFT JOIN reass r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def x_session_dedup(spark, sf_dir):
     """x157: conversation/session-level dedup over the events log
     (sessionize.session_dedup): 30-min-gap sessions per user, each
@@ -6729,6 +6781,64 @@ fin AS (
 SELECT user_id, session_id::BIGINT AS session_id, s_start, n_events, sig,
        dup_count::BIGINT AS dup_count, (rk = 1) AS kept
 FROM fin ORDER BY user_id, session_id
+"""
+
+
+def x_sft_curation(spark, sf_dir):
+    """x163: the SFT curation chain (sessionize.sft_curation, VERDICT
+    r9 item 7): session dedup → trajectory quality screens (2-50
+    events, >= 2 distinct types) → per-first_type mixture cap (200,
+    hash-ordered) over the events log — the interaction-log analogue
+    of the document pipeline (dedup → quality → mixing), composed as
+    one declarative chain; output is the curated session roster an
+    SFT assembly joins back to events."""
+    from samba_spark.operators.sessionize import sft_curation
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return sft_curation(events, gap_seconds=1800)
+
+
+X163_SFT_CURATION_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+brks AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM lagged),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM brks),
+per AS (
+  SELECT user_id, session_id, MIN(ts) AS s_start,
+         COUNT(*)::BIGINT AS n_events,
+         COUNT(DISTINCT event_type)::BIGINT AS n_types,
+         md5(string_agg(md5(event_type), '|' ORDER BY ts, event_id)) AS sig,
+         (list(event_type ORDER BY ts, event_id))[1] AS first_type
+  FROM s GROUP BY user_id, session_id),
+deduped AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY sig) AS dup_count
+  FROM per
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY sig
+                             ORDER BY user_id, session_id) = 1),
+screened AS (
+  SELECT * FROM deduped
+  WHERE n_events BETWEEN 2 AND 50 AND n_types >= 2),
+capped AS (
+  SELECT * FROM screened
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY first_type
+      ORDER BY md5(user_id::VARCHAR || ':' || session_id::VARCHAR),
+               user_id, session_id) <= 200)
+SELECT user_id, session_id::BIGINT AS session_id, s_start, n_events,
+       n_types, first_type, sig, dup_count::BIGINT AS dup_count
+FROM capped ORDER BY user_id, session_id
 """
 
 
@@ -6890,6 +7000,10 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_exact_substring_dedup, X156_EXACT_SUBSTRING_SQL
     ),
     "x157_session_dedup": QuerySpec(x_session_dedup, X157_SESSION_DEDUP_SQL),
+    "x162_exact_substring_keep_one": QuerySpec(
+        x_exact_substring_keep_one, X162_EXACT_SUBSTRING_KEEP_ONE_SQL
+    ),
+    "x163_sft_curation": QuerySpec(x_sft_curation, X163_SFT_CURATION_SQL),
     "x158_minhash_index_append": QuerySpec(
         x_minhash_index_append, _minhash_probe_sql(5, 0, 2)
     ),

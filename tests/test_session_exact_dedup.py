@@ -193,3 +193,173 @@ def test_session_dedup_separator_in_event_type_no_collision(spark):
     assert sigs[1] != sigs[2]
     assert all(r["kept"] for r in rows)
     assert all(r["dup_count"] == 1 for r in rows)
+
+
+def test_exact_substring_pretokenized_composition_one_corpus_scan(
+    spark, sf_smoke, tmp_path
+):
+    """Pin the docstring's escape hatch (VERDICT r9 item 6): at scale
+    the tokenized corpus is materialized ONCE (one corpus scan + one
+    write) and all four plan branches feed from the materialization.
+    Asserts (a) the dedup plan never references the original corpus
+    parquet — the corpus is scanned exactly once, by the
+    materialization step; (b) the branch scans of the tokenized table
+    are column-pruned to (doc_id, text); (c) the composed result is
+    row-identical to running the operator on the raw corpus."""
+    from pyspark.sql import functions as F
+
+    corpus_path = str(tmp_path / "corpus")
+    tokened_path = str(tmp_path / "tokenized")
+    docs = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .where(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+    docs.write.parquet(corpus_path)
+
+    corpus = spark.read.parquet(corpus_path)
+    # the materialization pass: normalize + tokenize + space-join once
+    corpus.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "),
+                lambda x: x != F.lit(""),
+            ),
+            " ",
+        ).alias("text"),
+    ).write.parquet(tokened_path)
+
+    out = exact_substring_dedup(spark.read.parquet(tokened_path))
+    # the composed plan reads ONLY the materialized tokenized table —
+    # the raw corpus was scanned exactly once, by the materialization
+    files = out.inputFiles()
+    assert files, "expected file-backed scans"
+    assert all(tokened_path + "/" in f for f in files), files
+    assert not any(corpus_path + "/" in f for f in files), files
+    # every branch scan is column-pruned to (a subset of) the two live
+    # columns — one branch needs only text (the duplicated-window
+    # count), which is even tighter pruning
+    import re
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    schemas = [m.group(1).strip() for m in re.finditer(r"ReadSchema: ([^\n]*)", plan)]
+    assert schemas
+    for s in schemas:
+        assert s in (
+            "struct<doc_id:bigint,text:string>",
+            "struct<text:string>",
+            "struct<doc_id:bigint>",
+        ), s
+    want = exact_substring_dedup(spark.read.parquet(corpus_path)).collect()
+    assert out.collect() == want
+
+
+# ---- x162: keep-one-canonical ExactSubstr ---------------------------------
+from samba_spark.operators.dedup import exact_substring_keep_one
+
+
+def test_keep_one_preserves_exactly_one_copy(spark):
+    dup = "a b c d e f g h"  # exactly 8 tokens
+    df = _docs(
+        spark,
+        [
+            (1, f"{dup} one tail"),
+            (2, f"lead {dup} two coda"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in exact_substring_keep_one(df).collect()}
+    # canonical class occurrence = lowest (doc_id, wpos): doc 1 keeps it
+    assert out[1]["clean_text"] == f"{dup} one tail"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "lead two coda"
+    assert out[2]["n_removed"] == 8
+
+
+def test_keep_one_self_repeat_keeps_first_occurrence(spark):
+    dup = "a b c d e f g h"
+    df = _docs(spark, [(1, f"{dup} mid {dup}")])
+    out = exact_substring_keep_one(df).collect()[0]
+    # the first occurrence (wpos 0) is canonical; windows STRADDLING
+    # the middle are unique, so only the second full occurrence goes
+    assert out["clean_text"].startswith(dup)
+    assert out["n_removed"] == 8
+    # the remove-ALL sibling cuts both occurrences
+    all_out = exact_substring_dedup(df).collect()[0]
+    assert all_out["n_removed"] >= 16
+
+
+def test_keep_one_removes_no_more_than_remove_all(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    keep = {r["doc_id"]: r["n_removed"]
+            for r in exact_substring_keep_one(docs).collect()}
+    alln = {r["doc_id"]: r["n_removed"]
+            for r in exact_substring_dedup(docs).collect()}
+    assert set(keep) == set(alln)
+    assert all(keep[d] <= alln[d] for d in keep)
+    # and at least one canonical copy was actually preserved somewhere
+    assert sum(keep.values()) < sum(alln.values()) or sum(alln.values()) == 0
+
+
+def test_keep_one_short_docs_pass_through(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    out = {r["doc_id"]: r for r in exact_substring_keep_one(df).collect()}
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+
+# ---- x163: SFT curation chain ---------------------------------------------
+from samba_spark.operators.sessionize import sft_curation
+
+
+def _mk_session(rows, uid, t0_minute, types):
+    eid = max((r[0] for r in rows), default=0) + 1
+    for k, ty in enumerate(types):
+        rows.append((eid + k, _t(t0_minute, k), uid, ty))
+
+
+def test_sft_curation_screens_and_dedup(spark):
+    rows = []
+    _mk_session(rows, 1, 0, ["click", "buy"])        # kept (canonical)
+    _mk_session(rows, 2, 0, ["click", "buy"])        # dup trajectory -> out
+    _mk_session(rows, 3, 0, ["click"])               # singleton -> screened
+    _mk_session(rows, 4, 0, ["view"] * 4)            # one type -> screened
+    _mk_session(rows, 5, 0, ["view"] * 60)           # too long -> screened
+    _mk_session(rows, 6, 0, ["view", "click", "buy"])  # kept
+    out = sft_curation(_events(spark, rows), gap_seconds=1800)
+    got = {(r["user_id"], r["session_id"]): r for r in out.collect()}
+    assert set(got) == {(1, 1), (6, 1)}
+    assert got[(1, 1)]["dup_count"] == 2
+    assert got[(1, 1)]["first_type"] == "click"
+    assert got[(6, 1)]["n_types"] == 3
+
+
+def test_sft_curation_cap_per_first_type(spark):
+    rows = []
+    for u in range(1, 8):
+        # distinct second types -> 7 distinct trajectories, same first_type
+        _mk_session(rows, u, 0, ["click", f"t{u}"])
+    out = sft_curation(
+        _events(spark, rows), gap_seconds=1800, cap_per_first_type=3
+    )
+    assert out.count() == 3
+    assert all(r["first_type"] == "click" for r in out.collect())
+
+
+def test_sft_curation_repartition_stable(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for u in range(1, 30):
+        types = [rng.choice(["a", "b", "c", "d"]) for _ in range(rng.randint(1, 6))]
+        _mk_session(rows, u, rng.randint(0, 50), types)
+    df = _events(spark, rows)
+    a = sft_curation(df, cap_per_first_type=5).collect()
+    b = sft_curation(df.repartition(17), cap_per_first_type=5).collect()
+    assert a == b
