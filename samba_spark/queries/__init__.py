@@ -93,6 +93,14 @@ which the single-green debt is those 16 plus the round-5 window. x42/q59 rotate
 to AUX per VERDICT item 6 — their bench suite position changes
 (CONTRACT entries run first), which is the deliberate re-attestation
 of the suite-context hypothesis for their r7 slowdown.
+
+Round-10 rotation (VERDICT r9 item 5): the round-9 window came back
+50/50 full-green (fourth consecutive), so all 45 rotated-in entries
+moved to ``AUX_QUERIES``. The freed slots hold the 4 round-10
+additions (x160 tombstone delete, x161 crash-safe compact, x162
+keep-one ExactSubstr, x163 SFT curation) and 41 oldest-single-green
+backfills in strict single-green-round order — see the _ROTATED_IN
+comment for the exact arithmetic (expected backlog after green: 69).
 """
 
 from samba_spark.queries.declared import DECLARED, QuerySpec
@@ -114,67 +122,71 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Round-9 rotation (VERDICT r8 item 4; the round-8 window came back
-# 50/50 full-green — third consecutive all-green window — so all 45
-# rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 5
-# round-9 additions first (standing new-before-backfill policy — x155
-# loaded-index probe, x156 ExactSubstr dedup, x157 session dedup, x158
-# persisted-index append, x159 streaming admission),
-# then the 16 r4-window backfills the r8 additions displaced, then the
-# 24 oldest round-5-window single-green rows in r5 order (the 22 r2/r3
-# residuals incl. q74/q76, then the first 2 of the round-5 high-risk
-# block x88-x89). Single-green backlog after this window: ~100 (the r8
-# item-4 target); the remaining round-5-window and
-# round-6-window rows queue for rounds 10-11.
+# Round-10 rotation (VERDICT r9 item 5; the round-9 window came back
+# 50/50 full-green — fourth consecutive all-green window — so all 45
+# rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 4
+# round-10 additions first (standing new-before-backfill policy — x160
+# tombstone delete, x161 crash-safe compact, x162 keep-one-canonical
+# ExactSubstr, x163 SFT curation chain), then 41 oldest-single-green
+# backfills in strict single-green-round order (recomputed from
+# CORRECTNESS_r01-r09, matching the judge's 106 count): the 8 round-1
+# singles (q27/q28/q33/q34/q36/q37/q38/q44 — rotated out in r3 and
+# never re-attested), the 12 round-2 singles (q25/q26/q47, x5-x13),
+# then the first 21 round-5/6 singles in r5 order. Expected backlog
+# after this window returns green: 106 - 41 + 4 new = 69 (the r9
+# item-5 target was <= 65; 45 slots cannot hold 45 backfills AND the
+# 4 day-one additions — new-before-backfill wins, as every round).
 _ROTATED_IN = [
-    # round-9 additions (new-before-backfill)
-    "x155_index_probe",
-    "x156_exact_substring_dedup",
-    "x157_session_dedup",
-    "x158_minhash_index_append",
-    "x159_streaming_admission",
-    # the 16 round-4-window backfills displaced by the r8 additions
-    "x80_hll_rollup",
-    "x81_approx_topk",
-    "x82_bitmap_distinct",
-    "x87_sketch_persistence",
-    "x48_bloom_dedup",
-    "x49_scd2_history",
-    "x53_parquet_manifest",
-    "x55_triangle_count",
-    "x60_rare_token_pairs",
-    "x65_covariance_matrix",
-    "x71_incremental_agg",
-    "x72_udtf_leading_tokens",
-    "x75_bpe_merge_round",
-    "x77_scd2_lookup",
-    "x79_stratified_split",
-    "q75_run_diff",
+    # round-10 additions (new-before-backfill)
+    "x160_index_delete",
+    "x161_index_compact",
+    "x162_exact_substring_keep_one",
+    "x163_sft_curation",
+    # round-1 single-green rows (the oldest backlog in the engine)
+    "q27_cogroup",
+    "q28_zip",
+    "q33_cube",
+    "q34_global_agg",
+    "q36_pivot",
+    "q37_percentiles",
+    "q38_string_agg",
+    "q44_stream_dedup",
+    # round-2 single-green rows
+    "q25_asof_join",
+    "q26_range_join",
+    "q47_pipe",
+    "x5_ngram_jaccard",
+    "x6_text_stats",
+    "x7_token_count",
+    "x8_lang_id",
+    "x9_fingerprint",
+    "x10_cosine_topk",
+    "x11_ann_lsh_topk",
+    "x12_embedding_neardup",
+    "x13_multimodal_byte_stats",
     # oldest round-5-window single-green rows, r5 order
-    "x45_deep_funnel",
-    "x46_retention_monthly",
-    "x47_trailing_window",
-    "x50_quantization_stats",
-    "x51_time_rollup",
-    "x52_filtered_topk",
-    "x54_binned_quantiles",
-    "x56_attribution",
-    "x57_inverted_index",
-    "x58_anomaly",
-    "x59_concurrency",
-    "x61_transition_matrix",
-    "x62_trend_slope",
-    "x64_zorder_stats",
-    "x66_quality_audit",
-    "x67_edit_distance",
-    "x68_brand_cooccurrence",
-    "x69_gap_fill",
-    "x76_corpus_report",
-    "x78_sequence_pattern",
-    "q74_point_in_time",
-    "q76_unpivot",
-    "x88_semantic_prune",
-    "x89_phash_dedup",
+    "q87_parameterized_sql",
+    "q88_shortest_paths",
+    "q89_delta_join",
+    "q90_interpolate_daily",
+    "q91_stream_full_outer_join",
+    "q92_twap",
+    "x90_audio_fp_dedup",
+    "x91_approx_percentile",
+    "x92_frame_sample",
+    "x95_frequent_itemsets",
+    "x96_fd_profile",
+    "x100_table_profile",
+    "x105_lpa_communities",
+    "x107_linear_model",
+    "x108_changepoint",
+    "x109_winsorize",
+    "x110_sliding_distinct",
+    "x111_incremental_lsh",
+    "x112_containment",
+    "x114_personalized_pagerank",
+    # first round-6-window single-green row
+    "q93_grouping_sets",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
