@@ -59,10 +59,10 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-9 rotation (VERDICT r8 item 4): the sentinel core, the three
-    round-9 additions (new-before-backfill standing policy), the 16
-    r4-window backfills the r8 additions displaced, and the oldest
-    round-5-window single-green rows must all be in-window."""
+    Round-10 rotation (VERDICT r9 item 5): the sentinel core, the four
+    round-10 additions (new-before-backfill standing policy), and the
+    oldest-single-green backfill blocks (round-1 and round-2 singles,
+    round-5-window rows) must all be in-window."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
@@ -74,6 +74,7 @@ def test_contract_window_invariant():
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
-    # round-9 additions + the displaced r4 backfills' leading block
-    for x in ("x155", "x156", "x157", "x158", "x159", "x80", "x87", "q75", "x45", "x89"):
+    # round-10 additions + representatives of each backfill block
+    for x in ("x160", "x161", "x162", "x163", "q27", "q44", "q25", "x5",
+              "x13", "q87", "x114", "q93"):
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -135,6 +135,19 @@ PROBES = [
     "x155_index_probe",
     "x156_exact_substring_dedup",
     "x157_session_dedup",
+    # round-10 additions: index DELETE (save + tombstone append +
+    # tombstone-filtered probe — the save half is the amortized offline
+    # cost, the delete itself is O(delete-size)), index COMPACT (the
+    # full lifecycle composition: save + append + delete + rewrite-swap
+    # + probe — the rewrite is a full index shuffle BY DESIGN, a
+    # scheduled-maintenance verb), keep-one ExactSubstr (x156's shape
+    # plus a ROW_NUMBER window over the DUPLICATED occurrences only),
+    # SFT curation (x157's sessionize exchange + session-grained
+    # screens + the first_type cap window over session rows).
+    "x160_index_delete",
+    "x161_index_compact",
+    "x162_exact_substring_keep_one",
+    "x163_sft_curation",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
