@@ -241,6 +241,19 @@ def main() -> None:
     if not args.cold:
         for name in names:
             force(ALL_QUERIES[name].fn(spark, sf_dir))
+        # settle barrier (round-10): the warm pass leaves cleanup debt
+        # behind — ContextCleaner queues for ~261 queries of shuffles/
+        # broadcasts/localCheckpoints, streaming state-store maintenance,
+        # JVM GC backlog — and without a drain it leaks into whichever
+        # queries the timed pass runs FIRST (run3: the first ~8 timed
+        # queries read 2-7x their steady state with clean sentinels on
+        # both sides; run1's mid-pass q31 9.5x is the same debt arriving
+        # later). Two explicit GCs with settle sleeps give the cleaner
+        # and maintenance threads a window to drain before timing starts.
+        jvm_system = spark.sparkContext._jvm.java.lang.System
+        for _ in range(2):
+            jvm_system.gc()
+            time.sleep(10)
 
     timings: dict[str, float] = {}
     total = 0.0
