@@ -155,6 +155,16 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    if args.out and not args.force and os.path.exists(
+        os.path.join(here, args.out)
+    ):
+        # fail BEFORE the ~20-minute suite, not at artifact-write time
+        # (review finding: the late check threw the whole run away)
+        raise SystemExit(
+            f"--out {args.out} exists; pass --force to overwrite"
+        )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -349,11 +359,19 @@ def main() -> None:
     if args.out:
         full_name = args.out
         if os.path.exists(os.path.join(here, full_name)) and not args.force:
-            # ADVICE r9: --out used to bypass the no-clobber guard —
-            # overwriting the canonical artifact is now a deliberate
-            # --force, never a side effect
-            raise SystemExit(
-                f"--out {full_name} exists; pass --force to overwrite"
+            # ADVICE r9: --out must never clobber silently. The early
+            # pre-suite check already refused this case; if the file
+            # appeared DURING the run (concurrent runner), fall back to
+            # a non-clobber name rather than losing 20 minutes of
+            # measurements to a SystemExit at write time.
+            base = full_name[:-5] if full_name.endswith(".json") else full_name
+            k = 2
+            while os.path.exists(os.path.join(here, full_name)):
+                full_name = f"{base}_run{k}.json"
+                k += 1
+            print(
+                f"--out target existed; writing {full_name} instead",
+                file=sys.stderr,
             )
     else:
         full_name = f"bench_full_r{n:02d}{suffix}.json"

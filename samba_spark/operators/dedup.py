@@ -1287,6 +1287,19 @@ def save_minhash_index(
             f"save_minhash_index: bands={bands} must divide "
             f"num_hashes={num_hashes}"
         )
+    # Rebuild-in-place hygiene (review finding): a stale tombstone set
+    # or compaction staging left under ``path`` would corrupt the fresh
+    # index — stale ``deletes`` silently hide freshly-saved docs from
+    # every probe, and a stale COMMITTED ``_compact`` would roll forward
+    # over the new datasets at the next load. Clear both first. Only a
+    # local path can hold them (delete/compact refuse remote paths), so
+    # the os-level cleanup is correctly skipped for URI schemes.
+    import re as _re
+    import shutil as _shutil
+
+    if not _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path):
+        _shutil.rmtree(f"{path}/_compact", ignore_errors=True)
+        _shutil.rmtree(f"{path}/deletes", ignore_errors=True)
     spark = documents.sparkSession
     sig = minhash_signatures(documents, n, num_hashes, hash_family)
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
@@ -1742,11 +1755,16 @@ def exact_substring_keep_one(
     toks, tokens, n_tok, wins = _substring_windows(
         corpus, min_tokens, id_col, text_col
     )
+    # one ROW_NUMBER over the class suffices: rank 1 is the canonical
+    # occurrence (also the only row of a singleton class), so keeping
+    # ranks > 1 selects exactly the non-canonical occurrences of
+    # duplicated classes — no separate class-size count needed (review
+    # finding: a count over an orderBy'd window would be a RUNNING
+    # count anyway, not the class size)
     by_class = Window.partitionBy("h").orderBy("doc_id", "wpos")
     dup_occurrences = (
-        wins.withColumn("_n", F.count(F.lit(1)).over(by_class))
-        .withColumn("_rk", F.row_number().over(by_class))
-        .where((F.col("_n") > 1) & (F.col("_rk") > 1))
+        wins.withColumn("_rk", F.row_number().over(by_class))
+        .where(F.col("_rk") > 1)
         .select("doc_id", "wpos")
     )
     covered = dup_occurrences.select(
@@ -1793,6 +1811,12 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
     one-shot build (asserted by the x158 oracle, which replays the
     union corpus in one pass)."""
     spark = documents.sparkSession
+    # Repair an interrupted compaction FIRST (review finding): without
+    # this, an append after a committed-but-unswapped compact anti-joins
+    # against the STALE live datasets and appends there — and the next
+    # verb's roll-forward then erases the acknowledged batch forever.
+    # With it, the roll-forward happens here, before the anti-joins.
+    _recover_compaction(path)
     # meta + the two ID columns only — loading the full bands DataFrame
     # here (review finding) paid a corpus-scale dataset listing per
     # append just to discard it; both scans below are column-pruned to
@@ -1834,6 +1858,32 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
     delta_bands.write.mode("append").parquet(f"{path}/bands")
     sig.write.mode("append").parquet(f"{path}/sigs")
     return int(n_new)
+
+
+def _require_local_index_path(path: str, verb: str) -> None:
+    """The tombstone/compaction maintenance verbs do driver-side
+    filesystem surgery (os.path probes, shutil/os.replace swaps) that
+    only works on a LOCAL index path. The read/serve verbs
+    (save/load/probe/append) go through Spark readers and work on any
+    Hadoop URI — and because delete/compact refuse non-local paths, a
+    remote index can never hold tombstones or staging, so the local
+    os.path probes in _read_deletes/_recover_compaction returning
+    "nothing there" are CORRECT for remote paths (review finding:
+    without this guard, a delete against s3a:// would record tombstones
+    via Spark but never apply them — a silent right-to-be-forgotten
+    failure). At 100 TB these verbs belong behind a table format's
+    metadata transaction; this plain-parquet store refuses loudly
+    instead."""
+    import re
+
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    if m and m.group(1) != "file":
+        raise NotImplementedError(
+            f"{verb}: index maintenance (tombstones/compaction) requires "
+            f"a local index path; got scheme '{m.group(1)}://'. Rebuild "
+            "via save_minhash_index to a fresh path instead, or host the "
+            "index on a local/posix mount."
+        )
 
 
 def _read_deletes(spark, path: str):
@@ -1931,6 +1981,7 @@ def delete_from_minhash_index(spark, path: str, doc_ids) -> int:
     """
     from samba_spark.operators.guards import tiny_df
 
+    _require_local_index_path(path, "delete_from_minhash_index")
     _recover_compaction(path)
     if not isinstance(doc_ids, DataFrame):
         ids_df = tiny_df(
@@ -1987,6 +2038,7 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
         raise ValueError(
             f"compact_minhash_index: target_files={target_files} must be >= 1"
         )
+    _require_local_index_path(path, "compact_minhash_index")
     _recover_compaction(path)
     staging = f"{path}/_compact"
 

@@ -790,11 +790,16 @@ def run_admission_stream(
         "doc_id long, admitted boolean, match_id long, "
         "n_agree long, est_jaccard double"
     )
+    from pyspark.errors import AnalysisException
+
     try:
         schema = spark.read.parquet(batches_dir).schema
-    except Exception:
-        # an empty/absent batches_dir cannot even be schema-inferred;
-        # an empty stream is an empty admission log (ADVICE r9)
+    except AnalysisException:
+        # an empty/absent batches_dir cannot be schema-inferred (UNABLE_
+        # TO_INFER_SCHEMA / PATH_NOT_FOUND); an empty stream is an empty
+        # admission log (ADVICE r9). Anything else — corrupt footers,
+        # permission failures — must still raise (review finding: a
+        # broad catch here silently drops every streamed doc).
         return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
     state = {"logs": []}
 

@@ -167,3 +167,65 @@ def test_compact_crash_rollforward_after_commit(spark, sf_smoke, tmp_path):
     assert os.path.isdir(f"{p}/sigs")
     assert not os.path.isdir(f"{p}/_compact")
     assert not os.path.isdir(f"{p}/deletes")
+
+
+def test_save_over_existing_index_clears_stale_state(spark, sf_smoke, tmp_path):
+    # review finding: a rebuild-in-place must not inherit the previous
+    # index's tombstones (they would hide freshly-saved docs) nor a
+    # committed _compact staging (it would roll forward over the fresh
+    # datasets at the next load)
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs, p)
+    delete_from_minhash_index(spark, p, [0])
+    os.makedirs(f"{p}/_compact/sigs", exist_ok=True)
+    with open(f"{p}/_compact/_COMMIT", "w") as fh:
+        fh.write("committed\n")
+    save_minhash_index(docs, p)  # rebuild in place
+    assert not os.path.isdir(f"{p}/deletes")
+    assert not os.path.isdir(f"{p}/_compact")
+    out = probe_minhash_index(
+        spark,
+        p,
+        docs.where(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        ),
+        min_agree=8,
+    ).collect()
+    assert len(out) == 1 and out[0]["match_id"] == 0
+
+
+def test_append_recovers_committed_compaction_first(spark, sf_smoke, tmp_path):
+    import shutil
+
+    # review finding: an append between a committed-but-unswapped
+    # compact and its roll-forward must not be erased — append now
+    # repairs the compaction BEFORE its anti-joins
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs.where(F.col("source") == "src0"), p)
+    # hand-build a committed staging (a compact that died mid-swap)
+    for name in ("sigs", "bands"):
+        spark.read.parquet(f"{p}/{name}").repartition(2).write.parquet(
+            f"{p}/_compact/{name}"
+        )
+    with open(f"{p}/_compact/_COMMIT", "w") as fh:
+        fh.write("committed\n")
+    shutil.rmtree(f"{p}/sigs")
+    batch = docs.where(F.col("source") == "src1")
+    n = append_minhash_index(batch, p)
+    assert n == batch.count()
+    assert not os.path.isdir(f"{p}/_compact")
+    # the appended batch must be probe-visible (not erased by recovery)
+    probe = batch.limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = probe_minhash_index(spark, p, probe, min_agree=8).collect()
+    assert len(out) == 1
+
+
+def test_maintenance_verbs_refuse_remote_paths(spark):
+    with pytest.raises(NotImplementedError, match="local index path"):
+        delete_from_minhash_index(spark, "s3a://bucket/idx", [1])
+    with pytest.raises(NotImplementedError, match="local index path"):
+        compact_minhash_index(spark, "hdfs://nn/idx")
