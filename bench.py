@@ -30,18 +30,17 @@ isolated probes):
   unless ``--force`` is given (ADVICE r9: --out bypassed the
   no-clobber guard entirely).
 
-Machine-state preflight (VERDICT r9 item 1): before the timed pass,
-the suite runs a SENTINEL probe — warm median-of-3 of x3 (the dedup
-perf canary) — and compares it against the pinned clean-state value
-in ``SENTINEL_PINNED_SEC`` (source: BASELINE.md, canonical r9 warm
-artifacts; x3 read 3.6-4.1 s across four clean-state runs and
-7.2-7.6 s in the degraded late-session state). A ratio above
-``SENTINEL_MAX_RATIO`` tags the artifact ``machine_state:"degraded"``
-(always recorded either way, with the measured numbers) and, under
-``--strict-preflight``, refuses to run — so a
-canonical-vs-driver disparity is self-diagnosing in the artifact
-instead of re-litigated every round. Only applies at sf0.1 (the pin's
-scale); ``--skip-preflight`` disables it.
+Machine-state preflight + postflight (VERDICT r9 item 1, extended in
+round 10): before the warm pass AND after the timed pass, the suite
+probes the ``SENTINELS`` (warm median-of-3 each) against pinned
+clean-state values — x3 for compute throughput, q17 for per-job fixed
+latency (two distinct degradation modes; pins and gates documented at
+the ``SENTINELS`` definition, sourced from BASELINE.md). A probe over
+its gate tags the artifact ``machine_state:"degraded"`` (both probe
+dicts are always recorded), and ``--strict-preflight`` refuses a
+degraded start — so a canonical-vs-driver disparity is self-diagnosing
+in the artifact instead of re-litigated every round. Only applies at
+sf0.1 (the pins' scale); ``--skip-preflight`` disables it.
 
 
 The artifact always records ``order_mode``/``order_seed``/

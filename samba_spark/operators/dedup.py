@@ -22,7 +22,10 @@ extension set.
 
 from __future__ import annotations
 
+import os
 import random
+import re
+import shutil
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -39,6 +42,10 @@ _NORM = r"\s+"
 # Set hash_family="xxhash64" for the cheaper non-cryptographic family when
 # cross-engine reproducibility is not needed (throughput path at scale).
 MINHASH_P = (1 << 61) - 1
+
+# URI-scheme sniff shared by the index maintenance verbs: a non-file
+# scheme means the driver-side os/shutil machinery cannot reach the path
+_URI_SCHEME = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
 _rng = random.Random(20260813)
 MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(64)]
 MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(64)]
@@ -1294,12 +1301,9 @@ def save_minhash_index(
     # over the new datasets at the next load. Clear both first. Only a
     # local path can hold them (delete/compact refuse remote paths), so
     # the os-level cleanup is correctly skipped for URI schemes.
-    import re as _re
-    import shutil as _shutil
-
-    if not _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path):
-        _shutil.rmtree(f"{path}/_compact", ignore_errors=True)
-        _shutil.rmtree(f"{path}/deletes", ignore_errors=True)
+    if not _URI_SCHEME.match(path):
+        shutil.rmtree(f"{path}/_compact", ignore_errors=True)
+        shutil.rmtree(f"{path}/deletes", ignore_errors=True)
     spark = documents.sparkSession
     sig = minhash_signatures(documents, n, num_hashes, hash_family)
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
@@ -1874,9 +1878,7 @@ def _require_local_index_path(path: str, verb: str) -> None:
     failure). At 100 TB these verbs belong behind a table format's
     metadata transaction; this plain-parquet store refuses loudly
     instead."""
-    import re
-
-    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", path)
+    m = _URI_SCHEME.match(path)
     if m and m.group(1) != "file":
         raise NotImplementedError(
             f"{verb}: index maintenance (tombstones/compaction) requires "
@@ -1891,8 +1893,6 @@ def _read_deletes(spark, path: str):
     no delete has ever been recorded (the common case — checked with
     one os.path probe, not a try/except scan, so the fast path costs
     no Spark job)."""
-    import os
-
     if not os.path.isdir(f"{path}/deletes"):
         return None
     return spark.read.parquet(f"{path}/deletes").select("doc_id").distinct()
@@ -1916,9 +1916,6 @@ def _recover_compaction(path: str) -> None:
     does transactionally (Delta/Iceberg snapshot swap); the
     plain-parquet store mirrors it with a marker file + deterministic
     replay, same single-writer requirement as append."""
-    import os
-    import shutil
-
     staging = f"{path}/_compact"
     if not os.path.isdir(staging):
         return
@@ -1932,9 +1929,6 @@ def _finish_compaction_swap(path: str) -> None:
     """Roll the committed ``_compact`` staging into place. Each step is
     idempotent (guarded by existence checks), so a crash anywhere in
     this sequence is repaired by simply running it again."""
-    import os
-    import shutil
-
     staging = f"{path}/_compact"
     for name in ("sigs", "bands"):
         new = f"{staging}/{name}"
@@ -2032,7 +2026,6 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     append. Returns {files_before, files_after, rows_removed, live
     docs} for the maintenance log."""
     import glob as _glob
-    import os
 
     if target_files < 1:
         raise ValueError(

@@ -5563,21 +5563,29 @@ def x_minhash_probe(spark, sf_dir):
     # analogue, per-run, no cross-run cache)
     frozen_sigs = minhash_signatures(docs).localCheckpoint()
     frozen_bands = band_keys_from_signatures(frozen_sigs)
-    d_exact = docs.where(F.col("doc_id") % 7 == 0).select(
+    return minhash_probe_frozen(
+        frozen_bands,
+        frozen_sigs,
+        _mh_probe_batch(docs, 7, 0, 3),
+        min_agree=8,
+    ).orderBy("doc_id")
+
+
+def _mh_probe_batch(docs, mod: int, exact_rem: int, fuzzy_rem: int):
+    """The shared probe batch of the x137/x158/x160/x161 family:
+    exact copies of doc_id%mod==exact_rem (+1M ids) and suffix-mutated
+    copies of doc_id%mod==fuzzy_rem (+2M ids) — the Spark twin of
+    _minhash_probe_sql's selectors."""
+    d_exact = docs.where(F.col("doc_id") % mod == exact_rem).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
-    d_fuzzy = docs.where(F.col("doc_id") % 7 == 3).select(
+    d_fuzzy = docs.where(F.col("doc_id") % mod == fuzzy_rem).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
             "text"
         ),
     )
-    return minhash_probe_frozen(
-        frozen_bands,
-        frozen_sigs,
-        d_exact.unionByName(d_fuzzy),
-        min_agree=8,
-    ).orderBy("doc_id")
+    return d_exact.unionByName(d_fuzzy)
 
 
 def _minhash_probe_sql(
@@ -5678,17 +5686,8 @@ def x_minhash_index_append(spark, sf_dir):
     path = _pid_scratch("x158_mh_index")
     save_minhash_index(docs.where(F.col("source") != "src0"), path)
     append_minhash_index(docs.where(F.col("source") == "src0"), path)
-    d_exact = docs.where(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    d_fuzzy = docs.where(F.col("doc_id") % 5 == 2).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
-            "text"
-        ),
-    )
     return probe_minhash_index(
-        spark, path, d_exact.unionByName(d_fuzzy), min_agree=8
+        spark, path, _mh_probe_batch(docs, 5, 0, 2), min_agree=8
     ).orderBy("doc_id")
 
 
@@ -5715,17 +5714,8 @@ def x_index_delete(spark, sf_dir):
     delete_from_minhash_index(
         spark, path, docs.where(F.col("doc_id") % 7 == 1).select("doc_id")
     )
-    d_exact = docs.where(F.col("doc_id") % 4 == 1).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    d_fuzzy = docs.where(F.col("doc_id") % 4 == 3).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
-            "text"
-        ),
-    )
     return probe_minhash_index(
-        spark, path, d_exact.unionByName(d_fuzzy), min_agree=8
+        spark, path, _mh_probe_batch(docs, 4, 1, 3), min_agree=8
     ).orderBy("doc_id")
 
 
@@ -5757,17 +5747,8 @@ def x_index_compact(spark, sf_dir):
         spark, path, docs.where(F.col("doc_id") % 9 == 2).select("doc_id")
     )
     compact_minhash_index(spark, path, target_files=4)
-    d_exact = docs.where(F.col("doc_id") % 6 == 1).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    d_fuzzy = docs.where(F.col("doc_id") % 6 == 4).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" probe suffix tokens appended")).alias(
-            "text"
-        ),
-    )
     return probe_minhash_index(
-        spark, path, d_exact.unionByName(d_fuzzy), min_agree=8
+        spark, path, _mh_probe_batch(docs, 6, 1, 4), min_agree=8
     ).orderBy("doc_id")
 
 
