@@ -2064,3 +2064,75 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
         "rows_removed": n_sig_rows - n_live,
         "live_docs": n_live,
     }
+
+
+def merge_minhash_indexes(spark, dest_path: str, src_path: str) -> int:
+    """Index lifecycle verb 6: MERGE one persisted MinHash index into
+    another WITHOUT re-signaturing — the distributed-build pattern a
+    100 TB corpus actually uses: shard builders run
+    :func:`save_minhash_index` independently (each shard is one
+    embarrassingly-parallel job over its documents), then the serving
+    index absorbs each shard's PERSISTED sigs/bands. Re-ingesting the
+    shard's documents through :func:`append_minhash_index` would
+    re-shingle and re-hash everything; this verb moves the already-
+    computed rows.
+
+    Layout safety: both metas must agree on (n, num_hashes, bands,
+    hash_family) — merging mismatched layouts would produce an index
+    whose rows silently never co-bucket; refused loudly.
+
+    Semantics: the source's LIVE rows (its tombstones applied) whose
+    doc_ids are not already in the destination are appended — so
+    re-merging the same shard is idempotent, and shard builders using
+    disjoint doc_id spaces get a true union. The destination's own
+    tombstones are untouched (a doc deleted from dest stays deleted
+    even if the shard carries it: dest's deletes/ filter applies at
+    every load, and append-blocked ids are physically present — the
+    same delete→compact→append contract as ingestion). Crash safety:
+    the destination append follows append_minhash_index's bands-FIRST
+    protocol (sigs are the commit marker; retried merges repair a
+    band-only crash via the per-dataset anti-joins). Single-writer on
+    the destination, same as append. The source is read-only (its
+    interrupted compactions are repaired first, which requires a local
+    source path).
+
+    Returns the number of documents merged in.
+    """
+    _require_local_index_path(dest_path, "merge_minhash_indexes(dest)")
+    _require_local_index_path(src_path, "merge_minhash_indexes(src)")
+    _recover_compaction(dest_path)
+    _recover_compaction(src_path)
+
+    def _meta(path):
+        rows = spark.read.parquet(f"{path}/meta").collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"merge_minhash_indexes: expected exactly 1 meta row at "
+                f"{path}/meta, found {len(rows)}"
+            )
+        return rows[0].asDict()
+
+    dmeta, smeta = _meta(dest_path), _meta(src_path)
+    if dmeta != smeta:
+        raise ValueError(
+            "merge_minhash_indexes: layout mismatch — dest "
+            f"{dmeta} vs src {smeta}; rows from mismatched layouts "
+            "would silently never co-bucket"
+        )
+    src_bands, src_sigs, _ = load_minhash_index(spark, src_path)
+    dest_ids = spark.read.parquet(f"{dest_path}/sigs").select("doc_id")
+    fresh_sigs = src_sigs.join(dest_ids, "doc_id", "left_anti").localCheckpoint()
+    n_new = fresh_sigs.count()
+    if n_new == 0:
+        return 0
+    dest_band_ids = (
+        spark.read.parquet(f"{dest_path}/bands").select("doc_id").distinct()
+    )
+    fresh_bands = (
+        src_bands.join(
+            fresh_sigs.select("doc_id"), "doc_id", "left_semi"
+        ).join(dest_band_ids, "doc_id", "left_anti")
+    )
+    fresh_bands.write.mode("append").parquet(f"{dest_path}/bands")
+    fresh_sigs.write.mode("append").parquet(f"{dest_path}/sigs")
+    return int(n_new)

@@ -1333,3 +1333,125 @@ def sft_curation(
         )
         .orderBy(user_col, "session_id")
     )
+
+
+def sessionize_incremental(
+    spark,
+    store_path: str,
+    new_events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Incremental sessionization — maintain a persisted sessionized
+    event table under an append-only event feed WITHOUT recomputing
+    history: the event-analytics analogue of the MinHash index's
+    append verb. A 100 TB event archive re-sessionizing from scratch
+    for every daily delta re-shuffles the whole archive; this
+    sessionizes ONLY the delta and splices it onto each user's stored
+    tail, reproducing the batch :func:`sessionize` numbering exactly
+    (the x165 oracle replays the full union from scratch and must be
+    indistinguishable).
+
+    Splice construction: per affected user, the store contributes two
+    scalars — the last stored timestamp and the last session ordinal
+    (sessions are time-ordered, so that is ``max(session_id)``). The
+    delta's first event per user breaks a session iff the gap to that
+    stored timestamp exceeds ``gap_seconds`` (or the user is new);
+    later delta events use the ordinary in-delta LAG test. Session ids
+    are ``last_stored_id + running SUM of breaks`` — exactly the batch
+    numbering continued, in exact epoch-micros like :func:`sessionize`.
+
+    Contract (loud, not silent): the feed must be append-only in time
+    PER USER — a delta event older than its user's stored maximum
+    timestamp could retroactively merge two stored sessions, which no
+    tail splice can express. Such rows fail a plan-folded assertion;
+    late data needs the batch path (or a watermark upstream, the
+    streaming session_window story).
+
+    Scale posture: the delta is sessionized on its own user-keyed
+    exchange (delta-sized, not archive-sized); the store is touched by
+    (a) one column-pruned aggregate over the AFFECTED users — at 100 TB
+    a store partitioned/bucketed by user prunes this to the delta's
+    user set — and (b) one parquet append of delta rows. History is
+    never rewritten. Single-writer, like every maintenance verb here.
+
+    Returns the delta rows as written (user, event, ts, type,
+    session_id); read ``store_path`` for the full table.
+    """
+    import os
+
+    from samba_spark.operators.guards import plan_assert
+
+    cols = [user_col, id_col, ts_col, type_col]
+    delta = new_events.select(*cols)
+    if not os.path.isdir(store_path):
+        out = sessionize(delta, user_col, ts_col, gap_seconds).select(
+            *cols, "session_id"
+        )
+        out.write.mode("overwrite").parquet(store_path)
+        return spark.read.parquet(store_path)
+
+    store = spark.read.parquet(store_path)
+    tails = (
+        store.join(
+            delta.select(user_col).distinct(), user_col, "left_semi"
+        )
+        .groupBy(user_col)
+        .agg(
+            F.max(ts_col).alias("_last_ts"),
+            F.max("session_id").alias("_last_sid"),
+        )
+    )
+    gap_us = gap_seconds * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts_col).over(w)
+    joined = delta.join(tails, user_col, "left")
+    # append-only-per-user contract: a delta row older than the user's
+    # stored max could retroactively merge stored sessions — fail loudly
+    guarded_ts = plan_assert(
+        F.col(ts_col),
+        F.col("_last_ts").isNotNull()
+        & (F.unix_micros(F.col(ts_col)) < F.unix_micros(F.col("_last_ts"))),
+        "sessionize_incremental: delta event at ",
+        F.col(ts_col).cast("string"),
+        " predates its user's stored maximum — the incremental splice "
+        "cannot express retroactive session merges; use the batch path "
+        "for late data",
+    )
+    brk = (
+        F.when(
+            prev.isNull(),
+            F.when(
+                F.col("_last_ts").isNull()
+                | (
+                    F.unix_micros(guarded_ts) - F.unix_micros(F.col("_last_ts"))
+                    > gap_us
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .when(F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us, 1)
+        .otherwise(0)
+    )
+    # localCheckpoint BEFORE the append: `store` is lazy over the same
+    # path, so any post-append plan over it would re-list the directory
+    # and see the new rows (and the returned delta must be the rows as
+    # written, not a re-read racing other writers)
+    out = (
+        joined.withColumn("_brk", brk)
+        .withColumn(
+            "session_id",
+            (
+                F.coalesce(F.col("_last_sid"), F.lit(0))
+                + F.sum("_brk").over(running)
+            ).cast("long"),
+        )
+        .select(*cols, "session_id")
+        .localCheckpoint()
+    )
+    out.write.mode("append").parquet(store_path)
+    return out

@@ -137,11 +137,15 @@ _SENTINELS = [
 # item-5 target was <= 65; 45 slots cannot hold 45 backfills AND the
 # 4 day-one additions — new-before-backfill wins, as every round).
 _ROTATED_IN = [
-    # round-10 additions (new-before-backfill)
+    # round-10 additions (new-before-backfill; x164/x165 landed late in
+    # the round and displace the two newest backfills — x114/q93 queue
+    # for round 11)
     "x160_index_delete",
     "x161_index_compact",
     "x162_exact_substring_keep_one",
     "x163_sft_curation",
+    "x164_index_merge",
+    "x165_incremental_sessionize",
     # round-1 single-green rows (the oldest backlog in the engine)
     "q27_cogroup",
     "q28_zip",
@@ -184,9 +188,6 @@ _ROTATED_IN = [
     "x110_sliding_distinct",
     "x111_incremental_lsh",
     "x112_containment",
-    "x114_personalized_pagerank",
-    # first round-6-window single-green row
-    "q93_grouping_sets",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

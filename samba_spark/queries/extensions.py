@@ -6823,6 +6823,92 @@ FROM capped ORDER BY user_id, session_id
 """
 
 
+def x_index_merge(spark, sf_dir):
+    """x164: index lifecycle verb 6 — shard MERGE
+    (dedup.merge_minhash_indexes): two shards are built INDEPENDENTLY
+    (save on src0; save on the rest — the embarrassingly-parallel
+    distributed-build pattern), then the second shard's PERSISTED
+    sigs/bands are merged into the first without re-signaturing a
+    single document. The probe batch (exact copies doc_id%8==1,
+    mutated copies doc_id%8==5) runs against the merged index FROM
+    DISK; the oracle replays a one-shot build on the full corpus —
+    probe(merge(save(A), save(B))) ≡ probe(save(A∪B))."""
+    from samba_spark.operators.dedup import (
+        merge_minhash_indexes,
+        probe_minhash_index,
+        save_minhash_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path_a = _pid_scratch("x164_shard_a")
+    path_b = _pid_scratch("x164_shard_b")
+    save_minhash_index(docs.where(F.col("source") == "src0"), path_a)
+    save_minhash_index(docs.where(F.col("source") != "src0"), path_b)
+    merge_minhash_indexes(spark, path_a, path_b)
+    return probe_minhash_index(
+        spark, path_a, _mh_probe_batch(docs, 8, 1, 5), min_agree=8
+    ).orderBy("doc_id")
+
+
+def x_incremental_sessionize(spark, sf_dir):
+    """x165: incremental sessionization
+    (sessionize.sessionize_incremental) — the sessionized event table
+    is built in TWO maintenance steps (events before the time
+    midpoint, then the rest spliced onto each user's stored tail, no
+    history recompute), and the per-session roll-up of the persisted
+    table is returned. The oracle sessionizes the FULL event log from
+    scratch: incremental-splice ≡ batch is the whole contract in one
+    hash check — the result must be independent of where the cutoff
+    fell."""
+    from samba_spark.operators.sessionize import sessionize_incremental
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    b = events.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    cutoff = b["lo"] + (b["hi"] - b["lo"]) / 2
+    store = _pid_scratch("x165_session_store")
+    sessionize_incremental(
+        spark, store, events.where(F.col("ts") < F.lit(cutoff)),
+        gap_seconds=1800,
+    )
+    sessionize_incremental(
+        spark, store, events.where(F.col("ts") >= F.lit(cutoff)),
+        gap_seconds=1800,
+    )
+    return (
+        spark.read.parquet(store)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+X165_INCREMENTAL_SESSIONIZE_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_ts
+  FROM events),
+brks AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM lagged),
+s AS (
+  SELECT user_id, event_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM brks)
+SELECT user_id, session_id::BIGINT AS session_id, MIN(ts) AS s_start,
+       COUNT(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
 # Trained-centroid registry for the declared clustering queries
 # (VERDICT r8 what's-wrong #3): x142 and x150 both need the SAME
 # 2-round Lloyd model; before this memo each declared query re-ran
@@ -6985,6 +7071,13 @@ EXTENSIONS: dict[str, QuerySpec] = {
         x_exact_substring_keep_one, X162_EXACT_SUBSTRING_KEEP_ONE_SQL
     ),
     "x163_sft_curation": QuerySpec(x_sft_curation, X163_SFT_CURATION_SQL),
+    "x164_index_merge": QuerySpec(
+        x_index_merge,
+        _minhash_probe_sql(8, 1, 5),
+    ),
+    "x165_incremental_sessionize": QuerySpec(
+        x_incremental_sessionize, X165_INCREMENTAL_SESSIONIZE_SQL
+    ),
     "x158_minhash_index_append": QuerySpec(
         x_minhash_index_append, _minhash_probe_sql(5, 0, 2)
     ),

@@ -75,6 +75,8 @@ def test_contract_window_invariant():
     }
     assert sentinels <= in_window
     # round-10 additions + representatives of each backfill block
-    for x in ("x160", "x161", "x162", "x163", "q27", "q44", "q25", "x5",
-              "x13", "q87", "x114", "q93"):
+    # (x114/q93 were displaced by the late additions x164/x165 and
+    # queue for round 11)
+    for x in ("x160", "x161", "x162", "x163", "x164", "x165", "q27",
+              "q44", "q25", "x5", "x13", "q87", "x112"):
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

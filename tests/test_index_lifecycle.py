@@ -229,3 +229,55 @@ def test_maintenance_verbs_refuse_remote_paths(spark):
         delete_from_minhash_index(spark, "s3a://bucket/idx", [1])
     with pytest.raises(NotImplementedError, match="local index path"):
         compact_minhash_index(spark, "hdfs://nn/idx")
+
+
+# ---- verb 6: shard merge ---------------------------------------------------
+from samba_spark.operators.dedup import merge_minhash_indexes
+
+
+def test_merge_idempotent_and_matches_one_shot_build(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    a, b, full = (str(tmp_path / n) for n in ("a", "b", "full"))
+    save_minhash_index(docs.where(F.col("source") == "src0"), a)
+    save_minhash_index(docs.where(F.col("source") != "src0"), b)
+    n = merge_minhash_indexes(spark, a, b)
+    assert n == docs.where(F.col("source") != "src0").count()
+    # re-merge: idempotent 0, no duplicate rows
+    assert merge_minhash_indexes(spark, a, b) == 0
+    sigs = spark.read.parquet(f"{a}/sigs")
+    assert sigs.count() == sigs.select("doc_id").distinct().count() == docs.count()
+    save_minhash_index(docs, full)
+    got = probe_minhash_index(spark, a, _probe_batch(docs), min_agree=8)
+    want = probe_minhash_index(spark, full, _probe_batch(docs), min_agree=8)
+    assert _rows(got) == _rows(want)
+
+
+def test_merge_refuses_layout_mismatch(spark, sf_smoke, tmp_path):
+    docs = _docs(spark, sf_smoke)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    save_minhash_index(docs.where(F.col("doc_id") < 50), a)
+    save_minhash_index(docs.where(F.col("doc_id") >= 50), b, bands=32)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_minhash_indexes(spark, a, b)
+
+
+def test_merge_respects_dest_tombstones_and_src_liveness(
+    spark, sf_smoke, tmp_path
+):
+    docs = _docs(spark, sf_smoke)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    lo = docs.where(F.col("doc_id") < 100)
+    hi = docs.where(F.col("doc_id") >= 100)
+    save_minhash_index(lo, a)
+    save_minhash_index(hi, b)
+    # doc 0 deleted from dest; a src-side doc deleted from the shard
+    delete_from_minhash_index(spark, a, [0])
+    hi_ids = [r["doc_id"] for r in hi.select("doc_id").limit(1).collect()]
+    delete_from_minhash_index(spark, b, hi_ids)
+    merge_minhash_indexes(spark, a, b)
+    probe = docs.where(
+        F.col("doc_id").isin([0] + hi_ids)
+    ).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    got = probe_minhash_index(spark, a, probe, min_agree=8).collect()
+    # neither the dest-deleted nor the shard-deleted doc may match
+    assert not any(r["match_id"] in set([0] + hi_ids) for r in got)

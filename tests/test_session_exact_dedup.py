@@ -363,3 +363,71 @@ def test_sft_curation_repartition_stable(spark):
     a = sft_curation(df, cap_per_first_type=5).collect()
     b = sft_curation(df.repartition(17), cap_per_first_type=5).collect()
     assert a == b
+
+
+# ---- x165: incremental sessionization --------------------------------------
+from samba_spark.operators.sessionize import sessionize, sessionize_incremental
+
+
+def _sess_rows(df):
+    return sorted(
+        (r["user_id"], r["event_id"], r["session_id"]) for r in df.collect()
+    )
+
+
+def test_incremental_sessionize_matches_batch(spark, tmp_path):
+    import random
+
+    rng = random.Random(13)
+    rows, eid = [], 0
+    for u in range(8):
+        minute = 0
+        for _ in range(rng.randint(3, 12)):
+            minute += rng.choice([1, 5, 40, 90])
+            rows.append((eid, _t(0) + dt.timedelta(minutes=minute), u, "e"))
+            eid += 1
+    df = _events(spark, rows)
+    cutoff = _t(0) + dt.timedelta(minutes=120)
+    store = str(tmp_path / "store")
+    sessionize_incremental(spark, store, df.where(f"ts < '{cutoff}'"))
+    sessionize_incremental(spark, store, df.where(f"ts >= '{cutoff}'"))
+    got = _sess_rows(spark.read.parquet(store))
+    want = _sess_rows(
+        sessionize(df, gap_seconds=1800).select(
+            "user_id", "event_id", "session_id"
+        )
+    )
+    assert got == want
+
+
+def test_incremental_sessionize_continues_tail_session(spark, tmp_path):
+    # events 10 min apart across the cutoff: ONE session
+    df = _events(
+        spark, [(1, _t(0), 1, "a"), (2, _t(10), 1, "b"), (3, _t(20), 1, "c")]
+    )
+    store = str(tmp_path / "store")
+    sessionize_incremental(spark, store, df.where("event_id <= 2"))
+    out = sessionize_incremental(spark, store, df.where("event_id = 3"))
+    assert [(r["event_id"], r["session_id"]) for r in out.collect()] == [(3, 1)]
+    # and a 31-min silence starts session 2
+    df2 = _events(spark, [(4, _t(51), 1, "d")])
+    out2 = sessionize_incremental(spark, store, df2)
+    assert out2.collect()[0]["session_id"] == 2
+
+
+def test_incremental_sessionize_new_user_in_delta(spark, tmp_path):
+    store = str(tmp_path / "store")
+    sessionize_incremental(spark, store, _events(spark, [(1, _t(0), 1, "a")]))
+    out = sessionize_incremental(
+        spark, store, _events(spark, [(2, _t(5), 2, "a")])
+    )
+    assert out.collect()[0]["session_id"] == 1
+
+
+def test_incremental_sessionize_rejects_late_data(spark, tmp_path):
+    store = str(tmp_path / "store")
+    sessionize_incremental(spark, store, _events(spark, [(1, _t(30), 1, "a")]))
+    with pytest.raises(Exception, match="predates its user's stored maximum"):
+        sessionize_incremental(
+            spark, store, _events(spark, [(2, _t(10), 1, "b")])
+        ).collect()

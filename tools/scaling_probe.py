@@ -148,6 +148,12 @@ PROBES = [
     "x161_index_compact",
     "x162_exact_substring_keep_one",
     "x163_sft_curation",
+    # shard merge (two in-query saves + the persisted-row move — the
+    # moved rows scale with documents) and incremental sessionization
+    # (two maintenance steps over the split event log + the session
+    # roll-up of the persisted table)
+    "x164_index_merge",
+    "x165_incremental_sessionize",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
