@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from samba_spark.operators.guards import plan_assert
+from samba_spark.operators.leases import single_writer
 
 _NORM = r"\s+"
 
@@ -1759,15 +1760,25 @@ def exact_substring_keep_one(
     toks, tokens, n_tok, wins = _substring_windows(
         corpus, min_tokens, id_col, text_col
     )
-    # one ROW_NUMBER over the class suffices: rank 1 is the canonical
-    # occurrence (also the only row of a singleton class), so keeping
-    # ranks > 1 selects exactly the non-canonical occurrences of
-    # duplicated classes — no separate class-size count needed (review
-    # finding: a count over an orderBy'd window would be a RUNNING
-    # count anyway, not the class size)
+    # rank 1 within a class is the canonical occurrence, so ranks > 1
+    # are exactly the non-canonical occurrences to remove (a count over
+    # an orderBy'd window would be a RUNNING count, not the class size)
     by_class = Window.partitionBy("h").orderBy("doc_id", "wpos")
+    # pre-filter to DUPLICATED classes BEFORE the window (ADVICE r10:
+    # ranking ALL stride-1 occurrences keys a corpus-scale exchange;
+    # the class-size count is one partial aggregate, and joining wins
+    # against the cnt>1 set — exact_substring_dedup's own shape —
+    # bounds the row_number input by the duplicated subset, which is
+    # what the scale-posture docstring advertises)
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("h")
+    )
     dup_occurrences = (
-        wins.withColumn("_rk", F.row_number().over(by_class))
+        wins.join(dup_h, "h")
+        .withColumn("_rk", F.row_number().over(by_class))
         .where(F.col("_rk") > 1)
         .select("doc_id", "wpos")
     )
@@ -1780,6 +1791,7 @@ def exact_substring_keep_one(
     return _coverage_reassemble(tokens, n_tok, covered)
 
 
+@single_writer("append_minhash_index", "path")
 def append_minhash_index(documents: DataFrame, path: str) -> int:
     """Incremental maintenance of a persisted MinHash index — the
     missing third verb of the serving loop (save → probe → APPEND):
@@ -1800,12 +1812,16 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
     appending the same path can both pass the doc_id anti-joins and
     double-append sigs/bands, and duplicate band rows inflate
     ``_cap_buckets`` counts, silently dropping legitimate buckets near
-    ``max_bucket``. Serialize appends externally (``run_admission_
-    stream``'s foreachBatch is serial by construction; a cron-driven
-    ingest should hold a lock or run single-process). At 100 TB the
-    store would sit behind a table format whose commit protocol
-    (Delta/Iceberg optimistic transactions) enforces this; the plain-
-    parquet store documents it instead.
+    ``max_bucket``. ENFORCED since round 11 (VERDICT r10 item 3) for
+    local paths via the ``_LEASE`` marker (leases.single_writer — a
+    second concurrent verb fails loudly with LeaseHeldError at entry);
+    a REMOTE index path cannot hold a posix lease, so remote appends
+    keep the documented serialize-externally contract
+    (``run_admission_stream``'s foreachBatch is serial by
+    construction). At 100 TB the store would sit behind a table format
+    whose commit protocol (Delta/Iceberg optimistic transactions)
+    enforces this; the plain-parquet store enforces it locally and
+    documents it remotely.
 
     Scale posture: the delta is signatured once (localCheckpoint) and
     feeds both appends; the only corpus-scale read is the column-pruned
@@ -1875,16 +1891,21 @@ def _require_local_index_path(path: str, verb: str) -> None:
     "nothing there" are CORRECT for remote paths (review finding:
     without this guard, a delete against s3a:// would record tombstones
     via Spark but never apply them — a silent right-to-be-forgotten
-    failure). At 100 TB these verbs belong behind a table format's
-    metadata transaction; this plain-parquet store refuses loudly
-    instead."""
+    failure). ``file://`` is rejected too (ADVICE r10): Spark resolves
+    the scheme but the driver-side os.path probes / rmtree / os.replace
+    here treat the string literally, so a file:// index would hit the
+    exact silent-tombstone failure the guard exists to close — pass the
+    plain posix path instead. At 100 TB these verbs belong behind a
+    table format's metadata transaction; this plain-parquet store
+    refuses loudly instead."""
     m = _URI_SCHEME.match(path)
-    if m and m.group(1) != "file":
+    if m:
         raise NotImplementedError(
             f"{verb}: index maintenance (tombstones/compaction) requires "
-            f"a local index path; got scheme '{m.group(1)}://'. Rebuild "
-            "via save_minhash_index to a fresh path instead, or host the "
-            "index on a local/posix mount."
+            f"a plain local index path; got scheme '{m.group(1)}://'. "
+            "For file:// pass the posix path itself; otherwise rebuild "
+            "via save_minhash_index to a fresh path, or host the index "
+            "on a local/posix mount."
         )
 
 
@@ -1940,6 +1961,7 @@ def _finish_compaction_swap(path: str) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
+@single_writer("delete_from_minhash_index", "path")
 def delete_from_minhash_index(spark, path: str, doc_ids) -> int:
     """Index lifecycle verb 4 of 5 (save → probe → append → DELETE →
     compact): tombstone documents out of a persisted MinHash index —
@@ -1970,8 +1992,9 @@ def delete_from_minhash_index(spark, path: str, doc_ids) -> int:
     Single-writer, same as append (ADVICE r9): concurrent deleters
     could both pass the already-tombstoned anti-join and append
     duplicate tombstone rows — harmless for probe correctness (the
-    tombstone set is read DISTINCT) but unbounded growth; serialize
-    maintenance verbs externally.
+    tombstone set is read DISTINCT) but unbounded growth. ENFORCED
+    since round 11: the ``_LEASE`` marker (leases.single_writer) makes
+    a concurrent verb fail loudly at entry instead.
     """
     from samba_spark.operators.guards import tiny_df
 
@@ -1998,6 +2021,7 @@ def delete_from_minhash_index(spark, path: str, doc_ids) -> int:
     return n
 
 
+@single_writer("compact_minhash_index", "path")
 def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     """Index lifecycle verb 5 of 5: rewrite a persisted MinHash index's
     sigs/bands into a bounded file count with tombstoned rows
@@ -2022,11 +2046,9 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     The repartition is a full shuffle of the index datasets — this is
     a scheduled-maintenance verb, amortized across the appends since
     the last compact, exactly like a table format's OPTIMIZE. meta is
-    untouched (layout parameters never change). Single-writer, same as
+    untouched (layout parameters never change). Single-writer, lease-enforced same as
     append. Returns {files_before, files_after, rows_removed, live
     docs} for the maintenance log."""
-    import glob as _glob
-
     if target_files < 1:
         raise ValueError(
             f"compact_minhash_index: target_files={target_files} must be >= 1"
@@ -2036,7 +2058,14 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     staging = f"{path}/_compact"
 
     def _nfiles(name: str) -> int:
-        return len(_glob.glob(f"{path}/{name}/*.parquet"))
+        # count every data file, whatever its suffix (VERDICT r10:
+        # a *.parquet glob reads 0 for .snappy.parquet-style layouts)
+        d = f"{path}/{name}"
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            1 for f in os.listdir(d) if not f.startswith(("_", "."))
+        )
 
     files_before = {n: _nfiles(n) for n in ("sigs", "bands")}
     sigs = spark.read.parquet(f"{path}/sigs")
@@ -2066,6 +2095,7 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     }
 
 
+@single_writer("merge_minhash_indexes", "dest_path", "src_path")
 def merge_minhash_indexes(spark, dest_path: str, src_path: str) -> int:
     """Index lifecycle verb 6: MERGE one persisted MinHash index into
     another WITHOUT re-signaturing — the distributed-build pattern a
@@ -2091,10 +2121,11 @@ def merge_minhash_indexes(spark, dest_path: str, src_path: str) -> int:
     same delete→compact→append contract as ingestion). Crash safety:
     the destination append follows append_minhash_index's bands-FIRST
     protocol (sigs are the commit marker; retried merges repair a
-    band-only crash via the per-dataset anti-joins). Single-writer on
-    the destination, same as append. The source is read-only (its
-    interrupted compactions are repaired first, which requires a local
-    source path).
+    band-only crash via the per-dataset anti-joins). Single-writer:
+    BOTH paths are lease-held for the merge (the source's interrupted
+    compactions are repaired first, which mutates it); loud-failure
+    acquisition means two crossing merges cannot deadlock — one loses
+    with LeaseHeldError.
 
     Returns the number of documents merged in.
     """

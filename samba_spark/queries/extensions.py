@@ -6909,6 +6909,61 @@ ORDER BY user_id, session_id
 """
 
 
+def x_session_store_compact(spark, sf_dir):
+    """x166: session-store lifecycle — bucketed layout + COMPACT
+    (sessionize.compact_session_store; VERDICT r10 item 1, the x161
+    pattern's second instance): the sessionized event table is built
+    in TWO incremental steps on the USER-BUCKETED layout (``ubucket =
+    pmod(xxhash64(user), 8)`` partition dirs, so each delta's tail
+    read statically prunes its store scan to the affected buckets —
+    plan-asserted in tests/test_session_store_lifecycle.py), then
+    ``compact_session_store`` rewrites the store to one file per live
+    bucket through the crash-safe ``_COMMIT`` marker swap, then a
+    THIRD delta appends onto the COMPACTED store. The oracle
+    sessionizes the full feed from scratch: bucketed-incremental ≡
+    batch AND compact ≡ no-op, in one hash check."""
+    from samba_spark.operators.sessionize import (
+        compact_session_store,
+        sessionize_incremental,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    b = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    t1 = b["lo"] + (b["hi"] - b["lo"]) / 3
+    t2 = b["lo"] + 2 * (b["hi"] - b["lo"]) / 3
+    store = _pid_scratch("x166_session_store")
+    kw = dict(gap_seconds=1800, user_buckets=8)
+    sessionize_incremental(
+        spark, store, events.where(F.col("ts") < F.lit(t1)), **kw
+    )
+    sessionize_incremental(
+        spark,
+        store,
+        events.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        **kw,
+    )
+    compact_session_store(spark, store)
+    sessionize_incremental(
+        spark, store, events.where(F.col("ts") >= F.lit(t2)), **kw
+    )
+    return (
+        spark.read.parquet(store)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+# same contract SQL as x165: the full-feed batch sessionization is the
+# oracle for the ENTIRE lifecycle (splice + compact + splice)
+X166_SESSION_STORE_COMPACT_SQL = X165_INCREMENTAL_SESSIONIZE_SQL
+
+
 # Trained-centroid registry for the declared clustering queries
 # (VERDICT r8 what's-wrong #3): x142 and x150 both need the SAME
 # 2-round Lloyd model; before this memo each declared query re-ran
@@ -7077,6 +7132,9 @@ EXTENSIONS: dict[str, QuerySpec] = {
     ),
     "x165_incremental_sessionize": QuerySpec(
         x_incremental_sessionize, X165_INCREMENTAL_SESSIONIZE_SQL
+    ),
+    "x166_session_store_compact": QuerySpec(
+        x_session_store_compact, X166_SESSION_STORE_COMPACT_SQL
     ),
     "x158_minhash_index_append": QuerySpec(
         x_minhash_index_append, _minhash_probe_sql(5, 0, 2)
