@@ -39,8 +39,13 @@ the ``SENTINELS`` definition, sourced from BASELINE.md). A probe over
 its gate tags the artifact ``machine_state:"degraded"`` (both probe
 dicts are always recorded), and ``--strict-preflight`` refuses a
 degraded start — so a canonical-vs-driver disparity is self-diagnosing
-in the artifact instead of re-litigated every round. Only applies at
-sf0.1 (the pins' scale); ``--skip-preflight`` disables it.
+in the artifact instead of re-litigated every round. Round 11
+(VERDICT r10 item 7): a degraded reading now RETRIES up to 3× with
+45 s waits — the proven degradation mode is transient CPU-steal
+episodes, so the gate waits them out and the artifact records the
+reading history; only a host bad for minutes still tags degraded.
+Only applies at sf0.1 (the pins' scale); ``--skip-preflight``
+disables it.
 
 
 The artifact always records ``order_mode``/``order_seed``/
@@ -197,7 +202,24 @@ def main() -> None:
         and all(n in ALL_QUERIES for n, _, _ in SENTINELS)
         and not args.only
     ):
+        # self-healing gate (VERDICT r10 item 7: the driver's r10
+        # artifact was a degraded-host sample — proven 16-18% CPU-steal
+        # EPISODES, i.e. transient): a degraded first reading waits the
+        # episode out and re-probes before tagging, so the committed
+        # artifact is degraded only if the host stays bad for minutes
+        history = []
         preflight = run_preflight(spark, sf_dir, ALL_QUERIES)
+        history.append(preflight["machine_state"])
+        while preflight["machine_state"] == "degraded" and len(history) <= 3:
+            print(
+                f"preflight degraded (reading {len(history)}): waiting "
+                "45 s for the steal episode to pass",
+                file=sys.stderr,
+            )
+            time.sleep(45)
+            preflight = run_preflight(spark, sf_dir, ALL_QUERIES)
+            history.append(preflight["machine_state"])
+        preflight = {**preflight, "readings": history}
         print(
             f"preflight: {json.dumps(preflight, separators=(',', ':'))}",
             file=sys.stderr,

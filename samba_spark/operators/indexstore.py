@@ -46,6 +46,7 @@ import json
 import math
 
 from samba_spark.operators.guards import tiny_df
+from samba_spark.operators.leases import single_writer
 
 _VERSION = 1
 
@@ -363,3 +364,158 @@ def load_kmeans_index(spark, path: str):
             f"meta promises 0..{p['k'] - 1}"
         )
     return [got[i] for i in range(p["k"])], p["quant"], p
+
+
+# -- IVF-PQ postings: shard-parallel build + merge + serve -----------------
+def _read_postings(spark, path: str):
+    """The persisted postings dataset under ``path``/postings, or None
+    when none has been built. Local paths use one free os.path probe
+    (the common case, no Spark job); URI-scheme paths fall back to a
+    try/except read — remote stores are Spark-readable even though the
+    MAINTENANCE machinery here never does os-level surgery on them."""
+    import os
+    import re
+
+    if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+        if not os.path.isdir(f"{path}/postings"):
+            return None
+        return spark.read.parquet(f"{path}/postings")
+    try:
+        return spark.read.parquet(f"{path}/postings")
+    except Exception:
+        return None
+
+
+@single_writer("build_ivf_pq_postings", "path")
+def build_ivf_pq_postings(spark, path: str, embeddings) -> int:
+    """Shard-build verb for the IVF-PQ store (VERDICT r10 item 6 — the
+    x164 distributed-build pattern, ANN instance): encode a shard's
+    embeddings with the store's PINNED quantizers (cell argmin + PQ
+    codes + residual ssq, read from the frozen state — a shard encoded
+    against different quantizers would silently mis-rank everything)
+    and parquet-append the posting rows (vec_id, cell, codes, rssq).
+    At 100 TB each shard builder runs this embarrassingly-parallel job
+    over its own documents; :func:`merge_vector_index_shards` then
+    absorbs the PERSISTED rows without re-encoding a single vector.
+
+    Idempotent: vec_ids already posted are skipped (left-anti against
+    the stored ids — the same crash-retry contract as
+    append_minhash_index, simpler here because postings are ONE
+    dataset: the append itself is the commit). Single-writer,
+    lease-enforced on local paths. Returns the number of vectors
+    newly posted."""
+    from samba_spark.operators.simsearch import _ivf_pq_encode_prepared
+
+    cents, books, params = load_ivf_pq_index(spark, path)
+    enc = _ivf_pq_encode_prepared(
+        embeddings,
+        cents,
+        books,
+        params["n_centroids"],
+        params["dsub"],
+        "build_ivf_pq_postings",
+    )
+    existing = _read_postings(spark, path)
+    if existing is not None:
+        enc = enc.join(
+            existing.select("vec_id"), "vec_id", "left_anti"
+        )
+    enc = enc.localCheckpoint()
+    n = enc.count()
+    if n == 0:
+        return 0
+    enc.write.mode("append").parquet(f"{path}/postings")
+    return int(n)
+
+
+@single_writer("merge_vector_index_shards", "dest_path", "src_path")
+def merge_vector_index_shards(spark, dest_path: str, src_path: str) -> int:
+    """Absorb one IVF-PQ shard store's PERSISTED postings into another
+    — the serving index's side of the distributed build: shard
+    builders run save_ivf_pq_index (identical pinned quantizers) +
+    build_ivf_pq_postings independently, then the serving store merges
+    each shard's already-encoded rows. Re-encoding through
+    build_ivf_pq_postings would re-run the cell argmin and PQ coding
+    over every vector; this verb moves rows.
+
+    Quantizer safety (the x164 layout-mismatch refusal, strengthened):
+    structural params (n_cells, dim, m, n_centroids, dsub) AND the
+    actual centroid/codebook VALUES must match bit-for-bit — parquet
+    round-trips IEEE doubles losslessly, so shards saved from the same
+    pinned literals compare equal, and a shard encoded against ANY
+    other quantizer state is refused loudly (merged mis-encoded
+    postings would silently mis-rank: structurally undetectable at
+    probe time, exactly the failure meta gates exist for).
+
+    Semantics: src postings whose vec_id is absent from dest are
+    appended — re-merging a shard is idempotent; disjoint shard
+    vec_id spaces get a true union. Single-writer: BOTH stores are
+    lease-held (loud-failure acquisition — crossing merges cannot
+    deadlock). Returns the number of vectors merged in."""
+    dc, db, dp = load_ivf_pq_index(spark, dest_path)
+    sc_, sb, sp = load_ivf_pq_index(spark, src_path)
+    d_struct = {k: dp[k] for k in ("n_cells", "dim", "m", "n_centroids", "dsub")}
+    s_struct = {k: sp[k] for k in ("n_cells", "dim", "m", "n_centroids", "dsub")}
+    if d_struct != s_struct or dc != sc_ or db != sb:
+        raise ValueError(
+            "merge_vector_index_shards: quantizer mismatch — dest "
+            f"{d_struct} vs src {s_struct} (and/or centroid/codebook "
+            "values differ); postings encoded against different "
+            "quantizers would silently mis-rank every probe"
+        )
+    src_post = _read_postings(spark, src_path)
+    if src_post is None:
+        raise ValueError(
+            f"merge_vector_index_shards: {src_path} has no postings — "
+            "run build_ivf_pq_postings on the shard first"
+        )
+    dest_post = _read_postings(spark, dest_path)
+    fresh = src_post
+    if dest_post is not None:
+        fresh = src_post.join(
+            dest_post.select("vec_id"), "vec_id", "left_anti"
+        )
+    fresh = fresh.localCheckpoint()
+    n = fresh.count()
+    if n == 0:
+        return 0
+    fresh.write.mode("append").parquet(f"{dest_path}/postings")
+    return int(n)
+
+
+def probe_ivf_pq_store(
+    spark, path: str, queries, k: int = 10, n_probe: int = 2
+):
+    """ADC top-k served ENTIRELY from the frozen store: pinned
+    quantizers from meta/centroids/codebooks, corpus from the
+    persisted postings — no embedding is touched at probe time (the
+    x155 loaded-state probe still re-encoded the corpus in-query; this
+    is the full serving loop: the 100 TB corpus is encoded once at
+    build, and every probe reads only the 64×-compressed posting
+    rows). Hash-identical to ivf_pq_topk over the same corpus with the
+    same pinned state — asserted by the x167 oracle."""
+    cents, books, params = load_ivf_pq_index(spark, path)
+    if n_probe < 1 or n_probe > len(cents):
+        raise ValueError(
+            f"probe_ivf_pq_store: n_probe={n_probe} must be in "
+            f"1..{len(cents)}"
+        )
+    post = _read_postings(spark, path)
+    if post is None:
+        raise ValueError(
+            f"probe_ivf_pq_store: {path} has no postings — run "
+            "build_ivf_pq_postings first"
+        )
+    from samba_spark.operators.simsearch import _ivf_pq_probe_prepared
+
+    return _ivf_pq_probe_prepared(
+        post,
+        queries,
+        cents,
+        books,
+        params["n_centroids"],
+        params["dsub"],
+        k,
+        n_probe,
+        "probe_ivf_pq_store",
+    )

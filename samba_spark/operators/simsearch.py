@@ -1037,10 +1037,21 @@ def ivf_pq_topk(
             f"ivf_pq_topk: cell centroids are {cdim}-dim but the PQ "
             f"layout is {m}x{dsub}"
         )
-    _checked, _codes, _rssq, _adc = _pq_exprs(cb, m, kc, dsub, "ivf_pq_topk")
+    corpus = _ivf_pq_encode_prepared(embeddings, cells, cb, kc, dsub,
+                                     "ivf_pq_topk")
+    return _ivf_pq_probe_prepared(
+        corpus, queries, cells, cb, kc, dsub, k, n_probe, "ivf_pq_topk"
+    )
+
+
+def _ivf_pq_cell_dists(cells):
+    """Per-row array of squared distances to every pinned cell centroid
+    — shared by corpus encode (argmin assignment) and query probing
+    (n_probe smallest)."""
     cells_col = F.array(
         *[F.array(*[F.lit(v) for v in c]) for c in cells]
     )
+    n_total_cells = len(cells)
 
     def _cell_dists(col):
         return F.transform(
@@ -1048,12 +1059,24 @@ def ivf_pq_topk(
             lambda c: _fold_dist2(col, F.element_at(cells_col, c + 1)),
         )
 
+    return _cell_dists
+
+
+def _ivf_pq_encode_prepared(embeddings, cells, cb, kc, dsub, op):
+    """IVF-PQ corpus encoding over VALIDATED pinned state: (vec_id,
+    cell, codes, rssq) — the posting rows. Shared verbatim by
+    :func:`ivf_pq_topk`'s in-query corpus branch and the persisted
+    postings builder (indexstore.build_ivf_pq_postings), so a probe
+    over stored postings is hash-identical to the in-query path."""
+    m = len(cb)
+    _checked, _codes, _rssq, _adc = _pq_exprs(cb, m, kc, dsub, op)
+    _cell_dists = _ivf_pq_cell_dists(cells)
     # the distance array is materialized ONCE per row via its own
     # projection step and then referenced by name — inlining
     # _cell_dists into every consumer (argmin uses it twice, the probe
     # struct n_cells times) would make the expression tree O(cells²)
     # folds, which balloons codegen at large pinned cell counts
-    corpus = (
+    return (
         embeddings.select(
             "vec_id", _checked(F.col("embedding")).alias("_emb")
         )
@@ -1069,6 +1092,19 @@ def ivf_pq_topk(
         )
         .withColumn("rssq", _rssq(F.col("codes")))
     )
+
+
+def _ivf_pq_probe_prepared(
+    encoded, queries, cells, cb, kc, dsub, k, n_probe, op
+):
+    """ADC top-k over ENCODED corpus rows (vec_id, cell, codes, rssq)
+    with validated pinned state — the serving half of IVF-PQ, fed
+    either by the in-query encode or by postings read from a frozen
+    store."""
+    m = len(cb)
+    _checked, _codes, _rssq, _adc = _pq_exprs(cb, m, kc, dsub, op)
+    _cell_dists = _ivf_pq_cell_dists(cells)
+    n_total_cells = len(cells)
     # probe set: the n_probe cells with the smallest (distance, cell_id)
     # — array_sort over structs is the lexicographic order DuckDB's
     # ORDER BY (dist, c) replays
@@ -1098,7 +1134,7 @@ def ivf_pq_topk(
         .drop("_qcd")
     )
     return _adc_cosine_topk(
-        corpus.join(F.broadcast(qs), "cell"),
+        encoded.join(F.broadcast(qs), "cell"),
         _adc(F.col("qd"), F.col("codes")),
         k,
     )

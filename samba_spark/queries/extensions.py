@@ -5447,6 +5447,39 @@ def x_index_roundtrip_probe(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+def x_vector_shard_merge(spark, sf_dir):
+    """x167: shard-parallel IVF-PQ build + MERGE + postings-served
+    probe (indexstore.build_ivf_pq_postings / merge_vector_index_shards
+    / probe_ivf_pq_store; VERDICT r10 item 6 — the x164 distributed-
+    build pattern, ANN instance): two shard stores are saved with the
+    SAME pinned quantizer state, each shard encodes ONLY its half of
+    the corpus (vec_id parity split) into persisted posting rows, the
+    second shard's postings are merged into the first without
+    re-encoding a vector, and the probe is served ENTIRELY from the
+    merged store's postings — no embedding touched at probe time. The
+    oracle replays the one-shot in-query IVF-PQ over the full corpus:
+    probe(merge(build(A), build(B))) ≡ probe(build-once)."""
+    from samba_spark.operators import indexstore as IX
+
+    embs = _embs(spark, sf_dir)
+    dest = _pid_scratch("x167_vec_dest")
+    src = _pid_scratch("x167_vec_src")
+    for pth in (dest, src):
+        IX.save_ivf_pq_index(
+            spark, pth, X155_CELLS, X155_BOOKS, {"built_for": "x167"}
+        )
+    IX.build_ivf_pq_postings(
+        spark, dest, embs.where(F.col("vec_id") % 2 == 0)
+    )
+    IX.build_ivf_pq_postings(
+        spark, src, embs.where(F.col("vec_id") % 2 == 1)
+    )
+    IX.merge_vector_index_shards(spark, dest, src)
+    return IX.probe_ivf_pq_store(
+        spark, dest, _queries_df(embs), k=10, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
 def _x155_sql() -> str:
     cells = ", ".join(
         "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(v) for v in c))
@@ -7118,6 +7151,7 @@ EXTENSIONS: dict[str, QuerySpec] = {
     ),
     "x141_ivf_pq_ann": QuerySpec(x_ivf_pq_ann, X141_IVF_PQ_SQL),
     "x155_index_probe": QuerySpec(x_index_roundtrip_probe, _x155_sql()),
+    "x167_vector_shard_merge": QuerySpec(x_vector_shard_merge, _x155_sql()),
     "x156_exact_substring_dedup": QuerySpec(
         x_exact_substring_dedup, X156_EXACT_SUBSTRING_SQL
     ),

@@ -300,3 +300,94 @@ def test_admission_stream_empty_batches_dir(spark, tmp_path):
     assert [f.name for f in log.schema.fields] == [
         "doc_id", "admitted", "match_id", "n_agree", "est_jaccard"
     ]
+
+
+def test_postings_probe_equals_inquery(spark, sf_smoke, tmp_path):
+    from samba_spark.operators.simsearch import ivf_pq_topk
+
+    embs = _embs(spark, sf_smoke)
+    p = str(tmp_path / "post_store")
+    ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    n = ix.build_ivf_pq_postings(spark, p, embs)
+    assert n == embs.count()
+    served = ix.probe_ivf_pq_store(
+        spark, p, _queries_df(embs), k=5, n_probe=2
+    )
+    inquery = ivf_pq_topk(
+        embs, _queries_df(embs), k=5, m=8,
+        cell_centroids=CENTS, codebooks=BOOKS, n_probe=2,
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(served.collect(), key=key) == sorted(
+        inquery.collect(), key=key
+    )
+    # idempotent re-build: nothing new posted
+    assert ix.build_ivf_pq_postings(spark, p, embs) == 0
+
+
+def test_shard_merge_equals_build_once(spark, sf_smoke, tmp_path):
+    embs = _embs(spark, sf_smoke)
+    dest, src, once = (
+        str(tmp_path / d) for d in ("dest", "src", "once")
+    )
+    for p in (dest, src, once):
+        ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    ix.build_ivf_pq_postings(
+        spark, dest, embs.where(F.col("vec_id") % 2 == 0)
+    )
+    ix.build_ivf_pq_postings(
+        spark, src, embs.where(F.col("vec_id") % 2 == 1)
+    )
+    n = ix.merge_vector_index_shards(spark, dest, src)
+    assert n == embs.where(F.col("vec_id") % 2 == 1).count()
+    ix.build_ivf_pq_postings(spark, once, embs)
+    key = lambda r: (r["query_id"], r["rank"])
+    got = ix.probe_ivf_pq_store(spark, dest, _queries_df(embs), k=5)
+    want = ix.probe_ivf_pq_store(spark, once, _queries_df(embs), k=5)
+    assert sorted(got.collect(), key=key) == sorted(
+        want.collect(), key=key
+    )
+    # re-merge is idempotent
+    assert ix.merge_vector_index_shards(spark, dest, src) == 0
+
+
+def test_shard_merge_quantizer_mismatch_refused(spark, sf_smoke, tmp_path):
+    embs = _embs(spark, sf_smoke).limit(20)
+    a, b = str(tmp_path / "qa"), str(tmp_path / "qb")
+    ix.save_ivf_pq_index(spark, a, CENTS, BOOKS)
+    other_cents = [[v + 0.25 for v in c] for c in CENTS]
+    ix.save_ivf_pq_index(spark, b, other_cents, BOOKS)
+    ix.build_ivf_pq_postings(spark, b, embs)
+    with pytest.raises(ValueError, match="quantizer mismatch"):
+        ix.merge_vector_index_shards(spark, a, b)
+
+
+def test_probe_without_postings_refused(spark, tmp_path):
+    p = str(tmp_path / "no_post")
+    ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    import pandas as pd  # noqa: F401  (queries df built from store state)
+
+    with pytest.raises(ValueError, match="no postings"):
+        ix.probe_ivf_pq_store(
+            spark, p, _queries_df(_embs(spark, "/root/testdata/sf0.001"))
+        )
+
+
+def test_postings_lease_contention(spark, sf_smoke, tmp_path):
+    import json as _json
+    import os
+    import time
+
+    from samba_spark.operators.leases import LeaseHeldError
+
+    embs = _embs(spark, sf_smoke).limit(10)
+    p = str(tmp_path / "leased_vec")
+    ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    with open(os.path.join(p, "_LEASE"), "w") as fh:
+        _json.dump(
+            {"verb": "merge", "pid": 7, "acquired": time.time()}, fh
+        )
+    with pytest.raises(LeaseHeldError, match="verb=merge"):
+        ix.build_ivf_pq_postings(spark, p, embs)
+    os.unlink(os.path.join(p, "_LEASE"))
+    assert ix.build_ivf_pq_postings(spark, p, embs) == 10
