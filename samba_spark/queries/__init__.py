@@ -122,72 +122,68 @@ _SENTINELS = [
     "x3_minhash_lsh_dedup",    # dedup family + perf canary
 ]
 
-# Round-10 rotation (VERDICT r9 item 5; the round-9 window came back
-# 50/50 full-green — fourth consecutive all-green window — so all 45
-# rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 4
-# round-10 additions first (standing new-before-backfill policy — x160
-# tombstone delete, x161 crash-safe compact, x162 keep-one-canonical
-# ExactSubstr, x163 SFT curation chain), then 41 oldest-single-green
-# backfills in strict single-green-round order (recomputed from
-# CORRECTNESS_r01-r09, matching the judge's 106 count): the 8 round-1
-# singles (q27/q28/q33/q34/q36/q37/q38/q44 — rotated out in r3 and
-# never re-attested), the 12 round-2 singles (q25/q26/q47, x5-x13),
-# then the first 21 round-5/6 singles in r5 order. Expected backlog
-# after this window returns green: 106 - 41 + 4 new = 69 (the r9
-# item-5 target was <= 65; 45 slots cannot hold 45 backfills AND the
-# 4 day-one additions — new-before-backfill wins, as every round).
+# Round-11 rotation (VERDICT r10 item 4; the round-10 window came back
+# 50/50 full-green — fifth consecutive all-green window — so all 45
+# rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 2
+# round-11 additions first (standing new-before-backfill policy — x166
+# session-store compact lifecycle, x167 vector-index shard merge), then
+# 43 oldest-single-green backfills in strict single-green-round order,
+# recomputed from CORRECTNESS_r01-r10 (matches the judge's 73 count):
+# x114 (the r5 single, queued since r10), all 23 round-6 singles, all
+# 17 round-7 singles, and the 2 oldest round-8 singles (q29/q30).
+# Expected backlog after this window returns green: 73 - 43 + 2 new =
+# 32 (the r10 item-4 target was <= 50).
 _ROTATED_IN = [
-    # round-10 additions (new-before-backfill; x164/x165 landed late in
-    # the round and displace the two newest backfills — x114/q93 queue
-    # for round 11)
-    "x160_index_delete",
-    "x161_index_compact",
-    "x162_exact_substring_keep_one",
-    "x163_sft_curation",
-    "x164_index_merge",
-    "x165_incremental_sessionize",
-    # round-1 single-green rows (the oldest backlog in the engine)
-    "q27_cogroup",
-    "q28_zip",
-    "q33_cube",
-    "q34_global_agg",
-    "q36_pivot",
-    "q37_percentiles",
-    "q38_string_agg",
-    "q44_stream_dedup",
-    # round-2 single-green rows
-    "q25_asof_join",
-    "q26_range_join",
-    "q47_pipe",
-    "x5_ngram_jaccard",
-    "x6_text_stats",
-    "x7_token_count",
-    "x8_lang_id",
-    "x9_fingerprint",
-    "x10_cosine_topk",
-    "x11_ann_lsh_topk",
-    "x12_embedding_neardup",
-    "x13_multimodal_byte_stats",
-    # oldest round-5-window single-green rows, r5 order
-    "q87_parameterized_sql",
-    "q88_shortest_paths",
-    "q89_delta_join",
-    "q90_interpolate_daily",
-    "q91_stream_full_outer_join",
-    "q92_twap",
-    "x90_audio_fp_dedup",
-    "x91_approx_percentile",
-    "x92_frame_sample",
-    "x95_frequent_itemsets",
-    "x96_fd_profile",
-    "x100_table_profile",
-    "x105_lpa_communities",
-    "x107_linear_model",
-    "x108_changepoint",
-    "x109_winsorize",
-    "x110_sliding_distinct",
-    "x111_incremental_lsh",
-    "x112_containment",
+    # round-11 additions (new-before-backfill)
+    "x166_session_store_compact",
+    "x167_vector_shard_merge",
+    # round-5 single-green (queued from r10's displaced backfills)
+    "x114_personalized_pagerank",
+    # round-6 single-green rows, r6 order
+    "q93_grouping_sets",
+    "q94_identifier_clause",
+    "q95_group_by_all",
+    "q96_bag_setops",
+    "q97_nullsafe_join",
+    "x101_interval_overlap",
+    "x102_k_anonymity",
+    "x103_levenshtein_pairs",
+    "x104_mad_outliers",
+    "x106_strip_boilerplate",
+    "x113_feature_hashing",
+    "x115_skyline",
+    "x116_pandas_udaf",
+    "x117_table_profile_approx",
+    "x118_sliding_distinct_bitmap",
+    "x119_url_dedup",
+    "x120_xml_roundtrip",
+    "x14_ivf_topk",
+    "x93_lm_fluency",
+    "x94_count_min",
+    "x97_join_size_estimate",
+    "x98_ewma",
+    "x99_hybrid_rrf",
+    # round-7 single-green rows, r7 order
+    "q98_sql_udf",
+    "q99_scd2",
+    "x121_sliding_distinct_auto",
+    "x122_bloom_ingest",
+    "x123_kmv_set_ops",
+    "x124_k_core",
+    "x125_benford",
+    "x126_acf",
+    "x127_inclusion_profile",
+    "x128_jpeg_pixel_pipeline",
+    "x129_length_bucket_packing",
+    "x130_temperature_mixture",
+    "x131_chi_square_screen",
+    "x132_common_substring_pairs",
+    "x133_theil_sen",
+    "x134_int8_ann",
+    "x135_bpe_apply",
+    # round-8 single-green rows, r8 order (fill the final two slots)
+    "q29_approx_count_distinct",
+    "q30_sample_by",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN
