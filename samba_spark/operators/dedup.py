@@ -1898,15 +1898,15 @@ def _require_local_index_path(path: str, verb: str) -> None:
     plain posix path instead. At 100 TB these verbs belong behind a
     table format's metadata transaction; this plain-parquet store
     refuses loudly instead."""
-    m = _URI_SCHEME.match(path)
-    if m:
-        raise NotImplementedError(
-            f"{verb}: index maintenance (tombstones/compaction) requires "
-            f"a plain local index path; got scheme '{m.group(1)}://'. "
-            "For file:// pass the posix path itself; otherwise rebuild "
-            "via save_minhash_index to a fresh path, or host the index "
-            "on a local/posix mount."
-        )
+    from samba_spark.operators.leases import require_plain_local_path
+
+    require_plain_local_path(
+        path,
+        verb,
+        "index maintenance (tombstones/compaction)",
+        "rebuild via save_minhash_index to a fresh path, or host the "
+        "index on a local/posix mount",
+    )
 
 
 def _read_deletes(spark, path: str):

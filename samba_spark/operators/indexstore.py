@@ -406,6 +406,7 @@ def build_ivf_pq_postings(spark, path: str, embeddings) -> int:
     newly posted."""
     from samba_spark.operators.simsearch import _ivf_pq_encode_prepared
 
+    _recover_vector_compaction(path)
     cents, books, params = load_ivf_pq_index(spark, path)
     enc = _ivf_pq_encode_prepared(
         embeddings,
@@ -452,6 +453,8 @@ def merge_vector_index_shards(spark, dest_path: str, src_path: str) -> int:
     vec_id spaces get a true union. Single-writer: BOTH stores are
     lease-held (loud-failure acquisition — crossing merges cannot
     deadlock). Returns the number of vectors merged in."""
+    _recover_vector_compaction(dest_path)
+    _recover_vector_compaction(src_path)
     dc, db, dp = load_ivf_pq_index(spark, dest_path)
     sc_, sb, sp = load_ivf_pq_index(spark, src_path)
     d_struct = {k: dp[k] for k in ("n_cells", "dim", "m", "n_centroids", "dsub")}
@@ -469,6 +472,11 @@ def merge_vector_index_shards(spark, dest_path: str, src_path: str) -> int:
             f"merge_vector_index_shards: {src_path} has no postings — "
             "run build_ivf_pq_postings on the shard first"
         )
+    src_deletes = _read_vector_deletes(spark, src_path)
+    if src_deletes is not None:
+        # the source's LIVE rows only — a vector tombstoned in the
+        # shard must not resurrect through a merge
+        src_post = src_post.join(src_deletes, "vec_id", "left_anti")
     dest_post = _read_postings(spark, dest_path)
     fresh = src_post
     if dest_post is not None:
@@ -493,7 +501,11 @@ def probe_ivf_pq_store(
     is the full serving loop: the 100 TB corpus is encoded once at
     build, and every probe reads only the 64×-compressed posting
     rows). Hash-identical to ivf_pq_topk over the same corpus with the
-    same pinned state — asserted by the x167 oracle."""
+    same pinned state — asserted by the x167 oracle. Tombstoned
+    vec_ids (delete_from_vector_store) are anti-joined out before
+    scoring, so a probe never serves a deleted vector even before the
+    compact physically removes it."""
+    _recover_vector_compaction(path)
     cents, books, params = load_ivf_pq_index(spark, path)
     if n_probe < 1 or n_probe > len(cents):
         raise ValueError(
@@ -506,6 +518,9 @@ def probe_ivf_pq_store(
             f"probe_ivf_pq_store: {path} has no postings — run "
             "build_ivf_pq_postings first"
         )
+    deletes = _read_vector_deletes(spark, path)
+    if deletes is not None:
+        post = post.join(deletes, "vec_id", "left_anti")
     from samba_spark.operators.simsearch import _ivf_pq_probe_prepared
 
     return _ivf_pq_probe_prepared(
@@ -519,3 +534,171 @@ def probe_ivf_pq_store(
         n_probe,
         "probe_ivf_pq_store",
     )
+
+
+# -- vector-store tombstones + compaction (the MinHash lifecycle, ANN) -----
+def _local(path: str) -> bool:
+    import re
+
+    return not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path)
+
+
+def _require_local_vector_path(path: str, verb: str) -> None:
+    from samba_spark.operators.leases import require_plain_local_path
+
+    require_plain_local_path(
+        path,
+        verb,
+        "vector-store maintenance (tombstones/compaction)",
+        "rebuild the postings to a fresh store, or host the store on a "
+        "local/posix mount",
+    )
+
+
+def _read_vector_deletes(spark, path: str):
+    """The tombstone set (vec_id) under ``path``/deletes, or None when
+    no delete has ever been recorded — one free os.path probe on the
+    common path (delete/compact refuse URI schemes, so a remote store
+    can never hold tombstones and the os probe's 'nothing there' is
+    CORRECT for remote paths, same argument as the MinHash store)."""
+    import os
+
+    if not os.path.isdir(f"{path}/deletes"):
+        return None
+    return spark.read.parquet(f"{path}/deletes").select("vec_id").distinct()
+
+
+def _recover_vector_compaction(path: str) -> None:
+    """Repair an interrupted :func:`compact_vector_store` — called by
+    every vector-store verb before touching postings (no-op for remote
+    paths, which cannot hold staging). Same marker state machine as
+    the MinHash index: staging without ``_COMMIT`` → roll back; with
+    it → roll forward (finish the swap)."""
+    import os
+    import shutil
+
+    if not _local(path):
+        return
+    staging = f"{path}/_compact"
+    if not os.path.isdir(staging):
+        return
+    if not os.path.exists(f"{staging}/_COMMIT"):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    _finish_vector_swap(path)
+
+
+def _finish_vector_swap(path: str) -> None:
+    import os
+    import shutil
+
+    staging = f"{path}/_compact"
+    new = f"{staging}/postings"
+    if os.path.isdir(new):
+        shutil.rmtree(f"{path}/postings", ignore_errors=True)
+        os.replace(new, f"{path}/postings")
+    shutil.rmtree(f"{path}/deletes", ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+@single_writer("delete_from_vector_store", "path")
+def delete_from_vector_store(spark, path: str, vec_ids) -> int:
+    """Vector-store lifecycle verb: tombstone vectors out of the
+    postings — the takedown / right-to-be-forgotten path for the ANN
+    serving store, mirroring delete_from_minhash_index. O(delete-size)
+    tombstones under ``path``/deletes; every probe anti-joins them out;
+    physical removal happens at :func:`compact_vector_store`. Only ids
+    physically posted and not already tombstoned are recorded, so
+    re-deleting is an idempotent 0 and compact can always clear the
+    set completely. A deleted id cannot be re-posted until a compact
+    removes its row (build_ivf_pq_postings anti-joins the PHYSICAL
+    postings — delete → compact → build is the re-ingestion sequence).
+    Single-writer, lease-enforced. Returns the number newly
+    tombstoned."""
+    from pyspark.sql import DataFrame
+
+    from samba_spark.operators.guards import tiny_df as _tiny
+
+    _require_local_vector_path(path, "delete_from_vector_store")
+    _recover_vector_compaction(path)
+    post = _read_postings(spark, path)
+    if post is None:
+        raise ValueError(
+            f"delete_from_vector_store: {path} has no postings"
+        )
+    if not isinstance(vec_ids, DataFrame):
+        ids_df = _tiny(spark, [(int(i),) for i in vec_ids], "vec_id long")
+    else:
+        ids_df = vec_ids.select(
+            vec_ids["vec_id"].cast("long").alias("vec_id")
+        )
+    fresh = ids_df.distinct().join(
+        post.select("vec_id"), "vec_id", "left_semi"
+    )
+    existing = _read_vector_deletes(spark, path)
+    if existing is not None:
+        fresh = fresh.join(existing, "vec_id", "left_anti")
+    fresh = fresh.localCheckpoint()
+    n = fresh.count()
+    if n == 0:
+        return 0
+    fresh.write.mode("append").parquet(f"{path}/deletes")
+    return int(n)
+
+
+@single_writer("compact_vector_store", "path")
+def compact_vector_store(spark, path: str, target_files: int = 8) -> dict:
+    """Vector-store lifecycle verb: rewrite the postings into a bounded
+    file count with tombstoned rows physically removed, then clear the
+    tombstone set — closing the same two walls compaction closes for
+    the MinHash index (per-build file accumulation + per-probe
+    tombstone anti-join cost). ``probe(compact(S)) ≡ probe(S)`` —
+    the x169 oracle replays the live corpus in one pass. Crash-safe
+    marker protocol: staged rewrite under ``_compact/postings``,
+    ``_COMMIT``, idempotent dir swap (roll back before the marker,
+    roll forward after — :func:`_recover_vector_compaction` runs at
+    every verb entry). The repartition is a full postings shuffle: a
+    scheduled-maintenance verb, like a table format's OPTIMIZE.
+    Single-writer, lease-enforced."""
+    import os
+    import shutil
+
+    if target_files < 1:
+        raise ValueError(
+            f"compact_vector_store: target_files={target_files} must be >= 1"
+        )
+    _require_local_vector_path(path, "compact_vector_store")
+    _recover_vector_compaction(path)
+    post = _read_postings(spark, path)
+    if post is None:
+        raise ValueError(f"compact_vector_store: {path} has no postings")
+
+    def _nfiles() -> int:
+        d = f"{path}/postings"
+        if not os.path.isdir(d):
+            return 0
+        return sum(
+            1 for f in os.listdir(d) if not f.startswith(("_", "."))
+        )
+
+    files_before = _nfiles()
+    n_rows = post.count()
+    deletes = _read_vector_deletes(spark, path)
+    live = post
+    if deletes is not None:
+        live = post.join(deletes, "vec_id", "left_anti")
+    staging = f"{path}/_compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    live.repartition(target_files).write.mode("overwrite").parquet(
+        f"{staging}/postings"
+    )
+    with open(f"{staging}/_COMMIT", "w") as fh:
+        fh.write("committed\n")
+    _finish_vector_swap(path)
+    n_live = spark.read.parquet(f"{path}/postings").count()
+    return {
+        "files_before": files_before,
+        "files_after": _nfiles(),
+        "rows_removed": int(n_rows - n_live),
+        "live_vectors": int(n_live),
+    }

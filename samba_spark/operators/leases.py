@@ -51,6 +51,26 @@ class LeaseHeldError(RuntimeError):
     """Another maintenance verb holds the store's writer lease."""
 
 
+def require_plain_local_path(
+    path: str, verb: str, what: str, remedy: str
+) -> None:
+    """Shared refusal gate for every store whose maintenance verbs do
+    driver-side filesystem surgery (os.path probes, shutil/os.replace
+    marker swaps): the os machinery treats the path string LITERALLY,
+    so any URI scheme — s3a://, hdfs://, even file:// (ADVICE r10) —
+    would make existence probes read False and silently corrupt the
+    store (overwrite-as-first-call, never-applied tombstones, …). One
+    implementation so the guard family's behavior and message format
+    cannot fork (the round-8 guards.py lesson, applied to paths)."""
+    m = _URI_SCHEME.match(path)
+    if m:
+        raise NotImplementedError(
+            f"{verb}: {what} requires a plain local path; got scheme "
+            f"'{m.group(1)}://'. For file:// pass the posix path "
+            f"itself; otherwise {remedy}."
+        )
+
+
 @contextlib.contextmanager
 def store_lease(path: str, verb: str, ttl_seconds: float = 3600.0):
     """Hold the single-writer lease on store ``path`` for the duration

@@ -43,14 +43,15 @@ def _require_local_store_path(path: str, verb: str) -> None:
     MinHash index verbs: at 100 TB these belong behind a table
     format's metadata transaction; this plain-parquet store refuses
     loudly instead."""
-    m = _URI_SCHEME.match(path)
-    if m:
-        raise NotImplementedError(
-            f"{verb}: session-store maintenance requires a plain local "
-            f"store path; got scheme '{m.group(1)}://'. For file:// "
-            "pass the posix path itself; otherwise host the store on a "
-            "local/posix mount or use the batch sessionize path."
-        )
+    from samba_spark.operators.leases import require_plain_local_path
+
+    require_plain_local_path(
+        path,
+        verb,
+        "session-store maintenance",
+        "host the store on a local/posix mount or use the batch "
+        "sessionize path",
+    )
 
 
 def sessionize(

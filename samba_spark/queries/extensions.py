@@ -5348,7 +5348,7 @@ cb AS (
   FROM cbsrc, UNNEST(range(0, 8)) AS u(j)),
 corp AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings),
+  FROM embeddings{corpus_where}),
 diffs AS (
   SELECT v.vec_id, b.j, b.c,
          list_transform(list_zip(v.emb[b.j*8+1 : b.j*8+8], b.cvec),
@@ -5480,7 +5480,94 @@ def x_vector_shard_merge(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
-def _x155_sql() -> str:
+def x_sessionize_stream(spark, sf_dir):
+    """x168: streaming incremental sessionization
+    (streaming/ops.run_sessionize_stream) — the session-store
+    maintenance loop as a STREAM (the x159 admission pattern's
+    event-analytics instance): the event log is split into three
+    time-ordered micro-batch files (one file per trigger, mtimes pin
+    the order), each foreachBatch splices only its delta onto the
+    persisted BUCKETED store (user_buckets=8 — every trigger's tail
+    read prunes to its delta's buckets), and the per-session roll-up
+    of the final store is returned. The oracle sessionizes the full
+    feed from scratch: stream-of-splices ≡ batch, cutoff-independent,
+    in one hash check."""
+    import os
+
+    from samba_spark.streaming.ops import run_sessionize_stream
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    b = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    t1 = b["lo"] + (b["hi"] - b["lo"]) / 3
+    t2 = b["lo"] + 2 * (b["hi"] - b["lo"]) / 3
+    work = _pid_scratch("x168_session_stream")
+    batches_dir = os.path.join(work, "batches")
+    os.makedirs(batches_dir, exist_ok=True)
+    slices = [
+        events.where(F.col("ts") < F.lit(t1)),
+        events.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        events.where(F.col("ts") >= F.lit(t2)),
+    ]
+    for k, sdf in enumerate(slices):
+        tmp = os.path.join(work, f"stage_{k}")
+        sdf.select(
+            "user_id", "event_id", "ts", "event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(batches_dir, f"batch_{k}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        # ascending mtimes pin the micro-batch order (the FileStream
+        # source orders by modification time) — batch order IS the
+        # splice semantics
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    store = os.path.join(work, "store")
+    run_sessionize_stream(
+        spark, batches_dir, store, gap_seconds=1800, user_buckets=8
+    )
+    return (
+        spark.read.parquet(store)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def x_vector_store_delete_compact(spark, sf_dir):
+    """x169: vector-store tombstone DELETE + crash-safe COMPACT
+    (indexstore.delete_from_vector_store / compact_vector_store — the
+    x160/x161 MinHash lifecycle completed for the ANN store): postings
+    are built once over the full corpus with pinned quantizers, the
+    vec_id%7==3 vectors are tombstoned out (O(delete-size) — every
+    probe anti-joins them before scoring), the store is compacted
+    through the _COMMIT marker swap (tombstones physically removed,
+    postings bounded to 4 files, tombstone set cleared), and the probe
+    is served from the compacted postings. The oracle replays the
+    in-query IVF-PQ over the corpus WITHOUT the deleted vectors:
+    probe(compact(delete(S))) ≡ probe(build-on-live)."""
+    from samba_spark.operators import indexstore as IX
+
+    embs = _embs(spark, sf_dir)
+    path = _pid_scratch("x169_vec_lifecycle")
+    IX.save_ivf_pq_index(
+        spark, path, X155_CELLS, X155_BOOKS, {"built_for": "x169"}
+    )
+    IX.build_ivf_pq_postings(spark, path, embs)
+    doomed = embs.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    IX.delete_from_vector_store(spark, path, doomed)
+    IX.compact_vector_store(spark, path, target_files=4)
+    return IX.probe_ivf_pq_store(
+        spark, path, _queries_df(embs), k=10, n_probe=2
+    ).orderBy("query_id", "rank")
+
+
+def _x155_sql(corpus_pred: "str | None" = None) -> str:
     cells = ", ".join(
         "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(v) for v in c))
         for i, c in enumerate(X155_CELLS)
@@ -5492,12 +5579,13 @@ def _x155_sql() -> str:
         for j, book in enumerate(X155_BOOKS)
         for c, vec in enumerate(book)
     )
+    corpus_where = f" WHERE {corpus_pred}" if corpus_pred else ""
     return f"""
 WITH cells(c, cv) AS (VALUES {cells}),
 cb(j, c, cvec) AS (VALUES {books}),
 corp AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings),
+  FROM embeddings{corpus_where}),
 celldiff AS (
   SELECT v.vec_id, ce.c,
          list_transform(list_zip(v.emb, ce.cv), p -> p[1] - p[2]) AS dv
@@ -5924,7 +6012,7 @@ WITH cells AS (
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
 corp AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings),
+  FROM embeddings{corpus_where}),
 celldiff AS (
   SELECT v.vec_id, ce.c,
          list_transform(list_zip(v.emb, ce.cv), p -> p[1] - p[2]) AS dv
@@ -7152,6 +7240,15 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x141_ivf_pq_ann": QuerySpec(x_ivf_pq_ann, X141_IVF_PQ_SQL),
     "x155_index_probe": QuerySpec(x_index_roundtrip_probe, _x155_sql()),
     "x167_vector_shard_merge": QuerySpec(x_vector_shard_merge, _x155_sql()),
+    # x168's oracle is x165's: the full-feed batch sessionization
+    # contracts the whole stream-of-splices lifecycle
+    "x168_sessionize_stream": QuerySpec(
+        x_sessionize_stream, X165_INCREMENTAL_SESSIONIZE_SQL
+    ),
+    "x169_vector_delete_compact": QuerySpec(
+        x_vector_store_delete_compact,
+        _x155_sql(corpus_pred="vec_id % 7 <> 3"),
+    ),
     "x156_exact_substring_dedup": QuerySpec(
         x_exact_substring_dedup, X156_EXACT_SUBSTRING_SQL
     ),

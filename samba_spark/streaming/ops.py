@@ -840,3 +840,95 @@ def run_admission_stream(
         # (ADVICE r9) — an empty stream is an empty admission log.
         return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
     return spark.read.parquet(*state["logs"])
+
+
+def run_sessionize_stream(
+    spark,
+    batches_dir: str,
+    store_path: str,
+    *,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    user_buckets: int = 0,
+):
+    """Streaming incremental sessionization — the session-store
+    maintenance loop run as a STREAM (the x159 admission pattern,
+    event-analytics instance): event files arrive as micro-batches
+    (maxFilesPerTrigger=1, availableNow replay — the q73 CDC pattern)
+    and each foreachBatch splices ONLY that delta onto the persisted
+    store via sessionize_incremental, so session numbering continues
+    across batches exactly as the batch :func:`~samba_spark.operators.
+    sessionize.sessionize` of the full feed would assign it (the x168
+    oracle replays the union from scratch).
+
+    Batch ORDER is semantics: the feed must be append-only in time PER
+    USER across batches (within a batch, any order). File order follows
+    (modification-time, path) — the caller writes batch files with
+    ascending mtimes. A late event fails sessionize_incremental's
+    plan-folded assert loudly; the streaming-native alternative for
+    genuinely late data is the watermarker session_window path
+    (session_counts).
+
+    ``user_buckets`` > 0 uses the bucketed store layout: every batch's
+    tail read prunes to its delta's bucket set — the per-trigger store
+    scan is bounded by the batch's affected buckets, not the archive
+    (this is what makes the loop viable against a 100 TB store).
+    Per-batch lease acquisition keeps the single-writer contract; the
+    foreachBatch body is serial by construction.
+
+    Returns the persisted store's rows (user, event, ts, type,
+    session_id) after the replay drains."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F  # noqa: F401 (parity w/ sibling)
+
+    from samba_spark.operators.sessionize import sessionize_incremental
+
+    try:
+        schema = spark.read.parquet(batches_dir).schema
+    except AnalysisException:
+        # empty/absent batches dir: an empty stream is an empty store
+        # (same refusal-to-guess contract as run_admission_stream)
+        return spark.createDataFrame(
+            [],
+            f"{user_col} string, {id_col} long, {ts_col} timestamp, "
+            f"{type_col} string, session_id long",
+        )
+
+    def _sink(batch_df, batch_id):
+        sessionize_incremental(
+            spark,
+            store_path,
+            batch_df,
+            gap_seconds=gap_seconds,
+            user_col=user_col,
+            ts_col=ts_col,
+            type_col=type_col,
+            id_col=id_col,
+            user_buckets=user_buckets,
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batches_dir)
+        .writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    if not os.path.isdir(store_path) or not any(
+        not e.startswith(("_", ".")) for e in os.listdir(store_path)
+    ):
+        return spark.createDataFrame(
+            [],
+            f"{user_col} string, {id_col} long, {ts_col} timestamp, "
+            f"{type_col} string, session_id long",
+        )
+    return spark.read.parquet(store_path).select(
+        user_col, id_col, ts_col, type_col, "session_id"
+    )

@@ -59,10 +59,10 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-10 rotation (VERDICT r9 item 5): the sentinel core, the four
-    round-10 additions (new-before-backfill standing policy), and the
-    oldest-single-green backfill blocks (round-1 and round-2 singles,
-    round-5-window rows) must all be in-window."""
+    Round-11 rotation (VERDICT r10 item 4): the sentinel core, the four
+    round-11 additions (new-before-backfill standing policy), and the
+    oldest-single-green backfill blocks (x114, the round-6 singles, the
+    round-7 singles) must all be in-window."""
     from samba_spark.queries import ALL_QUERIES, CONTRACT_QUERIES
 
     names = list(ALL_QUERIES)
@@ -74,9 +74,9 @@ def test_contract_window_invariant():
         "q43_stream_join", "x3_minhash_lsh_dedup",
     }
     assert sentinels <= in_window
-    # round-10 additions + representatives of each backfill block
-    # (x114/q93 were displaced by the late additions x164/x165 and
-    # queue for round 11)
-    for x in ("x160", "x161", "x162", "x163", "x164", "x165", "q27",
-              "q44", "q25", "x5", "x13", "q87", "x112"):
+    # round-11 additions + representatives of each backfill block
+    # (q29/q30 were displaced by the late additions x168/x169 and
+    # queue for round 12)
+    for x in ("x166", "x167", "x168", "x169", "x114", "q93", "x101",
+              "x14", "q98", "x121", "x135"):
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

@@ -391,3 +391,100 @@ def test_postings_lease_contention(spark, sf_smoke, tmp_path):
         ix.build_ivf_pq_postings(spark, p, embs)
     os.unlink(os.path.join(p, "_LEASE"))
     assert ix.build_ivf_pq_postings(spark, p, embs) == 10
+
+
+def test_vector_delete_probe_and_compact(spark, sf_smoke, tmp_path):
+    embs = _embs(spark, sf_smoke)
+    live_pred = F.col("vec_id") % 5 != 2
+    full, livep = str(tmp_path / "full"), str(tmp_path / "livep")
+    for p in (full, livep):
+        ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    ix.build_ivf_pq_postings(spark, full, embs)
+    ix.build_ivf_pq_postings(spark, livep, embs.where(live_pred))
+    doomed = embs.where(~live_pred).select("vec_id")
+    n_doomed = doomed.count()
+    assert ix.delete_from_vector_store(spark, full, doomed) == n_doomed
+    # idempotent re-delete
+    assert ix.delete_from_vector_store(spark, full, doomed) == 0
+    key = lambda r: (r["query_id"], r["rank"])
+    want = sorted(
+        ix.probe_ivf_pq_store(spark, livep, _queries_df(embs), k=5).collect(),
+        key=key,
+    )
+    # tombstone-filtered probe == build-on-live, BEFORE compact
+    got = sorted(
+        ix.probe_ivf_pq_store(spark, full, _queries_df(embs), k=5).collect(),
+        key=key,
+    )
+    assert got == want
+    info = ix.compact_vector_store(spark, full, target_files=2)
+    assert info["rows_removed"] == n_doomed
+    assert info["files_after"] == 2
+    import os
+
+    assert not os.path.isdir(os.path.join(full, "deletes"))
+    # ... and AFTER compact
+    got2 = sorted(
+        ix.probe_ivf_pq_store(spark, full, _queries_df(embs), k=5).collect(),
+        key=key,
+    )
+    assert got2 == want
+    # deleted ids can re-ingest after the compact removed their rows
+    assert ix.build_ivf_pq_postings(
+        spark, full, embs.where(~live_pred)
+    ) == n_doomed
+
+
+def test_vector_compact_rollforward_recovery(spark, sf_smoke, tmp_path, monkeypatch):
+    import os
+
+    from samba_spark.operators import indexstore as ixm
+
+    embs = _embs(spark, sf_smoke)
+    p = str(tmp_path / "crash")
+    ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    ix.build_ivf_pq_postings(spark, p, embs)
+    ix.delete_from_vector_store(
+        spark, p, embs.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    )
+    monkeypatch.setattr(ixm, "_finish_vector_swap", lambda path: None)
+    ix.compact_vector_store(spark, p, target_files=1)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(p, "_compact", "_COMMIT"))
+    # next verb entry rolls forward; probe serves the compacted store
+    key = lambda r: (r["query_id"], r["rank"])
+    got = sorted(
+        ix.probe_ivf_pq_store(spark, p, _queries_df(embs), k=5).collect(),
+        key=key,
+    )
+    assert not os.path.isdir(os.path.join(p, "_compact"))
+    clean = str(tmp_path / "clean")
+    ix.save_ivf_pq_index(spark, clean, CENTS, BOOKS)
+    ix.build_ivf_pq_postings(
+        spark, clean, embs.where(F.col("vec_id") % 3 != 0)
+    )
+    want = sorted(
+        ix.probe_ivf_pq_store(spark, clean, _queries_df(embs), k=5).collect(),
+        key=key,
+    )
+    assert got == want
+
+
+def test_merge_does_not_resurrect_src_tombstones(spark, sf_smoke, tmp_path):
+    embs = _embs(spark, sf_smoke)
+    dest, src = str(tmp_path / "md"), str(tmp_path / "ms")
+    for p in (dest, src):
+        ix.save_ivf_pq_index(spark, p, CENTS, BOOKS)
+    ix.build_ivf_pq_postings(
+        spark, dest, embs.where(F.col("vec_id") % 2 == 0)
+    )
+    ix.build_ivf_pq_postings(
+        spark, src, embs.where(F.col("vec_id") % 2 == 1)
+    )
+    dead = embs.where(
+        (F.col("vec_id") % 2 == 1) & (F.col("vec_id") % 3 == 0)
+    ).select("vec_id")
+    ix.delete_from_vector_store(spark, src, dead)
+    n = ix.merge_vector_index_shards(spark, dest, src)
+    odd = embs.where(F.col("vec_id") % 2 == 1).count()
+    assert n == odd - dead.count()

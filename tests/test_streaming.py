@@ -260,3 +260,62 @@ def test_transform_with_state_totals_match_batch(spark, events_dir):
         .collect()
     }
     assert final == expected
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path, sf_smoke):
+    import os
+
+    from samba_spark.operators.sessionize import sessionize
+    from samba_spark.sources.tables import load_tables
+    from samba_spark.streaming.ops import run_sessionize_stream
+
+    # load_tables, not a raw parquet read: the fixture's events.ts
+    # physical type varies by generation (verify-skill gotcha) and
+    # unix_micros needs a true TIMESTAMP
+    events = load_tables(spark, sf_smoke, ["events"])["events"].select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    b = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) / 2
+    batches_dir = str(tmp_path / "batches")
+    os.makedirs(batches_dir)
+    for k, sdf in enumerate(
+        (events.where(F.col("ts") < F.lit(cut)),
+         events.where(F.col("ts") >= F.lit(cut)))
+    ):
+        tmp = str(tmp_path / f"stage_{k}")
+        sdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(batches_dir, f"b{k}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    store = str(tmp_path / "store")
+    out = run_sessionize_stream(
+        spark, batches_dir, store, gap_seconds=1800, user_buckets=4
+    )
+    got = out.orderBy("user_id", "event_id").collect()
+    want = (
+        sessionize(events, "user_id", "ts", 1800)
+        .select("user_id", "event_id", "ts", "event_type", "session_id")
+        .orderBy("user_id", "event_id")
+        .collect()
+    )
+    assert got == want
+
+
+def test_sessionize_stream_empty_batches(spark, tmp_path):
+    import os
+
+    from samba_spark.streaming.ops import run_sessionize_stream
+
+    empty = str(tmp_path / "nothing")
+    os.makedirs(empty)
+    out = run_sessionize_stream(
+        spark, empty, str(tmp_path / "store_never")
+    )
+    assert out.count() == 0
+    assert "session_id" in out.columns

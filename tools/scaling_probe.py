@@ -154,6 +154,24 @@ PROBES = [
     # roll-up of the persisted table)
     "x164_index_merge",
     "x165_incremental_sessionize",
+    # round-11 additions: session-store compact lifecycle (two bucketed
+    # incremental steps + the compact rewrite-swap + a post-compact
+    # append + the session roll-up — the compact is a full store
+    # shuffle BY DESIGN, a scheduled-maintenance verb; the incremental
+    # steps are delta-sized with bucket-pruned tail reads), and the
+    # IVF-PQ shard merge (two shard encodes over the split embeddings
+    # scan + the persisted-posting move + the postings-served ADC
+    # probe — encode scales with embeddings, the probe reads only
+    # posting rows).
+    "x166_session_store_compact",
+    "x167_vector_shard_merge",
+    # streaming sessionize (three micro-batch splices + the roll-up —
+    # per-trigger work is delta-sized; the fixed micro-batch overhead
+    # dominates at these SFs) and the vector-store delete+compact
+    # lifecycle (full-corpus encode + O(delete) tombstones + the
+    # bounded rewrite swap + postings-served probe)
+    "x168_sessionize_stream",
+    "x169_vector_delete_compact",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
