@@ -1437,21 +1437,35 @@ def _finish_session_compaction_swap(path: str) -> None:
       empty for OUTSIDE readers, but every verb recovers before
       reading, and the staged data + marker survive), then staged
       files move in under a ``g<gen>-`` prefix so a rerun can tell
-      new-generation files from stale ones."""
+      new-generation files from stale ones.
+
+    ``scope`` in the commit distinguishes a FULL rewrite (compact: the
+    staged generation owns the whole store — unlisted live partition
+    dirs are dropped) from a PARTIAL one (user delete: only the listed
+    buckets were rewritten — unlisted live dirs are untouched, and a
+    listed bucket with NO staged dir means every row in it was doomed,
+    so the live dir is removed)."""
     staging = os.path.join(path, "_compact")
     with open(os.path.join(staging, "_COMMIT"), encoding="utf-8") as fh:
         commit = json.load(fh)
     gen, layout, entries = commit["gen"], commit["layout"], commit["entries"]
+    scope = commit.get("scope", "full")
     data = os.path.join(staging, "data")
     if layout == "bucketed":
         for d in entries:
             src = os.path.join(data, d)
+            live = os.path.join(path, d)
             if os.path.isdir(src):
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-                os.replace(src, os.path.join(path, d))
-        for e in os.listdir(path):
-            if e.startswith("ubucket=") and e not in entries:
-                shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+                shutil.rmtree(live, ignore_errors=True)
+                os.replace(src, live)
+            elif scope == "partial":
+                # a listed-but-unstaged bucket rewrote to empty: every
+                # row in it belonged to the deleted users
+                shutil.rmtree(live, ignore_errors=True)
+        if scope == "full":
+            for e in os.listdir(path):
+                if e.startswith("ubucket=") and e not in entries:
+                    shutil.rmtree(os.path.join(path, e), ignore_errors=True)
     else:
         prefix = f"g{gen}-"
         for e in os.listdir(path):
@@ -1764,3 +1778,119 @@ def compact_session_store(
         "layout": layout,
         "rows": int(n_rows),
     }
+
+
+@single_writer("delete_from_session_store", "store_path")
+def delete_from_session_store(spark, store_path: str, user_ids) -> int:
+    """Session-store lifecycle verb 3: remove EVERY event of the given
+    users from the persisted store — the right-to-be-forgotten path for
+    an event archive (the x160 takedown contract, session instance).
+    ``user_ids`` is a DataFrame with the store's user column or a plain
+    iterable of ids.
+
+    Unlike the index stores there is no tombstone set: the session
+    store is read DIRECTLY (``spark.read.parquet``) by consumers, so a
+    tombstone would silently resurface in any raw read — deletion must
+    be physical at the verb. What makes that affordable is the
+    BUCKETED layout: only the buckets containing doomed users are
+    rewritten (staged under ``_compact/data`` and swapped through the
+    ``_COMMIT`` marker with ``scope: partial`` — unaffected buckets are
+    never read, never written, never listed in the manifest), so the
+    rewrite is O(affected buckets), not O(archive). At 100 TB with
+    N=4096 buckets, deleting one user rewrites ~1/4096th of the store.
+    A FLAT store has no pruning structure and takes the full-rewrite
+    path (scope full, generation-prefixed files) — correct, but the
+    reason the bucketed layout exists.
+
+    Crash-safe exactly like compact (rollback before the marker, roll
+    forward after; a listed bucket with no staged dir means the bucket
+    rewrote to empty and is removed on swap). Splice correctness is
+    unaffected: deletion removes WHOLE users, so no surviving user's
+    tail changes. Single-writer, lease-enforced. Returns the number of
+    event rows removed."""
+    import uuid
+
+    from pyspark.sql import DataFrame
+
+    _require_local_store_path(store_path, "delete_from_session_store")
+    _recover_session_compaction(store_path)
+    if not _has_store_data(store_path):
+        raise ValueError(
+            f"delete_from_session_store: no session store at {store_path}"
+        )
+    meta = _read_session_meta(store_path)
+    user_buckets = int(meta["user_buckets"]) if meta else 0
+    store = spark.read.parquet(store_path)
+    user_col = "user_id" if "user_id" in store.columns else store.columns[0]
+    if isinstance(user_ids, DataFrame):
+        doomed = user_ids.select(
+            user_ids[user_ids.columns[0]].alias(user_col)
+        ).distinct()
+    else:
+        from samba_spark.operators.guards import tiny_df
+
+        utype = next(
+            f.dataType.simpleString()
+            for f in store.schema.fields
+            if f.name == user_col
+        )
+        doomed = tiny_df(
+            spark, [(u,) for u in user_ids], f"{user_col} {utype}"
+        ).distinct()
+    staging = os.path.join(store_path, "_compact")
+    shutil.rmtree(staging, ignore_errors=True)
+    data = os.path.join(staging, "data")
+    def _staged_count() -> int:
+        # read the WRITTEN staging, not the lazy plan (a second action
+        # on the plan would re-scan the store); an empty partitioned
+        # write leaves no readable dataset — that is 0 survivors
+        try:
+            return spark.read.parquet(data).count()
+        except Exception:
+            return 0
+
+    if user_buckets > 0:
+        bids = [
+            r[0]
+            for r in doomed.select(
+                _user_bucket(user_col, user_buckets).alias("ubucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not bids:
+            return 0
+        # partition-pruned: only the doomed users' buckets are read,
+        # rewritten, and listed in the manifest — O(affected buckets)
+        affected = store.where(F.col("ubucket").isin(bids))
+        n_before = affected.count()
+        survivors = affected.join(doomed, user_col, "left_anti")
+        (
+            survivors.repartition(len(bids), F.col("ubucket"))
+            .write.mode("overwrite")
+            .partitionBy("ubucket")
+            .parquet(data)
+        )
+        commit = {
+            "gen": uuid.uuid4().hex[:12],
+            "layout": "bucketed",
+            "scope": "partial",
+            "entries": sorted(f"ubucket={b}" for b in bids),
+        }
+    else:
+        n_before = store.count()
+        survivors = store.join(doomed, user_col, "left_anti")
+        survivors.repartition(8).write.mode("overwrite").parquet(data)
+        commit = {
+            "gen": uuid.uuid4().hex[:12],
+            "layout": "flat",
+            "scope": "full",
+            "entries": sorted(
+                e for e in os.listdir(data) if not e.startswith(("_", "."))
+            ),
+        }
+    removed = n_before - _staged_count()
+    with open(os.path.join(staging, "_COMMIT"), "w", encoding="utf-8") as fh:
+        json.dump(commit, fh)
+    _finish_session_compaction_swap(store_path)
+    return int(removed)

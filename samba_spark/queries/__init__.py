@@ -130,18 +130,19 @@ _SENTINELS = [
 # 43 oldest-single-green backfills in strict single-green-round order,
 # recomputed from CORRECTNESS_r01-r10 (matches the judge's 73 count):
 # x114 (the r5 single, queued since r10), all 23 round-6 singles, and
-# all 17 round-7 singles (the two oldest r8 singles q29/q30 were
-# displaced by the late additions x168/x169 and queue for r12).
-# Expected backlog after this window returns green: 73 - 41 + 4 new =
-# 36 (the r10 item-4 target was <= 50).
+# 16 of the 17 round-7 singles (q29/q30/x135 were displaced by the
+# late additions x168/x169/x170 and queue for r12).
+# Expected backlog after this window returns green: 73 - 40 + 5 new =
+# 38 (the r10 item-4 target was <= 50).
 _ROTATED_IN = [
-    # round-11 additions (new-before-backfill; x168/x169 landed after
-    # the first window pin and displace the two newest backfills —
-    # q29/q30 queue for round 12, the r10 precedent)
+    # round-11 additions (new-before-backfill; x168/x169/x170 landed
+    # after the first window pin and displace the three newest
+    # backfills — q29/q30/x135 queue for round 12, the r10 precedent)
     "x166_session_store_compact",
     "x167_vector_shard_merge",
     "x168_sessionize_stream",
     "x169_vector_delete_compact",
+    "x170_session_store_delete",
     # round-5 single-green (queued from r10's displaced backfills)
     "x114_personalized_pagerank",
     # round-6 single-green rows, r6 order
@@ -185,7 +186,6 @@ _ROTATED_IN = [
     "x132_common_substring_pairs",
     "x133_theil_sen",
     "x134_int8_ann",
-    "x135_bpe_apply",
 ]
 
 _WINDOW_NAMES = _SENTINELS + _ROTATED_IN

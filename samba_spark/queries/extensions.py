@@ -7006,12 +7006,17 @@ def x_incremental_sessionize(spark, sf_dir):
     )
 
 
-X165_INCREMENTAL_SESSIONIZE_SQL = """
+def _x165_sql(user_pred: "str | None" = None) -> str:
+    """The batch-sessionize oracle over the full feed — parameterized
+    with an optional user predicate so lifecycle variants (x170 user
+    delete) replay the same contract over the surviving users."""
+    user_where = f" WHERE {user_pred}" if user_pred else ""
+    return f"""
 WITH lagged AS (
   SELECT user_id, event_id, ts,
          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_ts
-  FROM events),
+  FROM events{user_where}),
 brks AS (
   SELECT *, CASE WHEN prev_ts IS NULL
                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
@@ -7028,6 +7033,57 @@ SELECT user_id, session_id::BIGINT AS session_id, MIN(ts) AS s_start,
 FROM s GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """
+
+
+X165_INCREMENTAL_SESSIONIZE_SQL = _x165_sql()
+
+
+def x_session_store_delete(spark, sf_dir):
+    """x170: session-store user DELETE (sessionize.
+    delete_from_session_store — the right-to-be-forgotten path for the
+    event archive, x160's takedown contract at the session store): the
+    bucketed store is built in TWO incremental splices, then every
+    event of the users with user_id % 5 == 0 is PHYSICALLY removed —
+    the store is read raw by consumers, so there is no tombstone set
+    to hide behind; what bounds the rewrite is the bucketed layout
+    (only the doomed users' buckets are read and swapped through the
+    scope:partial _COMMIT manifest — unaffected buckets are never
+    touched). The oracle sessionizes the SURVIVING users' full feed
+    from scratch: physical deletion + splice correctness (whole-user
+    removal never changes a survivor's tail) in one hash."""
+    from samba_spark.operators.sessionize import (
+        delete_from_session_store,
+        sessionize_incremental,
+    )
+
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    b = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    cutoff = b["lo"] + (b["hi"] - b["lo"]) / 2
+    store = _pid_scratch("x170_session_store")
+    kw = dict(gap_seconds=1800, user_buckets=8)
+    sessionize_incremental(
+        spark, store, events.where(F.col("ts") < F.lit(cutoff)), **kw
+    )
+    sessionize_incremental(
+        spark, store, events.where(F.col("ts") >= F.lit(cutoff)), **kw
+    )
+    doomed = (
+        events.select("user_id")
+        .where(F.col("user_id") % 5 == 0)
+        .distinct()
+    )
+    delete_from_session_store(spark, store, doomed)
+    return (
+        spark.read.parquet(store)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
 
 
 def x_session_store_compact(spark, sf_dir):
@@ -7248,6 +7304,10 @@ EXTENSIONS: dict[str, QuerySpec] = {
     "x169_vector_delete_compact": QuerySpec(
         x_vector_store_delete_compact,
         _x155_sql(corpus_pred="vec_id % 7 <> 3"),
+    ),
+    "x170_session_store_delete": QuerySpec(
+        x_session_store_delete,
+        _x165_sql(user_pred="user_id % 5 <> 0"),
     ),
     "x156_exact_substring_dedup": QuerySpec(
         x_exact_substring_dedup, X156_EXACT_SUBSTRING_SQL

@@ -75,8 +75,8 @@ def test_contract_window_invariant():
     }
     assert sentinels <= in_window
     # round-11 additions + representatives of each backfill block
-    # (q29/q30 were displaced by the late additions x168/x169 and
-    # queue for round 12)
-    for x in ("x166", "x167", "x168", "x169", "x114", "q93", "x101",
-              "x14", "q98", "x121", "x135"):
+    # (q29/q30/x135 were displaced by the late additions x168/x169/
+    # x170 and queue for round 12)
+    for x in ("x166", "x167", "x168", "x169", "x170", "x114", "q93",
+              "x101", "x14", "q98", "x121", "x134"):
         assert any(n.startswith(f"{x}_") for n in in_window), f"{x} outside window"

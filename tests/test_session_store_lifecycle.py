@@ -258,3 +258,100 @@ def test_store_lease_reentry_and_release(tmp_path):
     # sequential re-acquisition works
     with store_lease(p, "v3"):
         pass
+
+
+def test_user_delete_bucketed_touches_only_affected_buckets(spark, tmp_path):
+    from samba_spark.operators.sessionize import delete_from_session_store
+
+    events = _events(spark)
+    store = str(tmp_path / "del_bucketed")
+    sessionize_incremental(
+        spark, store, events, gap_seconds=1800, user_buckets=8
+    )
+    # record per-bucket dir mtimes/files before the delete
+    before = {
+        d: sorted(os.listdir(os.path.join(store, d)))
+        for d in os.listdir(store)
+        if d.startswith("ubucket=")
+    }
+    doomed_users = ["u3", "u11"]
+    doomed_rows = (
+        spark.read.parquet(store)
+        .where(F.col("user_id").isin(doomed_users))
+        .count()
+    )
+    removed = delete_from_session_store(
+        spark,
+        store,
+        events.select("user_id")
+        .where(F.col("user_id").isin(doomed_users))
+        .distinct(),
+    )
+    assert removed == doomed_rows > 0
+    # survivors unchanged, doomed gone
+    left = spark.read.parquet(store)
+    assert left.where(F.col("user_id").isin(doomed_users)).count() == 0
+    _assert_matches_batch(
+        spark, store, events.where(~F.col("user_id").isin(doomed_users))
+    )
+    # unaffected bucket dirs were not rewritten (same part files)
+    from samba_spark.operators.sessionize import _user_bucket
+
+    affected = {
+        f"ubucket={r[0]}"
+        for r in spark.range(1)
+        .select(F.lit("u3").alias("u"), F.lit("u11").alias("v"))
+        .select(
+            F.explode(F.array("u", "v")).alias("user_id")
+        )
+        .select(_user_bucket("user_id", 8).alias("b"))
+        .distinct()
+        .collect()
+    }
+    after = {
+        d: sorted(os.listdir(os.path.join(store, d)))
+        for d in os.listdir(store)
+        if d.startswith("ubucket=")
+    }
+    for d, files in before.items():
+        if d not in affected:
+            assert after[d] == files, f"unaffected {d} was rewritten"
+
+
+def test_user_delete_flat_store_and_iterable_ids(spark, tmp_path):
+    from samba_spark.operators.sessionize import delete_from_session_store
+
+    events = _events(spark, n_events=100)
+    store = str(tmp_path / "del_flat")
+    sessionize_incremental(spark, store, events, gap_seconds=1800)
+    removed = delete_from_session_store(spark, store, ["u1", "u2"])
+    want_removed = events.where(
+        F.col("user_id").isin(["u1", "u2"])
+    ).count()
+    assert removed == want_removed
+    _assert_matches_batch(
+        spark, store, events.where(~F.col("user_id").isin(["u1", "u2"]))
+    )
+    # deleting absent users is a 0
+    assert delete_from_session_store(spark, store, ["nobody"]) == 0
+
+
+def test_user_delete_rollforward_recovery(spark, tmp_path, monkeypatch):
+    import samba_spark.operators.sessionize as sz
+
+    events = _events(spark, n_events=200)
+    store = str(tmp_path / "del_crash")
+    sessionize_incremental(
+        spark, store, events, gap_seconds=1800, user_buckets=4
+    )
+    monkeypatch.setattr(
+        sz, "_finish_session_compaction_swap", lambda path: None
+    )
+    sz.delete_from_session_store(spark, store, ["u5"])
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(store, "_compact", "_COMMIT"))
+    sz._recover_session_compaction(store)
+    assert not os.path.isdir(os.path.join(store, "_compact"))
+    _assert_matches_batch(
+        spark, store, events.where(F.col("user_id") != "u5")
+    )

@@ -172,6 +172,9 @@ PROBES = [
     # bounded rewrite swap + postings-served probe)
     "x168_sessionize_stream",
     "x169_vector_delete_compact",
+    # session-store user delete (two splices + the partial bucketed
+    # rewrite — bounded by the doomed users' buckets + the roll-up)
+    "x170_session_store_delete",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
