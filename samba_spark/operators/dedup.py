@@ -1337,6 +1337,9 @@ def load_minhash_index(spark, path: str):
     exactly as if the deleted docs had never been indexed) and sigs so
     a deleted doc can never verify as a match. An interrupted
     compaction is repaired first (:func:`_recover_compaction`)."""
+    from samba_spark.operators.leases import reject_file_scheme
+
+    reject_file_scheme(path, "load_minhash_index")
     _recover_compaction(path)
     try:
         meta_rows = spark.read.parquet(f"{path}/meta").collect()
@@ -1830,6 +1833,9 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
     table, so accumulation across appends behaves exactly like a
     one-shot build (asserted by the x158 oracle, which replays the
     union corpus in one pass)."""
+    from samba_spark.operators.leases import reject_file_scheme
+
+    reject_file_scheme(path, "append_minhash_index")
     spark = documents.sparkSession
     # Repair an interrupted compaction FIRST (review finding): without
     # this, an append after a committed-but-unswapped compact anti-joins

@@ -371,18 +371,24 @@ def _read_postings(spark, path: str):
     """The persisted postings dataset under ``path``/postings, or None
     when none has been built. Local paths use one free os.path probe
     (the common case, no Spark job); URI-scheme paths fall back to a
-    try/except read — remote stores are Spark-readable even though the
-    MAINTENANCE machinery here never does os-level surgery on them."""
+    narrowly-caught read — ONLY the path-missing/schema-unable
+    AnalysisException means "no postings"; a transient remote failure
+    (credentials, network) must propagate, or build/merge would skip
+    their idempotence anti-joins and silently double-append the whole
+    corpus (round-11 review pass)."""
     import os
-    import re
 
-    if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path):
+    from samba_spark.operators.leases import _URI_SCHEME
+
+    if not _URI_SCHEME.match(path):
         if not os.path.isdir(f"{path}/postings"):
             return None
         return spark.read.parquet(f"{path}/postings")
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(f"{path}/postings")
-    except Exception:
+    except AnalysisException:
         return None
 
 
@@ -404,8 +410,10 @@ def build_ivf_pq_postings(spark, path: str, embeddings) -> int:
     dataset: the append itself is the commit). Single-writer,
     lease-enforced on local paths. Returns the number of vectors
     newly posted."""
+    from samba_spark.operators.leases import reject_file_scheme
     from samba_spark.operators.simsearch import _ivf_pq_encode_prepared
 
+    reject_file_scheme(path, "build_ivf_pq_postings")
     _recover_vector_compaction(path)
     cents, books, params = load_ivf_pq_index(spark, path)
     enc = _ivf_pq_encode_prepared(
@@ -450,9 +458,15 @@ def merge_vector_index_shards(spark, dest_path: str, src_path: str) -> int:
 
     Semantics: src postings whose vec_id is absent from dest are
     appended — re-merging a shard is idempotent; disjoint shard
-    vec_id spaces get a true union. Single-writer: BOTH stores are
-    lease-held (loud-failure acquisition — crossing merges cannot
-    deadlock). Returns the number of vectors merged in."""
+    vec_id spaces get a true union. Both paths must be PLAIN LOCAL
+    (matching merge_minhash_indexes): the tombstone and recovery
+    metadata the merge consults are resolved driver-side, so a URI
+    spelling would silently skip a shard's tombstones. Single-writer:
+    BOTH stores are lease-held (loud-failure acquisition — crossing
+    merges cannot deadlock). Returns the number of vectors merged
+    in."""
+    _require_local_vector_path(dest_path, "merge_vector_index_shards(dest)")
+    _require_local_vector_path(src_path, "merge_vector_index_shards(src)")
     _recover_vector_compaction(dest_path)
     _recover_vector_compaction(src_path)
     dc, db, dp = load_ivf_pq_index(spark, dest_path)
@@ -505,6 +519,9 @@ def probe_ivf_pq_store(
     vec_ids (delete_from_vector_store) are anti-joined out before
     scoring, so a probe never serves a deleted vector even before the
     compact physically removes it."""
+    from samba_spark.operators.leases import reject_file_scheme
+
+    reject_file_scheme(path, "probe_ivf_pq_store")
     _recover_vector_compaction(path)
     cents, books, params = load_ivf_pq_index(spark, path)
     if n_probe < 1 or n_probe > len(cents):
@@ -538,9 +555,9 @@ def probe_ivf_pq_store(
 
 # -- vector-store tombstones + compaction (the MinHash lifecycle, ANN) -----
 def _local(path: str) -> bool:
-    import re
+    from samba_spark.operators.leases import _URI_SCHEME
 
-    return not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", path)
+    return not _URI_SCHEME.match(path)
 
 
 def _require_local_vector_path(path: str, verb: str) -> None:

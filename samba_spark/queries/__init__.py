@@ -127,7 +127,7 @@ _SENTINELS = [
 # rotated-in entries moved to ``AUX_QUERIES``). The freed slots: the 2
 # round-11 additions first (standing new-before-backfill policy — x166
 # session-store compact lifecycle, x167 vector-index shard merge), then
-# 43 oldest-single-green backfills in strict single-green-round order,
+# 40 oldest-single-green backfills in strict single-green-round order,
 # recomputed from CORRECTNESS_r01-r10 (matches the judge's 73 count):
 # x114 (the r5 single, queued since r10), all 23 round-6 singles, and
 # 16 of the 17 round-7 singles (q29/q30/x135 were displaced by the

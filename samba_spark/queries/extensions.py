@@ -5348,7 +5348,7 @@ cb AS (
   FROM cbsrc, UNNEST(range(0, 8)) AS u(j)),
 corp AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings{corpus_where}),
+  FROM embeddings),
 diffs AS (
   SELECT v.vec_id, b.j, b.c,
          list_transform(list_zip(v.emb[b.j*8+1 : b.j*8+8], b.cvec),
@@ -6012,7 +6012,7 @@ WITH cells AS (
   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 4)),
 corp AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-  FROM embeddings{corpus_where}),
+  FROM embeddings),
 celldiff AS (
   SELECT v.vec_id, ce.c,
          list_transform(list_zip(v.emb, ce.cv), p -> p[1] - p[2]) AS dv

@@ -886,11 +886,32 @@ def run_sessionize_stream(
 
     from samba_spark.operators.sessionize import sessionize_incremental
 
+    import os
+
+    from pyspark.sql.types import LongType, StructType
+
+    out_cols = [user_col, id_col, ts_col, type_col]
+
+    def _store_rows():
+        return spark.read.parquet(store_path).select(
+            *out_cols, "session_id"
+        )
+
+    def _store_has_data():
+        return os.path.isdir(store_path) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(store_path)
+        )
+
     try:
         schema = spark.read.parquet(batches_dir).schema
     except AnalysisException:
-        # empty/absent batches dir: an empty stream is an empty store
-        # (same refusal-to-guess contract as run_admission_stream)
+        # empty/absent batches dir: zero new events. If the store
+        # already exists its accumulated rows ARE the answer (with
+        # their true types); only a store that never existed falls
+        # back to the documented default-typed empty frame (review
+        # pass: a hardcoded schema must never contradict a real one)
+        if _store_has_data():
+            return _store_rows()
         return spark.createDataFrame(
             [],
             f"{user_col} string, {id_col} long, {ts_col} timestamp, "
@@ -919,16 +940,12 @@ def run_sessionize_stream(
         .start()
     )
     q.awaitTermination()
-    import os
-
-    if not os.path.isdir(store_path) or not any(
-        not e.startswith(("_", ".")) for e in os.listdir(store_path)
-    ):
-        return spark.createDataFrame(
-            [],
-            f"{user_col} string, {id_col} long, {ts_col} timestamp, "
-            f"{type_col} string, session_id long",
-        )
-    return spark.read.parquet(store_path).select(
-        user_col, id_col, ts_col, type_col, "session_id"
-    )
+    if not _store_has_data():
+        # a feed dir with zero DATA files fires no batches: build the
+        # empty frame from the feed's OWN inferred schema so the types
+        # agree with any non-empty day's output
+        empty = StructType(
+            [schema[c] for c in out_cols]
+        ).add("session_id", LongType())
+        return spark.createDataFrame([], empty)
+    return _store_rows()

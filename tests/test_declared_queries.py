@@ -59,7 +59,7 @@ def test_no_hugeint_oracle_columns(duck):
 def test_contract_window_invariant():
     """The driver's correctness artifact records the FIRST 50 entries of
     ALL_QUERIES; CONTRACT_QUERIES must be exactly that prefix, 50 strong.
-    Round-11 rotation (VERDICT r10 item 4): the sentinel core, the four
+    Round-11 rotation (VERDICT r10 item 4): the sentinel core, the five
     round-11 additions (new-before-backfill standing policy), and the
     oldest-single-green backfill blocks (x114, the round-6 singles, the
     round-7 singles) must all be in-window."""

@@ -212,11 +212,14 @@ def test_lease_contention_session_store(spark, tmp_path):
         )
     with pytest.raises(LeaseHeldError, match="verb=other"):
         compact_session_store(spark, store)
-    # a STALE lease (older than ttl) is taken over and the verb runs
+    # a STALE lease (older than ttl) is taken over and the verb runs —
+    # staleness is judged by the FILE's mtime (review pass: the holder
+    # JSON alone would let an empty just-created lease read as stale)
     with open(lease, "w") as fh:
         json.dump(
             {"verb": "dead", "pid": 1, "acquired": time.time() - 7200}, fh
         )
+    os.utime(lease, (time.time() - 7200, time.time() - 7200))
     info = compact_session_store(spark, store)
     assert info["rows"] == 30
     assert not os.path.exists(lease)  # released on exit
