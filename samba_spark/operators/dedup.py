@@ -24,14 +24,13 @@ from __future__ import annotations
 
 import os
 import random
-import re
 import shutil
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from samba_spark.operators.guards import plan_assert
-from samba_spark.operators.leases import single_writer
+from samba_spark.operators.leases import _URI_SCHEME, single_writer
 
 _NORM = r"\s+"
 
@@ -46,7 +45,6 @@ MINHASH_P = (1 << 61) - 1
 
 # URI-scheme sniff shared by the index maintenance verbs: a non-file
 # scheme means the driver-side os/shutil machinery cannot reach the path
-_URI_SCHEME = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
 _rng = random.Random(20260813)
 MINHASH_A = [_rng.randrange(1, 1 << 30) for _ in range(64)]
 MINHASH_B = [_rng.randrange(0, 1 << 30) for _ in range(64)]

@@ -21,15 +21,12 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from samba_spark.operators.leases import single_writer
-
-_URI_SCHEME = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://")
 
 
 def _require_local_store_path(path: str, verb: str) -> None:
@@ -1781,7 +1778,9 @@ def compact_session_store(
 
 
 @single_writer("delete_from_session_store", "store_path")
-def delete_from_session_store(spark, store_path: str, user_ids) -> int:
+def delete_from_session_store(
+    spark, store_path: str, user_ids, user_col: str = "user_id"
+) -> int:
     """Session-store lifecycle verb 3: remove EVERY event of the given
     users from the persisted store — the right-to-be-forgotten path for
     an event archive (the x160 takedown contract, session instance).
@@ -1821,7 +1820,11 @@ def delete_from_session_store(spark, store_path: str, user_ids) -> int:
     meta = _read_session_meta(store_path)
     user_buckets = int(meta["user_buckets"]) if meta else 0
     store = spark.read.parquet(store_path)
-    user_col = "user_id" if "user_id" in store.columns else store.columns[0]
+    if user_col not in store.columns:
+        raise ValueError(
+            f"delete_from_session_store: store has no column "
+            f"{user_col!r} (columns: {store.columns})"
+        )
     if isinstance(user_ids, DataFrame):
         doomed = user_ids.select(
             user_ids[user_ids.columns[0]].alias(user_col)
@@ -1844,9 +1847,11 @@ def delete_from_session_store(spark, store_path: str, user_ids) -> int:
         # read the WRITTEN staging, not the lazy plan (a second action
         # on the plan would re-scan the store); an empty partitioned
         # write leaves no readable dataset — that is 0 survivors
+        from pyspark.errors import AnalysisException
+
         try:
             return spark.read.parquet(data).count()
-        except Exception:
+        except AnalysisException:
             return 0
 
     if user_buckets > 0:

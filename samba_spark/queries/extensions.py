@@ -41,6 +41,24 @@ def _pid_scratch(name: str) -> str:
 _SCRATCH_CLEANUP: "set[str]" = set()
 
 
+def _stage_stream_batches(work: str, batches_dir: str, dfs) -> None:
+    """One parquet FILE per micro-batch with ascending mtimes — the
+    FileStream source orders files by (modification time, path), so
+    batch order IS the stream's semantics (shared by the x159
+    admission and x168 sessionize streaming queries)."""
+    import os
+
+    for k, bdf in enumerate(dfs):
+        tmp = os.path.join(work, f"stage_{k}")
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(batches_dir, f"batch_{k}.parquet")
+        os.replace(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+
+
 def _docs(spark, sf_dir) -> DataFrame:
     return load_tables(spark, sf_dir, ["documents"])["documents"]
 
@@ -5505,25 +5523,18 @@ def x_sessionize_stream(spark, sf_dir):
     work = _pid_scratch("x168_session_stream")
     batches_dir = os.path.join(work, "batches")
     os.makedirs(batches_dir, exist_ok=True)
-    slices = [
-        events.where(F.col("ts") < F.lit(t1)),
-        events.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
-        events.where(F.col("ts") >= F.lit(t2)),
-    ]
-    for k, sdf in enumerate(slices):
-        tmp = os.path.join(work, f"stage_{k}")
-        sdf.select(
-            "user_id", "event_id", "ts", "event_type"
-        ).coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(batches_dir, f"batch_{k}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        # ascending mtimes pin the micro-batch order (the FileStream
-        # source orders by modification time) — batch order IS the
-        # splice semantics
-        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    cols = ["user_id", "event_id", "ts", "event_type"]
+    _stage_stream_batches(
+        work,
+        batches_dir,
+        [
+            events.where(F.col("ts") < F.lit(t1)).select(*cols),
+            events.where(
+                (F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))
+            ).select(*cols),
+            events.where(F.col("ts") >= F.lit(t2)).select(*cols),
+        ],
+    )
     store = os.path.join(work, "store")
     run_sessionize_stream(
         spark, batches_dir, store, gap_seconds=1800, user_buckets=8
@@ -7555,18 +7566,7 @@ def x_streaming_admission(spark, sf_dir):
         .select("doc_id", "source", "text")
         .unionByName(copies("src2", 2, 3_000_000, mutate=True)),
     ]
-    for k, bdf in enumerate(batches):
-        tmp = os.path.join(work, f"stage_{k}")
-        bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(
-            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
-        )
-        dst = os.path.join(batches_dir, f"batch_{k}.parquet")
-        os.replace(os.path.join(tmp, part), dst)
-        # ascending mtimes pin the micro-batch order (the FileStream
-        # source orders by modification time) — batch order IS the
-        # admission semantics
-        os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    _stage_stream_batches(work, batches_dir, batches)
     log = run_admission_stream(
         spark, batches_dir, index_path, os.path.join(work, "logs")
     )

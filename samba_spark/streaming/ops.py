@@ -882,7 +882,6 @@ def run_sessionize_stream(
     Returns the persisted store's rows (user, event, ts, type,
     session_id) after the replay drains."""
     from pyspark.errors import AnalysisException
-    from pyspark.sql import functions as F  # noqa: F401 (parity w/ sibling)
 
     from samba_spark.operators.sessionize import sessionize_incremental
 
