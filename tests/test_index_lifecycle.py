@@ -225,9 +225,9 @@ def test_append_recovers_committed_compaction_first(spark, sf_smoke, tmp_path):
 
 
 def test_maintenance_verbs_refuse_remote_paths(spark):
-    with pytest.raises(NotImplementedError, match="local index path"):
+    with pytest.raises(NotImplementedError, match="plain local path"):
         delete_from_minhash_index(spark, "s3a://bucket/idx", [1])
-    with pytest.raises(NotImplementedError, match="local index path"):
+    with pytest.raises(NotImplementedError, match="plain local path"):
         compact_minhash_index(spark, "hdfs://nn/idx")
 
 
