@@ -105,7 +105,9 @@ def main() -> int:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py", "--only",
-         ",".join(spot[:2]), "--skip-overhead", "--skip-preflight"],
+         ",".join(spot[:2]), "--skip-overhead", "--skip-preflight",
+         "--out", f"/tmp/verify_quick_bench_{os.getpid()}.json",
+         "--force"],
         capture_output=True, text=True, env=env, cwd="/root/repo",
         timeout=600,
     )
