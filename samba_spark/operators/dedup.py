@@ -92,7 +92,10 @@ def dedup_normalized(documents: DataFrame) -> DataFrame:
 
 
 def shingles(
-    documents: DataFrame, n: int = 3, carry_cols: tuple[str, ...] = ()
+    documents: DataFrame,
+    n: int = 3,
+    carry_cols: tuple[str, ...] = (),
+    unique: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) pairs: word n-grams over normalized tokens.
     ``carry_cols`` rides extra document columns (e.g. ``source``)
@@ -100,7 +103,17 @@ def shingles(
 
     Tokenization is bound to a column *before* the per-position slice —
     inlining it would make Catalyst re-evaluate the split for every shingle
-    position (O(len²) per document; measured 12× slower)."""
+    position (O(len²) per document; measured 12× slower).
+
+    ``unique=True`` applies ``array_distinct`` BEFORE the explode: the
+    per-document shingle SET instead of the multiset. For set-semantics
+    consumers (minhash min-aggregation, Jaccard/containment set joins)
+    this is result-identical and strictly cheaper — within-doc repeats
+    never reach the md5/explode/shuffle path, and a downstream
+    row-level ``.distinct()`` (a full exchange of shingle STRINGS)
+    becomes redundant because (doc_id, shingle) rows are already
+    unique. Multiplicity consumers (ngram_novelty's occurrence counts)
+    keep the default."""
     toked = documents.select(
         "doc_id",
         *carry_cols,
@@ -112,6 +125,8 @@ def shingles(
         F.sequence(F.lit(0), F.greatest(F.size("_toks") - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, n)),
     )
+    if unique:
+        sh = F.array_distinct(sh)
     return toked.select(
         "doc_id", *carry_cols, F.explode(sh).alias("shingle")
     )
@@ -129,7 +144,16 @@ def minhash_signatures(
     hash_family="md5" (default): one md5 per shingle + linear permutations,
     bit-for-bit reproducible in DuckDB (the correctness oracle).
     hash_family="xxhash64": seeded xxhash64 per (shingle, j) — cheaper per
-    hash, the throughput option when no oracle parity is needed."""
+    hash, the throughput option when no oracle parity is needed.
+
+    Shingles are NOT per-doc deduplicated here: min over the multiset
+    equals min over the set, so ``unique=True`` would be
+    result-identical, but the measured within-doc repeat rate is ~0.1%
+    (sf0.1 corpus) — the ``array_distinct`` pass costs more than the
+    few repeated md5s it saves. Set-semantics consumers that would
+    otherwise pay a row-level ``.distinct()`` exchange (Jaccard,
+    containment) DO use ``unique=True``; the trade is different there
+    because a whole Exchange disappears."""
     sh = shingles(documents, n)
     if hash_family == "md5":
         sh = sh.withColumn("_h0", _md5_base32(F.col("shingle")))
@@ -326,8 +350,12 @@ def ngram_jaccard_pairs(
     documents: DataFrame, candidate_pairs: DataFrame, n: int = 3
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the verify stage after
-    LSH). Joins shingle sets by doc, computes |∩|/|∪|."""
-    sh = shingles(documents, n).distinct()
+    LSH). Joins shingle sets by doc, computes |∩|/|∪|.
+
+    The per-doc shingle SET comes straight from the unique explode —
+    (doc_id, shingle) rows are already distinct, so no row-level
+    ``.distinct()`` exchange of shingle strings is needed."""
+    sh = shingles(documents, n, unique=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
@@ -844,7 +872,10 @@ def ngram_containment_pairs(
 
     Returns (doc_a, doc_b, n_inter, n_small, containment), doc_a < doc_b.
     """
-    sh = shingles(documents, n).distinct().select(
+    # unique explode = per-doc shingle set with no row-level distinct
+    # exchange; hashing to 60-bit terms happens in the same projection,
+    # so nothing downstream ever shuffles a 3-word string
+    sh = shingles(documents, n, unique=True).select(
         "doc_id",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
         .cast("long")
@@ -1098,6 +1129,7 @@ def minhash_probe_frozen(
     min_agree: int = 13,
     max_bucket: int = 1000,
     hash_family: str = "md5",
+    delta_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Admission-control dedup SERVING (VERDICT r7 item 8): probe a batch
     of NEW documents against a FROZEN MinHash index and report, per delta
@@ -1174,7 +1206,17 @@ def minhash_probe_frozen(
         )
     if max_bucket < 1:
         raise ValueError("minhash_probe_frozen: max_bucket must be >= 1")
-    dsig = minhash_signatures(delta_docs, n, num_hashes, hash_family)
+    # ``delta_sigs``: caller-supplied (doc_id, sig) for the SAME delta
+    # under the SAME layout params (the admission loop computes them
+    # once and shares them with the append verb) — pure-function
+    # signatures, so this is a pass-count optimization, not a semantic
+    # knob. The length plan-assert below still guards a mismatched
+    # table.
+    dsig = (
+        delta_sigs
+        if delta_sigs is not None
+        else minhash_signatures(delta_docs, n, num_hashes, hash_family)
+    )
     dband = band_keys_from_signatures(dsig, num_hashes, bands, hash_family)
     # plan-folded layout guard, applied BEFORE the semi-join (after it a
     # mismatched band id can never survive the join, so the guard would
@@ -1793,7 +1835,9 @@ def exact_substring_keep_one(
 
 
 @single_writer("append_minhash_index", "path")
-def append_minhash_index(documents: DataFrame, path: str) -> int:
+def append_minhash_index(
+    documents: DataFrame, path: str, sigs: DataFrame | None = None
+) -> int:
     """Incremental maintenance of a persisted MinHash index — the
     missing third verb of the serving loop (save → probe → APPEND):
     admission control without index maintenance forces a full rebuild
@@ -1807,6 +1851,14 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
     Documents whose doc_id is already indexed are skipped (left-anti
     against the persisted ids), so re-ingesting an overlapping batch is
     idempotent. Returns the number of documents appended.
+
+    ``sigs`` (optional): an already-computed (doc_id, sig) table for
+    ``documents``, BUILT WITH THE INDEX'S OWN LAYOUT PARAMS — the
+    admission loop's probe signatures the batch with exactly those
+    params (probe_minhash_index reads them from meta), so passing them
+    here skips a redundant second shingle+signature pass per batch.
+    Signatures are a pure function of (text, layout); results are
+    identical either way.
 
     SINGLE WRITER REQUIRED (ADVICE r9): the crash-retry protocol below
     guards a sequential retry, not concurrent writers — two processes
@@ -1853,10 +1905,23 @@ def append_minhash_index(documents: DataFrame, path: str) -> int:
         )
     meta = meta_rows[0].asDict()
     sig_ids = spark.read.parquet(f"{path}/sigs").select("doc_id")
-    fresh = documents.join(sig_ids, "doc_id", "left_anti")
-    sig = minhash_signatures(
-        fresh, int(meta["n"]), int(meta["num_hashes"]), meta["hash_family"]
-    ).localCheckpoint()
+    if sigs is not None:
+        # Signature-reuse path (the x159 admission loop: the probe just
+        # signatured this batch with the index's own layout params —
+        # signatures are a pure function of (text, layout), so
+        # recomputing them here was a whole second shingle+md5 pass per
+        # batch). Restrict to the documents offered AND not yet indexed;
+        # the crash-safety protocol below is unchanged.
+        sig = (
+            sigs.join(documents.select("doc_id"), "doc_id", "left_semi")
+            .join(sig_ids, "doc_id", "left_anti")
+            .localCheckpoint()
+        )
+    else:
+        fresh = documents.join(sig_ids, "doc_id", "left_anti")
+        sig = minhash_signatures(
+            fresh, int(meta["n"]), int(meta["num_hashes"]), meta["hash_family"]
+        ).localCheckpoint()
     n_new = sig.count()
     if n_new == 0:
         return 0

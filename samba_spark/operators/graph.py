@@ -107,6 +107,15 @@ def pagerank(
         .localCheckpoint()
     )
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    # LAZY checkpoints in the loop (eager=False): the cut still
+    # truncates lineage — each round plans against the previous round's
+    # LogicalRDD, so plans stay flat — but no per-round materialization
+    # JOB runs. The loop has no data-dependent control flow (fixed
+    # iteration count), so all rounds execute back to back inside the
+    # ONE job the caller's action starts, each checkpoint materializing
+    # as its stage completes: iterations driver round-trips collapse to
+    # one. (Convergence-checked loops — cc, k_core, shortest_paths —
+    # keep eager cuts: their per-round count/isEmpty IS an action.)
     for _ in range(iterations):
         # one left join fans each rank over its out-edges; a dangling
         # vertex (no out-edges) surfaces as a NULL-dst row carrying its
@@ -135,7 +144,7 @@ def pagerank(
                     * (F.coalesce("inflow", F.lit(0.0)) + F.col("m") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select("vertex", F.round("rank", round_to).alias("rank"))
 
@@ -179,7 +188,12 @@ def triangle_count(
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    # u -> w directed edge, keeping w's (deg, id) rank for wedge ordering
+    # u -> w directed edge, keeping w's (deg, id) rank for wedge ordering.
+    # Materialized once: the wedge self-join's two sides share one
+    # exchange (identical subplan, same key u → ReuseExchange), but the
+    # closure side shuffles by (v2, v3) — a different partitioning whose
+    # exchange CHILD is this whole subtree, so without the cut the
+    # dedup+degree+two-join lineage executed twice per run.
     d = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
@@ -189,7 +203,7 @@ def triangle_count(
         )
         .otherwise(F.struct(F.col("da").alias("deg"), F.col("a").alias("id")))
         .alias("w_rank"),
-    )
+    ).localCheckpoint()
     x, y = d.alias("x"), d.alias("y")
     wedges = x.join(
         y,
@@ -346,7 +360,9 @@ def label_propagation(
                     F.struct((-F.col("_c")).alias("_nc"), F.col("_nl")),
                 ).alias("label")
             )
-            .localCheckpoint()
+            # lazy cut — fixed iteration count, same rationale as
+            # pagerank's loop (plans stay flat, rounds run in one job)
+            .localCheckpoint(eager=False)
         )
     return labels.select("vertex", F.col("label").alias("community"))
 
@@ -425,7 +441,8 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            # lazy cut — same rationale as pagerank's loop above
+            .localCheckpoint(eager=False)
         )
     return ranks.select("vertex", F.round("rank", round_to).alias("rank"))
 

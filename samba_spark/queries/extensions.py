@@ -8,6 +8,7 @@ but DuckDB has no xxhash64.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -45,12 +46,23 @@ def _stage_stream_batches(work: str, batches_dir: str, dfs) -> None:
     """One parquet FILE per micro-batch with ascending mtimes — the
     FileStream source orders files by (modification time, path), so
     batch order IS the stream's semantics (shared by the x159
-    admission and x168 sessionize streaming queries)."""
+    admission and x168 sessionize streaming queries).
+
+    The staging WRITES are independent single-file jobs on disjoint
+    dirs, so they overlap from a small thread pool (guide §2.6);
+    ordering is untouched because the mtimes are assigned afterwards,
+    explicitly and serially."""
     import os
 
-    for k, bdf in enumerate(dfs):
+    def _write(k_bdf):
+        k, bdf = k_bdf
         tmp = os.path.join(work, f"stage_{k}")
         bdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+        return k, tmp
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        staged = list(pool.map(_write, enumerate(dfs)))
+    for k, tmp in staged:
         part = next(
             f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
         )
@@ -3025,16 +3037,23 @@ def x_frequent_itemsets(spark, sf_dir):
     from samba_spark.operators.mining import frequent_itemsets
 
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    # dedup to distinct (basket, item) ONCE and materialize: the same
+    # relation feeds the threshold count below and every A-priori tier
+    # inside frequent_itemsets (assume_distinct skips the operator's
+    # own distinct) — previously the scan+join+distinct lineage
+    # re-executed for the count and again per tier.
     ob = (
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("l_orderkey").alias("bk"), F.col("p_brand").alias("it"))
+        .distinct()
+        .localCheckpoint()
     )
     n_baskets = ob.select("bk").distinct().count()
     min_sup = (2 * n_baskets + 99) // 100  # ceil(2% of baskets), int-exact
-    return frequent_itemsets(ob, "bk", "it", min_sup).orderBy(
-        "size", F.desc("support"), "itemset"
-    )
+    return frequent_itemsets(
+        ob, "bk", "it", min_sup, assume_distinct=True
+    ).orderBy("size", F.desc("support"), "itemset")
 
 
 X_FREQUENT_ITEMSETS_SQL = """
@@ -5482,16 +5501,21 @@ def x_vector_shard_merge(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     dest = _pid_scratch("x167_vec_dest")
     src = _pid_scratch("x167_vec_src")
-    for pth in (dest, src):
+    # Shard builds are independent (disjoint vec_id halves, disjoint
+    # store paths) — overlap save+build per shard from a 2-thread pool
+    # (guide §2.6 back-fill; results identical, each writes its own dir)
+    def _shard(pth, parity):
         IX.save_ivf_pq_index(
             spark, pth, X155_CELLS, X155_BOOKS, {"built_for": "x167"}
         )
-    IX.build_ivf_pq_postings(
-        spark, dest, embs.where(F.col("vec_id") % 2 == 0)
-    )
-    IX.build_ivf_pq_postings(
-        spark, src, embs.where(F.col("vec_id") % 2 == 1)
-    )
+        IX.build_ivf_pq_postings(
+            spark, pth, embs.where(F.col("vec_id") % 2 == parity)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(_shard, dest, 0)
+        fb = pool.submit(_shard, src, 1)
+        fa.result(), fb.result()
     IX.merge_vector_index_shards(spark, dest, src)
     return IX.probe_ivf_pq_store(
         spark, dest, _queries_df(embs), k=10, n_probe=2
@@ -6974,8 +6998,19 @@ def x_index_merge(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     path_a = _pid_scratch("x164_shard_a")
     path_b = _pid_scratch("x164_shard_b")
-    save_minhash_index(docs.where(F.col("source") == "src0"), path_a)
-    save_minhash_index(docs.where(F.col("source") != "src0"), path_b)
+    # The two shard builds are INDEPENDENT jobs on disjoint corpus
+    # halves and disjoint paths — overlap them from a 2-thread pool
+    # (guide §2.6: Spark schedules concurrent jobs FIFO, the second
+    # build back-fills executors the first's stage tails leave idle).
+    # Results are unaffected: each save writes its own directory.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            save_minhash_index, docs.where(F.col("source") == "src0"), path_a
+        )
+        fb = pool.submit(
+            save_minhash_index, docs.where(F.col("source") != "src0"), path_b
+        )
+        fa.result(), fb.result()
     merge_minhash_indexes(spark, path_a, path_b)
     return probe_minhash_index(
         spark, path_a, _mh_probe_batch(docs, 8, 1, 5), min_agree=8

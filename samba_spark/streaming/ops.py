@@ -783,7 +783,9 @@ def run_admission_stream(
 
     from samba_spark.operators.dedup import (
         append_minhash_index,
-        probe_minhash_index,
+        load_minhash_index,
+        minhash_probe_frozen,
+        minhash_signatures,
     )
 
     _EMPTY_LOG_SCHEMA = (
@@ -805,11 +807,28 @@ def run_admission_stream(
 
     def _sink(batch_df, batch_id):
         b = batch_df.select("doc_id", "text").localCheckpoint()
-        matched = probe_minhash_index(
-            spark, index_path, b, min_agree=min_agree, max_bucket=max_bucket
+        # ONE signature pass per batch shared by probe AND append
+        # (signatures are a pure function of (text, layout); the append
+        # verb used to re-shingle+re-signature the admitted subset —
+        # a whole second md5 pass over nearly the whole batch)
+        bands_df, sigs_df, meta = load_minhash_index(spark, index_path)
+        dsig = minhash_signatures(
+            b, int(meta["n"]), int(meta["num_hashes"]), meta["hash_family"]
+        ).localCheckpoint()
+        matched = minhash_probe_frozen(
+            bands_df,
+            sigs_df,
+            b,
+            n=int(meta["n"]),
+            num_hashes=int(meta["num_hashes"]),
+            bands=int(meta["bands"]),
+            min_agree=min_agree,
+            max_bucket=max_bucket,
+            hash_family=meta["hash_family"],
+            delta_sigs=dsig,
         ).localCheckpoint()
         admitted = b.join(matched.select("doc_id"), "doc_id", "left_anti")
-        append_minhash_index(admitted, index_path)
+        append_minhash_index(admitted, index_path, sigs=dsig)
         log = (
             b.select("doc_id")
             .join(matched, "doc_id", "left")
