@@ -1365,11 +1365,18 @@ def save_minhash_index(
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def load_minhash_index(spark, path: str):
+def load_minhash_index(spark, path: str, meta: dict | None = None):
     """(bands_df, sigs_df, meta dict) from a :func:`save_minhash_index`
     directory. Raises with the layout contract spelled out when the
     meta dataset is absent (an index persisted without its build
     parameters cannot be safely probed).
+
+    ``meta``: a meta dict from a PREVIOUS load of the SAME path. The
+    meta dataset is immutable after save (append/delete/compact/merge
+    never rewrite it — layout parameters cannot change for a live
+    index), so a caller that loads the same index repeatedly (the
+    admission stream loads once per micro-batch) can skip the per-call
+    1-row collect job; bands/sigs/tombstones are still re-read fresh.
 
     Tombstones: ids recorded by :func:`delete_from_minhash_index` are
     anti-joined out of BOTH returned DataFrames — bands BEFORE any
@@ -1381,22 +1388,23 @@ def load_minhash_index(spark, path: str):
 
     reject_file_scheme(path, "load_minhash_index")
     _recover_compaction(path)
-    try:
-        meta_rows = spark.read.parquet(f"{path}/meta").collect()
-    except Exception as exc:
-        raise ValueError(
-            f"load_minhash_index: {path}/meta is missing or unreadable — "
-            "a frozen index must carry its build parameters "
-            "(save_minhash_index writes them); probing with guessed "
-            "n/num_hashes/bands silently returns no candidates on "
-            "mismatch"
-        ) from exc
-    if len(meta_rows) != 1:
-        raise ValueError(
-            f"load_minhash_index: expected exactly 1 meta row at "
-            f"{path}/meta, found {len(meta_rows)}"
-        )
-    meta = meta_rows[0].asDict()
+    if meta is None:
+        try:
+            meta_rows = spark.read.parquet(f"{path}/meta").collect()
+        except Exception as exc:
+            raise ValueError(
+                f"load_minhash_index: {path}/meta is missing or "
+                "unreadable — a frozen index must carry its build "
+                "parameters (save_minhash_index writes them); probing "
+                "with guessed n/num_hashes/bands silently returns no "
+                "candidates on mismatch"
+            ) from exc
+        if len(meta_rows) != 1:
+            raise ValueError(
+                f"load_minhash_index: expected exactly 1 meta row at "
+                f"{path}/meta, found {len(meta_rows)}"
+            )
+        meta = meta_rows[0].asDict()
     bands = spark.read.parquet(f"{path}/bands")
     sigs = spark.read.parquet(f"{path}/sigs")
     deletes = _read_deletes(spark, path)
@@ -1836,7 +1844,10 @@ def exact_substring_keep_one(
 
 @single_writer("append_minhash_index", "path")
 def append_minhash_index(
-    documents: DataFrame, path: str, sigs: DataFrame | None = None
+    documents: DataFrame,
+    path: str,
+    sigs: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Incremental maintenance of a persisted MinHash index — the
     missing third verb of the serving loop (save → probe → APPEND):
@@ -1897,13 +1908,19 @@ def append_minhash_index(
     # here (review finding) paid a corpus-scale dataset listing per
     # append just to discard it; both scans below are column-pruned to
     # doc_id.
-    meta_rows = spark.read.parquet(f"{path}/meta").collect()
-    if len(meta_rows) != 1:
-        raise ValueError(
-            f"append_minhash_index: expected exactly 1 meta row at "
-            f"{path}/meta, found {len(meta_rows)}"
-        )
-    meta = meta_rows[0].asDict()
+    if meta is None:
+        # ``meta`` pass-through (same contract as load_minhash_index:
+        # the meta dataset is immutable after save, so a per-batch
+        # caller that already holds it skips this 1-row collect job —
+        # it also serves as the "is this an index?" guard, which the
+        # default path keeps).
+        meta_rows = spark.read.parquet(f"{path}/meta").collect()
+        if len(meta_rows) != 1:
+            raise ValueError(
+                f"append_minhash_index: expected exactly 1 meta row at "
+                f"{path}/meta, found {len(meta_rows)}"
+            )
+        meta = meta_rows[0].asDict()
     sig_ids = spark.read.parquet(f"{path}/sigs").select("doc_id")
     if sigs is not None:
         # Signature-reuse path (the x159 admission loop: the probe just
@@ -2145,12 +2162,23 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     if deletes is not None:
         live_sigs = sigs.join(deletes, "doc_id", "left_anti")
         live_bands = bands.join(deletes, "doc_id", "left_anti")
-    live_sigs.repartition(target_files).write.mode("overwrite").parquet(
-        f"{staging}/sigs"
-    )
-    live_bands.repartition(target_files).write.mode("overwrite").parquet(
-        f"{staging}/bands"
-    )
+    # The two staging rewrites are independent jobs on disjoint output
+    # dirs (sigs and bands never read each other) — overlap them from a
+    # 2-thread pool (guide §2.6) so the second rewrite back-fills the
+    # executor slots the first's stage tail leaves idle. The _COMMIT
+    # marker is only written after BOTH futures resolve, so the
+    # crash-safety protocol is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage(df, name):
+        df.repartition(target_files).write.mode("overwrite").parquet(
+            f"{staging}/{name}"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(_stage, live_sigs, "sigs")
+        fb = pool.submit(_stage, live_bands, "bands")
+        fs.result(), fb.result()
     # commit point: from here recovery rolls FORWARD
     with open(f"{staging}/_COMMIT", "w") as fh:
         fh.write("committed\n")

@@ -803,15 +803,24 @@ def run_admission_stream(
         # permission failures — must still raise (review finding: a
         # broad catch here silently drops every streamed doc).
         return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
-    state = {"logs": []}
+    state = {"logs": [], "meta": None}
 
     def _sink(batch_df, batch_id):
-        b = batch_df.select("doc_id", "text").localCheckpoint()
+        # no checkpoint on the raw batch: every reuse below re-scans one
+        # small parquet file (the micro-batch), cheaper than a per-batch
+        # materialization job
+        b = batch_df.select("doc_id", "text")
         # ONE signature pass per batch shared by probe AND append
         # (signatures are a pure function of (text, layout); the append
         # verb used to re-shingle+re-signature the admitted subset —
-        # a whole second md5 pass over nearly the whole batch)
-        bands_df, sigs_df, meta = load_minhash_index(spark, index_path)
+        # a whole second md5 pass over nearly the whole batch). The
+        # layout meta is collected once for the whole stream (immutable
+        # after save); bands/sigs are still re-read fresh per batch so
+        # each probe sees the previous batch's appends.
+        bands_df, sigs_df, meta = load_minhash_index(
+            spark, index_path, meta=state["meta"]
+        )
+        state["meta"] = meta
         dsig = minhash_signatures(
             b, int(meta["n"]), int(meta["num_hashes"]), meta["hash_family"]
         ).localCheckpoint()
@@ -828,7 +837,7 @@ def run_admission_stream(
             delta_sigs=dsig,
         ).localCheckpoint()
         admitted = b.join(matched.select("doc_id"), "doc_id", "left_anti")
-        append_minhash_index(admitted, index_path, sigs=dsig)
+        append_minhash_index(admitted, index_path, sigs=dsig, meta=meta)
         log = (
             b.select("doc_id")
             .join(matched, "doc_id", "left")
