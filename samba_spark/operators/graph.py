@@ -62,7 +62,10 @@ def connected_components(
                     < F.col("component")
                 ).alias("_changed"),
             )
-            .localCheckpoint()
+            # lazy cut: the isEmpty probe below is the materializing
+            # action (plus a partition backfill inside the same round)
+            # instead of a separate full checkpoint job per round
+            .localCheckpoint(eager=False)
         )
         converged = new_labels.where(F.col("_changed")).isEmpty()
         labels = new_labels.drop("_changed")
@@ -94,9 +97,9 @@ def pagerank(
         e.select(F.col("src").alias("vertex"))
         .unionByName(e.select(F.col("dst").alias("vertex")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n = vertices.count()
+    n = vertices.count()  # the count materializes the lazy cut (one job)
     # out-degree pre-joined into the edge list ONCE — the loop used to pay
     # this join every round (5 exchanges/round; now 3: ranks⋈edges,
     # groupBy(dst), vertices⋈inflow). Arithmetic is unchanged
@@ -278,7 +281,9 @@ def shortest_paths(
                 | (F.col("dist") < F.col("old_dist"))
             )
             .select("vertex", "dist")
-            .localCheckpoint()
+            # lazy cut: the isEmpty probe materializes it (with a
+            # partition backfill) — one fewer full job per hop
+            .localCheckpoint(eager=False)
         )
         if improved.isEmpty():
             break
@@ -286,7 +291,9 @@ def shortest_paths(
             dist.unionByName(improved)
             .groupBy("vertex")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            # lazy cut: next hop's candidate join (or the caller's
+            # action on the last hop) materializes it in-line
+            .localCheckpoint(eager=False)
         )
         frontier = improved
     return dist
@@ -399,8 +406,8 @@ def personalized_pagerank(
     )
     s = sources.select("vertex").distinct().join(
         vertices, "vertex"
-    ).localCheckpoint()
-    n_s = s.count()
+    ).localCheckpoint(eager=False)
+    n_s = s.count()  # the count materializes the lazy cut (one job)
     if n_s == 0:
         raise ValueError(
             "sources must contain at least one vertex present in the graph"
@@ -490,8 +497,12 @@ def k_core(
     )
     sym = undirected.where(F.col("_s") != F.col("_d")).distinct()
     sym = sym.localCheckpoint()
-    alive = sym.select(F.col("_s").alias("v")).distinct().localCheckpoint()
-    n_alive = alive.count()
+    alive = (
+        sym.select(F.col("_s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_alive = alive.count()  # materializes the lazy cut (one job)
     deg = None
     while n_alive > 0:
         kept = sym.join(
@@ -500,8 +511,15 @@ def k_core(
         deg = kept.groupBy(F.col("_s").alias("v")).agg(
             F.count(F.lit(1)).cast("long").alias("degree")
         )
+        # lazy cut + count fusion: the count() IS the materializing
+        # action (a full-scan aggregate computes and persists every
+        # partition in one job), so each peel round runs ONE job
+        # instead of checkpoint-then-count's two. Lineage still
+        # truncates after the job — 24 rounds at sf0.1 stay flat.
         alive = (
-            deg.where(F.col("degree") >= k).select("v").localCheckpoint()
+            deg.where(F.col("degree") >= k)
+            .select("v")
+            .localCheckpoint(eager=False)
         )
         n_next = alive.count()
         if n_next == n_alive:  # fixed point: this round removed nothing
