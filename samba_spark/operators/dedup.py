@@ -2099,7 +2099,10 @@ def delete_from_minhash_index(spark, path: str, doc_ids) -> int:
     existing = _read_deletes(spark, path)
     if existing is not None:
         fresh = fresh.join(existing, "doc_id", "left_anti")
-    fresh = fresh.localCheckpoint()
+    # lazy cut + count fusion (one job instead of checkpoint-then-count
+    # two): the count materializes every partition, and the write below
+    # re-reads the persisted blocks
+    fresh = fresh.localCheckpoint(eager=False)
     n = fresh.count()
     if n == 0:
         return 0
@@ -2154,10 +2157,18 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
         )
 
     files_before = {n: _nfiles(n) for n in ("sigs", "bands")}
-    sigs = spark.read.parquet(f"{path}/sigs")
+    # the physical-row count for the rows_removed metric rides the sigs
+    # staging rewrite as an Observation (CollectMetrics above the scan,
+    # below the tombstone anti-join) instead of a separate full pass
+    # over the fragmented pre-compact dataset
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    sigs = spark.read.parquet(f"{path}/sigs").observe(
+        obs, F.count(F.lit(1)).alias("n_sig_rows")
+    )
     bands = spark.read.parquet(f"{path}/bands")
     deletes = _read_deletes(spark, path)
-    n_sig_rows = sigs.count()
     live_sigs, live_bands = sigs, bands
     if deletes is not None:
         live_sigs = sigs.join(deletes, "doc_id", "left_anti")
@@ -2183,6 +2194,7 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     with open(f"{staging}/_COMMIT", "w") as fh:
         fh.write("committed\n")
     _finish_compaction_swap(path)
+    n_sig_rows = int(obs.get["n_sig_rows"])
     n_live = spark.read.parquet(f"{path}/sigs").count()
     return {
         "files_before": files_before,

@@ -1739,8 +1739,15 @@ def compact_session_store(
     meta = _read_session_meta(store_path)
     user_buckets = int(meta["user_buckets"]) if meta else 0
     files_before = _count_data_files(store_path)
-    store = spark.read.parquet(store_path)
-    n_rows = store.count()
+    # the rows metric rides the staging rewrite as an Observation
+    # (CollectMetrics above the scan) instead of a separate full pass
+    # over the fragmented pre-compact store
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    store = spark.read.parquet(store_path).observe(
+        obs, F.count(F.lit(1)).alias("n_rows")
+    )
     staging = os.path.join(store_path, "_compact")
     shutil.rmtree(staging, ignore_errors=True)
     data = os.path.join(staging, "data")
@@ -1773,7 +1780,7 @@ def compact_session_store(
         "files_before": files_before,
         "files_after": _count_data_files(store_path),
         "layout": layout,
-        "rows": int(n_rows),
+        "rows": int(obs.get["n_rows"]),
     }
 
 
@@ -1866,9 +1873,16 @@ def delete_from_session_store(
         if not bids:
             return 0
         # partition-pruned: only the doomed users' buckets are read,
-        # rewritten, and listed in the manifest — O(affected buckets)
-        affected = store.where(F.col("ubucket").isin(bids))
-        n_before = affected.count()
+        # rewritten, and listed in the manifest — O(affected buckets).
+        # The before-count rides the survivor rewrite as an Observation
+        # (above the pruned scan, below the anti-join) — no separate
+        # counting pass over the affected buckets.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        affected = store.where(F.col("ubucket").isin(bids)).observe(
+            obs, F.count(F.lit(1)).alias("n_before")
+        )
         survivors = affected.join(doomed, user_col, "left_anti")
         (
             survivors.repartition(len(bids), F.col("ubucket"))
@@ -1883,8 +1897,13 @@ def delete_from_session_store(
             "entries": sorted(f"ubucket={b}" for b in bids),
         }
     else:
-        n_before = store.count()
-        survivors = store.join(doomed, user_col, "left_anti")
+        # same Observation fusion on the full-rewrite path
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        survivors = store.observe(
+            obs, F.count(F.lit(1)).alias("n_before")
+        ).join(doomed, user_col, "left_anti")
         survivors.repartition(8).write.mode("overwrite").parquet(data)
         commit = {
             "gen": uuid.uuid4().hex[:12],
@@ -1894,7 +1913,7 @@ def delete_from_session_store(
                 e for e in os.listdir(data) if not e.startswith(("_", "."))
             ),
         }
-    removed = n_before - _staged_count()
+    removed = int(obs.get["n_before"]) - _staged_count()
     with open(os.path.join(staging, "_COMMIT"), "w", encoding="utf-8") as fh:
         json.dump(commit, fh)
     _finish_session_compaction_swap(store_path)
