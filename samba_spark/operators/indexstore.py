@@ -429,7 +429,10 @@ def build_ivf_pq_postings(spark, path: str, embeddings) -> int:
         enc = enc.join(
             existing.select("vec_id"), "vec_id", "left_anti"
         )
-    enc = enc.localCheckpoint()
+    # lazy cut + count fusion: the count materializes every partition in
+    # one job (instead of an eager checkpoint job followed by a count),
+    # and the append below re-reads the persisted blocks
+    enc = enc.localCheckpoint(eager=False)
     n = enc.count()
     if n == 0:
         return 0
@@ -497,7 +500,10 @@ def merge_vector_index_shards(spark, dest_path: str, src_path: str) -> int:
         fresh = src_post.join(
             dest_post.select("vec_id"), "vec_id", "left_anti"
         )
-    fresh = fresh.localCheckpoint()
+    # lazy cut + count fusion: the count materializes every partition in
+    # one job (instead of an eager checkpoint job followed by a count),
+    # and the append below re-reads the persisted blocks
+    fresh = fresh.localCheckpoint(eager=False)
     n = fresh.count()
     if n == 0:
         return 0
@@ -655,7 +661,10 @@ def delete_from_vector_store(spark, path: str, vec_ids) -> int:
     existing = _read_vector_deletes(spark, path)
     if existing is not None:
         fresh = fresh.join(existing, "vec_id", "left_anti")
-    fresh = fresh.localCheckpoint()
+    # lazy cut + count fusion: the count materializes every partition in
+    # one job (instead of an eager checkpoint job followed by a count),
+    # and the append below re-reads the persisted blocks
+    fresh = fresh.localCheckpoint(eager=False)
     n = fresh.count()
     if n == 0:
         return 0
@@ -699,7 +708,14 @@ def compact_vector_store(spark, path: str, target_files: int = 8) -> dict:
         )
 
     files_before = _nfiles()
-    n_rows = post.count()
+    # the physical-row count rides the staging rewrite as an Observation
+    # (above the scan, below the tombstone anti-join) instead of a
+    # separate full pass over the fragmented pre-compact postings
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    post = post.observe(obs, F.count(F.lit(1)).alias("n_rows"))
     deletes = _read_vector_deletes(spark, path)
     live = post
     if deletes is not None:
@@ -712,6 +728,7 @@ def compact_vector_store(spark, path: str, target_files: int = 8) -> dict:
     with open(f"{staging}/_COMMIT", "w") as fh:
         fh.write("committed\n")
     _finish_vector_swap(path)
+    n_rows = int(obs.get["n_rows"])
     n_live = spark.read.parquet(f"{path}/postings").count()
     return {
         "files_before": files_before,
