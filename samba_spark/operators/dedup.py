@@ -1932,13 +1932,16 @@ def append_minhash_index(
         sig = (
             sigs.join(documents.select("doc_id"), "doc_id", "left_semi")
             .join(sig_ids, "doc_id", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     else:
         fresh = documents.join(sig_ids, "doc_id", "left_anti")
         sig = minhash_signatures(
             fresh, int(meta["n"]), int(meta["num_hashes"]), meta["hash_family"]
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+    # lazy cut + count fusion: this count materializes the delta
+    # signatures in one job; the band derivation and both appends below
+    # re-read the persisted blocks
     n_new = sig.count()
     if n_new == 0:
         return 0
@@ -2261,7 +2264,10 @@ def merge_minhash_indexes(spark, dest_path: str, src_path: str) -> int:
         )
     src_bands, src_sigs, _ = load_minhash_index(spark, src_path)
     dest_ids = spark.read.parquet(f"{dest_path}/sigs").select("doc_id")
-    fresh_sigs = src_sigs.join(dest_ids, "doc_id", "left_anti").localCheckpoint()
+    # lazy cut + count fusion (one job; the appends re-read the blocks)
+    fresh_sigs = src_sigs.join(
+        dest_ids, "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
     n_new = fresh_sigs.count()
     if n_new == 0:
         return 0

@@ -756,9 +756,12 @@ def bpe_train(
                 F.concat(acc["out"], F.array(acc["p"]))
             )
 
+        # lazy cut: the next round's top-pair collect (or the caller's
+        # action after the last round) materializes the rewrite — one
+        # job per round instead of two
         toks = toks.withColumn(
             "tokens", F.aggregate("tokens", acc0, step, fin)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, toks
 
 

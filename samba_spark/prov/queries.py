@@ -97,12 +97,14 @@ def transitive_lineage(
             .join(seen.select("element_id"), "element_id", "left_anti")
             .withColumn("hop", F.lit(hop))
         )
-        # Iterative algorithm: localCheckpoint truncates the growing plan and
-        # the count drives the loop — unavoidable driver sync per hop.
-        nxt = nxt.localCheckpoint()
+        # Iterative algorithm: the lazy localCheckpoint truncates the
+        # growing plan and the isEmpty probe is the materializing action
+        # (one job per hop instead of two); the driver sync per hop is
+        # the unavoidable part.
+        nxt = nxt.localCheckpoint(eager=False)
         if nxt.isEmpty():
             break
-        seen = seen.unionByName(nxt).localCheckpoint()
+        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     edges.unpersist()
     return seen
