@@ -70,6 +70,85 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- host/JVM CPU accounting (VERDICT r11 item 3) -------------------
+# Wall-clock alone cannot distinguish a plan regression from a host
+# CPU-steal episode (the mechanism behind every disputed number in
+# rounds 9-11: dozens of untouched sub-second queries read 2-2.5x in
+# one sample while the same code read clean in another). Each timed
+# query therefore also records, from /proc:
+#   * host_cpu_sec  — aggregate non-idle CPU ticks across all cores
+#     (the bench runs alone, so this is attributable to the query);
+#   * steal_sec     — the hypervisor steal ticks over the same window
+#     (>0 means the host was descheduled: wall inflates, CPU doesn't);
+#   * jvm_cpu_sec   — the driver JVM's own process CPU
+#     (OperatingSystemMXBean.getProcessCpuTime), excluding Python
+#     workers but immune to /proc parsing surprises.
+# A reading with wall >> cpu and steal > 0 is a degraded sample, not a
+# regression — self-diagnosing in the artifact instead of re-litigated
+# round over round. Pure additions: the timed region, methodology and
+# stdout contract are unchanged.
+
+_CLK_TCK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _host_cpu_ticks():
+    """(busy_ticks, steal_ticks) from the aggregate /proc/stat cpu line,
+    or (None, None) off-linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal guest ...
+        vals = [int(v) for v in parts[1:9]]
+        user, nice, system, _idle, _iowait, irq, softirq, steal = vals
+        return user + nice + system + irq + softirq, steal
+    except Exception:
+        return None, None
+
+
+_JVM_PID = None
+
+
+def _jvm_cpu_sec(spark):
+    """Driver-JVM process CPU seconds from /proc/<pid>/stat (utime +
+    stime across all JVM threads), or None. The MXBean route
+    (getProcessCpuTime) is blocked by the module system on JDK 17, so
+    read the kernel's accounting directly."""
+    global _JVM_PID
+    try:
+        if _JVM_PID is None:
+            _JVM_PID = int(
+                spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+            )
+        with open(f"/proc/{_JVM_PID}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[1].split()
+        # fields after the comm field: index 11 = utime, 12 = stime
+        return (int(parts[11]) + int(parts[12])) / _CLK_TCK
+    except Exception:
+        return None
+
+
+class _CpuMeter:
+    """Deltas of host busy/steal ticks and JVM CPU around a timed run."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def start(self):
+        self._busy, self._steal = _host_cpu_ticks()
+        self._jvm = _jvm_cpu_sec(self.spark)
+
+    def stop(self):
+        busy, steal = _host_cpu_ticks()
+        jvm = _jvm_cpu_sec(self.spark)
+        out = {}
+        if busy is not None and self._busy is not None:
+            out["cpu"] = round((busy - self._busy) / _CLK_TCK, 3)
+            out["steal"] = round((steal - self._steal) / _CLK_TCK, 3)
+        if jvm is not None and self._jvm is not None:
+            out["jvm_cpu"] = round(jvm - self._jvm, 3)
+        return out
+
+
 # Two sentinels, two failure modes (round-10: the r9 single-sentinel
 # design missed one of them):
 # * x3 (COMPUTE-bound, ~3.5 s of shuffle/hash work): catches throughput
@@ -88,11 +167,18 @@ SENTINELS = [
 ]
 
 
-def run_preflight(spark, sf_dir: str, all_queries) -> dict:
-    """Warm median-of-3 sentinel probes → machine-state verdict dict."""
+def run_preflight(spark, sf_dir: str, all_queries, sentinels=None) -> dict:
+    """Warm median-of-3 sentinel probes → machine-state verdict dict.
+
+    ``sentinels``: probe subset (default: all). The mid-suite probe
+    runs q17 only — the per-job-latency mode is the one documented to
+    arise DURING a run (r10 canonical: q17 0.2→1.3 s mid-suite while
+    compute-bound x3 stayed clean), and a mid-suite x3 would add ~16 s
+    of compute between timed queries for a mode the pre/post pair
+    already brackets."""
     probes = []
     state = "ok"
-    for name, pinned, max_ratio in SENTINELS:
+    for name, pinned, max_ratio in (sentinels or SENTINELS):
         fn = all_queries[name].fn
         force(fn(spark, sf_dir))  # untimed: absorb codegen/caches
         samples = []
@@ -287,20 +373,44 @@ def main() -> None:
             time.sleep(10)
 
     timings: dict[str, float] = {}
+    query_diag: dict[str, dict] = {}
     total = 0.0
-    for name in names:
+    meter = _CpuMeter(spark)
+    # midflight sentinel (VERDICT r11 items 1/3): the pre/postflight
+    # gates cannot see a steal episode that starts and ends DURING the
+    # timed pass; one q17 probe at the suite midpoint (between queries,
+    # never inside a timed window) bounds when a mid-run degradation
+    # began. Recorded as its own artifact key; total/queries unchanged.
+    midflight = None
+    mid_at = len(names) // 2 if preflight is not None and len(names) > 40 else None
+    for qi, name in enumerate(names):
+        if mid_at is not None and qi == mid_at:
+            midflight = run_preflight(
+                spark, sf_dir, ALL_QUERIES, sentinels=SENTINELS[1:]
+            )
         spec = ALL_QUERIES[name]
         samples = []
-        t0 = time.perf_counter()
-        force(spec.fn(spark, sf_dir))
-        samples.append(time.perf_counter() - t0)
+        diag = {"wall": [], "cpu": [], "steal": [], "jvm_cpu": []}
+
+        def _one_sample():
+            meter.start()
+            t0 = time.perf_counter()
+            force(spec.fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            c = meter.stop()
+            samples.append(dt)
+            diag["wall"].append(round(dt, 4))
+            for k in ("cpu", "steal", "jvm_cpu"):
+                if k in c:
+                    diag[k].append(c[k])
+
+        _one_sample()
         if samples[0] < 2.0 or name in always_median:
             for _ in range(2):
-                t0 = time.perf_counter()
-                force(spec.fn(spark, sf_dir))
-                samples.append(time.perf_counter() - t0)
+                _one_sample()
         dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 4)
+        query_diag[name] = {k: v for k, v in diag.items() if v}
         total += dt
 
     # POSTFLIGHT (round-10): the r10 canonical retry found a mode the
@@ -341,9 +451,14 @@ def main() -> None:
                 else "degraded"
             )
         ),
+        "midflight": midflight,
         "order_mode": args.order,
         "order_seed": args.seed if args.order == "seeded-shuffle" else None,
         "suite_order": names,
+        # per-query CPU/steal diagnostics (full artifact only — the
+        # bounded stdout window gets the same 20-slowest treatment as
+        # the queries map via the compact-line filter below)
+        "query_diag": query_diag,
         "prov_overhead_ratio": prov_ratio,
         "element_overhead_ratio": elem_ratio,
         # The SCALE-TRACKING element-capture number (VERDICT r7 what's-
@@ -417,7 +532,7 @@ def main() -> None:
         **{
             k: v
             for k, v in payload.items()
-            if k not in ("queries", "suite_order")
+            if k not in ("queries", "suite_order", "query_diag")
         },
         "queries": {k: round(v, 2) for k, v in slowest.items()},
         "queries_shown": "20 slowest",
