@@ -1313,6 +1313,15 @@ def minhash_probe_frozen(
     )
 
 
+def _band_bucket(band_buckets: int) -> Column:
+    """Stable bucket id for a band key — the bucketed bands layout's
+    partition column (pmod(xxhash64(band_hash), N), deterministic, so
+    every writer and every probe derive the same placement)."""
+    return F.pmod(F.xxhash64(F.col("band_hash")), F.lit(band_buckets)).cast(
+        "int"
+    )
+
+
 def save_minhash_index(
     documents: DataFrame,
     path: str,
@@ -1320,6 +1329,7 @@ def save_minhash_index(
     num_hashes: int = 64,
     bands: int = 16,
     hash_family: str = "md5",
+    band_buckets: int = 0,
 ) -> None:
     """Build and PERSIST the frozen MinHash index under ``path`` — the
     offline half of :func:`minhash_probe_frozen`'s serving story. ONE
@@ -1329,11 +1339,34 @@ def save_minhash_index(
     (doc_id, sig), and ``meta/`` — a single row recording the build
     parameters, so :func:`probe_minhash_index` can NEVER probe with a
     mismatched layout (the structurally-undetectable fewer-bands case
-    in the probe docstring is closed by construction here)."""
+    in the probe docstring is closed by construction here).
+
+    ``band_buckets`` (VERDICT r11 item 4 — the bucketed store layout,
+    opt-in): 0 (default) keeps the flat bands layout. N > 0 writes
+    ``bands/`` partitioned by ``bbucket = pmod(xxhash64(band_hash), N)``
+    so a probe's scan statically prunes to the delta's bucket set (at
+    most N integers, collected from the admission-sized delta) — at
+    100 TB the per-probe bands read is bounded by the PROBED buckets,
+    not the archive, exactly the session store's ``user_buckets``
+    design (x166). The layout is pinned in the meta row
+    (``band_buckets`` — the layout-version field); every verb derives
+    placement from the same deterministic hash, old 4-column metas read
+    as ``band_buckets=0``, and :func:`merge_minhash_indexes` refuses a
+    layout mismatch (migration path: rebuild via save, or merge into a
+    same-layout destination). Default stays flat because bucketing
+    multiplies small files below multi-GB index sizes — measured at
+    sf0.1 the per-dir open cost exceeds the pruning win; the crossover
+    is documented in OPTIMIZATION_r12.md.
+    """
     if num_hashes % bands != 0:
         raise ValueError(
             f"save_minhash_index: bands={bands} must divide "
             f"num_hashes={num_hashes}"
+        )
+    if band_buckets < 0:
+        raise ValueError(
+            f"save_minhash_index: band_buckets={band_buckets} must be "
+            ">= 0 (0 = flat layout)"
         )
     # Rebuild-in-place hygiene (review finding): a stale tombstone set
     # or compaction staging left under ``path`` would corrupt the fresh
@@ -1345,27 +1378,89 @@ def save_minhash_index(
     if not _URI_SCHEME.match(path):
         shutil.rmtree(f"{path}/_compact", ignore_errors=True)
         shutil.rmtree(f"{path}/deletes", ignore_errors=True)
+        # a stale in-flight-append marker from a previous index at this
+        # path must not force the fresh index onto the repair path
+        try:
+            os.remove(f"{path}/_APPEND_PENDING")
+        except FileNotFoundError:
+            pass
     spark = documents.sparkSession
-    sig = minhash_signatures(documents, n, num_hashes, hash_family)
-    sig.write.mode("overwrite").parquet(f"{path}/sigs")
-    # derive the band table from the WRITTEN signatures, not the lazy
-    # plan — two separate actions on the same plan would shingle and
-    # signature the whole corpus twice (review finding; cross-job plans
-    # are re-executed, exchange reuse is intra-query only)
-    persisted_sig = spark.read.parquet(f"{path}/sigs")
-    band_keys_from_signatures(
-        persisted_sig, num_hashes, bands, hash_family
-    ).write.mode("overwrite").parquet(f"{path}/bands")
+    from concurrent.futures import ThreadPoolExecutor, wait
+
     from samba_spark.operators.guards import tiny_df
 
-    tiny_df(
-        spark,
-        [(int(n), int(num_hashes), int(bands), hash_family)],
-        "n int, num_hashes int, bands int, hash_family string",
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    def _sigs_then_bands():
+        sig = minhash_signatures(documents, n, num_hashes, hash_family)
+        sig.write.mode("overwrite").parquet(f"{path}/sigs")
+        # derive the band table from the WRITTEN signatures, not the
+        # lazy plan — two separate actions on the same plan would
+        # shingle and signature the whole corpus twice (review finding;
+        # cross-job plans are re-executed, exchange reuse is intra-query
+        # only). Schema provided (it is the plan we just wrote) — an
+        # unspecified schema costs a footer-inference job per save.
+        persisted_sig = spark.read.schema(sig.schema).parquet(f"{path}/sigs")
+        band_df = band_keys_from_signatures(
+            persisted_sig, num_hashes, bands, hash_family
+        )
+        if band_buckets > 0:
+            band_df.withColumn("bbucket", _band_bucket(band_buckets)) \
+                .repartition("bbucket") \
+                .write.mode("overwrite").partitionBy("bbucket") \
+                .parquet(f"{path}/bands")
+        else:
+            band_df.write.mode("overwrite").parquet(f"{path}/bands")
+
+    def _meta():
+        tiny_df(
+            spark,
+            [(int(n), int(num_hashes), int(bands), hash_family,
+              int(band_buckets))],
+            "n int, num_hashes int, bands int, hash_family string, "
+            "band_buckets int",
+        ).write.mode("overwrite").parquet(f"{path}/meta")
+
+    # the meta write is independent of the sigs→bands chain (disjoint
+    # output dirs) — overlap it (guide §2.6) so its fixed job latency
+    # hides under the corpus signature pass. A crash mid-save stays
+    # loud either way: a partial index is missing at least one of the
+    # three datasets and every loader raises on it (save is the build
+    # verb — rebuild on failure is its recovery protocol).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_sigs_then_bands), pool.submit(_meta)]
+        wait(futures)
+        for f in futures:
+            if f.exception():
+                raise f.exception()
 
 
-def load_minhash_index(spark, path: str, meta: dict | None = None):
+def _load_index_meta(spark, path: str) -> dict:
+    """The 1-row meta dataset as a dict (one collect job, nothing else
+    constructed — building the bands/sigs readers costs a parquet
+    schema-inference job each, so meta-only callers must not pay it)."""
+    try:
+        meta_rows = spark.read.parquet(f"{path}/meta").collect()
+    except Exception as exc:
+        raise ValueError(
+            f"load_minhash_index: {path}/meta is missing or "
+            "unreadable — a frozen index must carry its build "
+            "parameters (save_minhash_index writes them); probing "
+            "with guessed n/num_hashes/bands silently returns no "
+            "candidates on mismatch"
+        ) from exc
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"load_minhash_index: expected exactly 1 meta row at "
+            f"{path}/meta, found {len(meta_rows)}"
+        )
+    return meta_rows[0].asDict()
+
+
+def load_minhash_index(
+    spark,
+    path: str,
+    meta: dict | None = None,
+    band_bucket_filter: "list[int] | None" = None,
+):
     """(bands_df, sigs_df, meta dict) from a :func:`save_minhash_index`
     directory. Raises with the layout contract spelled out when the
     meta dataset is absent (an index persisted without its build
@@ -1383,30 +1478,47 @@ def load_minhash_index(spark, path: str, meta: dict | None = None):
     downstream bucket cap (so ``_cap_buckets`` counts live rows only,
     exactly as if the deleted docs had never been indexed) and sigs so
     a deleted doc can never verify as a match. An interrupted
-    compaction is repaired first (:func:`_recover_compaction`)."""
+    compaction is repaired first (:func:`_recover_compaction`).
+
+    ``band_bucket_filter``: on a bucketed-layout index
+    (``save_minhash_index(band_buckets=N)``) restrict the bands scan to
+    these bucket ids — a STATIC partition filter, so only the listed
+    ``bbucket=`` directories are read (the probe's scale posture at
+    100 TB). Ignored (with the same results) on a flat index. The
+    returned bands frame always carries exactly
+    (doc_id, band, band_hash) whatever the layout."""
     from samba_spark.operators.leases import reject_file_scheme
 
     reject_file_scheme(path, "load_minhash_index")
     _recover_compaction(path)
     if meta is None:
-        try:
-            meta_rows = spark.read.parquet(f"{path}/meta").collect()
-        except Exception as exc:
-            raise ValueError(
-                f"load_minhash_index: {path}/meta is missing or "
-                "unreadable — a frozen index must carry its build "
-                "parameters (save_minhash_index writes them); probing "
-                "with guessed n/num_hashes/bands silently returns no "
-                "candidates on mismatch"
-            ) from exc
-        if len(meta_rows) != 1:
-            raise ValueError(
-                f"load_minhash_index: expected exactly 1 meta row at "
-                f"{path}/meta, found {len(meta_rows)}"
+        meta = _load_index_meta(spark, path)
+    # pre-bucketing (4-column) metas read as the flat layout
+    meta.setdefault("band_buckets", 0)
+    # dataset schemas ride the meta dict (private keys): a reader built
+    # WITHOUT a schema pays a parquet footer-inference job per
+    # construction, so a per-micro-batch caller (the admission stream
+    # re-loads the index every trigger) paid two such jobs per batch
+    # for schemas that are immutable for a live index. First load
+    # infers and stashes; every meta-reusing load provides them.
+    b_schema = meta.get("_bands_schema")
+    bands = (
+        spark.read.schema(b_schema) if b_schema is not None else spark.read
+    ).parquet(f"{path}/bands")
+    meta.setdefault("_bands_schema", bands.schema)
+    if int(meta["band_buckets"] or 0) > 0:
+        if band_bucket_filter is not None:
+            # static partition filter: only the listed bbucket= dirs
+            # are scanned (plan-asserted in tests)
+            bands = bands.where(
+                F.col("bbucket").isin([int(b) for b in band_bucket_filter])
             )
-        meta = meta_rows[0].asDict()
-    bands = spark.read.parquet(f"{path}/bands")
-    sigs = spark.read.parquet(f"{path}/sigs")
+        bands = bands.select("doc_id", "band", "band_hash")
+    s_schema = meta.get("_sigs_schema")
+    sigs = (
+        spark.read.schema(s_schema) if s_schema is not None else spark.read
+    ).parquet(f"{path}/sigs")
+    meta.setdefault("_sigs_schema", sigs.schema)
     deletes = _read_deletes(spark, path)
     if deletes is not None:
         bands = bands.join(deletes, "doc_id", "left_anti")
@@ -1425,8 +1537,53 @@ def probe_minhash_index(
     ``path`` (written by :func:`save_minhash_index`) and runs
     :func:`minhash_probe_frozen` with the layout parameters the index
     was BUILT with — the path-based API that makes a layout mismatch
-    impossible rather than merely loud."""
-    bands_df, sigs_df, meta = load_minhash_index(spark, path)
+    impossible rather than merely loud.
+
+    On a bucketed-layout index (``band_buckets`` in meta) the delta is
+    signatured FIRST (one eager checkpoint — the same signatures feed
+    the probe via ``delta_sigs=``, so no second pass), its band keys'
+    bucket set (<= band_buckets integers — metadata-scale) is collected
+    driver-side, and the bands load prunes to exactly those partitions:
+    the per-probe bands scan is bounded by the PROBED buckets, not the
+    index size. Results are identical to the flat layout — pruned-away
+    buckets cannot contain the delta's band keys by construction (the
+    placement hash is the same deterministic function on both sides),
+    and bucket-cap counts are bucket-local so capping the probed subset
+    equals capping the whole table (the probe's standing argument)."""
+    # meta first (1-row collect, no reader construction) to learn the
+    # layout; _recover_compaction runs inside the real load below
+    from samba_spark.operators.leases import reject_file_scheme
+
+    reject_file_scheme(path, "probe_minhash_index")
+    _recover_compaction(path)
+    meta = _load_index_meta(spark, path)
+    band_buckets = int(meta.get("band_buckets", 0) or 0)
+    delta_sigs = None
+    bucket_filter = None
+    if band_buckets > 0:
+        delta_sigs = minhash_signatures(
+            delta_docs,
+            int(meta["n"]),
+            int(meta["num_hashes"]),
+            meta["hash_family"],
+        ).localCheckpoint()
+        dband = band_keys_from_signatures(
+            delta_sigs,
+            int(meta["num_hashes"]),
+            int(meta["bands"]),
+            meta["hash_family"],
+        )
+        bucket_filter = [
+            r[0]
+            for r in dband.select(
+                _band_bucket(band_buckets).alias("bbucket")
+            )
+            .distinct()
+            .collect()
+        ]
+    bands_df, sigs_df, meta = load_minhash_index(
+        spark, path, meta=meta, band_bucket_filter=bucket_filter
+    )
     return minhash_probe_frozen(
         bands_df,
         sigs_df,
@@ -1437,6 +1594,7 @@ def probe_minhash_index(
         min_agree=min_agree,
         max_bucket=max_bucket,
         hash_family=meta["hash_family"],
+        delta_sigs=delta_sigs,
     )
 
 
@@ -1921,7 +2079,13 @@ def append_minhash_index(
                 f"{path}/meta, found {len(meta_rows)}"
             )
         meta = meta_rows[0].asDict()
-    sig_ids = spark.read.parquet(f"{path}/sigs").select("doc_id")
+    # schema pass-through (same contract as load_minhash_index): a
+    # meta dict from a previous load carries the immutable dataset
+    # schemas, skipping this reader's footer-inference job per batch
+    s_schema = meta.get("_sigs_schema")
+    sig_ids = (
+        spark.read.schema(s_schema) if s_schema is not None else spark.read
+    ).parquet(f"{path}/sigs").select("doc_id")
     if sigs is not None:
         # Signature-reuse path (the x159 admission loop: the probe just
         # signatured this batch with the index's own layout params —
@@ -1929,8 +2093,36 @@ def append_minhash_index(
         # recomputing them here was a whole second shingle+md5 pass per
         # batch). Restrict to the documents offered AND not yet indexed;
         # the crash-safety protocol below is unchanged.
+        #
+        # Layout guards (ADVICE r11, medium): a caller-supplied table is
+        # TRUSTED INPUT TO A PERSISTED STORE — a wrong-length signature
+        # would derive band keys via F.slice over a short array and
+        # append permanently-unmatchable rows, and an offered doc absent
+        # from ``sigs`` would be silently dropped (admitted by the
+        # caller, never indexed). Both now fail loudly, plan-folded onto
+        # the join (no extra pass): the LEFT join surfaces missing docs
+        # as NULL sigs for the inner assert; the outer assert checks the
+        # length exactly where minhash_probe_frozen guards its own.
+        num_hashes = int(meta["num_hashes"])
+        guarded_sig = plan_assert(
+            plan_assert(
+                F.col("sig"),
+                F.col("sig").isNull(),
+                "append_minhash_index: offered doc_id ",
+                F.col("doc_id").cast("string"),
+                " has no row in the caller-supplied sigs= table — every "
+                "offered document must carry a signature",
+            ),
+            F.size(F.col("sig")) != F.lit(num_hashes),
+            "append_minhash_index: caller-supplied signature length ",
+            F.size(F.col("sig")).cast("string"),
+            f" != num_hashes={num_hashes} — sigs= must be built with "
+            "the index's own layout parameters",
+        )
         sig = (
-            sigs.join(documents.select("doc_id"), "doc_id", "left_semi")
+            documents.select("doc_id")
+            .join(sigs.select("doc_id", "sig"), "doc_id", "left")
+            .select("doc_id", guarded_sig.alias("sig"))
             .join(sig_ids, "doc_id", "left_anti")
             .localCheckpoint(eager=False)
         )
@@ -1960,12 +2152,50 @@ def append_minhash_index(
     # * the reverse order (sigs first) would strand sigs-without-bands:
     #   silently unmatchable forever, with the anti-join blocking the
     #   repair.
-    band_ids = spark.read.parquet(f"{path}/bands").select("doc_id").distinct()
+    #
+    # r12: the band anti-join is a CORPUS-SCALE distinct (16 band rows
+    # per indexed doc shuffled down to doc_ids) paid on EVERY append,
+    # yet it filters rows only on the retry AFTER a crash between the
+    # two writes. The ``_APPEND_PENDING`` marker (created before the
+    # bands write, removed after sigs lands) witnesses exactly that
+    # crash window: no marker ⇒ every doc with band rows also has sig
+    # rows ⇒ the sig anti-join above already excluded them ⇒ the band
+    # anti-join is provably vacuous and is SKIPPED. A marker found at
+    # entry means SOME append once died between its writes — possibly
+    # for docs never re-offered — so the marker is STICKY: every later
+    # append keeps the repair anti-join until a compact reconciles
+    # bands against sigs (compact_minhash_index clears it). Remote
+    # paths cannot hold a driver-side marker and keep the
+    # unconditional anti-join; merge_minhash_indexes (the other
+    # bands-first writer) maintains the same marker. Same
+    # single-writer lease as the writes, so no marker races.
     delta_bands = band_keys_from_signatures(
         sig, int(meta["num_hashes"]), int(meta["bands"]), meta["hash_family"]
-    ).join(band_ids, "doc_id", "left_anti")
-    delta_bands.write.mode("append").parquet(f"{path}/bands")
+    )
+    pending = f"{path}/_APPEND_PENDING"
+    local = not _URI_SCHEME.match(path)
+    entered_dirty = os.path.exists(pending) if local else True
+    if entered_dirty:
+        band_ids = (
+            spark.read.parquet(f"{path}/bands").select("doc_id").distinct()
+        )
+        delta_bands = delta_bands.join(band_ids, "doc_id", "left_anti")
+    if local and not entered_dirty:
+        with open(pending, "w") as fh:
+            fh.write("append in flight\n")
+    band_buckets = int(meta.get("band_buckets", 0) or 0)
+    if band_buckets > 0:
+        # bucketed layout: the delta's band rows land in their
+        # deterministic bbucket= partitions (append never reshuffles
+        # existing data); placement hash identical to save/probe
+        delta_bands.withColumn("bbucket", _band_bucket(band_buckets)) \
+            .write.mode("append").partitionBy("bbucket") \
+            .parquet(f"{path}/bands")
+    else:
+        delta_bands.write.mode("append").parquet(f"{path}/bands")
     sig.write.mode("append").parquet(f"{path}/sigs")
+    if local and not entered_dirty:
+        os.remove(pending)
     return int(n_new)
 
 
@@ -2151,13 +2381,17 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
 
     def _nfiles(name: str) -> int:
         # count every data file, whatever its suffix (VERDICT r10:
-        # a *.parquet glob reads 0 for .snappy.parquet-style layouts)
+        # a *.parquet glob reads 0 for .snappy.parquet-style layouts);
+        # recursive so bucketed layouts (bbucket= partition dirs) count
+        # files, not directories
         d = f"{path}/{name}"
         if not os.path.isdir(d):
             return 0
-        return sum(
-            1 for f in os.listdir(d) if not f.startswith(("_", "."))
-        )
+        n = 0
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+            n += sum(1 for f in files if not f.startswith(("_", ".")))
+        return n
 
     files_before = {n: _nfiles(n) for n in ("sigs", "bands")}
     # the physical-row count for the rows_removed metric rides the sigs
@@ -2176,27 +2410,71 @@ def compact_minhash_index(spark, path: str, target_files: int = 8) -> dict:
     if deletes is not None:
         live_sigs = sigs.join(deletes, "doc_id", "left_anti")
         live_bands = bands.join(deletes, "doc_id", "left_anti")
+    # a sticky _APPEND_PENDING marker (an append/merge once died between
+    # its bands and sigs writes — see append_minhash_index) is healed
+    # HERE: reconciling the bands rewrite against the physical sig ids
+    # drops any stranded bands-without-sigs rows (which could never
+    # verify as matches but did inflate bucket-cap counts), after which
+    # the marker clears and appends regain their anti-join-free fast
+    # path. Normal-path compacts (no marker) skip the extra join
+    # entirely. Fresh read for the semi side — the observed ``sigs``
+    # plan must stay single-consumer or the metric double-fires.
+    pending = f"{path}/_APPEND_PENDING"
+    reconcile = os.path.exists(pending)
+    if reconcile:
+        live_bands = live_bands.join(
+            spark.read.parquet(f"{path}/sigs").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     # The two staging rewrites are independent jobs on disjoint output
     # dirs (sigs and bands never read each other) — overlap them from a
     # 2-thread pool (guide §2.6) so the second rewrite back-fills the
     # executor slots the first's stage tail leaves idle. The _COMMIT
     # marker is only written after BOTH futures resolve, so the
     # crash-safety protocol is unchanged.
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import ThreadPoolExecutor, wait
 
     def _stage(df, name):
-        df.repartition(target_files).write.mode("overwrite").parquet(
-            f"{staging}/{name}"
-        )
+        if name == "bands" and "bbucket" in df.columns:
+            # bucketed layout (sniffed from the partition column — no
+            # extra meta job): rewrite each bucket to one file; the
+            # whole-directory swap below is layout-agnostic
+            df.repartition("bbucket").write.mode("overwrite").partitionBy(
+                "bbucket"
+            ).parquet(f"{staging}/{name}")
+        else:
+            df.repartition(target_files).write.mode("overwrite").parquet(
+                f"{staging}/{name}"
+            )
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fs = pool.submit(_stage, live_sigs, "sigs")
-        fb = pool.submit(_stage, live_bands, "bands")
-        fs.result(), fb.result()
+        futures = {
+            "sigs": pool.submit(_stage, live_sigs, "sigs"),
+            "bands": pool.submit(_stage, live_bands, "bands"),
+        }
+        # wait for BOTH before raising (ADVICE r11): fs.result() alone
+        # would swallow a concurrent bands failure — crash-safety holds
+        # either way (_COMMIT unwritten → rollback), but a dual failure
+        # must report both causes for diagnosability
+        wait(futures.values())
+        errs = {n: f.exception() for n, f in futures.items() if f.exception()}
+        if errs:
+            if len(errs) == 1:
+                raise next(iter(errs.values()))
+            raise RuntimeError(
+                "compact_minhash_index: both staging rewrites failed — "
+                + "; ".join(f"{n}: {e!r}" for n, e in errs.items())
+            ) from errs["sigs"]
     # commit point: from here recovery rolls FORWARD
     with open(f"{staging}/_COMMIT", "w") as fh:
         fh.write("committed\n")
     _finish_compaction_swap(path)
+    if reconcile:
+        # bands now provably ⊆ sigs: appends regain the fast path. A
+        # crash before this line leaves the marker set — conservative
+        # (appends keep repairing), never wrong.
+        os.remove(pending)
     n_sig_rows = int(obs.get["n_sig_rows"])
     n_live = spark.read.parquet(f"{path}/sigs").count()
     return {
@@ -2253,14 +2531,20 @@ def merge_minhash_indexes(spark, dest_path: str, src_path: str) -> int:
                 f"merge_minhash_indexes: expected exactly 1 meta row at "
                 f"{path}/meta, found {len(rows)}"
             )
-        return rows[0].asDict()
+        meta = rows[0].asDict()
+        # pre-bucketing (4-column) metas read as the flat layout, so an
+        # old index merges cleanly with a new flat-layout one
+        meta.setdefault("band_buckets", 0)
+        meta["band_buckets"] = int(meta["band_buckets"] or 0)
+        return meta
 
     dmeta, smeta = _meta(dest_path), _meta(src_path)
     if dmeta != smeta:
         raise ValueError(
             "merge_minhash_indexes: layout mismatch — dest "
             f"{dmeta} vs src {smeta}; rows from mismatched layouts "
-            "would silently never co-bucket"
+            "would silently never co-bucket (band_buckets included: "
+            "mixed bands file layouts under one dataset are unreadable)"
         )
     src_bands, src_sigs, _ = load_minhash_index(spark, src_path)
     dest_ids = spark.read.parquet(f"{dest_path}/sigs").select("doc_id")
@@ -2271,14 +2555,35 @@ def merge_minhash_indexes(spark, dest_path: str, src_path: str) -> int:
     n_new = fresh_sigs.count()
     if n_new == 0:
         return 0
-    dest_band_ids = (
-        spark.read.parquet(f"{dest_path}/bands").select("doc_id").distinct()
+    fresh_bands = src_bands.join(
+        fresh_sigs.select("doc_id"), "doc_id", "left_semi"
     )
-    fresh_bands = (
-        src_bands.join(
-            fresh_sigs.select("doc_id"), "doc_id", "left_semi"
-        ).join(dest_band_ids, "doc_id", "left_anti")
-    )
-    fresh_bands.write.mode("append").parquet(f"{dest_path}/bands")
+    # same _APPEND_PENDING protocol as append_minhash_index (merge is
+    # the other bands-first writer): the dest band anti-join is only a
+    # crash-retry repair, skipped while the store has never crashed
+    # mid-append (dest is require-local, so the marker always applies)
+    pending = f"{dest_path}/_APPEND_PENDING"
+    entered_dirty = os.path.exists(pending)
+    if entered_dirty:
+        dest_band_ids = (
+            spark.read.parquet(f"{dest_path}/bands")
+            .select("doc_id")
+            .distinct()
+        )
+        fresh_bands = fresh_bands.join(dest_band_ids, "doc_id", "left_anti")
+    else:
+        with open(pending, "w") as fh:
+            fh.write("merge append in flight\n")
+    if dmeta["band_buckets"] > 0:
+        fresh_bands = fresh_bands.withColumn(
+            "bbucket", _band_bucket(dmeta["band_buckets"])
+        )
+        fresh_bands.write.mode("append").partitionBy("bbucket").parquet(
+            f"{dest_path}/bands"
+        )
+    else:
+        fresh_bands.write.mode("append").parquet(f"{dest_path}/bands")
     fresh_sigs.write.mode("append").parquet(f"{dest_path}/sigs")
+    if not entered_dirty:
+        os.remove(pending)
     return int(n_new)

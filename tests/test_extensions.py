@@ -2084,7 +2084,14 @@ def test_minhash_index_persistence_roundtrip(spark, tmp_path):
     # non-default layout: 32 hashes, 8 bands
     save_minhash_index(corpus, path, num_hashes=32, bands=8)
     bands_df, sigs_df, meta = load_minhash_index(spark, path)
-    assert meta == {"n": 3, "num_hashes": 32, "bands": 8, "hash_family": "md5"}
+    # band_buckets is the r12 layout-version field (0 = flat layout)
+    assert meta == {
+        "n": 3,
+        "num_hashes": 32,
+        "bands": 8,
+        "hash_family": "md5",
+        "band_buckets": 0,
+    }
     assert bands_df.count() == 2 * 8
     assert sigs_df.select(F.size("sig")).distinct().collect()[0][0] == 32
 

@@ -281,3 +281,142 @@ def test_merge_respects_dest_tombstones_and_src_liveness(
     got = probe_minhash_index(spark, a, probe, min_agree=8).collect()
     # neither the dest-deleted nor the shard-deleted doc may match
     assert not any(r["match_id"] in set([0] + hi_ids) for r in got)
+
+
+def test_bucketed_bands_layout_full_lifecycle(spark, sf_smoke, tmp_path):
+    """VERDICT r11 item 4 — the bucketed bands layout: save(band_buckets
+    =N) must (a) probe identically to the flat layout through the whole
+    verb sequence (append → delete → compact), (b) statically prune the
+    probe's bands scan to the delta's bucket set, and (c) refuse a
+    cross-layout merge (the migration-path guard)."""
+    import re
+
+    from samba_spark.operators.dedup import merge_minhash_indexes
+
+    docs = _docs(spark, sf_smoke)
+    flat, buck = str(tmp_path / "flat"), str(tmp_path / "buck")
+    base = docs.where(F.col("source") != "src0")
+    delta = docs.where(F.col("source") == "src0")
+    save_minhash_index(base, flat)
+    save_minhash_index(base, buck, band_buckets=8)
+    assert any(
+        e.startswith("bbucket=") for e in os.listdir(f"{buck}/bands")
+    )
+    for p in (flat, buck):
+        append_minhash_index(delta, p)
+        delete_from_minhash_index(
+            spark, p, docs.where(F.col("doc_id") % 5 == 1).select("doc_id")
+        )
+    probe = _probe_batch(docs)
+    got_flat = probe_minhash_index(spark, flat, probe, min_agree=8)
+    got_buck = probe_minhash_index(spark, buck, probe, min_agree=8)
+    assert _rows(got_flat) == _rows(got_buck)
+    # (b) the bucketed probe's bands scan carries a static bbucket
+    # partition filter — the 100 TB pruning contract
+    plan = got_buck._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan[:4000]}"
+    assert "bbucket" in m.group(1), m.group(1)
+    # compact preserves the layout and the probe results
+    info = compact_minhash_index(spark, buck, target_files=2)
+    assert info["rows_removed"] > 0
+    assert any(
+        e.startswith("bbucket=") for e in os.listdir(f"{buck}/bands")
+    )
+    after = probe_minhash_index(spark, buck, probe, min_agree=8)
+    assert _rows(after) == _rows(got_buck)
+    # append keeps working on the compacted bucketed store
+    re_add = docs.where(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+    )
+    assert append_minhash_index(re_add, buck) > 0
+    # (c) cross-layout merge refused loudly
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_minhash_indexes(spark, flat, buck)
+
+
+def test_bucketed_and_flat_merge_same_layout_ok(spark, sf_smoke, tmp_path):
+    """Same-layout merges (both bucketed, same N) behave exactly like
+    flat merges; a pre-bucketing 4-column meta merges with a new
+    flat-layout meta (band_buckets defaults to 0 on read)."""
+    from samba_spark.operators.dedup import merge_minhash_indexes
+
+    docs = _docs(spark, sf_smoke)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    save_minhash_index(docs.where(F.col("doc_id") < 100), a, band_buckets=4)
+    save_minhash_index(docs.where(F.col("doc_id") >= 100), b, band_buckets=4)
+    n = merge_minhash_indexes(spark, a, b)
+    assert n > 0
+    one = str(tmp_path / "one")
+    save_minhash_index(docs, one, band_buckets=4)
+    probe = _probe_batch(docs)
+    assert _rows(probe_minhash_index(spark, a, probe, min_agree=8)) == _rows(
+        probe_minhash_index(spark, one, probe, min_agree=8)
+    )
+
+
+def test_append_pending_marker_crash_protocol(spark, sf_smoke, tmp_path):
+    """r12 append fast path: the band anti-join is skipped while no
+    append ever died between its bands and sigs writes. Simulate that
+    exact crash window, then verify (a) a retry does not double-append
+    band rows, (b) the sticky marker keeps later appends on the repair
+    path, (c) compact reconciles stranded bands-without-sigs rows and
+    clears the marker."""
+    from samba_spark.operators.dedup import (
+        band_keys_from_signatures,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_smoke)
+    p = str(tmp_path / "idx")
+    save_minhash_index(docs.where(F.col("doc_id") < 100), p)
+    marker = os.path.join(p, "_APPEND_PENDING")
+    # clean store: a normal append leaves no marker behind
+    batch1 = docs.where(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 120)
+    )
+    assert append_minhash_index(batch1, p) > 0
+    assert not os.path.exists(marker)
+    # simulate the crash window: bands written, sigs NOT, marker left
+    victim = docs.where(
+        (F.col("doc_id") >= 120) & (F.col("doc_id") < 130)
+    )
+    vsig = minhash_signatures(victim)
+    band_keys_from_signatures(vsig).write.mode("append").parquet(
+        f"{p}/bands"
+    )
+    with open(marker, "w") as fh:
+        fh.write("append in flight\n")
+    n_band_rows = spark.read.parquet(f"{p}/bands").count()
+    # (a) the retry repairs: sigs land, band rows are NOT duplicated
+    assert append_minhash_index(victim, p) == victim.count()
+    assert spark.read.parquet(f"{p}/bands").count() == n_band_rows
+    # (b) marker is sticky until a compact reconciles
+    assert os.path.exists(marker)
+    # strand one more doc (bands-without-sigs, never re-offered)
+    stray = docs.where(F.col("doc_id") == 150)
+    band_keys_from_signatures(minhash_signatures(stray)).write.mode(
+        "append"
+    ).parquet(f"{p}/bands")
+    compact_minhash_index(spark, p, target_files=2)
+    assert not os.path.exists(marker)
+    # (c) reconciled: every band doc has a sig row again
+    band_ids = {
+        r[0]
+        for r in spark.read.parquet(f"{p}/bands")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    sig_ids = {
+        r[0]
+        for r in spark.read.parquet(f"{p}/sigs").select("doc_id").collect()
+    }
+    assert band_ids == sig_ids
+    assert 150 not in band_ids
+    # and the fast path is back: a clean append leaves no marker
+    batch2 = docs.where(
+        (F.col("doc_id") >= 160) & (F.col("doc_id") < 170)
+    )
+    assert append_minhash_index(batch2, p) > 0
+    assert not os.path.exists(marker)
