@@ -2120,7 +2120,11 @@ def append_minhash_index(
             "the index's own layout parameters",
         )
         sig = (
+            # distinct: the old semi-join form was insensitive to a
+            # caller offering the same doc_id twice in one batch; the
+            # left join must stay so too (a dup would double-append)
             documents.select("doc_id")
+            .distinct()
             .join(sigs.select("doc_id", "sig"), "doc_id", "left")
             .select("doc_id", guarded_sig.alias("sig"))
             .join(sig_ids, "doc_id", "left_anti")

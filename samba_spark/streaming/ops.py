@@ -891,7 +891,12 @@ def run_admission_stream(
         return spark.createDataFrame([], _EMPTY_LOG_SCHEMA)
 
     def _batch_files(batch_id):
-        with open(os.path.join(ckpt, "sources", "0", str(batch_id))) as fh:
+        # every compactInterval-th batch (default 10) the file source
+        # rewrites its log as "<id>.compact" holding ALL entries so
+        # far — filter those back down to this batch's own files
+        base = os.path.join(ckpt, "sources", "0", str(batch_id))
+        log_path = base if os.path.exists(base) else base + ".compact"
+        with open(log_path) as fh:
             lines = [ln for ln in fh.read().splitlines() if ln.strip()]
         if not lines or lines[0] != "v1":
             raise ValueError(
@@ -900,7 +905,12 @@ def run_admission_stream(
             )
         import json
 
-        return [json.loads(ln)["path"] for ln in lines[1:]]
+        entries = [json.loads(ln) for ln in lines[1:]]
+        return [
+            e["path"]
+            for e in entries
+            if int(e.get("batchId", batch_id)) == batch_id
+        ]
 
     logs = []
     for batch_id, matched in state["batches"]:
