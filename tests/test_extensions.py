@@ -2084,8 +2084,11 @@ def test_minhash_index_persistence_roundtrip(spark, tmp_path):
     # non-default layout: 32 hashes, 8 bands
     save_minhash_index(corpus, path, num_hashes=32, bands=8)
     bands_df, sigs_df, meta = load_minhash_index(spark, path)
-    # band_buckets is the r12 layout-version field (0 = flat layout)
-    assert meta == {
+    # band_buckets is the r12 layout-version field (0 = flat layout);
+    # "_"-prefixed keys are load's private pass-through stash (dataset
+    # schemas cached so meta-reusing loads skip inference jobs) — not
+    # part of the persisted layout contract
+    assert {k: v for k, v in meta.items() if not k.startswith("_")} == {
         "n": 3,
         "num_hashes": 32,
         "bands": 8,

@@ -492,10 +492,11 @@ def test_merge_does_not_resurrect_src_tombstones(spark, sf_smoke, tmp_path):
 
 def test_admission_stream_survives_source_log_compaction(spark, tmp_path):
     """The deferred admission log resolves each batch's files from the
-    stream's file-source metadata log, which Spark COMPACTS every 10th
-    batch (entries move into '<id>.compact' carrying all batches so
-    far). A 12-batch stream crosses that boundary; every batch's log
-    rows must still come back, one row per streamed doc."""
+    stream's file-source metadata log, which Spark COMPACTS every
+    compactInterval-th batch (entries move into '<id>.compact' carrying
+    all batches so far). Pin the interval to 2 so a 4-batch stream
+    crosses two compaction boundaries cheaply; every batch's log rows
+    must still come back, one row per streamed doc."""
     import os
 
     from pyspark.sql import functions as F
@@ -503,19 +504,17 @@ def test_admission_stream_survives_source_log_compaction(spark, tmp_path):
     from samba_spark.operators.dedup import save_minhash_index
     from samba_spark.streaming.ops import run_admission_stream
 
+    n_batches = 4
     texts = [
-        (
-            i,
-            " ".join(f"tok{i}w{j}" for j in range(8)),
-        )
-        for i in range(12)
+        (i, " ".join(f"tok{i}w{j}" for j in range(8)))
+        for i in range(n_batches)
     ]
     base = spark.createDataFrame(texts, ["doc_id", "text"])
     index_path = str(tmp_path / "idx")
     save_minhash_index(base.where(F.col("doc_id") < 1), index_path)
     batches_dir = str(tmp_path / "batches")
     os.makedirs(batches_dir)
-    for k in range(12):
+    for k in range(n_batches):
         stage = str(tmp_path / f"s{k}")
         base.where(F.col("doc_id") == k).coalesce(1).write.parquet(stage)
         part = next(
@@ -524,11 +523,23 @@ def test_admission_stream_survives_source_log_compaction(spark, tmp_path):
         dst = os.path.join(batches_dir, f"batch_{k}.parquet")
         os.replace(os.path.join(stage, part), dst)
         os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
-    log = run_admission_stream(
-        spark, batches_dir, index_path, str(tmp_path / "work")
-    )
-    rows = {r["doc_id"]: r["admitted"] for r in log.collect()}
-    assert len(rows) == 12
+    key = "spark.sql.streaming.fileSource.log.compactInterval"
+    old_interval = spark.conf.get(key, None)
+    spark.conf.set(key, "2")
+    try:
+        log = run_admission_stream(
+            spark, batches_dir, index_path, str(tmp_path / "work")
+        )
+        rows = {r["doc_id"]: r["admitted"] for r in log.collect()}
+    finally:
+        if old_interval is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old_interval)
+    # the compacted source log really was exercised
+    src_dir = os.path.join(str(tmp_path / "work"), "_checkpoint", "sources", "0")
+    assert any(e.endswith(".compact") for e in os.listdir(src_dir))
+    assert len(rows) == n_batches
     # doc 0 was pre-indexed: rejected; all others admitted
     assert rows[0] is False
-    assert all(rows[i] for i in range(1, 12))
+    assert all(rows[i] for i in range(1, n_batches))
