@@ -1212,10 +1212,21 @@ def minhash_probe_frozen(
     # signatures, so this is a pass-count optimization, not a semantic
     # knob. The length plan-assert below still guards a mismatched
     # table.
+    #
+    # When NOT caller-supplied, persist(): the delta signature pipeline
+    # (scan → shingle explode → minhash agg) has THREE consumers in this
+    # plan — the broadcast band-key set, the candidate band join's probe
+    # side, and the verification sig join — and without a cut each one
+    # re-executes the full pipeline (measured r12: x137's before-plan
+    # carried the subtree three times). persist() over localCheckpoint
+    # per the ADVICE-r11 mining.py rationale: no extra materialization
+    # job, blocks are compute-locked (each partition computed once even
+    # under AQE's concurrently-scheduled broadcast sub-jobs), and the
+    # ContextCleaner reclaims them when the plan is GC'd.
     dsig = (
         delta_sigs
         if delta_sigs is not None
-        else minhash_signatures(delta_docs, n, num_hashes, hash_family)
+        else minhash_signatures(delta_docs, n, num_hashes, hash_family).persist()
     )
     dband = band_keys_from_signatures(dsig, num_hashes, bands, hash_family)
     # plan-folded layout guard, applied BEFORE the semi-join (after it a

@@ -38,20 +38,60 @@ _Q24_PROV_DIR = scratch_dir("q24_prov")
 
 
 def seed_q24_oracle_dir() -> None:
-    """Make Q24_SQL *bindable* before q24's Spark side has ever run:
-    write empty, schema-correct parquet into any missing prov table dir
-    (pyarrow only — no Spark needed). DESCRIBE/validation passes against
-    the seed; the real comparison always reads the files q24's own run
-    just wrote (its first step is rmtree + full re-capture). Called by
+    """Make every fixture-path oracle *bindable* before its Spark side
+    has ever run (q24/q53/q59 prov stores, x53's parquet-metadata
+    dataset, x83's file-group tree): write empty-or-stub, schema-correct
+    files into any missing dir (pyarrow only — no Spark needed).
+    DESCRIBE/validation passes against the seed; the real comparison
+    always reads the files the query's own run just wrote (each one's
+    first step is rmtree + full rewrite). Called by
     __spark_entry__.oracle_sql() and the schema-only sweep test, so no
-    consumer ordering can hit 'no files match the pattern'."""
+    consumer ordering can hit 'no files match the pattern'. (Generalized
+    r12 from q24-only: the scratch dirs are per-checkout and wiped
+    between sessions, and a fresh tree failed the DESCRIBE sweep on
+    q53/x53/x83 until those queries had run once.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from samba_spark.prov import model
     from samba_spark.prov.store import _write_rows_parquet
+    from samba_spark.queries.declared import scratch_dir
 
-    for t in ("tasks", "elements", "element_deps"):
-        d = os.path.join(_Q24_PROV_DIR, t)
-        if not (os.path.isdir(d) and os.listdir(d)):
-            _write_rows_parquet(d, [], model.TABLES[t])
+    from samba_spark.queries.modern import Q75_PROV_DIR
+
+    for prov_dir, tables in (
+        (_Q24_PROV_DIR, ("tasks", "elements", "element_deps")),
+        (scratch_dir("q53_prov"), ("tasks", "elements", "element_deps")),
+        (scratch_dir("q59_prov"), ("tasks", "elements", "element_deps")),
+        (Q75_PROV_DIR, ("tasks", "executions")),
+    ):
+        for t in tables:
+            d = os.path.join(prov_dir, t)
+            if not (os.path.isdir(d) and os.listdir(d)):
+                _write_rows_parquet(d, [], model.TABLES[t])
+
+    # x53: parquet_file_metadata()/parquet_metadata() need >=1 parquet
+    # file under the glob; schema is irrelevant (metadata functions have
+    # a fixed result shape), so one empty single-column file suffices.
+    x53 = scratch_dir("x53_files")
+    if not (os.path.isdir(x53) and any(
+        f.endswith(".parquet") for f in os.listdir(x53)
+    )):
+        os.makedirs(x53, exist_ok=True)
+        pq.write_table(
+            pa.table({"n_nationkey": pa.array([], type=pa.int64())}),
+            os.path.join(x53, "file_0.parquet"),
+        )
+
+    # x83: read_text('<root>/*/*.txt') needs >=1 matching file.
+    x83 = scratch_dir("x83_filegroups")
+    g0 = os.path.join(x83, "g0")
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(x83, "*", "*.txt")):
+        os.makedirs(g0, exist_ok=True)
+        with open(os.path.join(g0, "seed.txt"), "w") as fh:
+            fh.write("seed\n")
 
 
 def q24_provenance_lineage(spark, sf_dir):
