@@ -39,10 +39,17 @@ def main() -> int:
 
     spark = get_spark(app_name=f"ab_{label}")
     spark.sparkContext.setLogLevel("ERROR")
-    jvm_bean = (
-        spark.sparkContext._jvm.java.lang.management.ManagementFactory.getOperatingSystemMXBean()
-    )
     hz = os.sysconf("SC_CLK_TCK")
+    # MXBean getProcessCpuTime is module-blocked on JDK 17 (bench.py
+    # note) — read the JVM's utime+stime from /proc instead
+    jvm_pid = int(
+        spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+    )
+
+    def _jvm_cpu():
+        with open(f"/proc/{jvm_pid}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[1].split()
+        return (int(parts[11]) + int(parts[12])) / hz
 
     out = {}
     for name in names:
@@ -52,16 +59,16 @@ def main() -> int:
         samples = {"wall": [], "cpu": [], "steal": [], "jvm_cpu": []}
         for _ in range(k):
             b0, s0 = _host_ticks()
-            j0 = jvm_bean.getProcessCpuTime()
+            j0 = _jvm_cpu()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
             b1, s1 = _host_ticks()
-            j1 = jvm_bean.getProcessCpuTime()
+            j1 = _jvm_cpu()
             samples["wall"].append(round(wall, 3))
             samples["cpu"].append(round((b1 - b0) / hz, 2))
             samples["steal"].append(round((s1 - s0) / hz, 2))
-            samples["jvm_cpu"].append(round((j1 - j0) / 1e9, 2))
+            samples["jvm_cpu"].append(round(j1 - j0, 2))
         out[name] = samples
         med = sorted(samples["wall"])[k // 2]
         print(
